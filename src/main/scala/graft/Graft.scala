@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-aware defaults.
+  *
+  * The engine is designed for a large multi-executor cluster but tested on
+  * `local[32]`. Everything scale-relevant is expressed through the plan
+  * (partitioning columns, broadcast hints, AQE) rather than hard-coded
+  * parallelism, so the same code runs unchanged on a 1000-executor cluster.
+  */
+object Graft {
+  /** Default shuffle parallelism for local runs; on a real cluster this is
+    * overridden by AQE coalescing (`spark.sql.adaptive.coalescePartitions`). */
+  val LocalShufflePartitions = 32
+
+  def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", LocalShufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** fuel's `floatX` config (reference: fuel/config_parser.py:49-52,211):
+    * the engine-wide float width used by `ForceFloatX`/`Cast("floatX")`. */
+  @volatile var floatX: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.FloatType
+}

@@ -1,0 +1,22 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog of the named test tables (TPC-H-ish star schema + events/documents/
+  * embeddings). Mirrors fuel's named-dataset registry (reference:
+  * fuel/datasets/mnist.py:7-33 and friends) — a name-to-source binding with no
+  * iteration state, so one table can back many concurrent queries
+  * (reference: fuel/datasets/base.py:52-58, stateless Dataset protocol).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` works on the dir. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
