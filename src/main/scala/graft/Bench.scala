@@ -1,24 +1,48 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Per-round driver contract: one JSON line
+  * `{"metric":...,"queries":{...}}` on stdout; also written to
+  * BENCH_LOCAL.json so log noise can't corrupt the parse.
+  *
+  * Methodology (VERDICT r1 #5): a full warm-up pass first (absorbs session
+  * init, codegen, parquet footer reads), then each query timed executing its
+  * COMPLETE pipeline via the noop sink (no `.count()` projection pruning).
+  * A failing query aborts the bench loudly instead of "benching" at -1.
+  */
 object Bench {
+  private def runFull(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warm-up: run everything once, untimed.
+    names.foreach(n => runFull(SparkEntry.queries(n)(spark, sfDir)))
+    // Timed pass.
+    val results = names.map { n =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      runFull(SparkEntry.queries(n)(spark, sfDir))
+      n -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

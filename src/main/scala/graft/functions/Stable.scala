@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-stable deterministic hashing.
+  *
+  * fuel requires seeded, reproducible randomness everywhere (reference:
+  * fuel/schemes.py:216-221, fuel/config_parser.py:206 — default_seed=1).
+  * Spark's `rand(seed)` is reproducible only within Spark and is
+  * partitioning-sensitive, so the engine instead derives all randomness from
+  * md5 of the row's key — a pure projection, deterministic under retries,
+  * speculation and repartitioning, and computable identically by external
+  * engines (the DuckDB oracle uses the same construction:
+  * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`).
+  *
+  * All functions are Catalyst built-ins (md5/conv/substring) — codegen'd,
+  * no UDFs, fully parallel, no shuffle.
+  */
+object Stable {
+
+  /** 60-bit non-negative hash of a string column: first 15 hex digits of md5.
+    * DuckDB equivalent: `CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)`. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Seeded hash of one or more key columns. Separator  cannot occur
+    * in the numeric/key columns this is used on, so the combination is
+    * injective. DuckDB: `md5(concat_ws(chr(1), 'seed', cols...))`. */
+  def seededHash(seed: Long, cols: Column*): Column =
+    hash64(concat_ws("\u0001", (lit(seed.toString) +: cols.map(_.cast("string"))): _*))
+
+  /** Seeded uniform double in [0, 1): hash64 / 2^60. Used by synthetic
+    * generators; deterministic per (seed, key). */
+  def uniform01(seed: Long, cols: Column*): Column =
+    seededHash(seed, cols: _*).cast("double") / lit(1152921504606846976.0) // 2^60
+
+  /** Seeded uniform in [lo, hi). */
+  def uniformRange(seed: Long, lo: Double, hi: Double, cols: Column*): Column =
+    lit(lo) + uniform01(seed, cols: _*) * lit(hi - lo)
+
+  /** The DuckDB SQL fragment equivalent to [[hash64]], for oracle authoring. */
+  def duckHash64(sqlExpr: String): String =
+    s"CAST(('0x' || substr(md5($sqlExpr), 1, 15)) AS BIGINT)"
+
+  /** DuckDB fragment equivalent to [[seededHash]]. */
+  def duckSeededHash(seed: Long, sqlExprs: String*): String =
+    duckHash64(s"concat_ws(chr(1), '$seed', ${sqlExprs.map(e => s"CAST($e AS VARCHAR)").mkString(", ")})")
+}

@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
+import graft.functions.TopK
 
 /** Relational operator surface (SURVEY.md §2.6): scans, projection, filter,
   * joins (broadcast/shuffle/semi/anti), aggregation, window functions,
@@ -13,12 +13,21 @@ import graft.sources.Tables
   * fuel has no joins/aggregations (reference: SURVEY §2.6); these expose the
   * Catalyst built-ins as the engine's query surface. Every query is written
   * scale-first: dimension joins carry `broadcast` hints, aggregates are
-  * partial-aggregable, doubles are rounded only at the output edge so the
-  * oracle hash is stable across engines.
+  * partial-aggregable, and all money arithmetic runs in DECIMAL so results
+  * are exact and order-independent (a distributed sum of doubles is not
+  * bit-stable; a decimal sum is), then casts to double only at the output
+  * edge — deterministic IEEE nearest in every engine.
   */
 object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  private val Dec = "decimal(18,2)"
+  /** Exact revenue: decimal(37,4), no double rounding anywhere. */
+  private def revenueDec: Column =
+    col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec))
+  private val DuckRevenue =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style scan + partial-aggregable groupBy. At 100 TB this is a
@@ -27,9 +36,9 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base_price"),
+          sum(revenueDec).cast("double").as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
@@ -41,7 +50,7 @@ object Relational {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_quantity") < 24)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"))
+          round(revenueDec, 2).cast("double").as("revenue"))
     }),
 
     // Star join over two tiny dims — broadcast both; zero shuffle for the join,
@@ -51,7 +60,8 @@ object Relational {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(Dec)).cast("double").as("total_acctbal"))
     }),
 
     // Fact-fact join: lineitem x orders on orderkey. At scale this is a
@@ -61,7 +71,7 @@ object Relational {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          sum(revenueDec).cast("double").as("revenue"))
     }),
 
     // Global top-k: Spark's TakeOrderedAndProject — no full sort at scale.
@@ -72,33 +82,43 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
     }),
 
-    // SQL window function (fuel has only sequence sliders — SURVEY §2.6).
-    // rank() keeps tied rows, so the output is deterministic as a set.
+    // Per-group top-k via a bounded-heap UDAF (graft.functions.TopK) instead
+    // of rank() over a 5-partition window: partial aggregation reduces every
+    // map task to ≤3 rows per group before a tiny shuffle — no skewed global
+    // sort at 100 TB. Deterministic row_number semantics (price DESC, key ASC).
     "q6_window_rank" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
       t(s, dir, "orders")
-        .withColumn("rnk", rank().over(w))
-        .filter(col("rnk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+        .groupBy("o_orderpriority")
+        .agg(TopK.topK(3)(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_orderpriority"),
+          col("e._2").as("o_orderkey"),
+          col("e._1").as("o_totalprice"),
+          (col("pos") + 1).cast("bigint").as("rnk"))
     }),
 
-    // Set ops: customers that placed an order vs. didn't (INTERSECT/EXCEPT).
+    // Set-op semantics (buyer ∩ / non-buyer ∖) in ONE pass: c_custkey is
+    // unique, so intersect/except over it is equivalent to a single left join
+    // against distinct buyers — 2 shuffles instead of 4, one scan per table.
     "q7_setops" -> ((s, dir) => {
       val custs = t(s, dir, "customer").select(col("c_custkey").as("k"))
       val buyers = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
-      custs.intersect(buyers).withColumn("tag", lit("buyer"))
-        .union(custs.except(buyers).withColumn("tag", lit("no_orders")))
+        .withColumn("b", lit(1))
+      custs.join(buyers, Seq("k"), "left")
+        .select(col("k"),
+          when(col("b").isNull, "no_orders").otherwise("buyer").as("tag"))
     }),
 
-    // Semi/anti joins (EXISTS / NOT EXISTS).
+    // Semi/anti joins (EXISTS / NOT EXISTS) with a SINGLE fact scan: aggregate
+    // distinct suppliers appearing in lineitem (partial-agg, tiny result),
+    // broadcast it to the supplier dim, tag by match.
     "q8_semi_anti" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_suppkey"))
-      val sup = t(s, dir, "supplier")
-      val semi = sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .select(col("s_suppkey"), lit("active").as("status"))
-      val anti = sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_anti")
-        .select(col("s_suppkey"), lit("inactive").as("status"))
-      semi.union(anti)
+      val active = t(s, dir, "lineitem").select(col("l_suppkey")).distinct()
+        .withColumn("a", lit(1))
+      t(s, dir, "supplier")
+        .join(broadcast(active), col("s_suppkey") === col("l_suppkey"), "left")
+        .select(col("s_suppkey"),
+          when(col("a").isNull, "inactive").otherwise("active").as("status"))
     }),
 
     // Exact distinct aggregation (two-phase at scale).
@@ -113,7 +133,8 @@ object Relational {
     "q10_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .agg(sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -137,7 +158,8 @@ object Relational {
     "q12_having" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(Dec)).cast("double").as("total_qty"))
         .filter(col("n_lines") >= 100)
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .select("s_name", "n_lines", "total_qty")
@@ -147,31 +169,35 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(REV) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+        .replace("REV", DuckRevenue),
 
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1.0 - l_discount), 2) AS revenue
+        |  CAST(round(REV, 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
+        |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin
+        .replace("REV", DuckRevenue),
 
     "q3_join_broadcast" ->
-      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+      """SELECT r_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
 
     "q4_join_facts" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST(sum(REV) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
+        |GROUP BY o_orderpriority""".stripMargin
+        .replace("REV", DuckRevenue),
 
     "q5_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -180,7 +206,8 @@ object Relational {
     "q6_window_rank" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
 
     "q7_setops" ->
@@ -205,7 +232,7 @@ object Relational {
     "q10_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q11_scalar_fns" ->
@@ -215,9 +242,13 @@ object Relational {
         |  count(*) AS cnt
         |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin,
 
+    // Oracle groups by l_suppkey (the key Spark groups on), then joins the
+    // dim — structurally identical grouping, robust to duplicate s_name.
     "q12_having" ->
-      """SELECT s_name, count(*) AS n_lines, round(sum(l_quantity), 2) AS total_qty
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_name HAVING count(*) >= 100""".stripMargin
+      """SELECT s_name, n_lines, total_qty FROM (
+        |  SELECT l_suppkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 100
+        |) JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
   )
 }
