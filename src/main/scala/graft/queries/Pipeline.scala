@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Stable
 import graft.schemes._
 import graft.sources.{Indexed, Tables}
+import graft.transform._
 
 /** Scheme-surface queries (SURVEY.md §2.2): every entry compiles an
   * iteration scheme to (pos, batch_id) columns and is checked against a
@@ -52,6 +53,52 @@ object Pipeline {
           ConcatenatedScheme(Seq(SequentialScheme(50), ShuffledScheme(50, seed = 3))))
         .select(col("p_partkey"),
           col(Schemes.Pos).as("pos"), col(Schemes.BatchId).as("batch_id"))
+    }),
+
+    // The canonical fuel default pipeline (ScaleAndShift ∘ Cast(floatX) ∘
+    // Rename ∘ FilterSources — fuel/transformers/defaults.py:6-10) as one
+    // collapsed Catalyst projection. Scale 1/256 is a power of two, so the
+    // arithmetic is exact in IEEE double and the float32 output bit-stable.
+    "q17_default_pipeline" -> ((s, dir) => {
+      val pipeline =
+        ScaleAndShift(1.0 / 256, 0.5, Seq("l_quantity")) andThen
+        Cast("floatX", Seq("l_quantity")) andThen
+        Rename(Map("l_quantity" -> "qty_scaled")) andThen
+        FilterSources(Seq("l_orderkey", "l_linenumber", "qty_scaled"))
+      pipeline(t(s, dir, "lineitem"))
+    }),
+
+    // Batch ∘ Unpack round-trip: examples → minibatch rows (array sources,
+    // one groupBy shuffle) → back to examples via posexplode.
+    "q18_batch_unpack" -> ((s, dir) => {
+      val sup = Indexed.withIdx(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+        Seq(col("s_suppkey")))
+      val pipeline = Batch(16) andThen Unpack()
+      pipeline(Schemes.compile(sup, SequentialScheme(16)))
+        .select(col("__batch_id").as("batch_id"), col("__i").cast("bigint").as("pos_in_batch"),
+          col("s_suppkey"), col("s_name"))
+    }),
+
+    // Padding + mask over variable-length token sequences from `documents`:
+    // per-doc token-length sequences, batched 32 per row, zero-padded to the
+    // batch max with a float mask; unpacked back to per-doc stats.
+    "q19_padding" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), transform(split(col("text"), " "), t => length(t)).as("tok_lens"))
+      val indexed = Indexed.withIdx(docs, Seq(col("doc_id")))
+      val pipeline = Batch(32) andThen Padding(Seq("tok_lens")) andThen Unpack()
+      pipeline(Schemes.compile(indexed, SequentialScheme(32)))
+        .select(col("doc_id"),
+          size(col("tok_lens")).cast("bigint").as("padded_len"),
+          aggregate(col("tok_lens_mask"), lit(0.0), (acc, x) => acc + x).as("mask_sum"))
+    }),
+
+    // Merge: positional zip of two independent streams on the stable index
+    // (an equi-join on __idx, never a cartesian).
+    "q20_merge" -> ((s, dir) => {
+      val parts = Indexed.withIdx(t(s, dir, "part").select("p_partkey"), Seq(col("p_partkey")))
+      val sups = Indexed.withIdx(t(s, dir, "supplier").select("s_suppkey"), Seq(col("s_suppkey")))
+      Merge(Seq(parts, sups)).select(col("__idx").as("pair_idx"), col("p_partkey"), col("s_suppkey"))
     })
   )
 
@@ -97,6 +144,39 @@ object Pipeline {
          |FROM (
          |  SELECT p_partkey,
          |    row_number() OVER (ORDER BY ${duckShuffleHash(3, "i")}, i) - 1 AS rn
-         |  FROM idx) p, n""".stripMargin
+         |  FROM idx) p, n""".stripMargin,
+
+    "q17_default_pipeline" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity / 256.0 + 0.5 AS REAL) AS qty_scaled
+        |FROM lineitem""".stripMargin,
+
+    "q18_batch_unpack" ->
+      """WITH idx AS (
+        |  SELECT s_suppkey, s_name, row_number() OVER (ORDER BY s_suppkey) - 1 AS i
+        |  FROM supplier)
+        |SELECT CAST(floor(i / 16) AS BIGINT) AS batch_id, i % 16 AS pos_in_batch,
+        |  s_suppkey, s_name
+        |FROM idx""".stripMargin,
+
+    "q19_padding" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |p AS (
+        |  SELECT doc_id, n, row_number() OVER (ORDER BY doc_id) - 1 AS pos FROM d),
+        |b AS (
+        |  SELECT doc_id, n, CAST(floor(pos / 32) AS BIGINT) AS batch_id FROM p)
+        |SELECT doc_id,
+        |  CAST(max(n) OVER (PARTITION BY batch_id) AS BIGINT) AS padded_len,
+        |  CAST(n AS DOUBLE) AS mask_sum
+        |FROM b""".stripMargin,
+
+    "q20_merge" ->
+      """WITH a AS (
+        |  SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) - 1 AS i FROM part),
+        |b AS (
+        |  SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) - 1 AS i FROM supplier)
+        |SELECT a.i AS pair_idx, a.p_partkey, b.s_suppkey
+        |FROM a JOIN b ON a.i = b.i""".stripMargin
   )
 }
