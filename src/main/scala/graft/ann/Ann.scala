@@ -1,0 +1,111 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, as a 100 TB pipeline needs:
+  *   - [[bruteForceTopK]]: the exact baseline — broadcast the (small) query
+  *     set against the corpus; the corpus side streams in parallel, per-query
+  *     results reduce through the bounded [[TopK]] aggregator. The plan is a
+  *     BroadcastNestedLoopJoin + partial aggregation — NO CartesianProduct,
+  *     no per-query global sort.
+  *   - [[lshTopK]]: the scale path — sign-random-projection buckets
+  *     (deterministic hyperplanes derived from a seed), candidates only
+  *     within matching buckets across `tables` hash tables, exact rerank of
+  *     the candidate set. Recall is tunable via (planes, tables).
+  *
+  * Dot products run in sequential left-to-right double accumulation
+  * (`aggregate(zip_with(...))`) — associativity is fixed by the plan, so
+  * the same inputs give the same bits on any engine.
+  */
+object Ann {
+
+  /** Sequential double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (sequential accumulation, then sqrt). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) corpus rows
+    * @param queries (idCol, vecCol) query rows — must be broadcastable
+    * @return (query_id, rank, neighbor_id) with rank 1..k by cosine DESC,
+    *         neighbor id ASC on ties; self-matches excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Rerank (query_id, neighbor_id, sim) rows to per-query top-k via the
+    * bounded-heap aggregator (partial agg; no per-query window sort). */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("query_id"), (col("r") + 1).cast("bigint").as("rank"),
+        col("e._2").as("neighbor_id"))
+
+  /** Deterministic hyperplane matrix: `tables` x `planes` hyperplanes of
+    * dimension `dim`, components in [-1, 1) derived from splitmix-style
+    * hashing of (seed, table, plane, dim index). Pure Scala — the same
+    * constants can be inlined into an external engine's query. */
+  def hyperplanes(seed: Long, tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, planes, dim) { (t, p, d) =>
+      // splitmix64 of the packed coordinates; top 53 bits -> [0,1)
+      var z = seed + 0x9e3779b97f4a7c15L * (((t.toLong * 1024 + p) * 4096) + d + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
+  /** Sign-LSH bucket key for one hash table: bit p = sign(v . plane_p). */
+  def bucketKey(vec: Column, tablePlanes: Array[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (plane, p) =>
+      val d = aggregate(
+        zip_with(vec, array(plane.map(lit): _*), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: bucket the corpus and queries in `tables`
+    * sign-LSH tables, take candidates sharing a bucket in ANY table, then
+    * exact-rerank. All joins are key-partitioned on (table, bucket). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(seed, tables, planes, dim)
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          posexplode(array((0 until tables).map(t => bucketKey(col(vecCol), hp(t))): _*))
+            .as(Seq("table", "bucket")))
+    val c = bucketed(corpus, "neighbor_id", "__cvec")
+    val q = bucketed(queries, "query_id", "__qvec")
+    val candidates = c.join(q, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qvec", "__cvec")
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(
+      candidates.select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("sim")), k)
+  }
+}

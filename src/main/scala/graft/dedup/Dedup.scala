@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH banding,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale discipline (the reason these exist as first-class operators):
+  * near-dup detection must NEVER be all-pairs. The LSH path is
+  * shingle → minhash signature (per-row projection) → band keys →
+  * `groupBy(band)` bucket join → per-candidate-pair exact verify. Every
+  * stage is a narrow projection or a key-partitioned shuffle; no
+  * CartesianProduct appears in any plan.
+  *
+  * All hashing is md5-derived ([[Stable.hash64]]) so signatures and band
+  * keys are deterministic under retries/speculation and reproducible by
+  * external engines (the DuckDB oracle recomputes them bit-for-bit).
+  */
+object Dedup {
+
+  /** Exact dedup on an arbitrary key expression: one hash-partitioned
+    * groupBy; keeps the minimum id as cluster representative.
+    * Output: (key_hash, keep_id, n_dups). */
+  def exact(df: DataFrame, idCol: Column, key: Column): DataFrame =
+    df.groupBy(md5(key.cast("string")).as("key_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word k-shingles of a token array: contiguous k-grams joined by a
+    * space. Docs shorter than k shingle to the whole sequence. */
+  def shingles(toks: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** MinHash signature: `numHashes` seeded min-hashes over the shingle set.
+    * hash_j(s) = md5-hash64(j ++ s); signature[j] = min over shingles —
+    * a pure per-row projection (no shuffle, no UDF). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleCol, s => Stable.seededHash(j.toLong, s)))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` rows-per-band groups
+    * and hash each group. Docs sharing ANY band key are candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      Stable.hash64(concat_ws(",",
+        lit(b.toString),
+        concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string")))))
+    }: _*)
+
+  /** Candidate pairs from banded LSH: explode band keys, self-join per
+    * bucket (id1 < id2), distinct. The join is key-partitioned on the band
+    * hash — bucket sizes, not corpus size, bound the pair blow-up. */
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = df.select(col(idCol),
+        posexplode(bandKeys(col(sigCol), bands, rowsPerBand)).as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
+    val b = banded.select(col("band"), col("bkey"), col(idCol).as("id2"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns (arrays must be
+    * distinct): |a ∩ b| / |a ∪ b| — int/int double division, deterministic. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SimHash over a token array: `bits`-wide signature where bit j is set
+    * iff sum over tokens of ±1 (sign = bit j of the token's md5 hash) is
+    * positive. One per-row aggregate with a `bits`-element accumulator —
+    * no explode, no shuffle; whole-stage codegen. Max 60 bits (md5-derived
+    * hash width). */
+  def simhash(toks: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 60, "simhash supports 1..60 bits")
+    // Per-bit shift amounts are unrolled statically (shiftright needs a
+    // literal shift); the token hash is computed once per token.
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0L), bits),
+      (acc, t) => {
+        val h = Stable.hash64(t)
+        val signs = array((0 until bits).map { j =>
+          when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+        }: _*)
+        zip_with(acc, signs, _ + _)
+      })
+    (0 until bits).map { j =>
+      when(element_at(counts, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (for near-dup banding). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("bigint")
+}

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.Stable
+import graft.sequences.Sequences
+import graft.sources.Tables
+import graft.text.TextOps
+
+/** Text path + LLM-data-pipeline queries over `documents`/`embeddings`:
+  * tokenizer+dictionary (fuel TextFile), n-grams, language ID, quality
+  * scoring, fingerprinting, exact + MinHash/LSH dedup, SimHash, and
+  * similarity search. All hashing is md5-derived so every signature is
+  * recomputed bit-for-bit by the DuckDB oracle.
+  */
+object TextQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"),
+      TextOps.tokens(col("text")).as("ts"))
+
+  /** Shared oracle CTE: whitespace tokens, empties dropped. */
+  private val DuckToks =
+    "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM documents)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // fuel TextFile: tokenize + top-50 dictionary lookup with BOS/EOS/UNK.
+    "q21_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dict = TextOps.buildDictionary(docs, "text", topK = 50)
+      TextOps.tokenize(docs, "doc_id", "text", dict)
+    }),
+
+    // fuel NGrams: trigram + next-token target per document.
+    "q22_ngrams" -> ((s, dir) => {
+      Sequences.ngrams(docsWithTokens(s, dir), "doc_id", "ts", n = 3)
+        .select(col("doc_id"), col("window_idx"),
+          concat_ws(" ", col("ngram")).as("ngram"), col("target"))
+    }),
+
+    // Heuristic language ID: stopword-profile hit counts, deterministic
+    // integer argmax (score DESC, lang ASC).
+    "q23_langid" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      d.select((col("doc_id") +: TextOps.langId(col("ts"))): _*)
+    }),
+
+    // Quality scoring + BPE-ish regex token count. Ratios are int/int
+    // double divisions — IEEE-deterministic.
+    "q24_quality" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      d.select((col("doc_id") +:
+        TextOps.qualityColumns(col("text"), col("ts")) :+
+        TextOps.regexTokenCount(col("text")).as("n_regex_tokens")): _*)
+    }),
+
+    // Winnowing fingerprints: 3-gram rolling hashes, window-4 minima.
+    "q25_fingerprint" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      d.select(col("doc_id"), TextOps.fingerprints(col("ts"), k = 3, w = 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fp"),
+          element_at(col("fps"), 1).as("min_fp"))
+    }),
+
+    // Exact dedup on a 40-char text prefix (hash-groupBy; min id kept).
+    "q26_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), col("doc_id"), substring(col("text"), 1, 40))
+    }),
+
+    // MinHash signatures: 8 seeded min-hashes over distinct 3-shingles —
+    // a pure per-row projection.
+    "q27_minhash" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      d.select(col("doc_id"),
+          posexplode(Dedup.minhashSignature(Dedup.shingles(col("ts"), 3), 8))
+            .as(Seq("sig_idx", "minhash")))
+        .select(col("doc_id"), col("sig_idx").cast("bigint").as("sig_idx"), col("minhash"))
+    }),
+
+    // Banded LSH near-dup detection end-to-end: signature -> 4 bands x 2
+    // rows -> bucket join -> exact Jaccard verify at 0.5. Never all-pairs:
+    // the only join is key-partitioned on the band hash.
+    "q28_lsh_dedup" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+        .select(col("doc_id"), Dedup.shingles(col("ts"), 3).as("sh"))
+      val sig = d.select(col("doc_id"),
+        Dedup.minhashSignature(col("sh"), 8).as("sig"))
+      val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      cand
+        .join(d.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(d.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
+    // SimHash: 32-bit signature per doc from token-hash bit votes.
+    "q29_simhash" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      d.select(col("doc_id"), Dedup.simhash(col("ts"), 32).as("simhash"))
+    }),
+
+    // Exact ANN baseline: brute-force cosine top-5 for 10 query vectors.
+    // Broadcast queries + bounded TopK aggregation — BroadcastNestedLoopJoin,
+    // no CartesianProduct, no per-query global sort.
+    "q30_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+
+    // The ANN scale path: sign-LSH bucketed candidate join + exact rerank.
+    // Approximate by construction, so no SQL oracle (driver records the
+    // rows-only check); recall vs brute force is asserted in TextDedupSpec.
+    "q31_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, seed = 42, tables = 6, planes = 6, dim = 64)
+    })
+  )
+
+  private val H = Stable.duckHash64 _
+
+  val oracles: Map[String, String] = Map(
+    "q21_tokenize" ->
+      s"""WITH $DuckToks,
+         |counted AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(ts) AS word FROM toks) GROUP BY word
+         |  ORDER BY cnt DESC, word ASC LIMIT 50),
+         |dict AS (
+         |  SELECT word, row_number() OVER (ORDER BY cnt DESC, word ASC) + 2 AS token_id
+         |  FROM counted),
+         |expl AS (
+         |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks)
+         |SELECT e.doc_id, CAST(e.i AS BIGINT) AS pos,
+         |  CAST(coalesce(d.token_id, 2) AS BIGINT) AS token_id
+         |FROM (SELECT doc_id, i, ts[i] AS word FROM expl) e LEFT JOIN dict d USING (word)
+         |UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM toks
+         |UNION ALL SELECT doc_id, CAST(len(ts) + 1 AS BIGINT), CAST(1 AS BIGINT) FROM toks""".stripMargin,
+
+    "q22_ngrams" ->
+      s"""WITH $DuckToks,
+         |e AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 3)) AS i
+         |      FROM toks WHERE len(ts) >= 4)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS window_idx,
+         |  array_to_string(ts[i:i+2], ' ') AS ngram, ts[i+3] AS target
+         |FROM e""".stripMargin,
+
+    "q23_langid" ->
+      s"""WITH $DuckToks,
+         |scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |    len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
+         |    len(list_filter(ts, t -> t IN ('el','la','de','y','que'))) AS s_es,
+         |    len(list_filter(ts, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+         |    len(list_filter(ts, t -> t IN ('de','le','shi','bu','wo'))) AS s_zh
+         |  FROM toks),
+         |u AS (
+         |  SELECT doc_id, 'de' AS lang, s_de AS score FROM scores
+         |  UNION ALL SELECT doc_id, 'en', s_en FROM scores
+         |  UNION ALL SELECT doc_id, 'es', s_es FROM scores
+         |  UNION ALL SELECT doc_id, 'fr', s_fr FROM scores
+         |  UNION ALL SELECT doc_id, 'zh', s_zh FROM scores)
+         |SELECT doc_id, lang AS lang_pred, CAST(score AS BIGINT) AS lang_score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, lang ASC) AS rn FROM u)
+         |WHERE rn = 1""".stripMargin,
+
+    "q24_quality" ->
+      s"""WITH $DuckToks,
+         |j AS (SELECT d.doc_id, d.text, t.ts FROM documents d JOIN toks t USING (doc_id))
+         |SELECT doc_id,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(text) AS BIGINT) AS n_chars_measured,
+         |  CAST(len(text) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS mean_token_len,
+         |  CAST(len(list_filter(ts, t -> t IN ('a','and','bu','das','de','der','die','el','et','ist','la','le','of','que','shi','the','to','un','und','wo','y'))) AS DOUBLE)
+         |    / CAST(len(ts) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(list_filter(ts, t -> regexp_matches(t, '[^a-z]'))) AS DOUBLE)
+         |    / CAST(len(ts) AS DOUBLE) AS nonalpha_ratio,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens
+         |FROM j""".stripMargin,
+
+    "q25_fingerprint" ->
+      s"""WITH $DuckToks,
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+         |      i -> ${H("array_to_string(ts[i:i+2], ' ')")}) AS gs
+         |  FROM toks),
+         |mins AS (
+         |  SELECT doc_id, gs, unnest(generate_series(1, greatest(len(gs) - 3, 1))) AS i
+         |  FROM grams)
+         |SELECT doc_id, CAST(count(DISTINCT m) AS BIGINT) AS n_fp, min(m) AS min_fp
+         |FROM (SELECT doc_id, list_min(gs[i:i+3]) AS m FROM mins)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q26_dedup_exact" ->
+      """SELECT md5(substr(text, 1, 40)) AS key_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q27_minhash" ->
+      s"""WITH $DuckToks,
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(ts) - 2, 1)),
+         |    i -> array_to_string(ts[i:i+2], ' ')))) AS s
+         |  FROM toks)
+         |SELECT doc_id, CAST(j AS BIGINT) AS sig_idx,
+         |  min(${H("concat_ws(chr(1), CAST(j AS VARCHAR), CAST(s AS VARCHAR))")}) AS minhash
+         |FROM sh, generate_series(0, 7) g(j)
+         |GROUP BY doc_id, j""".stripMargin,
+
+    "q28_lsh_dedup" ->
+      s"""WITH $DuckToks,
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(ts) - 2, 1)),
+         |    i -> array_to_string(ts[i:i+2], ' '))) AS s
+         |  FROM toks),
+         |mh AS (
+         |  SELECT doc_id, j,
+         |    min(${H("concat_ws(chr(1), CAST(j AS VARCHAR), CAST(s2 AS VARCHAR))")}) AS m
+         |  FROM (SELECT doc_id, unnest(s) AS s2 FROM sh), generate_series(0, 7) g(j)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    ${H("concat_ws(',', CAST(b AS VARCHAR), CAST(sig[2*b+1] AS VARCHAR), CAST(sig[2*b+2] AS VARCHAR))")} AS bk
+         |  FROM sig, generate_series(0, 3) g(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+         |SELECT id1, id2,
+         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
+         |FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+         |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q29_simhash" ->
+      s"""WITH $DuckToks,
+         |th AS (
+         |  SELECT doc_id, ${H("w")} AS h
+         |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS c
+         |  FROM th, generate_series(0, 31) g(j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q30_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin
+  )
+}

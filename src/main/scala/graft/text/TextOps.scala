@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable
+
+/** Text path: tokenizer + dictionary lookup (reference: fuel/datasets/
+  * text.py:7-144 — TextFile with BOS/EOS/UNK), plus the text-analysis
+  * operators a large-scale training-data pipeline needs (language ID,
+  * quality scoring, token counting, fingerprinting). Everything is
+  * Catalyst-built-in (split/transform/filter/aggregate + md5 hashing via
+  * [[Stable]]) — codegen'd, no UDFs, and bit-reproducible by the DuckDB
+  * oracle.
+  */
+object TextOps {
+
+  /** Whitespace word tokenization; empty tokens dropped.
+    * DuckDB: `list_filter(string_split(x, ' '), t -> len(t) > 0)`. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Character-level tokenization (fuel TextFile level='character'). */
+  def charTokens(text: Column): Column =
+    filter(split(text, ""), t => length(t) > 0)
+
+  /** BOS/EOS/UNK ids, fuel-style (fuel/datasets/text.py:30-44: the dict
+    * carries `<S>`, `</S>`, `<UNK>`). Word ids start at [[FirstWordId]]. */
+  val BosId = 0L
+  val EosId = 1L
+  val UnkId = 2L
+  val FirstWordId = 3L
+
+  /** Top-`topK` dictionary by (count DESC, word ASC): (word, token_id) with
+    * ids from [[FirstWordId]]. Scale-safe: the global rank window runs AFTER
+    * the top-K truncation, on `topK` rows. */
+  def buildDictionary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val counted = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
+    counted.withColumn("token_id", row_number().over(w) + (FirstWordId - 1))
+      .select("word", "token_id")
+  }
+
+  /** Tokenize to (idCol, pos, token_id) rows with BOS at pos 0, EOS at the
+    * end, dictionary lookup with UNK fallback. The dictionary join is a
+    * broadcast (dictionaries are bounded by construction). */
+  def tokenize(df: DataFrame, idCol: String, textCol: String, dict: DataFrame): DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("p", "word")))
+    val looked = exploded
+      .join(broadcast(dict), Seq("word"), "left")
+      .select(col(idCol), (col("p") + 1).cast("bigint").as("pos"),
+        coalesce(col("token_id").cast("bigint"), lit(UnkId)).as("token_id"))
+    val bos = df.select(col(idCol), lit(0L).as("pos"), lit(BosId).as("token_id"))
+    val eos = df.select(col(idCol),
+      (size(tokens(col(textCol))) + 1).cast("bigint").as("pos"),
+      lit(EosId).as("token_id"))
+    looked.unionByName(bos).unionByName(eos)
+  }
+
+  // ---------------------------------------------------------------- analysis
+
+  /** Deterministic per-language stopword profiles for the heuristic
+    * language ID. Tiny on purpose: the mechanism (profile match scoring)
+    * is the operator; swap profiles for real corpora. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  /** N-gram-free stopword-profile language ID: integer hit counts per
+    * profile, argmax with lexicographic tie-break — fully deterministic,
+    * no floats. Emits (lang_pred, lang_score). */
+  def langId(toks: Column): Seq[Column] = {
+    val scores = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _))
+      (lang, size(hits))
+    }
+    // argmax by (score DESC, lang ASC) via a sorted struct array
+    val packed = array(scores.map { case (lang, s) =>
+      struct((-s).as("neg"), lit(lang).as("lang"), s.cast("bigint").as("score"))
+    }: _*)
+    val best = array_sort(packed).getItem(0)
+    Seq(best.getField("lang").as("lang_pred"), best.getField("score").as("lang_score"))
+  }
+
+  /** Quality-scoring signals: token count, mean token length, stopword
+    * ratio, non-alpha ratio, char count. Ratios are int/int double
+    * divisions — IEEE-deterministic cross-engine. */
+  def qualityColumns(text: Column, toks: Column): Seq[Column] = {
+    val nTok = size(toks).cast("bigint")
+    val nChar = length(text).cast("bigint")
+    val allStop = StopwordProfiles.values.flatten.toSeq.distinct.sorted
+    val nStop = size(filter(toks, t => allStop.map(w => t === lit(w)).reduce(_ || _))).cast("bigint")
+    val nNonAlpha = size(filter(toks, t => t.rlike("[^a-z]"))).cast("bigint")
+    Seq(
+      nTok.as("n_tokens"),
+      nChar.as("n_chars_measured"),
+      (nChar.cast("double") / nTok.cast("double")).as("mean_token_len"),
+      (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      (nNonAlpha.cast("double") / nTok.cast("double")).as("nonalpha_ratio"))
+  }
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or single
+    * other non-space chars. Same pattern semantics in Java regex and RE2.
+    * DuckDB: `len(regexp_extract_all(x, '[a-z]+|[0-9]+|[^a-z0-9 ]'))`. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint")
+
+  /** Winnowing-style document fingerprint (k-gram rolling hashes, window
+    * minima): hashes every k-gram of words with [[Stable.hash64]], takes the
+    * min hash in each window of `w` consecutive k-grams, and returns the
+    * distinct fingerprint array (sorted). Short docs (< k tokens) fingerprint
+    * to the hash of the whole token sequence. */
+  def fingerprints(toks: Column, k: Int, w: Int): Column = {
+    val nGrams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => Stable.hash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val mins = transform(
+      sequence(lit(0), greatest(size(nGrams) - w, lit(0))),
+      i => array_min(slice(nGrams, i + 1, lit(w))))
+    array_sort(array_distinct(mins))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.sequences.Sequences
+import graft.text.TextOps
+import graft.sources.Tables
+
+/** Text/sequence/dedup/ann semantics. The Window cases mirror the
+  * reference's tests/test_sequences.py expectations exactly. */
+class TextDedupSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  // Sentences of lengths 3, 5, 7 as in tests/test_sequences.py:58-60.
+  private def sentences = Seq(
+    (0L, Seq(0, 1, 2)),
+    (1L, Seq(10, 11, 12, 13, 14)),
+    (2L, Seq(20, 21, 22, 23, 24, 25, 26))
+  ).toDF("id", "seq")
+
+  test("Window(0,4,4,overlapping=true): 6 windows, source == target") {
+    val out = Sequences.windows(sentences, "id", "seq", 0, 4, 4, overlapping = true)
+      .collect()
+    assert(out.length == 6)
+    out.foreach(r => assert(r.getSeq[Int](2) == r.getSeq[Int](3)))
+  }
+
+  test("Window(-2,4,4,overlapping=false): 2 windows, source tail == target head") {
+    val out = Sequences.windows(sentences, "id", "seq", -2, 4, 4, overlapping = false)
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val (s, t) = (r.getSeq[Int](2), r.getSeq[Int](3))
+      assert(s.takeRight(2) == t.take(2))
+    }
+  }
+
+  test("Window(-2,4,4,overlapping=true): 2 windows, source head == target tail") {
+    val out = Sequences.windows(sentences, "id", "seq", -2, 4, 4, overlapping = true)
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val (s, t) = (r.getSeq[Int](2), r.getSeq[Int](3))
+      assert(s.take(2) == t.takeRight(2))
+    }
+  }
+
+  test("NGrams(4): 4 grams over lengths 3,5,7; target is the next token") {
+    val out = Sequences.ngrams(sentences, "id", "seq", 4).orderBy("id", "window_idx").collect()
+    assert(out.length == 4) // 0 + 1 + 3, as in test_ngram_stream
+    val first = out(0)
+    assert(first.getSeq[Int](2) == Seq(10, 11, 12, 13) && first.getInt(3) == 14)
+  }
+
+  test("tokenize: BOS/EOS positions, dictionary ids, UNK fallback") {
+    val docs = Seq((1L, "this is a sentence")).toDF("doc_id", "text")
+    val dict = Seq(("this", 3), ("a", 4)).toDF("word", "token_id")
+    val out = TextOps.tokenize(docs, "doc_id", "text", dict)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // <S> this is a sentence </S> -> 0, 3, UNK, 4, UNK, 1
+    assert(out == Seq((0L, 0L), (1L, 3L), (2L, 2L), (3L, 4L), (4L, 2L), (5L, 1L)))
+  }
+
+  test("buildDictionary ranks by count desc then word asc") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a c")).toDF("doc_id", "text")
+    val d = TextOps.buildDictionary(docs, "text", 2).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue())).toMap
+    assert(d == Map("a" -> 3L, "b" -> 4L)) // a:3 ties b:3 -> a first
+  }
+
+  test("simhash: near-identical token lists have small hamming distance") {
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")),
+      (2L, Seq("alpha", "beta", "gamma", "delta", "epsilon", "eta")),
+      (3L, Seq("one", "two", "three", "four", "five", "six"))
+    ).toDF("id", "ts")
+    val sh = df.select(col("id"), Dedup.simhash(col("ts"), 32).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(ham(sh(1L), sh(1L)) == 0)
+  }
+
+  test("exact dedup groups identical keys and keeps the min id") {
+    val df = Seq((10L, "xx"), (7L, "xx"), (3L, "yy")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, col("doc_id"), col("text"))
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((3L, 1L), (7L, 2L)))
+  }
+
+  test("LSH candidates have full recall on heavily-overlapping shingle sets") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), Dedup.shingles(col("ts"), 3).as("sh"))
+    val sig = docs.select(col("doc_id"), Dedup.minhashSignature(col("sh"), 8).as("sig"))
+    val cand = Dedup.lshCandidates(sig, "doc_id", "sig", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: all pairs with jaccard >= 0.7 (tiny corpus -> crossJoin OK in test)
+    val truth = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus should contain near-dups")
+    assert(truth.subsetOf(cand), s"missed pairs: ${truth.diff(cand)}")
+  }
+
+  test("ann: cosine self-similarity is 1; lshTopK recalls most brute-force neighbors") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val self = emb.limit(5)
+      .select(Ann.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // On 64-dim uniform-random vectors sign-LSH needs coarse buckets for
+    // recall: 3 planes x 8 tables over the 50-vector sf0.001 corpus.
+    val approx = Ann.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        seed = 42, tables = 8, planes = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+}
