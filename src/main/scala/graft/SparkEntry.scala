@@ -11,10 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Pipeline.queries ++ TextQueries.queries
+    Relational.queries ++ Pipeline.queries ++ TextQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Pipeline.oracles ++ TextQueries.oracles
+    Relational.oracles ++ Pipeline.oracles ++ TextQueries.oracles ++ EventQueries.oracles
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Stable
+import graft.sources.{SplitSource, Synthetic, Tables}
+
+/** Split assignment, synthetic generators, and event-time operators
+  * (tumbling windows, gap sessionization) over the `events` table — the
+  * batch twins of the Structured Streaming path in graft.streaming. */
+object EventQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic train/valid/test assignment by hashed key (H5PY split
+    // analog). Output: per-split counts.
+    "q32_split_assign" -> ((s, dir) => {
+      SplitSource.assignSplit(t(s, dir, "customer"), col("c_custkey"), seed = 42,
+          weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+    }),
+
+    // Seeded synthetic generator: Spiral label distribution (the float
+    // geometry is covered in SyntheticSpec; the oracle checks the integer
+    // class assignment bit-for-bit).
+    "q33_spiral" -> ((s, _) => {
+      Synthetic.spiral(s, numExamples = 2000, classes = 3, cycles = 1.0, seed = 7)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+    }),
+
+    // Tumbling 5-minute event-time windows (batch twin of the streaming
+    // windowed aggregation; same window() operator).
+    "q34_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // Gap-based sessionization: a new session when >30 min passes between a
+    // user's events. Per-user window — scale-safe (users are many, sessions
+    // short).
+    "q35_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("gap_s",
+          col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q32_split_assign" -> {
+      val b = s"pmod_b"
+      s"""SELECT CASE WHEN $b < 800 THEN 'train' WHEN $b < 900 THEN 'valid'
+         |            ELSE 'test' END AS split, count(*) AS n
+         |FROM (SELECT ${Stable.duckSeededHash(42, "c_custkey")} % 1000 AS $b
+         |      FROM customer)
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q33_spiral" ->
+      s"""SELECT CAST(floor(${Stable.duckSeededHash(7 + 1000003, "id")}
+         |  / 1152921504606846976.0 * 3) AS INT) AS label, count(*) AS n
+         |FROM range(2000) t(id)
+         |GROUP BY 1""".stripMargin,
+
+    "q34_events_window" ->
+      """SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q35_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS session_start
+        |FROM s GROUP BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable
+
+/** Split-aware storage — the engine's H5PYDataset analog (reference:
+  * fuel/datasets/hdf5.py:98-119,234-300: a `split` table mapping
+  * train/valid/test to row ranges per source). Parquet-native design:
+  * `split` is a partition column, so selecting one split is partition
+  * pruning at the scan (zero I/O for other splits) instead of fuel's
+  * driver-side Subset index translation.
+  */
+object SplitSource {
+  /** Deterministic split assignment by hashed key: `weights` are per-split
+    * proportions summing to 1 (order-sensitive; pass a Seq for stable
+    * thresholds). bucket = seededHash(key) mod `Buckets`; cumulative
+    * thresholds pick the split. A pure projection — reproducible under
+    * retries, and by external engines. */
+  val Buckets = 1000
+
+  def assignSplit(df: DataFrame, key: Column, seed: Long,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val bucket = pmod(Stable.seededHash(seed, key), lit(Buckets))
+    val thresholds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.zip(thresholds).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cum), acc) =>
+        when(bucket < math.round(cum * Buckets), name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Sink: split-partitioned parquet (fuel converter sink analog,
+    * fuel/converters/base.py:50-104 `fill_hdf5_file`). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("split").parquet(path)
+
+  /** Split-pruned scan: the `split = x` filter is a partition filter —
+    * `.explain` shows PartitionFilters, not a post-scan Filter. */
+  def read(spark: SparkSession, path: String, split: String): DataFrame =
+    spark.read.parquet(path).filter(col("split") === split)
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.{BlockingQueue, LinkedBlockingQueue, TimeUnit}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface (SURVEY.md §2.6 streaming rows + the
+  * ServerDataStream/start_server analog, reference: fuel/streams.py:186-256,
+  * fuel/server.py:84-131).
+  *
+  * fuel crosses a process boundary with ZMQ PUSH/PULL and HWM=10
+  * backpressure; in Spark the executor/driver split plus streaming
+  * micro-batches replace the transport, and backpressure maps to
+  * `maxOffsetsPerTrigger`/trigger intervals. [[StreamServer]] keeps the
+  * shape of the API: a producer pushing epoch batches into a bounded queue
+  * a consumer drains.
+  */
+object Streaming {
+
+  /** Event-time tumbling-window aggregation with a watermark for late data
+    * (works identically on batch DataFrames — see q34's batch twin). */
+  def windowedCounts(events: DataFrame, tsCol: String, windowLength: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("n_events"))
+
+  /** One user's open session state for [[sessionize]]. */
+  case class SessionState(sessionId: Long, lastEpochS: Double, nEvents: Long)
+  case class SessionOut(userId: Long, sessionId: Long, nEvents: Long)
+
+  /** Stateful gap sessionization via mapGroupsWithState — fuel's only
+    * stateful operators are pull-iterator carry-overs (Window/Cache,
+    * SURVEY §2.6 "stateful streaming ops"); this is the Spark-native
+    * equivalent with explicit keyed state. Emits the CURRENT session per
+    * user each micro-batch (update mode). */
+  def sessionize(events: Dataset[(Long, Double)], gapSeconds: Double):
+      Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, Double.NegativeInfinity, 0L))
+          sorted.foreach { t =>
+            st = if (t - st.lastEpochS > gapSeconds)
+              SessionState(st.sessionId + 1, t, 1L)
+            else
+              SessionState(st.sessionId, t, st.nEvents + 1)
+          }
+          state.update(st)
+          SessionOut(userId, st.sessionId, st.nEvents)
+      }
+  }
+
+  /** ServerDataStream analog: drive a streaming DataFrame into a bounded
+    * in-process queue via foreachBatch — producer/consumer with HWM-style
+    * backpressure (`capacity` plays fuel's hwm=10). Returns the queue and
+    * the running query; the consumer drains with [[nextBatch]]. */
+  def serve(stream: DataFrame, capacity: Int = 10): (BlockingQueue[Seq[Row]], StreamingQuery) = {
+    val queue = new LinkedBlockingQueue[Seq[Row]](capacity)
+    val query = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect().toSeq
+        if (rows.nonEmpty) queue.put(rows) // blocks when full = backpressure
+      }
+      .start()
+    (queue, query)
+  }
+
+  /** Blocking consumer pull with timeout (recv_arrays analog). */
+  def nextBatch(queue: BlockingQueue[Seq[Row]], timeoutMs: Long): Option[Seq[Row]] =
+    Option(queue.poll(timeoutMs, TimeUnit.MILLISECONDS))
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SplitSource, Synthetic}
+import graft.streaming.Streaming
+
+/** Streaming surface + split source + synthetic generators. */
+class StreamingSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+  private implicit def sqlCtx = spark.sqlContext
+
+  test("windowedCounts aggregates an unbounded MemoryStream by event-time window") {
+    val input = MemoryStream[Timestamp]
+    val counts = Streaming.windowedCounts(
+      input.toDF().toDF("ts"), "ts", "10 minutes", "1 minute")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      input.addData(t(1), t(2), t(11), t(12), t(13))
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .groupBy("win_start").agg(max("n_events").as("n"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+      assert(got("2024-01-01 00:00:00.0") == 2)
+      assert(got("2024-01-01 00:10:00.0") == 3)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize carries session state across micro-batches") {
+    val input = MemoryStream[(Long, Double)]
+    val sessions = Streaming.sessionize(input.toDS(), gapSeconds = 100.0)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 10.0), (1L, 50.0), (2L, 10.0))
+      q.processAllAvailable()
+      input.addData((1L, 90.0), (1L, 500.0)) // 90: same session; 500: new one
+      q.processAllAvailable()
+      val last = spark.table("sessions")
+        .groupBy("userId").agg(max("sessionId").as("sid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last(1L) == 2L) // second session opened at t=500
+      assert(last(2L) == 1L)
+    } finally q.stop()
+  }
+
+  test("StreamServer: foreachBatch feeds a bounded queue (ServerDataStream analog)") {
+    val input = MemoryStream[Long]
+    val (queue, q) = Streaming.serve(input.toDF().toDF("v"), capacity = 10)
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      val batch = Streaming.nextBatch(queue, 5000)
+      assert(batch.isDefined)
+      assert(batch.get.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("split assignment is deterministic, complete, and pruned on read") {
+    val cust = graft.sources.Tables.load(spark, sf, "customer")
+    val weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val a = SplitSource.assignSplit(cust, col("c_custkey"), 42, weights)
+    val b = SplitSource.assignSplit(cust, col("c_custkey"), 42, weights)
+    assert(a.select("c_custkey", "split").collect().toSet ==
+      b.select("c_custkey", "split").collect().toSet)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == cust.count())
+    assert(counts("train") > counts.getOrElse("valid", 0L))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    SplitSource.write(a, dir)
+    val train = SplitSource.read(spark, dir, "train")
+    assert(train.count() == counts("train"))
+    // the split filter must be a partition filter (pruned scan), not a row filter
+    val plan = train.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"))
+  }
+
+  test("Spiral/SwissRoll: seeded determinism and manifold geometry") {
+    val s1 = Synthetic.spiral(spark, 500, classes = 3, cycles = 1.0, seed = 7)
+    val s2 = Synthetic.spiral(spark, 500, classes = 3, cycles = 1.0, seed = 7)
+    assert(s1.collect().map(_.toSeq).toSeq == s2.collect().map(_.toSeq).toSeq)
+    // radius in [1/3, 1]: r = (2*pos+1)/3, pos in [0,1)
+    val radii = s1.select(sqrt(col("x") * col("x") + col("y") * col("y"))).collect()
+      .map(_.getDouble(0))
+    assert(radii.forall(r => r >= 1.0 / 3 - 1e-6 && r <= 1.0 + 1e-6))
+    assert(s1.select("label").distinct().count() == 3)
+
+    val roll = Synthetic.swissRoll(spark, 500, seed = 3).collect()
+    roll.foreach { r =>
+      val (x, y, z) = (r.getFloat(1), r.getFloat(2), r.getFloat(3))
+      val radius = math.sqrt(x.toDouble * x + y.toDouble * y)
+      assert(radius >= 1.0 / 3 - 1e-6 && radius <= 1.0 + 1e-6)
+      assert(z >= -1.0 - 1e-6 && z <= 1.0 + 1e-6)
+    }
+  }
+}
