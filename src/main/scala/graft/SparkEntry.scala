@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Pipeline.queries ++ TextQueries.queries ++ EventQueries.queries
+    Relational.queries ++ Pipeline.queries ++ TextQueries.queries ++
+      EventQueries.queries ++ ImageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

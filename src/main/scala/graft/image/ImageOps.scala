@@ -1,0 +1,158 @@
+package graft.image
+
+import java.awt.geom.AffineTransform
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable
+
+/** Image operators (reference: fuel/transformers/image.py:18-368,
+  * fuel/transformers/defaults.py:12-42). Images travel as opaque `binary`
+  * columns plus typed metadata — the multimodal-column pattern for a
+  * 100 TB pipeline: the *plumbing* (schema, partitioning, batch shape) is
+  * columnar and distributed; the pixel kernels are executor-side JVM UDFs
+  * over `javax.imageio`/AWT (PNG/JPEG decode ships with the JDK — real
+  * decode, not a stub). Decoded frames are `struct<h,w,c,px:binary>` with
+  * px in HWC uint8 layout (fuel stores CHW; HWC matches BufferedImage and
+  * converts at the consumer edge like vlen reshape, hdf5.py:545-552).
+  *
+  * Randomized ops (crop, rotation) derive per-row seeds from a stable id
+  * ([[Stable.hash64]] semantics via splitmix) so results are deterministic
+  * under retries and speculation — stricter than the reference's shared
+  * RNG (image.py:210-216).
+  */
+object ImageOps {
+  case class Frame(h: Int, w: Int, c: Int, px: Array[Byte])
+
+  // ------------------------------------------------------------- kernels
+  private def toFrame(img: BufferedImage): Frame = {
+    val (h, w) = (img.getHeight, img.getWidth)
+    val px = new Array[Byte](h * w * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        px(i) = ((rgb >> 16) & 0xff).toByte
+        px(i + 1) = ((rgb >> 8) & 0xff).toByte
+        px(i + 2) = (rgb & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    Frame(h, w, 3, px)
+  }
+
+  private def toImage(f: Frame): BufferedImage = {
+    val img = new BufferedImage(f.w, f.h, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    var y = 0
+    while (y < f.h) {
+      var x = 0
+      while (x < f.w) {
+        val r = f.px(i) & 0xff; val g = f.px(i + 1) & 0xff; val b = f.px(i + 2) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Encode a Frame as PNG bytes (converter/sink helper + test fixtures). */
+  def encodePng(f: Frame): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(toImage(f), "png", out)
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------- UDFs
+  /** Decode PNG/JPEG bytes → Frame (fuel ImagesFromBytes, image.py:18-102). */
+  val imagesFromBytes = udf { (bytes: Array[Byte]) =>
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map(toFrame)
+  }
+
+  /** Upscale below a minimum (h, w), preserving aspect via independent
+    * scale like the reference (fuel MinimumImageDimensions, image.py:105-175:
+    * each dimension scaled up to its minimum). Bilinear. */
+  def minimumImageDimensions(minH: Int, minW: Int) = udf { (f: Frame) =>
+    if (f.h >= minH && f.w >= minW) f
+    else {
+      val nh = math.max(f.h, minH); val nw = math.max(f.w, minW)
+      val src = toImage(f)
+      val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, nw, nh, null)
+      g.dispose()
+      toFrame(dst)
+    }
+  }
+
+  /** Seeded random crop of fixed (h, w) (fuel RandomFixedSizeCrop,
+    * image.py:178-271; the Cython window_batch_bchw fast path maps to this
+    * executor-parallel columnar kernel). Offsets from a per-row seed. */
+  def randomFixedSizeCrop(cropH: Int, cropW: Int, seed: Long) = udf { (f: Frame, id: Long) =>
+    require(f.h >= cropH && f.w >= cropW,
+      s"image ${f.h}x${f.w} smaller than crop ${cropH}x$cropW")
+    val r1 = splitmix(seed ^ id)
+    val r2 = splitmix(r1)
+    val offY = (math.floorMod(r1, (f.h - cropH + 1).toLong)).toInt
+    val offX = (math.floorMod(r2, (f.w - cropW + 1).toLong)).toInt
+    val px = new Array[Byte](cropH * cropW * f.c)
+    var y = 0
+    while (y < cropH) {
+      System.arraycopy(f.px, ((y + offY) * f.w + offX) * f.c, px, y * cropW * f.c, cropW * f.c)
+      y += 1
+    }
+    Frame(cropH, cropW, f.c, px)
+  }
+
+  /** Seeded uniform rotation in [-maxAngle, maxAngle] degrees
+    * (fuel Random2DRotation, image.py:274-368). Output dims unchanged. */
+  def random2DRotation(maxAngle: Double, seed: Long) = udf { (f: Frame, id: Long) =>
+    val u = (splitmix(seed ^ id) >>> 11).toDouble / (1L << 53).toDouble
+    val angle = math.toRadians((2 * u - 1) * maxAngle)
+    val src = toImage(f)
+    val dst = new BufferedImage(f.w, f.h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    val t = AffineTransform.getRotateInstance(angle, f.w / 2.0, f.h / 2.0)
+    g.drawImage(src, t, null)
+    g.dispose()
+    toFrame(dst)
+  }
+
+  /** uint8 array column → binary (fuel ToBytes, defaults.py:12-37). */
+  def toBytes(ints: Column): Column =
+    udf { (xs: Seq[Int]) => xs.map(_.toByte).toArray }.apply(ints)
+
+  /** Grayscale 8x8 thumbnail frame from a float vector in [-1,1] — used to
+    * materialize image fixtures from the embeddings table in queries. */
+  val frameFromVector = udf { (vec: Seq[Float]) =>
+    val side = math.sqrt(vec.size.toDouble).toInt
+    val px = new Array[Byte](side * side * 3)
+    var i = 0
+    while (i < side * side) {
+      val v = math.max(0, math.min(255, ((vec(i) + 1.0f) * 127.5f).toInt)).toByte
+      px(3 * i) = v; px(3 * i + 1) = v; px(3 * i + 2) = v
+      i += 1
+    }
+    Frame(side, side, 3, px)
+  }
+
+  /** PNG-encode UDF (binaryFile→parquet converter jobs + fixtures). */
+  val encodePngUdf = udf { (f: Frame) => encodePng(f) }
+}

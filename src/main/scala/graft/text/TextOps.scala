@@ -46,21 +46,34 @@ object TextOps {
       .select("word", "token_id")
   }
 
-  /** Tokenize to (idCol, pos, token_id) rows with BOS at pos 0, EOS at the
-    * end, dictionary lookup with UNK fallback. The dictionary join is a
-    * broadcast (dictionaries are bounded by construction). */
-  def tokenize(df: DataFrame, idCol: String, textCol: String, dict: DataFrame): DataFrame = {
+  /** Tokenize to (idCol, pos, token_id) rows with optional BOS at pos 0 and
+    * EOS at the end (fuel allows bos_token=None — text.py:30-44), dictionary
+    * lookup with UNK fallback. The dictionary join is a broadcast
+    * (dictionaries are bounded by construction). `tokenizer` swaps word- for
+    * character-level. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String, dict: DataFrame,
+      bos: Option[Long] = Some(BosId), eos: Option[Long] = Some(EosId),
+      unk: Long = UnkId, tokenizer: Column => Column = tokens): DataFrame = {
+    val hasBos = bos.isDefined
     val exploded = df
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("p", "word")))
+      .select(col(idCol), posexplode(tokenizer(col(textCol))).as(Seq("p", "word")))
     val looked = exploded
       .join(broadcast(dict), Seq("word"), "left")
-      .select(col(idCol), (col("p") + 1).cast("bigint").as("pos"),
-        coalesce(col("token_id").cast("bigint"), lit(UnkId)).as("token_id"))
-    val bos = df.select(col(idCol), lit(0L).as("pos"), lit(BosId).as("token_id"))
-    val eos = df.select(col(idCol),
-      (size(tokens(col(textCol))) + 1).cast("bigint").as("pos"),
-      lit(EosId).as("token_id"))
-    looked.unionByName(bos).unionByName(eos)
+      .select(col(idCol),
+        (col("p") + (if (hasBos) 1 else 0)).cast("bigint").as("pos"),
+        coalesce(col("token_id").cast("bigint"), lit(unk)).as("token_id"))
+    val withBos = bos match {
+      case Some(id) => looked.unionByName(
+        df.select(col(idCol), lit(0L).as("pos"), lit(id).as("token_id")))
+      case None => looked
+    }
+    eos match {
+      case Some(id) => withBos.unionByName(
+        df.select(col(idCol),
+          (size(tokenizer(col(textCol))) + (if (hasBos) 1 else 0)).cast("bigint").as("pos"),
+          lit(id).as("token_id")))
+      case None => withBos
+    }
   }
 
   // ---------------------------------------------------------------- analysis

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.image.ImageOps
+import graft.image.ImageOps.Frame
+import graft.sources.{InMemory, TextFileSource}
+import graft.text.TextOps
+
+/** Image kernels (fuel/transformers/image.py semantics) + file-backed text
+  * sources. Fixtures are generated PNGs — real ImageIO decode, no mocks. */
+class ImageSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def gradientFrame(h: Int, w: Int): Frame = {
+    val px = new Array[Byte](h * w * 3)
+    var i = 0
+    while (i < h * w) { // r = col index, g = row index, b = 7
+      px(3 * i) = (i % w).toByte; px(3 * i + 1) = (i / w).toByte; px(3 * i + 2) = 7.toByte
+      i += 1
+    }
+    Frame(h, w, 3, px)
+  }
+
+  test("PNG encode/decode round-trips pixels exactly through a binary column") {
+    val f = gradientFrame(9, 13)
+    val df = Seq((1L, ImageOps.encodePng(f))).toDF("id", "png")
+    val out = df.select(ImageOps.imagesFromBytes(col("png")).as("f"))
+      .select("f.h", "f.w", "f.c", "f.px").collect()(0)
+    assert(out.getInt(0) == 9 && out.getInt(1) == 13 && out.getInt(2) == 3)
+    assert(out.getAs[Array[Byte]](3).toSeq == f.px.toSeq)
+  }
+
+  test("minimumImageDimensions upscales only below the minimum") {
+    val small = Seq((1L, gradientFrame(8, 8)), (2L, gradientFrame(20, 20)))
+      .toDF("id", "f")
+    val out = small.select(col("id"),
+        ImageOps.minimumImageDimensions(16, 16)(col("f")).as("f"))
+      .select(col("id"), col("f.h"), col("f.w")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((16, 16))) // upscaled
+    assert(out(2L) == ((20, 20))) // untouched
+  }
+
+  test("randomFixedSizeCrop: right shape, in-bounds content, per-row deterministic") {
+    val df = Seq((5L, gradientFrame(20, 30)), (6L, gradientFrame(20, 30))).toDF("id", "f")
+    def run() = df.select(col("id"),
+        ImageOps.randomFixedSizeCrop(8, 8, seed = 3)(col("f"), col("id")).as("f"))
+      .select(col("id"), col("f.h"), col("f.w"), col("f.px")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq))
+    val a = run(); val b = run()
+    assert(a.map(x => (x._1, x._2, x._3)).toSeq == Seq((5L, 8, 8), (6L, 8, 8)))
+    assert(a.toSeq == b.toSeq)            // same seed => same crops
+    assert(a(0)._4 != a(1)._4)            // different rows => different offsets
+    // crop content is a contiguous window: blue channel constant 7
+    assert(a(0)._4.grouped(3).forall(p => p(2) == 7.toByte))
+  }
+
+  test("random2DRotation keeps dimensions and is seed-deterministic") {
+    val df = Seq((1L, gradientFrame(16, 16))).toDF("id", "f")
+    def run(seed: Long) = df.select(
+        ImageOps.random2DRotation(30.0, seed)(col("f"), col("id")).as("f"))
+      .select(col("f.h"), col("f.w"), col("f.px")).collect()(0)
+    val a = run(3); val b = run(3); val c = run(4)
+    assert(a.getInt(0) == 16 && a.getInt(1) == 16)
+    assert(a.getAs[Array[Byte]](2).toSeq == b.getAs[Array[Byte]](2).toSeq)
+    assert(a.getAs[Array[Byte]](2).toSeq != c.getAs[Array[Byte]](2).toSeq)
+  }
+
+  test("binaryFile ingest: PNG files -> parquet frames (converter job)") {
+    val dir = Files.createTempDirectory("graft_png")
+    (0 until 3).foreach { i =>
+      Files.write(dir.resolve(s"img_$i.png"), ImageOps.encodePng(gradientFrame(6 + i, 6)))
+    }
+    val out = Files.createTempDirectory("graft_frames").toString
+    spark.read.format("binaryFile").load(dir.toString + "/*.png")
+      .select(col("path"), ImageOps.imagesFromBytes(col("content")).as("frame"))
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.select("frame.h").collect().map(_.getInt(0)).sorted.toSeq == Seq(6, 7, 8))
+  }
+
+  test("TextFileSource.lines + character-level tokenize match fuel's TextFile test") {
+    val dir = Files.createTempDirectory("graft_txt")
+    Files.writeString(dir.resolve("s1.txt"), "This is a sentence\nThis another one\n")
+    val df = TextFileSource.lines(spark, Seq(dir.toString + "/s1.txt"))
+      .withColumn("line", lower(col("line")))
+    assert(df.count() == 2)
+    // character dict as in tests/test_sequences.py test_text: a..z=0..25,
+    // ' '=26, <S>=27, </S>=28, <UNK>=29
+    val dict = (('a' to 'z').zipWithIndex.map { case (c, i) => (c.toString, i) } :+
+      (" ", 26)).toDF("word", "token_id")
+    val out = TextOps.tokenize(df, "line_no", "line", dict,
+        bos = Some(27L), eos = Some(28L), unk = 29L, tokenizer = TextOps.charTokens)
+      .filter(col("line_no") === 0).orderBy("pos")
+      .collect().map(_.getLong(2)).toSeq
+    assert(out.take(3) == Seq(27L, 19L, 7L)) // <S> t h
+    assert(out.takeRight(3) == Seq(2L, 4L, 28L)) // c e </S>
+  }
+
+  test("InMemory source preserves collection order via __idx") {
+    val df = InMemory.fromSeq(spark, Seq("x", "y", "z"))
+    assert(df.orderBy("__idx").collect().map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+  }
+}
