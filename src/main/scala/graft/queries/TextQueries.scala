@@ -61,8 +61,7 @@ object TextQueries {
 
     // Winnowing fingerprints: 3-gram rolling hashes, window-4 minima.
     "q25_fingerprint" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir)
-      d.select(col("doc_id"), TextOps.fingerprints(col("ts"), k = 3, w = 4).as("fps"))
+      TextOps.fingerprint(docsWithTokens(s, dir), "ts", k = 3, w = 4)
         .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fp"),
           element_at(col("fps"), 1).as("min_fp"))
     }),
@@ -72,13 +71,14 @@ object TextQueries {
       Dedup.exact(t(s, dir, "documents"), col("doc_id"), substring(col("text"), 1, 40))
     }),
 
-    // MinHash signatures: 8 seeded min-hashes over distinct 3-shingles —
-    // a pure per-row projection.
+    // MinHash signatures: 8 seeded min-hashes over distinct 3-shingles,
+    // computed through explode + codegen'd min-aggregation (map-side
+    // combine; every md5 in whole-stage codegen).
     "q27_minhash" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir)
-      d.select(col("doc_id"),
-          posexplode(Dedup.minhashSignature(Dedup.shingles(col("ts"), 3), 8))
-            .as(Seq("sig_idx", "minhash")))
+      val sh = docsWithTokens(s, dir)
+        .select(col("doc_id"), Dedup.shingles(col("ts"), 3).as("sh"))
+      Dedup.minhashSignatures(sh, "doc_id", "sh", 8)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("sig_idx", "minhash")))
         .select(col("doc_id"), col("sig_idx").cast("bigint").as("sig_idx"), col("minhash"))
     }),
 
@@ -88,8 +88,7 @@ object TextQueries {
     "q28_lsh_dedup" -> ((s, dir) => {
       val d = docsWithTokens(s, dir)
         .select(col("doc_id"), Dedup.shingles(col("ts"), 3).as("sh"))
-      val sig = d.select(col("doc_id"),
-        Dedup.minhashSignature(col("sh"), 8).as("sig"))
+      val sig = Dedup.minhashSignatures(d, "doc_id", "sh", 8)
       val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       cand
         .join(d.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
@@ -98,10 +97,10 @@ object TextQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
-    // SimHash: 32-bit signature per doc from token-hash bit votes.
+    // SimHash: 32-bit signature per doc from token-hash bit votes,
+    // explode + partial-aggregable codegen'd sums.
     "q29_simhash" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir)
-      d.select(col("doc_id"), Dedup.simhash(col("ts"), 32).as("simhash"))
+      Dedup.simhash(docsWithTokens(s, dir), "doc_id", "ts", 32)
     }),
 
     // Exact ANN baseline: brute-force cosine top-5 for 10 query vectors.

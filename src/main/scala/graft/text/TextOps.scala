@@ -127,18 +127,28 @@ object TextOps {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint")
 
-  /** Winnowing-style document fingerprint (k-gram rolling hashes, window
-    * minima): hashes every k-gram of words with [[Stable.hash64]], takes the
-    * min hash in each window of `w` consecutive k-grams, and returns the
-    * distinct fingerprint array (sorted). Short docs (< k tokens) fingerprint
-    * to the hash of the whole token sequence. */
-  def fingerprints(toks: Column, k: Int, w: Int): Column = {
-    val nGrams = transform(
+  /** k-gram rolling hashes of a token array ([[Stable.hash64]] per gram).
+    * Short docs (< k tokens) hash the whole token sequence. */
+  def ngramHashes(toks: Column, k: Int): Column =
+    transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => Stable.hash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    val mins = transform(
-      sequence(lit(0), greatest(size(nGrams) - w, lit(0))),
-      i => array_min(slice(nGrams, i + 1, lit(w))))
-    array_sort(array_distinct(mins))
-  }
+
+  /** Winnowing minima: min hash of each window of `w` consecutive gram
+    * hashes, deduped and sorted. `grams` MUST be a materialized column
+    * reference (see [[fingerprint]]) — passing the ngramHashes expression
+    * inline re-evaluates all the md5s once per output element (O(G²)). */
+  def winnow(grams: Column, w: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))))))
+
+  /** Winnowing-style document fingerprint: two projections so the gram
+    * hashes are computed exactly once per row (the multi-referenced
+    * non-cheap column blocks CollapseProject from inlining it). */
+  def fingerprint(df: DataFrame, toksCol: String, k: Int, w: Int,
+      out: String = "fps"): DataFrame =
+    df.withColumn("__grams", ngramHashes(col(toksCol), k))
+      .withColumn(out, winnow(col("__grams"), w))
+      .drop("__grams")
 }

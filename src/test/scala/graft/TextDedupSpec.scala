@@ -76,8 +76,12 @@ class TextDedupSpec extends SparkSpec {
       (2L, Seq("alpha", "beta", "gamma", "delta", "epsilon", "eta")),
       (3L, Seq("one", "two", "three", "four", "five", "six"))
     ).toDF("id", "ts")
-    val sh = df.select(col("id"), Dedup.simhash(col("ts"), 32).as("h")).collect()
+    val sh = Dedup.simhash(df, "id", "ts", 32, out = "h").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the column (interpreted) and DataFrame (codegen) paths agree
+    val shCol = df.select(col("id"), Dedup.simhashColumn(col("ts"), 32).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh == shCol)
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
     assert(ham(sh(1L), sh(1L)) == 0)
