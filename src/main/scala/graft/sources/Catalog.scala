@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.transform.Transform
+
+/** Named-dataset catalog with attached default transformer chains — the
+  * analog of fuel's named datasets (MNIST/CIFAR/... are H5PYDataset
+  * subclasses binding a filename plus `default_transformers`; reference:
+  * fuel/datasets/base.py:43-49,83-95 and fuel/transformers/defaults.py).
+  *
+  * `register` binds name → (loader, key order, default transforms);
+  * [[defaultStream]] is fuel's `DataStream.default_stream`: load, then fold
+  * the dataset's default chain over it. Catalyst collapses the chain into
+  * the scan projection, so defaults cost nothing when unused downstream.
+  */
+final class Catalog(spark: SparkSession) {
+  private case class Entry(load: () => DataFrame, order: Seq[Column], defaults: Seq[Transform])
+  private val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+
+  def register(name: String, load: () => DataFrame, order: Seq[Column],
+      defaults: Seq[Transform] = Nil): this.type = {
+    entries(name) = Entry(load, order, defaults)
+    this
+  }
+
+  /** Register every test table from `dir` with its natural key order. */
+  def registerTestTables(dir: String): this.type = {
+    val keys: Map[String, Seq[String]] = Map(
+      "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+      "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    keys.foreach { case (n, ks) =>
+      register(n, () => Tables.load(spark, dir, n), ks.map(col))
+    }
+    this
+  }
+
+  def names: Seq[String] = entries.keys.toSeq
+
+  /** Raw load (no defaults). */
+  def load(name: String): DataFrame = entry(name).load()
+
+  /** The dataset's natural total order (for schemes / stable indexing). */
+  def order(name: String): Seq[Column] = entry(name).order
+
+  /** fuel `DataStream.default_stream`: load + fold the default transformer
+    * chain (fuel/streams.py:180-183). */
+  def defaultStream(name: String): DataFrame = {
+    val e = entry(name)
+    e.defaults.foldLeft(e.load())((df, t) => t(df))
+  }
+
+  private def entry(name: String): Entry =
+    entries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown dataset '$name'; registered: ${names.mkString(", ")}"))
+}
+
+object Catalog {
+  def forTestData(spark: SparkSession, dir: String): Catalog =
+    new Catalog(spark).registerTestTables(dir)
+}

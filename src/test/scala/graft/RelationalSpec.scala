@@ -33,8 +33,25 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() == total)
   }
 
-  test("every query with an oracle has matching column names") {
-    // cheap structural guard: oracle key set ⊆ queries key set
-    assert(Relational.oracles.keySet.subsetOf(Relational.queries.keySet))
+  test("every oracle key names an implemented query, across ALL query groups") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"oracles without queries: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)}")
+  }
+
+  test("catalog default_stream folds the registered transformer chain") {
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.sources.Catalog(spark)
+      .register("li", () => graft.sources.Tables.load(spark, sf, "lineitem"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        defaults = Seq(
+          graft.transform.ScaleAndShift(1.0 / 256, 0.0, Seq("l_quantity")),
+          graft.transform.Cast("floatX", Seq("l_quantity")),
+          graft.transform.FilterSources(Seq("l_orderkey", "l_quantity"))))
+    val out = cat.defaultStream("li")
+    assert(out.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+    assert(out.schema("l_quantity").dataType == org.apache.spark.sql.types.FloatType)
+    val raw = cat.load("li")
+    assert(raw.columns.length > 2) // defaults don't leak into raw load
+    intercept[IllegalArgumentException] { cat.load("nope") }
   }
 }
