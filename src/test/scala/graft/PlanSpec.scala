@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100 TB scale-up, asserted against the executed plan so a regression
+  * (lost pushdown, a sneaky cartesian, a skewed window) fails loudly. */
+class PlanSpec extends SparkSpec {
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2: predicate and column pruning reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters not pushed to scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // only the 6 needed columns, not the 11-column lineitem row
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("ANN brute force: broadcast nested loop, never CartesianProduct") {
+    val p = plan("q30_ann_topk")
+    assert(!p.contains("CartesianProduct"), "brute-force ANN degenerated to a cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side should broadcast")
+  }
+
+  test("LSH dedup: only key-partitioned joins, no CartesianProduct") {
+    val p = plan("q28_lsh_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH pipeline must stay equi-join only")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q3_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q8_semi_anti").contains("BroadcastHashJoin"))
+    assert(plan("q12_having").contains("BroadcastHashJoin"))
+  }
+
+  test("q6 per-group top-k: partial aggregation, no window sort") {
+    val p = plan("q6_window_rank")
+    assert(!p.contains("Window"), "top-k must not use a skewed window sort")
+    assert(p.contains("partial_topk") || p.contains("ObjectHashAggregate"),
+      s"expected partial-aggregable top-k, got:\n$p")
+  }
+
+  test("q35 sessionization window is partitioned by user, not global") {
+    val p = plan("q35_sessionize")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowLines.contains("user_id"), s"window must partition by user_id:\n$windowLines")
+  }
+
+  test("q1: single-pass partial aggregation (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      "q1 must partial-aggregate before the shuffle")
+  }
+}
