@@ -35,28 +35,28 @@ object Dedup {
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
-  /** MinHash signature: `numHashes` seeded min-hashes over the shingle set.
-    * hash_j(s) = md5-hash64(j ++ s); signature[j] = min over shingles —
-    * a pure per-row projection (no shuffle, no UDF).
-    *
-    * NOTE: higher-order functions evaluate interpreted (no codegen); for
-    * large corpora prefer [[minhashSignatures]], which runs the same math
-    * through codegen'd hash aggregation. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** MinHash signature over a shingle-array column: ONE md5 per shingle
+    * feeds a universal hash family ([[Stable.familyHash]]); signature[j] =
+    * min over shingles of family hash j. Interpreted (HOF) — prefer
+    * [[minhashSignatures]] for large corpora. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val bases = transform(shingleCol, s => Stable.hash64(s))
     array((0 until numHashes).map { j =>
-      array_min(transform(shingleCol, s => Stable.seededHash(j.toLong, s)))
+      array_min(transform(bases, b => Stable.familyHash(b, j)))
     }: _*)
+  }
 
-  /** MinHash signatures via explode + codegen'd min-aggregates: one
-    * map-side-combined shuffle keyed by `idCol`; every md5 runs in
-    * whole-stage codegen (~10x the interpreted lambda path). Returns
+  /** MinHash signatures via explode + codegen'd min-aggregates: one md5 per
+    * shingle (whole-stage codegen) + `numHashes` cheap integer family
+    * hashes, one map-side-combined shuffle keyed by `idCol`. Returns
     * (idCol, sigCol array<bigint>). Rows with empty shingle arrays drop
     * out (explode of empty). */
   def minhashSignatures(df: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int, sigCol: String = "sig"): DataFrame = {
     val exploded = df.select(col(idCol), explode(col(shingleCol)).as("__s"))
+      .select(col(idCol), Stable.hash64(col("__s")).as("__b"))
     val mins = (0 until numHashes).map { j =>
-      min(Stable.seededHash(j.toLong, col("__s"))).as(s"__m$j")
+      min(Stable.familyHash(col("__b"), j)).as(s"__m$j")
     }
     exploded.groupBy(idCol).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"__m$j")): _*).as(sigCol))

@@ -39,6 +39,40 @@ object Stable {
   def uniformRange(seed: Long, lo: Double, hi: Double, cols: Column*): Column =
     lit(lo) + uniform01(seed, cols: _*) * lit(hi - lo)
 
+  /** splitmix64 — driver-side constant derivation only. */
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val MersennePrime61 = 2305843009213693951L // 2^61 - 1
+  private val Mod30 = 1073741824L // 2^30
+
+  /** The j-th member of a universal hash family over a 60-bit base hash:
+    * `(a_j * lo30(h) + b_j * hi30(h) + c_j) mod (2^61-1)` with 31-bit odd
+    * constants derived from splitmix(j). One md5 feeds the whole family —
+    * MinHash with k hashes costs k cheap integer ops per element instead of
+    * k md5s. All intermediates < 2^63, so the same arithmetic runs
+    * overflow-free in external engines ([[duckFamilyHash]]). */
+  def familyConstants(j: Int): (Long, Long, Long) = (
+    (splitmix(j.toLong * 2654435761L + 1) & 0x7fffffffL) | 1L,
+    (splitmix(j.toLong * 2654435761L + 2) & 0x7fffffffL) | 1L,
+    splitmix(j.toLong * 2654435761L + 3) & 0x7fffffffL)
+
+  def familyHash(base: Column, j: Int): Column = {
+    val (a, b, c) = familyConstants(j)
+    pmod(lit(a) * pmod(base, lit(Mod30)) + lit(b) * shiftright(base, 30) + lit(c),
+      lit(MersennePrime61))
+  }
+
+  /** DuckDB fragment equivalent to [[familyHash]]. */
+  def duckFamilyHash(baseSqlExpr: String, j: Int): String = {
+    val (a, b, c) = familyConstants(j)
+    s"(($a * (($baseSqlExpr) % $Mod30) + $b * (($baseSqlExpr) >> 30) + $c) % $MersennePrime61)"
+  }
+
   /** The DuckDB SQL fragment equivalent to [[hash64]], for oracle authoring. */
   def duckHash64(sqlExpr: String): String =
     s"CAST(('0x' || substr(md5($sqlExpr), 1, 15)) AS BIGINT)"

@@ -203,35 +203,37 @@ object TextQueries {
         |  count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "q27_minhash" ->
+    "q27_minhash" -> {
+      val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("b", j)}) AS m$j").mkString(", ")
+      val unpivot = (0 until 8).map(j =>
+        s"SELECT doc_id, CAST($j AS BIGINT) AS sig_idx, m$j AS minhash FROM mh").mkString("\nUNION ALL ")
       s"""WITH $DuckToks,
          |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, greatest(len(ts) - 2, 1)),
-         |    i -> array_to_string(ts[i:i+2], ' ')))) AS s
-         |  FROM toks)
-         |SELECT doc_id, CAST(j AS BIGINT) AS sig_idx,
-         |  min(${H("concat_ws(chr(1), CAST(j AS VARCHAR), CAST(s AS VARCHAR))")}) AS minhash
-         |FROM sh, generate_series(0, 7) g(j)
-         |GROUP BY doc_id, j""".stripMargin,
+         |  SELECT doc_id, ${H("s")} AS b FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(ts) - 2, 1)),
+         |      i -> array_to_string(ts[i:i+2], ' ')))) AS s
+         |    FROM toks)),
+         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+         |$unpivot""".stripMargin
+    },
 
-    "q28_lsh_dedup" ->
+    "q28_lsh_dedup" -> {
+      val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("b", j)}) AS m$j").mkString(", ")
+      val bands = (0 until 4).map { bnd =>
+        s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
+      }.mkString("\n  UNION ALL ")
       s"""WITH $DuckToks,
          |sh AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(len(ts) - 2, 1)),
          |    i -> array_to_string(ts[i:i+2], ' '))) AS s
          |  FROM toks),
-         |mh AS (
-         |  SELECT doc_id, j,
-         |    min(${H("concat_ws(chr(1), CAST(j AS VARCHAR), CAST(s2 AS VARCHAR))")}) AS m
-         |  FROM (SELECT doc_id, unnest(s) AS s2 FROM sh), generate_series(0, 7) g(j)
-         |  GROUP BY doc_id, j),
-         |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+         |bases AS (
+         |  SELECT doc_id, ${H("s2")} AS b FROM (SELECT doc_id, unnest(s) AS s2 FROM sh)),
+         |mh AS (SELECT doc_id, $mins FROM bases GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, b,
-         |    ${H("concat_ws(',', CAST(b AS VARCHAR), CAST(sig[2*b+1] AS VARCHAR), CAST(sig[2*b+2] AS VARCHAR))")} AS bk
-         |  FROM sig, generate_series(0, 3) g(b)),
+         |  $bands),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
          |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
@@ -240,7 +242,8 @@ object TextQueries {
          |  CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
          |FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
          |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-         |      CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5""".stripMargin,
+         |      CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5""".stripMargin
+    },
 
     "q29_simhash" ->
       s"""WITH $DuckToks,
