@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable
+
+/** The deterministic-hash contract: the native codegen expression must be
+  * bit-identical to the built-in composition (which defines the DuckDB
+  * oracle equivalence), and the derived uniforms/families must stay in
+  * range. */
+class StableSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("native Hash64Expr == conv(substring(md5)) on varied inputs, incl. interpreted path") {
+    val inputs = Seq("", "a", "hello42", "x" * 1000, "émoji ✓ ünïcode",
+      "sep", "0", "-1", "spark native hash") ++
+      (0 until 200).map(i => s"doc $i token ${i * 31}")
+    val df = inputs.toDF("s")
+    val mismatch = df.select(
+        Stable.hash64(col("s")).as("native"),
+        Stable.hash64Composed(col("s")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(mismatch.count() == 0)
+    // interpreted (non-codegen) eval path agrees too
+    import graft.functions.Hash64Expr
+    import org.apache.spark.unsafe.types.UTF8String
+    inputs.foreach { s =>
+      val viaExpr = Hash64Expr.hash(UTF8String.fromString(s))
+      val viaSql = spark.sql(
+        s"SELECT CAST(conv(substring(md5(X'${s.getBytes("UTF-8").map("%02x".format(_)).mkString}'), 1, 15), 16, 10) AS BIGINT)")
+        .head().getLong(0)
+      assert(viaExpr == viaSql, s"mismatch for '$s'")
+    }
+  }
+
+  test("hash64 values are non-negative and fit in 60 bits") {
+    val stats = spark.range(10000)
+      .select(Stable.hash64(col("id")).as("h"))
+      .agg(min("h"), max("h")).head()
+    assert(stats.getLong(0) >= 0L)
+    assert(stats.getLong(1) < (1L << 60))
+  }
+
+  test("uniform01 stays in [0,1) and is seed-sensitive") {
+    val u = spark.range(5000).select(Stable.uniform01(7, col("id")).as("u"))
+    val mm = u.agg(min("u"), max("u"), avg("u")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) < 1.0)
+    assert(math.abs(mm.getDouble(2) - 0.5) < 0.05) // roughly uniform
+    val u2 = spark.range(5000).select(Stable.uniform01(8, col("id")).as("u"))
+    assert(u.collect().map(_.getDouble(0)).toSeq != u2.collect().map(_.getDouble(0)).toSeq)
+  }
+
+  test("familyHash members are in [0, 2^61-1) and mutually distinct") {
+    val base = Stable.hash64(col("id"))
+    val df = spark.range(2000).select(
+      Stable.familyHash(base, 0).as("f0"),
+      Stable.familyHash(base, 1).as("f1"))
+    val r = df.agg(min("f0"), max("f0"), sum(when(col("f0") === col("f1"), 1).otherwise(0))).head()
+    assert(r.getLong(0) >= 0L && r.getLong(1) < 2305843009213693951L)
+    assert(r.getLong(2) == 0L) // families don't collide pointwise here
+  }
+}
