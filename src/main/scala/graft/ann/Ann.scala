@@ -88,6 +88,24 @@ object Ann {
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding near-duplicate pairs: sign-LSH bucketed candidate join,
+    * exact cosine verify at `threshold` — the embedding analog of
+    * MinHash+Jaccard dedup; never all-pairs. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      seed: Long = 42, tables: Int = 6, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(seed, tables, planes, dim)
+    val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      posexplode(array((0 until tables).map(t => bucketKey(col(vecCol), hp(t))): _*))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"), col("__id").as("id1"), col("__v").as("v1"))
+    val b = bucketed.select(col("table"), col("bucket"), col("__id").as("id2"), col("__v").as("v2"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Approximate top-k: bucket the corpus and queries in `tables`
     * sign-LSH tables, take candidates sharing a bucket in ANY table, then
     * exact-rerank. All joins are key-partitioned on (table, bucket). */

@@ -42,6 +42,16 @@ object EventQueries {
           col("n_events"), col("sum_value"))
     }),
 
+    // CUBE over two dimensions (completes the rollup/cube/grouping-sets
+    // line of SURVEY §2.6).
+    "q37_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("cnt"))
+    }),
+
     // Gap-based sessionization: a new session when >30 min passes between a
     // user's events. Per-user window — scale-safe (users are many, sessions
     // short).
@@ -80,6 +90,11 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q37_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q35_sessionize" ->
       """WITH g AS (

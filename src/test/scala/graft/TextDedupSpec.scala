@@ -111,6 +111,28 @@ class TextDedupSpec extends SparkSpec {
     assert(truth.subsetOf(cand), s"missed pairs: ${truth.diff(cand)}")
   }
 
+  test("embedding near-dup: LSH buckets find planted near-duplicates, none invented") {
+    // synthetic corpus: 40 random vectors + 3 planted near-dups of vector 0
+    val rng = new scala.util.Random(5)
+    def vec() = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val base = vec()
+    def jitter(eps: Float) = base.zipWithIndex.map { case (v, i) =>
+      v + eps * (if (i % 2 == 0) 1 else -1) * 0.01f }
+    val rows = (0L until 40L).map(i => (i, if (i == 0) base.toSeq else vec().toSeq)) ++
+      Seq((100L, jitter(1).toSeq), (101L, jitter(2).toSeq), (102L, jitter(3).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = graft.ann.Ann.nearDupPairs(df, "vec_id", "embedding", threshold = 0.99,
+        seed = 42, tables = 8, planes = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupIds = Set(0L, 100L, 101L, 102L)
+    // every returned pair is within the planted cluster (cos >= .99 verified)
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => dupIds(a) && dupIds(b) },
+      s"false positives: ${pairs.filterNot { case (a, b) => dupIds(a) && dupIds(b) }}")
+    // the planted (0, 100) pair survives bucketing + verify
+    assert(pairs.contains((0L, 100L)))
+  }
+
   test("ann: cosine self-similarity is 1; lshTopK recalls most brute-force neighbors") {
     val emb = Tables.load(spark, sf, "embeddings")
     val self = emb.limit(5)
