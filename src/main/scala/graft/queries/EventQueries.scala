@@ -42,6 +42,13 @@ object EventQueries {
           col("n_events"), col("sum_value"))
     }),
 
+    // Seeded deterministic sample: a pure row-property Bernoulli filter,
+    // reproducible across engines (unlike rand()-based sample()).
+    "q38_sample" -> ((s, dir) => {
+      SplitSource.sample(t(s, dir, "orders"), col("o_orderkey"), seed = 11, fraction = 0.1)
+        .select("o_orderkey", "o_custkey")
+    }),
+
     // CUBE over two dimensions (completes the rollup/cube/grouping-sets
     // line of SURVEY §2.6).
     "q37_cube" -> ((s, dir) => {
@@ -90,6 +97,10 @@ object EventQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q38_sample" ->
+      s"""SELECT o_orderkey, o_custkey FROM orders
+         |WHERE ${Stable.duckSeededHash(11, "o_orderkey")} % 1000 < 100""".stripMargin,
 
     "q37_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -41,4 +41,15 @@ object SplitSource {
     * `.explain` shows PartitionFilters, not a post-scan Filter. */
   def read(spark: SparkSession, path: String, split: String): DataFrame =
     spark.read.parquet(path).filter(col("split") === split)
+
+  /** Seeded deterministic Bernoulli sample by hashed key — the engine's
+    * exposed sampling capability (SURVEY §2.6 "Sampling / seeded shuffle";
+    * reference contract fuel/schemes.py:216-221). Unlike `df.sample`, the
+    * selection is a pure row property: stable under retries, partition
+    * changes, AND across engines. */
+  def sample(df: DataFrame, key: Column, seed: Long, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    df.filter(pmod(Stable.seededHash(seed, key), lit(Buckets)) <
+      math.round(fraction * Buckets))
+  }
 }

@@ -44,7 +44,15 @@ final case class Batch(batchSize: Int, strictness: Int = 0) extends Transform {
         unzipped
       case other => throw new IllegalArgumentException(s"invalid strictness $other")
     }
-    sized.select((col("__batch_id") +: dataCols.map(col)): _*)
+    val out = sized.select((col("__batch_id") +: dataCols.map(col)): _*)
+    // axis labels gain a leading "batch" axis (fuel Batch, __init__.py:599-603);
+    // read from the INPUT schema — aggregation drops column metadata.
+    dataCols.foldLeft(out) { (d, c) =>
+      graft.types.AxisLabels.get(df, c) match {
+        case Some(ls) => graft.types.AxisLabels.set(d, c, "batch" +: ls)
+        case None => d
+      }
+    }
   }
 }
 

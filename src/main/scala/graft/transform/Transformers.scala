@@ -71,7 +71,14 @@ final case class Flatten(sources: Seq[String]) extends Transform {
              dt.asInstanceOf[ArrayType].elementType.isInstanceOf[ArrayType]) {
         c = flatten(c); dt = dt.asInstanceOf[ArrayType].elementType; depth += 1
       }
-      if (depth == 0) d else d.withColumn(s, c)
+      if (depth == 0) d
+      else {
+        // withColumn drops metadata; read labels from the input frame
+        val out = d.withColumn(s, c)
+        if (graft.types.AxisLabels.get(d, s).isDefined)
+          graft.types.AxisLabels.set(out, s, Seq("feature"))
+        else out
+      }
     }
 }
 

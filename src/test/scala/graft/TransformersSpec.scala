@@ -135,6 +135,30 @@ class TransformersSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Merge(Seq(a, a)) }
   }
 
+  test("axis labels: declared, rewritten by Flatten and Batch, survive parquet") {
+    import graft.types.AxisLabels
+    val labeled = AxisLabels.set(nested, "x", Seq("height", "width"))
+    assert(AxisLabels.get(labeled, "x").contains(Seq("height", "width")))
+    // Flatten rewrites to ("feature")
+    val flat = Flatten(Seq("x"))(labeled)
+    assert(AxisLabels.get(flat, "x").contains(Seq("feature")))
+    // Batch prepends "batch"
+    val schemed = labeled.withColumn("__idx", col("id"))
+      .withColumn("__pos", col("id")).withColumn("__batch_id", lit(0L))
+    val batched = Batch(2)(schemed)
+    assert(AxisLabels.get(batched, "x").contains(Seq("batch", "height", "width")))
+    // labels survive a parquet round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_axis").toString
+    labeled.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(AxisLabels.get(back, "x").contains(Seq("height", "width")))
+    // verify(): matching passes, mismatched raises
+    AxisLabels.verify(labeled, "x", Seq("height", "width"))
+    intercept[IllegalArgumentException] {
+      AxisLabels.verify(labeled, "x", Seq("channel"))
+    }
+  }
+
   test("SortMapping reorders positions within a batch by key") {
     val df = Seq(
       (0L, 0L, 0L, "ccc"), (1L, 1L, 0L, "a"), (2L, 2L, 0L, "bb"),
