@@ -90,12 +90,20 @@ final case class Padding(maskSources: Seq[String], maskDtype: Option[DataType] =
       val elem = dt match {
         case ArrayType(ArrayType(e, _), _) => e
         case other => throw new IllegalArgumentException(
-          s"Padding: source '$s' must be array<array<numeric>>, got $other")
+          s"Padding: source '$s' must be array<array<...>>, got $other")
       }
-      require(!elem.isInstanceOf[ArrayType],
-        s"Padding: rank>1 sequence elements not supported for '$s'")
+      // Zero padding element: scalar zero for rank-1 sequences; for rank-2
+      // (sequences of vectors) a zero vector shaped like the batch's first
+      // element — fuel requires all rest-dims equal (__init__.py:728-730).
+      val zero: Column = elem match {
+        case ArrayType(leaf, _) if !leaf.isInstanceOf[ArrayType] =>
+          array_repeat(lit(0).cast(leaf),
+            size(element_at(element_at(col(s), 1), 1)))
+        case leaf if !leaf.isInstanceOf[ArrayType] => lit(0).cast(leaf)
+        case other => throw new IllegalArgumentException(
+          s"Padding: rank>2 sequence elements not supported for '$s' ($other)")
+      }
       val maxLen = array_max(transform(col(s), x => size(x)))
-      val zero = lit(0).cast(elem)
       val padded = transform(col(s), x =>
         concat(x, array_repeat(zero, maxLen - size(x))))
       val mask = transform(col(s), x =>

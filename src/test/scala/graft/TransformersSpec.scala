@@ -125,6 +125,21 @@ class TransformersSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Padding(Seq("__batch_id"))(batched) }
   }
 
+  test("Padding rank-2: sequences of vectors pad with zero vectors") {
+    val df = Seq(
+      (0L, 0L, 0L, Seq(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0))),
+      (1L, 1L, 0L, Seq(Seq(7.0, 8.0)))
+    ).toDF("__idx", "__pos", "__batch_id", "seq")
+    val out = (Batch(2) andThen Padding(Seq("seq")) andThen Unpack())(df)
+      .orderBy("__i").collect()
+    val second = out(1).getAs[scala.collection.Seq[scala.collection.Seq[Double]]](2)
+      .map(_.toList).toList
+    assert(second.length == 3) // padded to batch max
+    assert(second(0) == List(7.0, 8.0))
+    assert(second(1) == List(0.0, 0.0) && second(2) == List(0.0, 0.0)) // zero vectors
+    assert(out(1).getSeq[Float](3).sum == 1.0f) // mask counts real rows only
+  }
+
   test("Merge zips positionally and rejects duplicate source names") {
     val a = Indexed.withIdx(Seq("x", "y", "z").toDF("l"), Seq(col("l")))
     val b = Indexed.withIdx(Seq(10, 20, 30, 40).toDF("r"), Seq(col("r")))
