@@ -88,6 +88,52 @@ object Ann {
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer
+    * (centroids = the `nCentroids` corpus vectors with the smallest
+    * id-hash — a seeded sample), corpus rows assigned to their nearest
+    * centroid's inverted list, queries probing the `nProbe` nearest lists,
+    * exact rerank within the probed lists.
+    *
+    * Scale shape: centroid selection is a tiny top-k; assignment is a
+    * per-row projection against broadcast centroid literals; the
+    * candidate join is key-partitioned on the centroid id. The classic
+    * IVF trade (vs [[lshTopK]]'s hyperplanes): data-adapted buckets,
+    * recall tuned by nProbe. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.Stable
+    // deterministic "sample": smallest nCentroids by seeded id-hash
+    val centroids = corpus
+      .select(col(idCol), col(vecCol), Stable.seededHash(seed, col(idCol)).as("__h"))
+      .orderBy("__h").limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def centroidSims(v: Column): Seq[Column] = centroids.toSeq.map { c =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      aggregate(zip_with(v, array(c.map(lit).toSeq: _*), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x) / (norm(v) * lit(cn))
+    }
+    /** ids of the top-`n` centroids by similarity, via sorted (-sim, idx) structs. */
+    def nearest(v: Column, n: Int): Column = {
+      val packed = array(centroidSims(v).zipWithIndex.map { case (s, i) =>
+        struct((-s).as("neg"), lit(i).as("cid"))
+      }: _*)
+      slice(transform(array_sort(packed), e => e.getField("cid")), 1, n)
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
+      element_at(nearest(col(vecCol), 1), 1).as("cid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+      explode(nearest(col(vecCol), nProbe)).as("cid"))
+    val scored = c.join(q, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: sign-LSH bucketed candidate join,
     * exact cosine verify at `threshold` — the embedding analog of
     * MinHash+Jaccard dedup; never all-pairs. */

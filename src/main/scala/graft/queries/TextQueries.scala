@@ -118,6 +118,14 @@ object TextQueries {
       val emb = t(s, dir, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 5, seed = 42, tables = 6, planes = 6, dim = 64)
+    }),
+
+    // The IVF scale path: data-adapted centroid buckets + nProbe probing.
+    // Approximate, so rows-only; recall + determinism in TextDedupSpec.
+    "q39_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, seed = 42, nCentroids = 16, nProbe = 4)
     })
   )
 

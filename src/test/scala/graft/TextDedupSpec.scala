@@ -150,5 +150,17 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall too low: $recall")
+
+    // IVF variant: 8 data-adapted centroids, probing half of them
+    val ivf = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        seed = 42, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRecall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(ivfRecall >= 0.4, s"IVF recall too low: $ivfRecall")
+    // determinism: same seed reproduces the index
+    val ivf2 = Ann.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        seed = 42, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf == ivf2)
   }
 }

@@ -70,7 +70,9 @@ def main():
                 ok = True
             except AssertionError as e:
                 print(f"FAIL {name}: {str(e).splitlines()[0]}")
-                mism = (spark_df != duck_df).any(axis=1)
+                # NaN-aware mismatch mask: NaN == NaN for display purposes
+                neq = (spark_df != duck_df) & ~(spark_df.isna() & duck_df.isna())
+                mism = neq.any(axis=1)
                 print(spark_df[mism].head(3))
                 print(duck_df[mism].head(3))
         if ok:
