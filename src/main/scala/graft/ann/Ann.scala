@@ -56,9 +56,12 @@ object Ann {
   }
 
   /** Rerank (query_id, neighbor_id, sim) rows to per-query top-k via the
-    * bounded-heap aggregator (partial agg; no per-query window sort). */
+    * bounded-heap aggregator (partial agg; no per-query window sort).
+    * NULL similarities (e.g. cosine against a zero-norm vector) are
+    * dropped — they would crash the primitive-typed aggregator encoder. */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
+      .filter(col("sim").isNotNull)
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("sim"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "e")))
@@ -71,22 +74,29 @@ object Ann {
     * constants can be inlined into an external engine's query. */
   def hyperplanes(seed: Long, tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] =
     Array.tabulate(tables, planes, dim) { (t, p, d) =>
-      // splitmix64 of the packed coordinates; top 53 bits -> [0,1)
-      var z = seed + 0x9e3779b97f4a7c15L * (((t.toLong * 1024 + p) * 4096) + d + 1)
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
+      // splitmix64 of the packed coordinates; top 53 bits -> [0,1).
+      // splitmix(x) mixes x + GOLDEN, so passing packed*GOLDEN gives the
+      // same bits as the original inline (packed+1)*GOLDEN derivation.
+      val z = graft.functions.Stable.splitmix(
+        seed + 0x9e3779b97f4a7c15L * ((t.toLong * 1024 + p) * 4096 + d))
       ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
     }
 
-  /** Sign-LSH bucket key for one hash table: bit p = sign(v . plane_p). */
-  def bucketKey(vec: Column, tablePlanes: Array[Array[Double]]): Column =
+  /** Sign-LSH bucket key for one hash table: bit p = sign(v . plane_p).
+    * The dimension guard fails loudly on a vec/plane length mismatch —
+    * otherwise zip_with pads with nulls, every dot goes NULL, and every
+    * row lands in bucket 0 (a silent all-pairs degeneration). */
+  def bucketKey(vec: Column, tablePlanes: Array[Array[Double]]): Column = {
+    val dim = tablePlanes.head.length
+    val checked = when(size(vec) === dim, vec).otherwise(
+      raise_error(concat(lit(s"LSH dim mismatch: expected $dim, got "), size(vec))))
     tablePlanes.zipWithIndex.map { case (plane, p) =>
       val d = aggregate(
-        zip_with(vec, array(plane.map(lit): _*), (x, w) => x.cast("double") * w),
+        zip_with(checked, array(plane.map(lit): _*), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** IVF-style approximate top-k: a deterministic coarse quantizer
     * (centroids = the `nCentroids` corpus vectors with the smallest

@@ -77,8 +77,14 @@ object Dedup {
     * hash — bucket sizes, not corpus size, bound the pair blow-up. */
   def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
+    // Guard the banding contract at runtime: slicing past the signature
+    // would give every doc identical band keys — a silent all-pairs join.
+    val sig = when(size(col(sigCol)) >= bands * rowsPerBand, col(sigCol)).otherwise(
+      raise_error(concat(
+        lit(s"lshCandidates: bands*rowsPerBand=${bands * rowsPerBand} exceeds signature length "),
+        size(col(sigCol)))))
     val banded = df.select(col(idCol),
-        posexplode(bandKeys(col(sigCol), bands, rowsPerBand)).as(Seq("band", "bkey")))
+        posexplode(bandKeys(sig, bands, rowsPerBand)).as(Seq("band", "bkey")))
     val a = banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
     val b = banded.select(col("band"), col("bkey"), col(idCol).as("id2"))
     a.join(b, Seq("band", "bkey"))

@@ -46,8 +46,9 @@ object Stable {
   def uniformRange(seed: Long, lo: Double, hi: Double, cols: Column*): Column =
     lit(lo) + uniform01(seed, cols: _*) * lit(hi - lo)
 
-  /** splitmix64 — driver-side constant derivation only. */
-  private def splitmix(seed: Long): Long = {
+  /** splitmix64 — driver-side constant derivation and per-row JVM-kernel
+    * seeds. The single definition the whole engine shares. */
+  private[graft] def splitmix(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -64,12 +64,7 @@ object ImageOps {
     img
   }
 
-  private def splitmix(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def splitmix(seed: Long): Long = Stable.splitmix(seed)
 
   /** Encode a Frame as PNG bytes (converter/sink helper + test fixtures). */
   def encodePng(f: Frame): Array[Byte] = {

@@ -34,27 +34,30 @@ object Streaming {
   case class SessionState(sessionId: Long, lastEpochS: Double, nEvents: Long)
   case class SessionOut(userId: Long, sessionId: Long, nEvents: Long)
 
-  /** Stateful gap sessionization via mapGroupsWithState — fuel's only
+  /** Stateful gap sessionization via flatMapGroupsWithState — fuel's only
     * stateful operators are pull-iterator carry-overs (Window/Cache,
     * SURVEY §2.6 "stateful streaming ops"); this is the Spark-native
-    * equivalent with explicit keyed state. Emits the CURRENT session per
-    * user each micro-batch (update mode). */
+    * equivalent with explicit keyed state. Emits EVERY session touched in
+    * the micro-batch — sessions both opened and closed within one batch
+    * included — plus the still-open one (update mode). */
   def sessionize(events: Dataset[(Long, Double)], gapSeconds: Double):
       Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[SessionState]) =>
           val sorted = rows.map(_._2).toSeq.sorted
           var st = state.getOption.getOrElse(SessionState(0L, Double.NegativeInfinity, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           sorted.foreach { t =>
-            st = if (t - st.lastEpochS > gapSeconds)
-              SessionState(st.sessionId + 1, t, 1L)
-            else
-              SessionState(st.sessionId, t, st.nEvents + 1)
+            if (t - st.lastEpochS > gapSeconds) {
+              if (st.sessionId > 0) closed += SessionOut(userId, st.sessionId, st.nEvents)
+              st = SessionState(st.sessionId + 1, t, 1L)
+            } else st = SessionState(st.sessionId, t, st.nEvents + 1)
           }
           state.update(st)
-          SessionOut(userId, st.sessionId, st.nEvents)
+          (closed :+ SessionOut(userId, st.sessionId, st.nEvents)).iterator
       }
   }
 

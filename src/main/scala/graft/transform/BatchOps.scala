@@ -97,8 +97,10 @@ final case class Padding(maskSources: Seq[String], maskDtype: Option[DataType] =
       // element — fuel requires all rest-dims equal (__init__.py:728-730).
       val zero: Column = elem match {
         case ArrayType(leaf, _) if !leaf.isInstanceOf[ArrayType] =>
+          // rest-dim from the first vector anywhere in the batch (robust
+          // to an empty first sequence; fuel requires all rest dims equal)
           array_repeat(lit(0).cast(leaf),
-            size(element_at(element_at(col(s), 1), 1)))
+            coalesce(size(element_at(flatten(col(s)), 1)), lit(0)))
         case leaf if !leaf.isInstanceOf[ArrayType] => lit(0).cast(leaf)
         case other => throw new IllegalArgumentException(
           s"Padding: rank>2 sequence elements not supported for '$s' ($other)")

@@ -170,9 +170,11 @@ final case class Cache(level: org.apache.spark.storage.StorageLevel =
 final case class SortMapping(key: Column, reverse: Boolean = false) extends Transform {
   def apply(df: DataFrame): DataFrame = {
     require(df.columns.contains("__batch_id"), "SortMapping requires __batch_id")
+    // __pos tiebreak: equal keys keep their prior order deterministically
+    // (a key-only sort would assign ties in partition-arrival order).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__batch_id")
-      .orderBy(if (reverse) key.desc else key.asc)
+      .orderBy(if (reverse) key.desc else key.asc, col("__pos").asc)
     val start = min(col("__pos")).over(
       org.apache.spark.sql.expressions.Window.partitionBy("__batch_id"))
     df.withColumn("__pos", start + row_number().over(w) - 1)

@@ -40,12 +40,19 @@ class StreamingSpec extends SparkSpec {
       input.addData((1L, 10.0), (1L, 50.0), (2L, 10.0))
       q.processAllAvailable()
       input.addData((1L, 90.0), (1L, 500.0)) // 90: same session; 500: new one
+      // user 3: a session opened AND closed within one micro-batch must
+      // still be emitted alongside the newly-opened one
+      input.addData((3L, 10.0), (3L, 5000.0))
       q.processAllAvailable()
       val last = spark.table("sessions")
         .groupBy("userId").agg(max("sessionId").as("sid"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(last(1L) == 2L) // second session opened at t=500
       assert(last(2L) == 1L)
+      val u3 = spark.table("sessions").filter(col("userId") === 3L)
+        .select("sessionId", "nEvents").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(u3 == Set((1L, 1L), (2L, 1L))) // both sessions visible
     } finally q.stop()
   }
 
