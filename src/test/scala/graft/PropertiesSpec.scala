@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.schemes.{Schemes, SequentialScheme}
+import graft.transform._
+
+/** Property-based laws (the SURVEY §5 additions the reference lacks):
+  * generator-driven invariants over the structural operators. Trial counts
+  * are small — each trial runs real Spark jobs on tiny data. */
+class PropertiesSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def check(prop: Prop, trials: Int = 12): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def indexedInts(n: Int) = {
+    val df = (0 until n).map(i => (i.toLong, i * 7 % 23)).toDF("__idx", "v")
+    Schemes.compile(df, SequentialScheme(1)).drop("__batch_id", "__pos")
+      .withColumn("__pos", col("__idx"))
+  }
+
+  test("property: Batch then Unpack is the identity for any (n, batchSize)") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      b <- Gen.choose(1, 10)
+    } yield (n, b)
+    check(Prop.forAll(gen) { case (n, b) =>
+      val df = indexedInts(n)
+      val compiled = df.withColumn("__batch_id", floor(col("__pos") / b).cast("bigint"))
+      val out = (Batch(b) andThen Unpack())(compiled)
+        .select("v").collect().map(_.getInt(0)).sorted.toSeq
+      out == df.select("v").collect().map(_.getInt(0)).sorted.toSeq
+    })
+  }
+
+  test("property: Padding masks row-sum to original lengths, pads to batch max") {
+    val gen = for {
+      lens <- Gen.nonEmptyListOf(Gen.choose(1, 8)).map(_.take(12))
+      b <- Gen.choose(1, 5)
+    } yield (lens, b)
+    check(Prop.forAll(gen) { case (lens, b) =>
+      val rows = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, i.toLong, (i / b).toLong, Seq.tabulate(len)(_ + 1))
+      }
+      val df = rows.toDF("__idx", "__pos", "__batch_id", "seq")
+      val padded = Padding(Seq("seq"))(Batch(b)(df))
+      val out = Unpack()(padded).orderBy("__batch_id", "__i").collect()
+      val gotLens = out.map(_.getSeq[Float](3).map(_.toDouble).sum.round.toInt).toSeq
+      val gotPad = out.map(_.getSeq[Int](2).length)
+      // mask sums recover the original lengths (in batch order)
+      val expected = lens.zipWithIndex.sortBy { case (_, i) => (i / b, i) }.map(_._1)
+      gotLens == expected &&
+        // every padded row in a batch has that batch's max length
+        out.groupBy(_.getLong(0)).values.forall(rs => rs.map(_.getSeq[Int](2).length).distinct.size == 1)
+    }, trials = 10)
+  }
+
+  test("property: Rename by a bijection then its inverse restores the schema") {
+    val names = Seq("a", "b", "c", "d")
+    val gen = Gen.someOf(names).map(_.toList)
+    check(Prop.forAll(gen) { subset =>
+      val df = Seq((1, 2, 3, 4)).toDF(names: _*)
+      val fwd = subset.map(n => n -> s"${n}_x").toMap
+      val bwd = fwd.map(_.swap)
+      Rename(bwd)(Rename(fwd)(df)).columns.toSeq == names
+    })
+  }
+
+  test("property: FilterSources output order is the input column order") {
+    val names = Seq("a", "b", "c", "d", "e")
+    val gen = Gen.atLeastOne(names).map(_.toList)
+    check(Prop.forAll(gen) { subset =>
+      val df = Seq((1, 2, 3, 4, 5)).toDF(names: _*)
+      FilterSources(subset)(df).columns.toSeq == names.filter(subset.contains)
+    })
+  }
+
+  test("property: foldId matches the reference fold boundaries for any (n, k)") {
+    val gen = for {
+      k <- Gen.choose(2, 8)
+      n <- Gen.choose(k, 60)
+    } yield (n.toLong, k)
+    check(Prop.forAll(gen) { case (n, k) =>
+      val got = spark.range(n).toDF("__idx")
+        .select(Schemes.foldId(col("__idx"), n, k)).collect().map(_.getLong(0)).toSeq
+      val want = (0L until n).map { p =>
+        (0 until k).find(i => n * i / k <= p && p < n * (i + 1) / k).get.toLong
+      }
+      got == want
+    }, trials = 10)
+  }
+
+  test("property: Flatten preserves element count and order for nesting depth 2-3") {
+    val gen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.choose(0, 99))).map(_.take(5))
+    check(Prop.forAll(gen) { nested =>
+      val df = Seq(Tuple1(nested.map(_.take(5)))).toDF("x")
+      val flat = Flatten(Seq("x"))(df).collect()(0).getSeq[Int](0).toSeq
+      flat == nested.flatMap(_.take(5))
+    })
+  }
+}
