@@ -29,37 +29,36 @@ object ImageOps {
   case class Frame(h: Int, w: Int, c: Int, px: Array[Byte])
 
   // ------------------------------------------------------------- kernels
+  // Raster byte-array access, not per-pixel get/setRGB (which routes every
+  // pixel through the color model — an order of magnitude slower).
   private def toFrame(img: BufferedImage): Frame = {
     val (h, w) = (img.getHeight, img.getWidth)
+    val bgrImg =
+      if (img.getType == BufferedImage.TYPE_3BYTE_BGR) img
+      else {
+        val c = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        val g = c.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+        c
+      }
+    val bgr = bgrImg.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     val px = new Array[Byte](h * w * 3)
     var i = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        px(i) = ((rgb >> 16) & 0xff).toByte
-        px(i + 1) = ((rgb >> 8) & 0xff).toByte
-        px(i + 2) = (rgb & 0xff).toByte
-        i += 3; x += 1
-      }
-      y += 1
+    while (i < h * w) { // BGR raster -> RGB frame
+      px(3 * i) = bgr(3 * i + 2); px(3 * i + 1) = bgr(3 * i + 1); px(3 * i + 2) = bgr(3 * i)
+      i += 1
     }
     Frame(h, w, 3, px)
   }
 
   private def toImage(f: Frame): BufferedImage = {
-    val img = new BufferedImage(f.w, f.h, BufferedImage.TYPE_INT_RGB)
+    val img = new BufferedImage(f.w, f.h, BufferedImage.TYPE_3BYTE_BGR)
+    val bgr = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var i = 0
-    var y = 0
-    while (y < f.h) {
-      var x = 0
-      while (x < f.w) {
-        val r = f.px(i) & 0xff; val g = f.px(i + 1) & 0xff; val b = f.px(i + 2) & 0xff
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        i += 3; x += 1
-      }
-      y += 1
+    while (i < f.h * f.w) { // RGB frame -> BGR raster
+      bgr(3 * i) = f.px(3 * i + 2); bgr(3 * i + 1) = f.px(3 * i + 1); bgr(3 * i + 2) = f.px(3 * i)
+      i += 1
     }
     img
   }
