@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.image.ImageOps
+
+/** Ingest-job CLI — the `fuel-convert` analog (reference:
+  * fuel/bin/fuel_convert.py:24, fuel/converters/base.py:13-47: one-time
+  * raw-input → storage-format ETL). Two converters:
+  *
+  *   images: PNG/JPEG files → parquet of decoded frames
+  *           `runMain graft.Convert images <inGlob> <outDir>`
+  *   text:   line files → parquet of (file, line_no, line)
+  *           `runMain graft.Convert text <inGlob> <outDir>`
+  *
+  * Both are distributed jobs (binaryFile/text scans + columnar projection),
+  * not driver-side loops — the Spark-native shape of the reference's
+  * producer/consumer converter pipelines (ilsvrc2010.py:204-316).
+  */
+object Convert {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: Convert <images|text> <inGlob> <outDir>")
+    val Array(kind, inGlob, outDir) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    kind match {
+      case "images" =>
+        spark.read.format("binaryFile").load(inGlob)
+          .select(col("path"), ImageOps.imagesFromBytes(col("content")).as("frame"))
+          .filter(col("frame").isNotNull) // skip undecodable files, keep going
+          .write.mode("overwrite").parquet(outDir)
+      case "text" =>
+        graft.sources.TextFileSource.lines(spark, Seq(inGlob))
+          .write.mode("overwrite").parquet(outDir)
+      case other =>
+        throw new IllegalArgumentException(s"unknown converter '$other' (images|text)")
+    }
+    val n = spark.read.parquet(outDir).count()
+    println(s"""{"converted": $n, "kind": "$kind", "out": "$outDir"}""")
+    spark.stop()
+  }
+}
