@@ -35,6 +35,47 @@ object Dedup {
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
+  /** Hashed k-shingles without shingle strings: explode tokens once, md5
+    * each token in codegen, fold to 30 bits (lo XOR hi), and combine the k
+    * consecutive folded hashes per window position with 31-bit constants
+    * mod 2^61-1 — all inside a per-doc window (small, numerous partitions).
+    * Docs shorter than k keep one window at pos 0 with missing terms as 0
+    * (the whole-sequence analog of [[shingles]]). Output: one row per
+    * shingle occurrence, (idCol, sh). Every md5 and every combination is
+    * whole-stage codegen; the only shuffle is the window's doc-key
+    * partitioning. */
+  def shingleHashes(df: DataFrame, idCol: String, toksCol: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    val folded = df
+      .select(col(idCol), posexplode(col(toksCol)).as(Seq("pos", "__t")))
+      .select(col(idCol), col("pos"), {
+        val h = Stable.hash64(col("__t"))
+        pmod(h, lit(1073741824L)).bitwiseXOR(shiftright(h, 30)).as("f")
+      })
+    val leads = (1 until k).foldLeft(folded) { (d, i) =>
+      d.withColumn(s"__l$i", lead(col("f"), i).over(w))
+    }
+    val combined = (0 until k).map { i =>
+      val (a, _, _) = Stable.familyConstants(100 + i)
+      lit(a) * coalesce(if (i == 0) col("f") else col(s"__l$i"), lit(0L))
+    }.reduce(_ + _)
+    leads
+      .filter(col(s"__l${k - 1}").isNotNull || col("pos") === 0)
+      .select(col(idCol), pmod(combined, lit(2305843009213693951L)).as("sh"))
+  }
+
+  /** MinHash signatures from pre-hashed shingle rows (idCol, baseCol):
+    * `numHashes` codegen'd min-aggregates over the universal hash family,
+    * one map-side-combined shuffle. */
+  def minhashFromBases(rows: DataFrame, idCol: String, baseCol: String,
+      numHashes: Int, sigCol: String = "sig"): DataFrame = {
+    val mins = (0 until numHashes).map { j =>
+      min(Stable.familyHash(col(baseCol), j)).as(s"__m$j")
+    }
+    rows.groupBy(idCol).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"__m$j")): _*).as(sigCol))
+  }
+
   /** MinHash signature over a shingle-array column: ONE md5 per shingle
     * feeds a universal hash family ([[Stable.familyHash]]); signature[j] =
     * min over shingles of family hash j. Interpreted (HOF) — prefer

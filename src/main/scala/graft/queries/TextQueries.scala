@@ -71,28 +71,28 @@ object TextQueries {
       Dedup.exact(t(s, dir, "documents"), col("doc_id"), substring(col("text"), 1, 40))
     }),
 
-    // MinHash signatures: 8 seeded min-hashes over distinct 3-shingles,
-    // computed through explode + codegen'd min-aggregation (map-side
-    // combine; every md5 in whole-stage codegen).
+    // MinHash signatures over HASHED 3-shingles: one md5 per token (codegen),
+    // shingle hashes from a per-doc window combination, 8 family min-aggs —
+    // no shingle strings anywhere.
     "q27_minhash" -> ((s, dir) => {
-      val sh = docsWithTokens(s, dir)
-        .select(col("doc_id"), Dedup.shingles(col("ts"), 3).as("sh"))
-      Dedup.minhashSignatures(sh, "doc_id", "sh", 8)
+      val sh = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
+      Dedup.minhashFromBases(sh, "doc_id", "sh", 8)
         .select(col("doc_id"), posexplode(col("sig")).as(Seq("sig_idx", "minhash")))
         .select(col("doc_id"), col("sig_idx").cast("bigint").as("sig_idx"), col("minhash"))
     }),
 
-    // Banded LSH near-dup detection end-to-end: signature -> 4 bands x 2
-    // rows -> bucket join -> exact Jaccard verify at 0.5. Never all-pairs:
-    // the only join is key-partitioned on the band hash.
+    // Banded LSH near-dup detection end-to-end over hashed shingles:
+    // signature -> 4 bands x 2 rows -> bucket join -> exact Jaccard verify
+    // at 0.5 on the distinct shingle-hash sets. Never all-pairs: the only
+    // joins are key-partitioned on band hash / candidate ids.
     "q28_lsh_dedup" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir)
-        .select(col("doc_id"), Dedup.shingles(col("ts"), 3).as("sh"))
-      val sig = Dedup.minhashSignatures(d, "doc_id", "sh", 8)
+      val shRows = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
+      val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+      val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
       val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       cand
-        .join(d.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-        .join(d.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
         .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }),
@@ -130,6 +130,28 @@ object TextQueries {
   )
 
   private val H = Stable.duckHash64 _
+
+  /** DuckDB CTE chain reproducing [[Dedup.shingleHashes]] (k=3) over the
+    * shared `toks` CTE: md5 per token, folded 30-bit form, window lead
+    * combination with the same family constants, mod 2^61-1. */
+  private def duckShingleHashes: String = {
+    val a = (0 until 3).map(i => Stable.familyConstants(100 + i)._1)
+    s"""tok AS (
+       |  SELECT doc_id, i - 1 AS pos, ${H("w")} AS h FROM (
+       |    SELECT doc_id, i, ts[i] AS w FROM (
+       |      SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks))),
+       |fold AS (SELECT doc_id, pos, xor(h % 1073741824, h >> 30) AS f FROM tok),
+       |led AS (
+       |  SELECT doc_id, pos, f,
+       |    lead(f, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+       |    lead(f, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+       |  FROM fold),
+       |sh AS (
+       |  SELECT doc_id,
+       |    (${a(0)} * f + ${a(1)} * coalesce(l1, 0) + ${a(2)} * coalesce(l2, 0))
+       |      % 2305843009213693951 AS sh
+       |  FROM led WHERE l2 IS NOT NULL OR pos = 0)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q21_tokenize" ->
@@ -212,34 +234,24 @@ object TextQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q27_minhash" -> {
-      val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("b", j)}) AS m$j").mkString(", ")
+      val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
       val unpivot = (0 until 8).map(j =>
         s"SELECT doc_id, CAST($j AS BIGINT) AS sig_idx, m$j AS minhash FROM mh").mkString("\nUNION ALL ")
       s"""WITH $DuckToks,
-         |sh AS (
-         |  SELECT doc_id, ${H("s")} AS b FROM (
-         |    SELECT doc_id, unnest(list_distinct(list_transform(
-         |      generate_series(1, greatest(len(ts) - 2, 1)),
-         |      i -> array_to_string(ts[i:i+2], ' ')))) AS s
-         |    FROM toks)),
+         |$duckShingleHashes,
          |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
          |$unpivot""".stripMargin
     },
 
     "q28_lsh_dedup" -> {
-      val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("b", j)}) AS m$j").mkString(", ")
+      val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
       val bands = (0 until 4).map { bnd =>
         s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
       }.mkString("\n  UNION ALL ")
       s"""WITH $DuckToks,
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(ts) - 2, 1)),
-         |    i -> array_to_string(ts[i:i+2], ' '))) AS s
-         |  FROM toks),
-         |bases AS (
-         |  SELECT doc_id, ${H("s2")} AS b FROM (SELECT doc_id, unnest(s) AS s2 FROM sh)),
-         |mh AS (SELECT doc_id, $mins FROM bases GROUP BY doc_id),
+         |$duckShingleHashes,
+         |shsets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id),
+         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |bands AS (
          |  $bands),
          |cand AS (
@@ -248,7 +260,7 @@ object TextQueries {
          |SELECT id1, id2,
          |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
          |  CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
-         |FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+         |FROM cand JOIN shsets x ON x.doc_id = id1 JOIN shsets y ON y.doc_id = id2
          |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5""".stripMargin
     },
