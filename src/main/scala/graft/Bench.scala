@@ -31,8 +31,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warm-up: run everything once, untimed.
     names.foreach(n => runFull(SparkEntry.queries(n)(spark, sfDir)))
-    // Timed pass.
+    // Timed pass. Queries that persist() intermediates (q28) would otherwise
+    // read the warm-up's cache — clear it so each timing is a cold full run.
     val results = names.map { n =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       runFull(SparkEntry.queries(n)(spark, sfDir))
       n -> (System.nanoTime() - t0) / 1e9

@@ -18,21 +18,20 @@ import graft.functions.TopK
   *     within matching buckets across `tables` hash tables, exact rerank of
   *     the candidate set. Recall is tunable via (planes, tables).
   *
-  * Dot products run in sequential left-to-right double accumulation
-  * (`aggregate(zip_with(...))`) — associativity is fixed by the plan, so
-  * the same inputs give the same bits on any engine.
+  * Dot products run in sequential left-to-right double accumulation —
+  * associativity is fixed, so the same inputs give the same bits on any
+  * engine. The kernel is the native codegen [[graft.functions.DotExpr]]
+  * (Spark's array HOFs are CodegenFallback — interpreted per element);
+  * VecSpec asserts it bit-matches the `aggregate(zip_with(...))` form.
   */
 object Ann {
 
-  /** Sequential double dot product of two float-array columns. */
+  /** Sequential double dot product of two float-array columns (codegen). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecExpressions.dot(a, b)
 
   /** L2 norm (sequential accumulation, then sqrt). */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -91,9 +90,7 @@ object Ann {
     val checked = when(size(vec) === dim, vec).otherwise(
       raise_error(concat(lit(s"LSH dim mismatch: expected $dim, got "), size(vec))))
     tablePlanes.zipWithIndex.map { case (plane, p) =>
-      val d = aggregate(
-        zip_with(checked, array(plane.map(lit): _*), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val d = dot(checked, array(plane.map(lit): _*))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -121,8 +118,7 @@ object Ann {
 
     def centroidSims(v: Column): Seq[Column] = centroids.toSeq.map { c =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      aggregate(zip_with(v, array(c.map(lit).toSeq: _*), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x) / (norm(v) * lit(cn))
+      dot(v, array(c.map(lit).toSeq: _*)) / (norm(v) * lit(cn))
     }
     /** ids of the top-`n` centroids by similarity, via sorted (-sim, idx) structs. */
     def nearest(v: Column, n: Int): Column = {

@@ -26,6 +26,13 @@ import graft.functions.Stable
   * RNG (image.py:210-216).
   */
 object ImageOps {
+  // ImageIO defaults to FILE-backed stream caches: every read/write spills
+  // through a temp file on disk. One temp file per row per executor thread
+  // is an I/O disaster at scale (and measurably dominates small-image
+  // decode). Memory-cached streams instead; runs once per executor JVM at
+  // class load.
+  ImageIO.setUseCache(false)
+
   case class Frame(h: Int, w: Int, c: Int, px: Array[Byte])
 
   // ------------------------------------------------------------- kernels

@@ -32,13 +32,17 @@ object EventQueries {
     }),
 
     // Tumbling 5-minute event-time windows (batch twin of the streaming
-    // windowed aggregation; same window() operator).
+    // windowed aggregation; same window() operator). The window key is
+    // emitted as epoch seconds: a constructed timestamp column types
+    // differently across engines (DuckDB to_timestamp → TIMESTAMPTZ vs
+    // Spark's TIMESTAMP), which failed the r2 schema compare; the integer
+    // start instant is representation-independent.
     "q34_events_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-        .select(col("w.start").as("win_start"), col("event_type"),
+        .select(col("w.start").cast("long").as("win_start_s"), col("event_type"),
           col("n_events"), col("sum_value"))
     }),
 
@@ -57,6 +61,29 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("cnt"))
+    }),
+
+    // Stratified rebalancing sample over documents: downsample dominant
+    // English to 30%, keep rare languages at 100% — per-stratum seeded
+    // Bernoulli, a pure pushed-down filter (no shuffle, no sampleBy RNG).
+    "q41_stratified" -> ((s, dir) => {
+      SplitSource.stratifiedSample(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), seed = 5,
+          fractions = Seq("en" -> 0.3, "zh" -> 1.0, "es" -> 1.0),
+          defaultFraction = 0.5)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+    }),
+
+    // Arbitrary GROUPING SETS (beyond the rollup/cube hierarchies):
+    // per-flag and per-status marginals in one pass through the SQL entry
+    // point.
+    "q42_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              |  coalesce(l_linestatus, 'ALL') AS linestatus,
+              |  count(*) AS cnt
+              |FROM li_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
     }),
 
     // Gap-based sessionization: a new session when >30 min passes between a
@@ -93,7 +120,7 @@ object EventQueries {
          |GROUP BY 1""".stripMargin,
 
     "q34_events_window" ->
-      """SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS win_start, event_type,
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start_s, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
@@ -101,6 +128,18 @@ object EventQueries {
     "q38_sample" ->
       s"""SELECT o_orderkey, o_custkey FROM orders
          |WHERE ${Stable.duckSeededHash(11, "o_orderkey")} % 1000 < 100""".stripMargin,
+
+    "q41_stratified" ->
+      s"""SELECT lang, count(*) AS n FROM documents
+         |WHERE ${Stable.duckSeededHash(5, "doc_id")} % 1000 <
+         |  CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 1000 WHEN 'es' THEN 1000
+         |            ELSE 500 END
+         |GROUP BY lang""".stripMargin,
+
+    "q42_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
 
     "q37_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -85,10 +85,18 @@ object TextQueries {
     // signature -> 4 bands x 2 rows -> bucket join -> exact Jaccard verify
     // at 0.5 on the distinct shingle-hash sets. Never all-pairs: the only
     // joins are key-partitioned on band hash / candidate ids.
+    //
+    // The shingle sets feed THREE consumers (signature derivation + both
+    // sides of the verify join); persisting them computes the md5-heavy
+    // shingling once instead of three times. Signatures come from the
+    // exploded SET — min over a set equals min over the multiset, so the
+    // signature (and the oracle) is unchanged.
     "q28_lsh_dedup" -> ((s, dir) => {
-      val shRows = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
-      val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
-      val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
+      val shSets = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
+        .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = Dedup.minhashFromBases(
+        shSets.select(col("doc_id"), explode(col("sh")).as("sh")), "doc_id", "sh", 8)
       val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       cand
         .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
@@ -126,6 +134,18 @@ object TextQueries {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 5, seed = 42, nCentroids = 16, nProbe = 4)
+    }),
+
+    // fuel Window with an overlapping target at a negative offset
+    // (sequences.py:4-88): source = 2 tokens, target = the 2 tokens one
+    // position EARLIER. Exercises the i0/span clipping arithmetic that
+    // q22's NGrams (offset 0, non-overlapping) does not.
+    "q40_window_slide" -> ((s, dir) => {
+      Sequences.windows(docsWithTokens(s, dir), "doc_id", "ts",
+          offset = -1, sourceWindow = 2, targetWindow = 2, overlapping = true)
+        .select(col("doc_id"), col("window_idx"),
+          concat_ws(" ", col("source")).as("source"),
+          concat_ws(" ", col("target")).as("target"))
     })
   )
 
@@ -292,6 +312,18 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
         |  FROM scored)
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+
+    // Window(offset=-1, sw=2, tw=2, overlapping): ti0 = -1, i0 = 1,
+    // span = 2; 0-based starts i in [1, len-2] -> source = ts[i+1..i+2]
+    // (1-based), target = ts[i..i+1], window_idx = i - 1.
+    "q40_window_slide" ->
+      s"""WITH $DuckToks,
+         |e AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |      FROM toks WHERE len(ts) >= 3)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS window_idx,
+         |  array_to_string(ts[i+1:i+2], ' ') AS source,
+         |  array_to_string(ts[i:i+1], ' ') AS target
+         |FROM e""".stripMargin
   )
 }

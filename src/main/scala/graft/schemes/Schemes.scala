@@ -1,8 +1,7 @@
 package graft.schemes
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.functions.Stable
 import graft.sources.Indexed
@@ -72,13 +71,10 @@ object Schemes {
   val BatchId = "__batch_id"
 
   /** Contiguous position column in the total order `order` — distributed
-    * sort + zipWithIndex (see [[Indexed]] for why not a window). */
-  private def posIn(df: DataFrame, order: Seq[Column], posName: String): DataFrame = {
-    val sorted = df.sort(order: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(posName, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(rdd, schema)
-  }
+    * sort + InternalRow-level zipWithIndex (see [[Indexed]] for why not a
+    * window, and why not `df.rdd`). */
+  private def posIn(df: DataFrame, order: Seq[Column], posName: String): DataFrame =
+    Indexed.withIdx(df, order, posName)
 
   private def shuffleOrder(seed: Long): Seq[Column] =
     Seq(Stable.seededHash(seed, col(Indexed.Idx)), col(Indexed.Idx))

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Stable, contiguous 0-based row addressing — the engine's analog of fuel's
@@ -11,30 +13,44 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Scale design: a `row_number()` over an empty window forces all rows into
   * ONE partition — a non-starter at 100 TB. Instead: distributed range-
   * partitioned sort, then `RDD.zipWithIndex`, which computes per-partition
-  * offsets with one lightweight count job and assigns indices fully in
-  * parallel. Values are identical to `row_number() OVER (ORDER BY ...) - 1`
-  * (which is what the DuckDB oracle computes), but the plan scales.
+  * offsets with one lightweight count job (the sort's shuffle files are
+  * reused, not recomputed) and assigns indices fully in parallel. Values
+  * are identical to `row_number() OVER (ORDER BY ...) - 1` (which is what
+  * the DuckDB oracle computes), but the plan scales.
+  *
+  * The zip runs at the InternalRow layer ([[Bridge.internalRdd]]): the
+  * public `df.rdd` route deserializes every row to an external `Row`
+  * (per-field boxing) and re-encodes it through a reflective RowEncoder —
+  * 2-3x the cost of the whole sort on wide tables. Here the index column
+  * is appended with a reused JoinedRow, no copies; downstream operators
+  * follow SparkPlan's copy-if-buffering contract.
   */
 object Indexed {
   val Idx = "__idx"
 
+  private def zipIdx(df: DataFrame, idxName: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(idxName, LongType, nullable = false))
+    val rdd = Bridge.internalRdd(df).zipWithIndex().mapPartitions { it =>
+      val joined = new JoinedRow
+      val idxRow = new GenericInternalRow(1)
+      it.map { case (r, i) =>
+        idxRow.setLong(0, i)
+        joined(r, idxRow): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(df.sparkSession, rdd, schema)
+  }
+
   /** Append a contiguous 0-based `__idx` in the total order of `order`.
     * The order must be total (tie-free) for the index to be deterministic —
     * pass a unique key (or include one as the last sort column). */
-  def withIdx(df: DataFrame, order: Seq[Column], idxName: String = Idx): DataFrame = {
-    val sorted = df.sort(order: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(idxName, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    sorted.sparkSession.createDataFrame(rdd, schema)
-  }
+  def withIdx(df: DataFrame, order: Seq[Column], idxName: String = Idx): DataFrame =
+    zipIdx(df.sort(order: _*), idxName)
 
   /** Index in the source's existing partition/row order (no sort) — the
     * analog of iterating an IterableDataset in storage order
     * (reference: fuel/datasets/base.py:244-313). Deterministic for a
     * deterministic source such as a fixed set of parquet files. */
-  def withStorageIdx(df: DataFrame, idxName: String = Idx): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(idxName, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def withStorageIdx(df: DataFrame, idxName: String = Idx): DataFrame =
+    zipIdx(df, idxName)
 }

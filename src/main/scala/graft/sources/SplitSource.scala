@@ -52,4 +52,21 @@ object SplitSource {
     df.filter(pmod(Stable.seededHash(seed, key), lit(Buckets)) <
       math.round(fraction * Buckets))
   }
+
+  /** Per-stratum seeded Bernoulli sample — the class-rebalancing operator
+    * of a training-data pipeline (downsample the dominant language, keep
+    * the rare ones). `df.stat.sampleBy` with the same determinism contract
+    * as [[sample]]: selection is a pure row property (stratum fraction +
+    * hashed key), stable under retries and reproducible by the oracle.
+    * Strata not listed keep `defaultFraction`. A pure filter — pushes to
+    * the scan, no shuffle. */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column, seed: Long,
+      fractions: Seq[(String, Double)], defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.map(_._2) :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction must be in [0,1]: $f"))
+    val threshold = fractions.foldRight(lit(math.round(defaultFraction * Buckets)): Column) {
+      case ((name, f), acc) => when(strata === name, lit(math.round(f * Buckets))).otherwise(acc)
+    }
+    df.filter(pmod(Stable.seededHash(seed, key), lit(Buckets)) < threshold)
+  }
 }

@@ -32,18 +32,19 @@ object TextOps {
   val FirstWordId = 3L
 
   /** Top-`topK` dictionary by (count DESC, word ASC): (word, token_id) with
-    * ids from [[FirstWordId]]. Scale-safe: the global rank window runs AFTER
-    * the top-K truncation, on `topK` rows. */
+    * ids from [[FirstWordId]]. The rank runs AFTER the top-K truncation (on
+    * `topK` rows) and uses the distributed sort + zipWithIndex path from
+    * [[graft.sources.Indexed]] rather than an unpartitioned rank window —
+    * no single-partition WindowExec anywhere in the dictionary build. */
   def buildDictionary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     val counted = df
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(topK)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("word").asc)
-    counted.withColumn("token_id", row_number().over(w) + (FirstWordId - 1))
-      .select("word", "token_id")
+    graft.sources.Indexed
+      .withIdx(counted, Seq(col("cnt").desc, col("word").asc), "__rank")
+      .select(col("word"), (col("__rank") + FirstWordId).as("token_id"))
   }
 
   /** Tokenize to (idCol, pos, token_id) rows with optional BOS at pos 0 and

@@ -52,4 +52,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && p.contains("partial"),
       "q1 must partial-aggregate before the shuffle")
   }
+
+  // ------------------------------------------------- global scale audit
+  // Two plan shapes are never acceptable at 100 TB, in ANY query:
+  //   - WindowExec with an empty partitionSpec: moves every row to ONE
+  //     partition (Spark warns "No Partition Defined for Window").
+  //   - CartesianProduct: all-pairs blow-up.
+  // Walked over every SparkEntry query so a future operator can't sneak
+  // one in. (q30's BroadcastNestedLoopJoin is a deliberate broadcast
+  // strategy, not a cartesian — it stays allowed.)
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    }
+    p +: inner
+  }
+
+  test("global audit: no unpartitioned Window, no CartesianProduct, in any query") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val nodes = allNodes(fn(spark, sf).queryExecution.executedPlan)
+      val unpartitionedWindows = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      assert(unpartitionedWindows.isEmpty,
+        s"$name moves all rows to one partition via an unpartitioned Window")
+      val cartesians = nodes.collect { case c: CartesianProductExec => c.nodeName }
+      assert(cartesians.isEmpty, s"$name contains a CartesianProduct")
+    }
+  }
 }

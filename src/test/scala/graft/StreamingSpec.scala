@@ -89,6 +89,25 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("split"))
   }
 
+  test("stratifiedSample rebalances per stratum, deterministically, as a pure filter") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    def run() = SplitSource.stratifiedSample(docs, col("lang"), col("doc_id"), seed = 5,
+      fractions = Seq("en" -> 0.3, "zh" -> 1.0), defaultFraction = 0.5)
+    assert(run().select("doc_id").collect().toSet == run().select("doc_id").collect().toSet)
+    val total = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run().groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("zh") == total("zh"), "fraction 1.0 keeps every row")
+    assert(kept("en") < total("en"), "dominant stratum is downsampled")
+    // listed-stratum sampling is independent of unlisted strata
+    assert(kept.getOrElse("fr", 0L) <= total("fr"))
+    // a pure filter: no shuffle in the sampling itself
+    val plan = run().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sample must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] {
+      SplitSource.stratifiedSample(docs, col("lang"), col("doc_id"), 5, Seq("en" -> 1.5))
+    }
+  }
+
   test("Spiral/SwissRoll: seeded determinism and manifold geometry") {
     val s1 = Synthetic.spiral(spark, 500, classes = 3, cycles = 1.0, seed = 7)
     val s2 = Synthetic.spiral(spark, 500, classes = 3, cycles = 1.0, seed = 7)

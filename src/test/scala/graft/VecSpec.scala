@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.VecExpressions
+
+/** The codegen dot-product contract: [[graft.functions.DotExpr]] must be
+  * bit-identical to the HOF formulation it replaced (which defines the
+  * DuckDB oracle equivalence for the ANN queries) across float arrays,
+  * mixed float/double, nulls, and length mismatches — in both the codegen
+  * and interpreted eval paths. */
+class VecSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  /** The exact expression DotExpr replaced in graft.ann.Ann. */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("DotExpr bit-matches aggregate(zip_with) on random float vectors") {
+    val gen = Gen.listOfN(64, Gen.chooseNum(-1e6f, 1e6f))
+    val vecs = (1 to 200).flatMap(i => gen.sample).map(_.toArray)
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+    val mismatch = df.select(
+        VecExpressions.dot(col("a"), col("b")).as("native"),
+        hofDot(col("a"), col("b")).as("hof"))
+      // bit-compare: NaN == NaN, -0.0 != 0.0
+      .filter(expr("CAST(native AS STRING) IS DISTINCT FROM CAST(hof AS STRING)") ||
+        col("native") =!= col("hof"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("DotExpr handles empty, length-mismatch, and null-element inputs like the HOF") {
+    val rows = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),   // plain
+      (Array.empty[Float], Array.empty[Float])) // empty -> 0.0
+    val df = rows.toDF("a", "b")
+    val r = df.select(VecExpressions.dot(col("a"), col("b")).as("d"),
+      hofDot(col("a"), col("b")).as("h")).collect()
+    r.foreach(row => assert(row.getDouble(0) == row.getDouble(1)))
+
+    // length mismatch -> NULL (zip_with pads with null, poisons the fold)
+    val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(VecExpressions.dot(col("a"), col("b")).as("d")).head()
+    assert(mm.isNullAt(0))
+
+    // null element anywhere -> NULL
+    val ne = Seq((Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(VecExpressions.dot(col("a"), col("b")).as("d")).head()
+    assert(ne.isNullAt(0))
+  }
+
+  test("DotExpr mixed float x double literal array (LSH hyperplane shape)") {
+    val plane = Array(0.25, -0.5, 0.125, 1.0)
+    val df = Seq(Array(1.0f, 2.0f, 3.0f, 4.0f)).toDF("v")
+    val native = df.select(
+      VecExpressions.dot(col("v"), array(plane.map(lit).toSeq: _*)).as("d")).head().getDouble(0)
+    val hof = df.select(
+      hofDot(col("v"), array(plane.map(lit).toSeq: _*)).as("d")).head().getDouble(0)
+    assert(native == hof)
+    assert(native == (0.25 - 1.0 + 0.375 + 4.0))
+  }
+
+  test("DotExpr interpreted eval path agrees with codegen") {
+    import graft.functions.DotExpr
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Literal.create(ArrayData.toArrayData(Array(1.5f, -2.0f, 3.25f)), ArrayType(FloatType))
+    val b = Literal.create(ArrayData.toArrayData(Array(2.0f, 0.5f, -1.0f)), ArrayType(FloatType))
+    val viaEval = DotExpr(a, b).eval(null).asInstanceOf[Double]
+    val viaDf = Seq((Array(1.5f, -2.0f, 3.25f), Array(2.0f, 0.5f, -1.0f))).toDF("a", "b")
+      .select(VecExpressions.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(viaEval == viaDf)
+    assert(viaEval == (3.0 - 1.0 - 3.25))
+  }
+}
