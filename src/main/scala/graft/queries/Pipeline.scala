@@ -18,9 +18,12 @@ object Pipeline {
     Tables.load(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // SequentialScheme: consecutive batches in key order.
+    // SequentialScheme: consecutive batches in key order. Columns are
+    // pruned BEFORE indexing: Catalyst cannot push pruning through the
+    // zipWithIndex RDD boundary, so an unpruned withIdx would sort and
+    // carry the full 16-column row to index 2 of them.
     "q13_scheme_sequential" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
       val idx = Indexed.withIdx(li, Seq(col("l_orderkey"), col("l_linenumber")))
       Schemes.compile(idx, SequentialScheme(4096))
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -30,7 +33,7 @@ object Pipeline {
     // ShuffledScheme: seeded reproducible permutation (md5-derived), then
     // consecutive batches of the permutation.
     "q14_scheme_shuffled" -> ((s, dir) => {
-      val ord = Indexed.withIdx(t(s, dir, "orders"), Seq(col("o_orderkey")))
+      val ord = Indexed.withIdx(t(s, dir, "orders").select("o_orderkey"), Seq(col("o_orderkey")))
       Schemes.compile(ord, ShuffledScheme(batchSize = 512, seed = 7))
         .select(col("o_orderkey"),
           col(Schemes.Pos).as("pos"), col(Schemes.BatchId).as("batch_id"))
@@ -38,7 +41,7 @@ object Pipeline {
 
     // cross_validation fold assignment: fold i covers [n*i/k, n*(i+1)/k).
     "q15_cross_validation" -> ((s, dir) => {
-      val cust = Indexed.withIdx(t(s, dir, "customer"), Seq(col("c_custkey")))
+      val cust = Indexed.withIdx(t(s, dir, "customer").select("c_custkey"), Seq(col("c_custkey")))
       val n = cust.count()
       cust.select(col("c_custkey"), col(Indexed.Idx).as("pos"),
           Schemes.foldId(col(Indexed.Idx), n, 5).as("fold_id"))
@@ -48,7 +51,7 @@ object Pipeline {
     // ConcatenatedScheme: a sequential epoch segment followed by a shuffled
     // one; positions and batch ids continue across segments.
     "q16_scheme_concatenated" -> ((s, dir) => {
-      val part = Indexed.withIdx(t(s, dir, "part"), Seq(col("p_partkey")))
+      val part = Indexed.withIdx(t(s, dir, "part").select("p_partkey"), Seq(col("p_partkey")))
       Schemes.compile(part,
           ConcatenatedScheme(Seq(SequentialScheme(50), ShuffledScheme(50, seed = 3))))
         .select(col("p_partkey"),

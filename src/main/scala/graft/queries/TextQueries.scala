@@ -86,17 +86,16 @@ object TextQueries {
     // at 0.5 on the distinct shingle-hash sets. Never all-pairs: the only
     // joins are key-partitioned on band hash / candidate ids.
     //
-    // The shingle sets feed THREE consumers (signature derivation + both
-    // sides of the verify join); persisting them computes the md5-heavy
-    // shingling once instead of three times. Signatures come from the
-    // exploded SET — min over a set equals min over the multiset, so the
-    // signature (and the oracle) is unchanged.
+    // The shingle rows feed three consumers (signature mins + both sides
+    // of the verify join). Recomputing the codegen'd md5 shingling per
+    // consumer measures FASTER than materializing the sets once (a
+    // persist + collect_set shuffle costs more than two recomputes, and
+    // it would break the signature's map-side partial min aggregation) —
+    // so the plan deliberately recomputes the narrow projection.
     "q28_lsh_dedup" -> ((s, dir) => {
-      val shSets = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
-        .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = Dedup.minhashFromBases(
-        shSets.select(col("doc_id"), explode(col("sh")).as("sh")), "doc_id", "sh", 8)
+      val shRows = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
+      val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+      val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
       val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       cand
         .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))

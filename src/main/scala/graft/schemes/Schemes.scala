@@ -121,25 +121,45 @@ object Schemes {
 
       case ConcatenatedScheme(schemes) =>
         // Each segment is compiled independently; positions/batch ids are
-        // offset by the totals of the preceding segments. Row counts per
-        // segment are known from the compiled plans (cheap count on the
-        // already-computed segment).
-        val compiled = schemes.map(sch => compile(df, sch))
+        // offset by the totals of the preceding segments. Those totals have
+        // a closed form given the input size (every scheme visits a known
+        // subset), so ONE count() of the input covers all segments — no
+        // per-segment actions, no recomputing each segment's plan to count
+        // it.
+        val n = df.count()
         val withBatch = !schemes.head.requestsExamples
         var posOff = 0L
         var batchOff = 0L
-        val shifted = compiled.map { seg =>
-          val nRows = seg.count()
-          val nBatches =
-            if (withBatch && nRows > 0) seg.agg(max(BatchId)).head().getLong(0) + 1 else 0L
+        val shifted = schemes.map { sch =>
+          val seg = compile(df, sch)
           val out0 = seg.withColumn(Pos, col(Pos) + posOff)
           val out = if (withBatch) out0.withColumn(BatchId, col(BatchId) + batchOff) else out0
-          posOff += nRows
-          batchOff += nBatches
+          posOff += numExamples(sch, n)
+          batchOff += numBatches(sch, n)
           out
         }
         shifted.reduce(_ unionByName _)
     }
+  }
+
+  /** Rows one epoch of `scheme` visits over an `n`-row input (closed form;
+    * mirrors fuel's num_examples accounting, fuel/schemes.py:95-177). */
+  def numExamples(scheme: IterationScheme, n: Long): Long = scheme match {
+    case ConstantScheme(b, numEx, times) =>
+      val bound = numEx.orElse(times.map(_ * b)).getOrElse(n)
+      math.min(n, bound)
+    case ConcatenatedScheme(ss) => ss.map(numExamples(_, n)).sum
+    case _ => n // Sequential / Shuffled / *Example visit every row
+  }
+
+  /** Minibatches one epoch of `scheme` yields over an `n`-row input;
+    * 0 for example-wise schemes. */
+  def numBatches(scheme: IterationScheme, n: Long): Long = scheme match {
+    case SequentialScheme(b) => (n + b - 1) / b
+    case ShuffledScheme(b, _, _) => (n + b - 1) / b
+    case c @ ConstantScheme(b, _, _) => (numExamples(c, n) + b - 1) / b
+    case ConcatenatedScheme(ss) => ss.map(numBatches(_, n)).sum
+    case _ => 0L
   }
 
   /** fuel's k-fold cross-validation boundaries (fuel/schemes.py:260-305):

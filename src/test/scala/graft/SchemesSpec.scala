@@ -63,6 +63,22 @@ class SchemesSpec extends SparkSpec {
     assert(byTimes.count() == 8)
   }
 
+  test("ConcatenatedScheme closed-form offsets are exact with bounded Constant segments") {
+    // supplier has 10 rows: segment 1 = Constant(4, numExamples=7) -> 7 rows,
+    // batches {0,1}; segment 2 = Sequential(5) -> 10 rows, batches continue
+    // at 2 with ceil(10/5)=2 more.
+    val out = Schemes.compile(indexed,
+        ConcatenatedScheme(Seq(ConstantScheme(4, numExamples = Some(7)), SequentialScheme(5))))
+      .orderBy("__pos").select("__pos", "__batch_id").collect()
+    assert(out.length == 17)
+    assert(out.map(_.getLong(0)).toSeq == (0L until 17L))
+    val batches = out.map(_.getLong(1)).toSeq
+    assert(batches.take(7) == Seq(0L, 0, 0, 0, 1, 1, 1))
+    assert(batches.drop(7) == Seq(2L, 2, 2, 2, 2, 3, 3, 3, 3, 3))
+    assert(Schemes.numExamples(ConstantScheme(4, times = Some(2)), 10) == 8)
+    assert(Schemes.numBatches(ConstantScheme(4, numExamples = Some(7)), 10) == 2)
+  }
+
   test("ConcatenatedScheme: positions and batch ids continue across segments") {
     val n = indexed.count()
     val out = Schemes.compile(indexed,
