@@ -27,11 +27,22 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // config cascade (fuel config_parser analog: code > conf > default):
+    // spark.graft.floatX = float32|float64 selects the engine float width.
+    spark.conf.getOption("spark.graft.floatX").foreach(setFloatX)
     spark
   }
 
   /** fuel's `floatX` config (reference: fuel/config_parser.py:49-52,211):
-    * the engine-wide float width used by `ForceFloatX`/`Cast("floatX")`. */
+    * the engine-wide float width used by `ForceFloatX`/`Cast("floatX")`.
+    * Settable in code or via the `spark.graft.floatX` conf. */
   @volatile var floatX: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.FloatType
+
+  def setFloatX(name: String): Unit = floatX = name match {
+    case "float32" => org.apache.spark.sql.types.FloatType
+    case "float64" => org.apache.spark.sql.types.DoubleType
+    case other => throw new IllegalArgumentException(
+      s"spark.graft.floatX must be float32 or float64, got $other")
+  }
 }

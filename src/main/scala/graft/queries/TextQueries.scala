@@ -135,6 +135,16 @@ object TextQueries {
         k = 5, seed = 42, nCentroids = 16, nProbe = 4)
     }),
 
+    // Token packing for LLM pretraining: concatenate docs in id order, cut
+    // every 512 tokens. Global offsets via the distributed prefix sum —
+    // the oracle recomputes them with a cumulative window.
+    "q43_pack_sequences" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+        .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      TextOps.packSequences(d, "doc_id", "n_tokens", 512)
+        .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+    }),
+
     // fuel Window with an overlapping target at a negative offset
     // (sequences.py:4-88): source = 2 tokens, target = the 2 tokens one
     // position EARLIER. Exercises the i0/span clipping arithmetic that
@@ -312,6 +322,19 @@ object TextQueries {
         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+
+    "q43_pack_sequences" ->
+      s"""WITH $DuckToks,
+         |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+         |o AS (SELECT doc_id, n_tokens,
+         |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |          - n_tokens AS tok_offset
+         |      FROM d)
+         |SELECT doc_id, n_tokens, tok_offset,
+         |  tok_offset // 512 AS first_seq,
+         |  CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
+         |       ELSE tok_offset // 512 END AS last_seq
+         |FROM o""".stripMargin,
 
     // Window(offset=-1, sw=2, tw=2, overlapping): ti0 = -1, i0 = 1,
     // span = 2; 0-based starts i in [1, len-2] -> source = ts[i+1..i+2]

@@ -61,6 +61,23 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of [[graft.dedup.Dedup.exact]]
+    * for continuous ingest: keep the first occurrence of each key, where
+    * duplicate suppression is bounded by the watermark (state for keys
+    * older than the watermark is dropped, so state size tracks the
+    * late-data horizon, not the full corpus — the only state discipline
+    * that survives an unbounded stream). */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming dedup ignoring event time entirely (state grows with the
+    * number of distinct keys — for bounded key domains). */
+  def dedupStreamAllTime(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.dropDuplicates(keyCols)
+
   /** ServerDataStream analog: drive a streaming DataFrame into a bounded
     * in-process queue via foreachBatch — producer/consumer with HWM-style
     * backpressure (`capacity` plays fuel's hwm=10). Returns the queue and

@@ -152,4 +152,22 @@ object TextOps {
     df.withColumn("__grams", ngramHashes(col(toksCol), k))
       .withColumn(out, winnow(col("__grams"), w))
       .drop("__grams")
+
+  /** Pack tokenized documents into fixed-length training sequences (the
+    * LLM-pretraining layout: concatenate docs in id order, cut every
+    * `seqLen` tokens; docs may span sequence boundaries). Emits each doc's
+    * global token offset and the first/last sequence ids it lands in.
+    * The global offsets are a distributed prefix sum
+    * ([[graft.sources.PrefixSum]]) — never a single-partition running-sum
+    * window. `nTokCol` must be bigint (use `size(toks).cast("bigint")`). */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    graft.sources.PrefixSum
+      .withPrefixSum(df, Seq(col(idCol)), nTokCol, "tok_offset")
+      .withColumn("first_seq", expr(s"tok_offset div $seqLen"))
+      .withColumn("last_seq",
+        when(col(nTokCol) > 0, expr(s"(tok_offset + $nTokCol - 1) div $seqLen"))
+          .otherwise(expr(s"tok_offset div $seqLen")))
+  }
 }

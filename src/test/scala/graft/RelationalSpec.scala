@@ -54,4 +54,22 @@ class RelationalSpec extends SparkSpec {
     assert(raw.columns.length > 2) // defaults don't leak into raw load
     intercept[IllegalArgumentException] { cat.load("nope") }
   }
+
+  test("approximate aggregates: HLL distinct near exact, quantile sketch brackets exact") {
+    // The sketch tier of the aggregation surface (SURVEY §2.6): at 100 TB
+    // an exact distinct is a full shuffle of the keys; the HLL sketch is a
+    // fixed-size partial-aggregable buffer. No DuckDB oracle (sketches are
+    // engine-specific), so the contract checked is the error bound.
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val r = li.agg(
+      approx_count_distinct("l_partkey", rsd = 0.05).as("approx"),
+      countDistinct("l_partkey").as("exact")).head()
+    val (a, e) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(a - e).toDouble / e < 0.15, s"HLL estimate $a too far from exact $e")
+    val Array(med) = li.stat.approxQuantile("l_quantity", Array(0.5), 0.01)
+    val below = li.filter(col("l_quantity") <= med).count()
+    assert(below >= li.count() * 2 / 5 && below <= li.count() * 3 / 5,
+      s"approx median $med does not bracket the distribution")
+  }
 }

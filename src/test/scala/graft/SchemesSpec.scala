@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 
 import graft.schemes._
-import graft.sources.{Indexed, Tables}
+import graft.sources.{Indexed, PrefixSum, Tables}
 import graft.stream.DataStream
 
 /** Scheme semantics in the spirit of the reference's tests/test_schemes.py:
@@ -61,6 +61,24 @@ class SchemesSpec extends SparkSpec {
     assert(byN.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 4L), (1L, 3L)))
     val byTimes = Schemes.compile(indexed, ConstantScheme(4, times = Some(2)))
     assert(byTimes.count() == 8)
+  }
+
+  test("PrefixSum equals the window cumulative sum at any input partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = supplier.select(col("s_suppkey"), (col("s_suppkey") * 3 % 7).cast("bigint").as("v"))
+    val expected = df
+      .withColumn("off", sum("v").over(
+        Window.orderBy("s_suppkey").rowsBetween(Window.unboundedPreceding, -1)))
+      .na.fill(0, Seq("off"))
+      .orderBy("s_suppkey").select("s_suppkey", "off")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (parts <- Seq(1, 3, 8)) {
+      val got = PrefixSum
+        .withPrefixSum(df.repartition(parts), Seq(col("s_suppkey")), "v", "off")
+        .orderBy("s_suppkey").select("s_suppkey", "off")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"prefix sum diverged at $parts input partitions")
+    }
   }
 
   test("ConcatenatedScheme closed-form offsets are exact with bounded Constant segments") {

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps one row per key within the watermark horizon") {
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = Streaming.dedupStream(
+      input.toDF().toDF("doc_hash", "ts"), Seq("doc_hash"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      // duplicates within one batch and across batches, inside the horizon
+      input.addData((7L, t(1)), (7L, t(2)), (8L, t(1)))
+      q.processAllAvailable()
+      input.addData((7L, t(3)), (9L, t(4)))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream").select("doc_hash")
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys.sorted == Seq(7L, 8L, 9L), s"expected one row per key, got $keys")
+    } finally q.stop()
+  }
+
   test("StreamServer: foreachBatch feeds a bounded queue (ServerDataStream analog)") {
     val input = MemoryStream[Long]
     val (queue, q) = Streaming.serve(input.toDF().toDF("v"), capacity = 10)

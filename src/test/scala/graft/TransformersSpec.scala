@@ -46,6 +46,17 @@ class TransformersSpec extends SparkSpec {
     assert(out.schema("ad").dataType.asInstanceOf[ArrayType].elementType == FloatType)
   }
 
+  test("floatX config cascade: spark.graft.floatX conf switches the engine width") {
+    val saved = Graft.floatX
+    try {
+      spark.conf.set("spark.graft.floatX", "float64")
+      spark.conf.getOption("spark.graft.floatX").foreach(Graft.setFloatX)
+      val out = Cast("floatX", Seq("d"))(Seq((1, 2.0f)).toDF("i", "d"))
+      assert(out.schema("d").dataType == DoubleType)
+      intercept[IllegalArgumentException] { Graft.setFloatX("float16") }
+    } finally { Graft.floatX = saved; spark.conf.unset("spark.graft.floatX") }
+  }
+
   test("Mapping add_sources collides on existing name; replace keeps name") {
     val df = Seq((1, 2)).toDF("a", "b")
     val out = Mapping(replace = Seq("a" -> (col("a") * 10)),
