@@ -63,6 +63,25 @@ object EventQueries {
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"), col("cnt"))
     }),
 
+    // As-of backward join: each purchase matched to the user's latest
+    // click at or before it. One key shuffle (union + per-key window) —
+    // never the naive range join. Oracle = DuckDB's NATIVE ASOF LEFT JOIN,
+    // so the operator's semantics are checked against a reference
+    // implementation of as-of, not a re-derivation.
+    "q44_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+      // Output timestamps as integer epoch micros: DuckDB's ASOF coerces
+      // TIMESTAMP_NS to TIMESTAMP, so raw timestamp columns type-mismatch
+      // even when every value is equal (same lesson as q34).
+      graft.operators.AsOf.asofBackward(purchases, clicks, "user_id", "ts", "last_click_ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts_us"),
+          unix_micros(col("last_click_ts")).as("last_click_ts_us"))
+    }),
+
     // Stratified rebalancing sample over documents: downsample dominant
     // English to 30%, keep rare languages at 100% — per-stratum seeded
     // Bernoulli, a pure pushed-down filter (no shuffle, no sampleBy RNG).
@@ -128,6 +147,13 @@ object EventQueries {
     "q38_sample" ->
       s"""SELECT o_orderkey, o_custkey FROM orders
          |WHERE ${Stable.duckSeededHash(11, "o_orderkey")} % 1000 < 100""".stripMargin,
+
+    "q44_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+        |  epoch_us(c.ts) AS last_click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
 
     "q41_stratified" ->
       s"""SELECT lang, count(*) AS n FROM documents

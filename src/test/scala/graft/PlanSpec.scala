@@ -53,6 +53,34 @@ class PlanSpec extends SparkSpec {
       "q1 must partial-aggregate before the shuffle")
   }
 
+  test("bucketed tables co-locate: fact-dim join with NO exchange on either side") {
+    // The 100 TB pattern for repeated fact-fact/fact-dim joins: bucket both
+    // tables on the join key at write time; Spark's bucketed scan reports
+    // the hash partitioning, so the join needs no shuffle at all.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Tables.load(spark, sf, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_b_orders")
+      graft.sources.Tables.load(spark, sf, "customer")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_b_customer")
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_customer")
+    }
+  }
+
   // ------------------------------------------------- global scale audit
   // Two plan shapes are never acceptable at 100 TB, in ANY query:
   //   - WindowExec with an empty partitionSpec: moves every row to ONE
