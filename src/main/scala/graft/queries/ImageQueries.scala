@@ -28,6 +28,21 @@ object ImageQueries {
       cropped.select(col("vec_id"),
         col("frame.h").as("h"), col("frame.w").as("w"), col("frame.c").as("c"),
         crc32(col("frame.px")).as("px_crc"))
+    }),
+
+    // Audio modality round trip on distributed data: float vector -> 16-bit
+    // WAV bytes (binary column) -> real JDK codec decode -> fixed-length
+    // frames + per-frame energies. Rows-only (no SQL oracle for a codec);
+    // sample-exact semantics are covered by AudioSpec.
+    "q45_audio_pipeline" -> ((s, dir) => {
+      import graft.image.AudioOps
+      val emb = Tables.load(s, dir, "embeddings")
+      val wav = emb.select(col("vec_id"), AudioOps.encodeWavUdf(col("embedding")).as("wav"))
+      val clip = wav.select(col("vec_id"), AudioOps.decodeWav(col("wav")).as("clip"))
+      clip.select(col("vec_id"),
+        col("clip.sample_rate").as("sample_rate"),
+        col("clip.n").as("n_samples"),
+        size(AudioOps.frames(col("clip.pcm"), frameLen = 16, hop = 8)).cast("bigint").as("n_frames"))
     })
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.functions._
+
+import graft.image.AudioOps
+
+/** Audio multimodal column: real JDK WAV decode round trip + framing. */
+class AudioSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  /** 16-bit mono little-endian WAV of `samples`. */
+  private def wavBytes(samples: Array[Short], rate: Float = 8000f): Array[Byte] = {
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WAV decode round trip: rate, length, and sample values survive") {
+    val sine = Array.tabulate(800)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 8000.0) * 30000).toShort)
+    val df = Seq((1L, wavBytes(sine)), (2L, Array[Byte](1, 2, 3))).toDF("id", "wav")
+      .select(col("id"), AudioOps.decodeWav(col("wav")).as("clip"))
+    val ok = df.filter(col("id") === 1).select("clip.sample_rate", "clip.n", "clip.pcm").head()
+    assert(ok.getInt(0) == 8000)
+    assert(ok.getLong(1) == 800L)
+    val pcm = ok.getSeq[Float](2)
+    assert(pcm.length == 800)
+    sine.zip(pcm).foreach { case (s, f) =>
+      assert(math.abs(s / 32768.0f - f) < 1e-6f, s"sample mismatch: $s vs $f")
+    }
+    // undecodable bytes -> null, not a crash
+    assert(df.filter(col("id") === 2).select("clip").head().isNullAt(0))
+  }
+
+  test("framing: slice-under-transform layout, frame count and energies") {
+    val sine = Array.tabulate(1000)(i => (math.sin(i / 10.0) * 20000).toShort)
+    val df = Seq((1L, wavBytes(sine))).toDF("id", "wav")
+      .select(col("id"), AudioOps.decodeWav(col("wav")).getField("pcm").as("pcm"))
+      .select(col("id"), AudioOps.frames(col("pcm"), frameLen = 256, hop = 128).as("fr"))
+    val r = df.select(size(col("fr")).as("nf"),
+      AudioOps.frameEnergies(col("fr")).as("e")).head()
+    // starts 0,128,...,744: floor((1000-256)/128)+1 = 6 frames
+    assert(r.getInt(0) == 6)
+    val energies = r.getSeq[Double](1)
+    assert(energies.length == 6)
+    assert(energies.forall(e => e > 0.0 && e <= 256.0))
+
+    // a clip shorter than one frame yields NO frames (not a descending
+    // sequence artifact)
+    val short = Seq(Seq.fill(100)(0.5f)).toDF("pcm")
+      .select(size(AudioOps.frames(col("pcm"), 256, 128)).as("nf")).head()
+    assert(short.getInt(0) == 0)
+  }
+}
