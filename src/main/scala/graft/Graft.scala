@@ -17,6 +17,7 @@ object Graft {
   def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", LocalShufflePartitions.toString)

@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotExpr, Hash64Expr}
+
+/** SparkSessionExtensions hook — the engine's custom-expression tier made
+  * available to the SQL entry point (SURVEY §4 "custom codegen Expression"
+  * + §2.6 UDF surface). Activate in code via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` (what
+  * [[graft.Graft.session]] does) or externally via
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Registered functions (native codegen expressions, not UDFs):
+  *   - `graft_hash64(string) -> bigint` — the engine-wide md5-derived
+  *     60-bit hash ([[Hash64Expr]]); bit-identical to
+  *     `conv(substring(md5(x),1,15),16,10)`.
+  *   - `graft_dot(array<float|double>, array<float|double>) -> double` —
+  *     sequential dot product ([[DotExpr]]); bit-identical to the
+  *     `aggregate(zip_with(...))` formulation.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_hash64"),
+      info("graft_hash64", "md5-derived 60-bit hash of a string"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"graft_hash64 takes 1 argument, got ${exprs.length}")
+        Hash64Expr(exprs.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "sequential dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
+        DotExpr(exprs(0), exprs(1))
+      }))
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+}

@@ -63,6 +63,18 @@ class VecSpec extends SparkSpec {
     assert(native == (0.25 - 1.0 + 0.375 + 4.0))
   }
 
+  test("SQL entry point reaches the native expressions via GraftExtensions") {
+    // the shared session is built by Graft.session -> withExtensions
+    val viaSql = spark.sql(
+      "SELECT graft_hash64('abc'), graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").head()
+    val direct = Seq("abc").toDF("s")
+      .select(graft.functions.Stable.hash64(col("s"))).head().getLong(0)
+    assert(viaSql.getLong(0) == direct)
+    assert(viaSql.getDouble(1) == 11.0)
+    val err = intercept[Exception] { spark.sql("SELECT graft_dot(array(1.0D))") }
+    assert(err.getMessage.contains("2 arguments") || err.getMessage.contains("graft_dot"))
+  }
+
   test("DotExpr interpreted eval path agrees with codegen") {
     import graft.functions.DotExpr
     import org.apache.spark.sql.catalyst.util.ArrayData
