@@ -103,4 +103,28 @@ class PropertiesSpec extends SparkSpec {
       flat == nested.flatMap(_.take(5))
     })
   }
+
+  test("property: asofBackward equals brute-force max(right.ts <= left.ts) per key") {
+    val rowGen = for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 40L)
+    } yield (k, t)
+    val gen = for {
+      left <- Gen.listOfN(15, rowGen)
+      right <- Gen.listOfN(15, rowGen)
+    } yield (left, right)
+    check(Prop.forAll(gen) { case (left, right) =>
+      val l = left.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "ts")
+      val r = right.toDF("k", "ts")
+      val got = graft.operators.AsOf.asofBackward(l, r, "k", "ts", "m")
+        .select("id", "m")
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      val want = left.zipWithIndex.map { case ((k, t), i) =>
+        i.toLong -> right.filter(rr => rr._1 == k && rr._2 <= t).map(_._2).maxOption
+      }.toMap
+      got == want
+    }, trials = 8)
+  }
 }
