@@ -128,13 +128,15 @@ object Ann {
       slice(transform(array_sort(packed), e => e.getField("cid")), 1, n)
     }
 
+    // No pair-dedup needed: each corpus row has exactly ONE centroid and a
+    // query's probe list is distinct, so a (query, neighbor) pair can meet
+    // at most once — one shuffle fewer than a dedup would cost.
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
       element_at(nearest(col(vecCol), 1), 1).as("cid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
       explode(nearest(col(vecCol), nProbe)).as("cid"))
     val scored = c.join(q, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qvec"), col("__cvec")).as("sim"))
     topKPerQuery(scored, k)
@@ -146,14 +148,22 @@ object Ann {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       seed: Long = 42, tables: Int = 6, planes: Int = 8, dim: Int = 64): DataFrame = {
     val hp = hyperplanes(seed, tables, planes, dim)
-    val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    // Bucket join and pair-dedup on IDS ONLY (16 bytes/row through the
+    // shuffles), then fetch each side's vector once per surviving pair for
+    // the exact verify — carrying the vectors through the bucket join and
+    // the dedup would shuffle dim*4 bytes per candidate per table.
+    val bucketed = df.select(col(idCol).as("__id"),
       posexplode(array((0 until tables).map(t => bucketKey(col(vecCol), hp(t))): _*))
         .as(Seq("table", "bucket")))
-    val a = bucketed.select(col("table"), col("bucket"), col("__id").as("id1"), col("__v").as("v1"))
-    val b = bucketed.select(col("table"), col("bucket"), col("__id").as("id2"), col("__v").as("v2"))
-    a.join(b, Seq("table", "bucket"))
+    val a = bucketed.select(col("table"), col("bucket"), col("__id").as("id1"))
+    val b = bucketed.select(col("table"), col("bucket"), col("__id").as("id2"))
+    val pairs = a.join(b, Seq("table", "bucket"))
       .filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+      .select("id1", "id2").distinct()
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("v1")), Seq("id1"))
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("v2")), Seq("id2"))
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -164,18 +174,24 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64): DataFrame = {
     val hp = hyperplanes(seed, tables, planes, dim)
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+    def bucketed(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
           posexplode(array((0 until tables).map(t => bucketKey(col(vecCol), hp(t))): _*))
             .as(Seq("table", "bucket")))
-    val c = bucketed(corpus, "neighbor_id", "__cvec")
-    val q = bucketed(queries, "query_id", "__qvec")
-    val candidates = c.join(q, Seq("table", "bucket"))
+    // Candidates and dedup on ids only; vectors rejoin once per surviving
+    // pair (corpus side a key join, query side a broadcast — queries are
+    // broadcastable by the same assumption bruteForceTopK makes).
+    val candidates = bucketed(corpus, "neighbor_id")
+      .join(bucketed(queries, "query_id"), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "__qvec", "__cvec")
-      .dropDuplicates("query_id", "neighbor_id")
-    topKPerQuery(
-      candidates.select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qvec"), col("__cvec")).as("sim")), k)
+      .select("query_id", "neighbor_id").distinct()
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("sim"))
+    topKPerQuery(scored, k)
   }
 }
