@@ -61,4 +61,25 @@ class AudioSpec extends SparkSpec {
       .select(size(AudioOps.frames(col("pcm"), 256, 128)).as("nf")).head()
     assert(short.getInt(0) == 0)
   }
+
+  test("video plumbing: evenly-spaced frame sampling composes with image ops") {
+    import graft.image.VideoOps
+    // 640 bytes -> fake container of 10 frames; sample 4 evenly: 0,3,6,9
+    val container = Array.tabulate[Byte](640)(i => (i % 251).toByte)
+    val df = Seq((1L, container)).toDF("vid_id", "bytes")
+      .select(col("vid_id"),
+        posexplode(VideoOps.sampleFrames(col("bytes"), 4)).as(Seq("pos", "f")))
+      .select(col("vid_id"), col("f._1").as("frame_idx"), col("f._2").as("frame"))
+    val rows = df.select("frame_idx", "frame.h", "frame.w").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 3, 6, 9))
+    assert(rows.forall(r => r.getInt(1) == 8 && r.getInt(2) == 8))
+    // deterministic: same container -> same sampled pixels
+    val crc1 = df.select(crc32(col("frame.px"))).collect().map(_.getLong(0)).toSeq
+    val crc2 = df.select(crc32(col("frame.px"))).collect().map(_.getLong(0)).toSeq
+    assert(crc1 == crc2)
+    // a 1-frame container samples exactly one frame regardless of n
+    val one = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("bytes")
+      .select(size(VideoOps.sampleFrames(col("bytes"), 4)).as("n")).head()
+    assert(one.getInt(0) == 1)
+  }
 }
