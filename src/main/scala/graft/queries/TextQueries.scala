@@ -135,6 +135,15 @@ object TextQueries {
         k = 5, seed = 42, nCentroids = 16, nProbe = 4)
     }),
 
+    // Text normalization (lowercase / strip punctuation / collapse
+    // whitespace) — the cleaning stage before tokenization; exact string
+    // oracle.
+    "q46_normalize" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.normalize(col("text")).as("norm"),
+        length(TextOps.normalize(col("text"))).cast("bigint").as("n_norm_chars"))
+    }),
+
     // Token packing for LLM pretraining: concatenate docs in id order, cut
     // every 512 tokens. Global offsets via the distributed prefix sum —
     // the oracle recomputes them with a cumulative window.
@@ -322,6 +331,14 @@ object TextQueries {
         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+
+    "q46_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm,
+        |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+        |FROM documents""".stripMargin,
 
     "q43_pack_sequences" ->
       s"""WITH $DuckToks,

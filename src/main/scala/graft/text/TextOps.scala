@@ -122,6 +122,34 @@ object TextOps {
       (nNonAlpha.cast("double") / nTok.cast("double")).as("nonalpha_ratio"))
   }
 
+  /** Training-data text normalization: lowercase, strip to alphanumerics
+    * and spaces, collapse whitespace runs, trim. All Catalyst built-ins
+    * (codegen); character classes chosen to behave identically in Java
+    * regex and DuckDB's RE2. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Compression-ratio quality signal: deflate-compressed size over raw
+    * size (low ratio = repetitive/templated text, a standard LLM-corpus
+    * junk detector). JDK Deflater at a fixed level — deterministic for a
+    * given input, but zlib-version-specific, so this is a diagnostics
+    * column, not an oracle column. */
+  val compressionRatio = udf { (text: String) =>
+    val raw = text.getBytes("UTF-8")
+    if (raw.isEmpty) 1.0
+    else {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      // zlib worst case is raw + raw/1000 + ~12 bytes; margin avoids a
+      // full-buffer stall on incompressible input
+      val buf = new Array[Byte](raw.length + raw.length / 1000 + 64)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+      d.end()
+      n.toDouble / raw.length
+    }
+  }
+
   /** BPE-ish regex token count: runs of letters, runs of digits, or single
     * other non-space chars. Same pattern semantics in Java regex and RE2.
     * DuckDB: `len(regexp_extract_all(x, '[a-z]+|[0-9]+|[^a-z0-9 ]'))`. */

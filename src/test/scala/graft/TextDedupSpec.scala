@@ -87,6 +87,27 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(1L)) == 0)
   }
 
+  test("normalize + compressionRatio: cleaning is idempotent, junk compresses away") {
+    val df = Seq(
+      (1L, "  Hello,   WORLD!!  (test) "),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "k9x qv7 zp2 wm4 jt8 fh3 bn6 rd1 lc5 sg0 yw9 xe2 uq7 oa4 iz8")).toDF("doc_id", "text")
+    val norm = df.select(col("doc_id"), TextOps.normalize(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "hello world test")
+    // idempotent: normalizing a normalized string is the identity
+    val again = df.select(TextOps.normalize(TextOps.normalize(col("text"))).as("n2"),
+      TextOps.normalize(col("text")).as("n1"))
+      .filter(col("n1") =!= col("n2")).count()
+    assert(again == 0)
+    // the repetitive doc compresses much better than the high-entropy one
+    val ratios = df.select(col("doc_id"), TextOps.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios(2L) < ratios(3L) - 0.2,
+      s"repetitive text should compress far better: $ratios")
+    assert(ratios.values.forall(r => r > 0.0 && r < 1.5))
+  }
+
   test("exact dedup groups identical keys and keeps the min id") {
     val df = Seq((10L, "xx"), (7L, "xx"), (3L, "yy")).toDF("doc_id", "text")
     val out = Dedup.exact(df, col("doc_id"), col("text"))
