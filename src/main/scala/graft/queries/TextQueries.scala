@@ -119,8 +119,9 @@ object TextQueries {
     }),
 
     // The ANN scale path: sign-LSH bucketed candidate join + exact rerank.
-    // Approximate by construction, so no SQL oracle (driver records the
-    // rows-only check); recall vs brute force is asserted in TextDedupSpec.
+    // Approximate, yet ORACLE-EXACT: the hyperplanes are seed-derived
+    // constants, so the oracle embeds them and rebuilds the same buckets
+    // and rerank in SQL. Recall vs brute force is asserted in TextDedupSpec.
     "q31_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
@@ -128,7 +129,9 @@ object TextQueries {
     }),
 
     // The IVF scale path: data-adapted centroid buckets + nProbe probing.
-    // Approximate, so rows-only; recall + determinism in TextDedupSpec.
+    // Approximate, yet ORACLE-EXACT: the centroid sample is seeded-hash-
+    // selected, so the oracle re-derives the same centroids, assignments,
+    // probes, and rerank in SQL. Recall + determinism in TextDedupSpec.
     "q39_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
@@ -168,6 +171,63 @@ object TextQueries {
   )
 
   private val H = Stable.duckHash64 _
+
+  /** Shared oracle fragment: cosine via sequential dot products — the
+    * same formula and association as [[Ann.cosine]]. */
+  private def duckCosine(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** q31 oracle: the sign-LSH hyperplanes are seed-derived constants
+    * ([[Ann.hyperplanes]](42, 6, 6, 64) — same params as the query), so
+    * the oracle embeds them and rebuilds the buckets, candidate join, and
+    * exact rerank entirely in SQL. */
+  private def duckLshOracle: String = {
+    val hp = Ann.hyperplanes(42, tables = 6, planes = 6, dim = 64)
+    def bucketExpr(tp: Array[Array[Double]]): String =
+      tp.zipWithIndex.map { case (plane, p) =>
+        s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ",", "]")}) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    val buckets = hp.indices.map(t =>
+      s"SELECT vec_id, v, $t AS tbl, ${bucketExpr(hp(t))} AS bucket FROM e").mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |b AS ($buckets),
+       |qb AS (SELECT * FROM b WHERE vec_id < 50),
+       |cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |                qb.v AS qv, b.v AS cv
+       |         FROM b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+       |                       AND b.vec_id <> qb.vec_id),
+       |scored AS (SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim FROM cand)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /** q39 oracle: the IVF coarse quantizer is a seeded-hash sample, so the
+    * oracle re-derives the same 16 centroids (smallest seededHash(42, id)),
+    * the same nearest-centroid assignment (sim DESC, cid ASC), the same
+    * 4-probe lists, and the exact rerank. */
+  private def duckIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |h AS (SELECT vec_id, v, ${Stable.duckSeededHash(42, "vec_id")} AS hh FROM e),
+       |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY hh) - 1 AS cid
+       |         FROM (SELECT * FROM h ORDER BY hh LIMIT 16)),
+       |sims AS (SELECT e.vec_id, e.v, c.cid, ${duckCosine("e.v", "c.cv")} AS sim
+       |         FROM e, cent c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                       ORDER BY sim DESC, cid ASC) AS rn FROM sims),
+       |corp AS (SELECT vec_id AS neighbor_id, v AS cvv, cid FROM ranked WHERE rn = 1),
+       |qry AS (SELECT vec_id AS query_id, v AS qv, cid FROM ranked
+       |        WHERE rn <= 4 AND vec_id < 50),
+       |cand AS (SELECT query_id, neighbor_id, qv, cvv FROM corp JOIN qry USING (cid)
+       |         WHERE neighbor_id <> query_id),
+       |scored AS (SELECT query_id, neighbor_id, ${duckCosine("qv", "cvv")} AS sim FROM cand)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5""".stripMargin
 
   /** DuckDB CTE chain reproducing [[Dedup.shingleHashes]] (k=3) over the
     * shared `toks` CTE: md5 per token, folded 30-bit form, window lead
@@ -331,6 +391,9 @@ object TextQueries {
         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+
+    "q31_ann_lsh" -> duckLshOracle,
+    "q39_ann_ivf" -> duckIvfOracle,
 
     "q46_normalize" ->
       """SELECT doc_id,
