@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data: an event below the watermark cannot revise a window") {
+    val input = MemoryStream[Timestamp]
+    val counts = Streaming.windowedCounts(
+      input.toDF().toDF("ts"), "ts", "10 minutes", "1 minute")
+    val q = counts.writeStream.format("memory").queryName("late_counts")
+      .outputMode("update").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+      input.addData(t(1), t(2))
+      q.processAllAvailable()
+      // advance the watermark far past the first window...
+      input.addData(t(120))
+      q.processAllAvailable()
+      // ...then send an event 2 hours late into the first window
+      input.addData(t(3))
+      q.processAllAvailable()
+      val first = spark.table("late_counts")
+        .filter(col("win_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+        .agg(max("n_events")).head().getLong(0)
+      assert(first == 2, s"late event must be dropped, not counted (got $first)")
+    } finally q.stop()
+  }
+
   test("stateful sessionize carries session state across micro-batches") {
     val input = MemoryStream[(Long, Double)]
     val sessions = Streaming.sessionize(input.toDS(), gapSeconds = 100.0)
