@@ -47,7 +47,7 @@ object Synthetic {
     val pos = u(seed, 0)
     val phi = lit(cycles * math.Pi) * (lit(1.0) + lit(2.0) * pos)
     val radius = (lit(1.0) + lit(2.0) * pos) / lit(3.0)
-    val z = u(seed, 1) * 2.0 - 1.0
+    val z = Stable.uniformRange(seed + 1000003L, -1.0, 1.0, col("id"))
     spark.range(numExamples)
       .select(
         col("id").as("__idx"),

@@ -55,6 +55,11 @@ class AudioSpec extends SparkSpec {
     assert(energies.length == 6)
     assert(energies.forall(e => e > 0.0 && e <= 256.0))
 
+    // loudness proxy: a sine's mean |sample| ~ 2/pi * amplitude
+    val loud = Seq(Tuple1(sine.map(_ / 32768.0f).toSeq)).toDF("pcm")
+      .select(AudioOps.meanAbs(col("pcm"))).head().getDouble(0)
+    assert(math.abs(loud - 2.0 / math.Pi * (20000.0 / 32768.0)) < 0.02, s"meanAbs=$loud")
+
     // a clip shorter than one frame yields NO frames (not a descending
     // sequence artifact)
     val short = Seq(Seq.fill(100)(0.5f)).toDF("pcm")

@@ -33,6 +33,13 @@ class ImageSpec extends SparkSpec {
     assert(out.getAs[Array[Byte]](3).toSeq == f.px.toSeq)
   }
 
+  test("toBytes packs a uint8 array column into binary (fuel ToBytes)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Tuple1(Seq(0, 1, 127, 128, 255))).toDF("xs")
+    val out = df.select(ImageOps.toBytes(col("xs")).as("b")).head().getAs[Array[Byte]](0)
+    assert(out.toSeq == Seq[Byte](0, 1, 127, -128, -1)) // uint8 -> JVM signed bytes
+  }
+
   test("minimumImageDimensions upscales only below the minimum") {
     val small = Seq((1L, gradientFrame(8, 8)), (2L, gradientFrame(20, 20)))
       .toDF("id", "f")

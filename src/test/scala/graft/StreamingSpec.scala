@@ -96,6 +96,20 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq
       assert(keys.sorted == Seq(7L, 8L, 9L), s"expected one row per key, got $keys")
     } finally q.stop()
+
+    // the all-time variant needs no event-time column at all
+    val input2 = MemoryStream[Long]
+    val q2 = Streaming.dedupStreamAllTime(input2.toDF().toDF("k"), Seq("k"))
+      .writeStream.format("memory").queryName("dedup_alltime")
+      .outputMode("append").start()
+    try {
+      input2.addData(1L, 1L, 2L)
+      q2.processAllAvailable()
+      input2.addData(1L, 3L)
+      q2.processAllAvailable()
+      val ks = spark.table("dedup_alltime").collect().map(_.getLong(0)).toSeq
+      assert(ks.sorted == Seq(1L, 2L, 3L))
+    } finally q2.stop()
   }
 
   test("StreamServer: foreachBatch feeds a bounded queue (ServerDataStream analog)") {
