@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -53,4 +54,14 @@ object Indexed {
     * deterministic source such as a fixed set of parquet files. */
   def withStorageIdx(df: DataFrame, idxName: String = Idx): DataFrame =
     zipIdx(df, idxName)
+
+  /** fuel's Subset slice over an indexed stream (reference:
+    * fuel/utils/__init__.py:30-397, IndexableDataset start/stop,
+    * base.py:316-388): rows with `start <= __idx < stop`. A pure filter —
+    * composes with schemes and transformers, prunes at the scan when the
+    * index is a stored column. */
+  def slice(df: DataFrame, start: Long, stop: Long): DataFrame = {
+    require(start >= 0 && stop >= start, s"invalid subset [$start, $stop)")
+    df.filter(col(Idx) >= start && col(Idx) < stop)
+  }
 }

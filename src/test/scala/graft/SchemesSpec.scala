@@ -20,6 +20,14 @@ class SchemesSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("Indexed.slice selects [start, stop) like fuel's Subset") {
+    val sliced = Indexed.slice(indexed, 2, 6).orderBy("__idx")
+      .select("__idx").collect().map(_.getLong(0)).toSeq
+    assert(sliced == Seq(2L, 3L, 4L, 5L))
+    assert(Indexed.slice(indexed, 4, 4).count() == 0) // empty slice is legal
+    intercept[IllegalArgumentException] { Indexed.slice(indexed, 5, 2) }
+  }
+
   test("SequentialScheme partitions consecutive indices into batches, last short") {
     val n = indexed.count()
     val out = Schemes.compile(indexed, SequentialScheme(3))
