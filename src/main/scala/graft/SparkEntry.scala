@@ -17,5 +17,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Pipeline.oracles ++ TextQueries.oracles ++ EventQueries.oracles
+    Relational.oracles ++ Pipeline.oracles ++ TextQueries.oracles ++
+      EventQueries.oracles ++ ImageQueries.oracles
 }

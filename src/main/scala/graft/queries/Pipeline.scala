@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Stable
 import graft.schemes._
-import graft.sources.{Indexed, Tables}
+import graft.sources.{Indexed, Subset, Tables}
 import graft.transform._
 
 /** Scheme-surface queries (SURVEY.md §2.2): every entry compiles an
@@ -102,8 +102,28 @@ object Pipeline {
       val parts = Indexed.withIdx(t(s, dir, "part").select("p_partkey"), Seq(col("p_partkey")))
       val sups = Indexed.withIdx(t(s, dir, "supplier").select("s_suppkey"), Seq(col("s_suppkey")))
       Merge(Seq(parts, sups)).select(col("__idx").as("pair_idx"), col("p_partkey"), col("s_suppkey"))
+    }),
+
+    // List-form Subset algebra (fuel/utils/__init__.py:30-397): the split
+    // below exercises beautify (dups + contiguous tail), overlapping-slice
+    // merging, mixed list∪slice union, and slice-request composition — all
+    // driver-side metadata ops; the cluster sees ONE index predicate.
+    "q49_subset" -> ((s, dir) => {
+      val docs = Indexed.withIdx(t(s, dir, "documents").select("doc_id"), Seq(col("doc_id")))
+      Q49Split(docs).select(col("doc_id"), col(Indexed.Idx).as("idx"))
     })
   )
+
+  /** The q49 split, shared verbatim by query and oracle (the seed-derived-
+    * constants pattern of q31/q39): since the algebra is deterministic
+    * driver-side metadata, the oracle embeds its list representation and
+    * DuckDB reproduces the selection bit-for-bit. Constants fit the
+    * sf0.01 documents table (500 rows). */
+  private val Q49Split: Subset = {
+    val scattered = Subset.list(Seq(7L, 3L, 11L, 3L, 443L, 441L, 442L), 500L)
+    val merged = Subset.slice(100L, 140L, 500L) + Subset.slice(135L, 180L, 500L)
+    Subset.subsetOf(scattered + merged, 2L, 60L)
+  }
 
   private def duckShuffleHash(seed: Long, idxExpr: String): String =
     Stable.duckSeededHash(seed, idxExpr)
@@ -180,6 +200,12 @@ object Pipeline {
         |b AS (
         |  SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) - 1 AS i FROM supplier)
         |SELECT a.i AS pair_idx, a.p_partkey, b.s_suppkey
-        |FROM a JOIN b ON a.i = b.i""".stripMargin
+        |FROM a JOIN b ON a.i = b.i""".stripMargin,
+
+    "q49_subset" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents)
+         |SELECT doc_id, idx FROM d
+         |WHERE idx IN (${Q49Split.listRepresentation.mkString(", ")})""".stripMargin
   )
 }

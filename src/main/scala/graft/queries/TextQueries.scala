@@ -410,10 +410,10 @@ object TextQueries {
          |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
          |          - n_tokens AS tok_offset
          |      FROM d)
-         |SELECT doc_id, n_tokens, tok_offset,
-         |  tok_offset // 512 AS first_seq,
-         |  CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
-         |       ELSE tok_offset // 512 END AS last_seq
+         |SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(tok_offset // 512 AS BIGINT) AS first_seq,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
+         |       ELSE tok_offset // 512 END AS BIGINT) AS last_seq
          |FROM o""".stripMargin,
 
     // Window(offset=-1, sw=2, tw=2, overlapping): ti0 = -1, i0 = 1,

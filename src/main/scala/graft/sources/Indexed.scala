@@ -57,11 +57,17 @@ object Indexed {
 
   /** fuel's Subset slice over an indexed stream (reference:
     * fuel/utils/__init__.py:30-397, IndexableDataset start/stop,
-    * base.py:316-388): rows with `start <= __idx < stop`. A pure filter —
-    * composes with schemes and transformers, prunes at the scan when the
-    * index is a stored column. */
-  def slice(df: DataFrame, start: Long, stop: Long): DataFrame = {
+    * base.py:316-388): rows with `start <= idxName < stop`. A pure filter —
+    * prunes at the scan when the index is a stored column.
+    *
+    * Ordering with schemes: [[graft.schemes.Schemes.compile]] (and
+    * ConcatenatedScheme's closed-form offsets) assume a CONTIGUOUS 0-based
+    * index, which a slice's surviving rows no longer have. Compile schemes
+    * BEFORE slicing, or re-index ([[withIdx]]) after the slice. For
+    * arbitrary index-list splits use [[Subset]], whose algebra composes
+    * before any cluster-side selection happens. */
+  def slice(df: DataFrame, start: Long, stop: Long, idxName: String = Idx): DataFrame = {
     require(start >= 0 && stop >= start, s"invalid subset [$start, $stop)")
-    df.filter(col(Idx) >= start && col(Idx) < stop)
+    df.filter(col(idxName) >= start && col(idxName) < stop)
   }
 }
