@@ -13,14 +13,17 @@ import graft.image.ImageOps
   *           `runMain graft.Convert images <inGlob> <outDir>`
   *   text:   line files → parquet of (file, line_no, line)
   *           `runMain graft.Convert text <inGlob> <outDir>`
+  *   audio:  WAV files → parquet of decoded clips (the YouTubeAudio
+  *           converter analog, fuel/converters/youtube_audio.py)
+  *           `runMain graft.Convert audio <inGlob> <outDir>`
   *
-  * Both are distributed jobs (binaryFile/text scans + columnar projection),
+  * All are distributed jobs (binaryFile/text scans + columnar projection),
   * not driver-side loops — the Spark-native shape of the reference's
   * producer/consumer converter pipelines (ilsvrc2010.py:204-316).
   */
 object Convert {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: Convert <images|text> <inGlob> <outDir>")
+    require(args.length == 3, "usage: Convert <images|text|audio> <inGlob> <outDir>")
     val Array(kind, inGlob, outDir) = args
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -37,8 +40,13 @@ object Convert {
       case "text" =>
         graft.sources.TextFileSource.lines(spark, Seq(inGlob))
           .write.mode("overwrite").parquet(outDir)
+      case "audio" =>
+        spark.read.format("binaryFile").load(inGlob)
+          .select(col("path"), graft.image.AudioOps.decodeWav(col("content")).as("clip"))
+          .filter(col("clip").isNotNull) // skip undecodable files, keep going
+          .write.mode("overwrite").parquet(outDir)
       case other =>
-        throw new IllegalArgumentException(s"unknown converter '$other' (images|text)")
+        throw new IllegalArgumentException(s"unknown converter '$other' (images|text|audio)")
     }
     val n = spark.read.parquet(outDir).count()
     println(s"""{"converted": $n, "kind": "$kind", "out": "$outDir"}""")

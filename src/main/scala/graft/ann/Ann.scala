@@ -170,7 +170,13 @@ object Ann {
 
   /** Approximate top-k: bucket the corpus and queries in `tables`
     * sign-LSH tables, take candidates sharing a bucket in ANY table, then
-    * exact-rerank. All joins are key-partitioned on (table, bucket). */
+    * exact-rerank. All joins are key-partitioned on (table, bucket).
+    *
+    * CONTRACT: `queries` must be driver-broadcastable (a bounded query
+    * set — the standard ANN-serving shape, and the same assumption
+    * [[bruteForceTopK]] makes). The rerank force-broadcasts it; a
+    * corpus-sized query set belongs in [[nearDupPairs]] (self-join
+    * shape), not here. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64): DataFrame = {
     val hp = hyperplanes(seed, tables, planes, dim)

@@ -35,10 +35,16 @@ object PrefixSum {
       s"prefix sum requires a bigint value column, got ${sorted.schema(ordinal).dataType}")
     val rdd = Bridge.internalRdd(sorted)
     // Phase 1: per-partition totals (tiny driver-side array; one job whose
-    // upstream sort shuffle is reused by phase 2, not recomputed).
+    // upstream sort shuffle is reused by phase 2, not recomputed). NULLs
+    // fail loudly here: InternalRow.getLong would silently read a NULL as
+    // 0, diverging from any NULL-propagating oracle (DuckDB sum).
     val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(ordinal))
+      it.foreach { r =>
+        if (r.isNullAt(ordinal)) throw new IllegalArgumentException(
+          s"prefix sum: NULL in value column '$valueCol' (partition $pid)")
+        s += r.getLong(ordinal)
+      }
       Iterator((pid, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = sum of earlier partitions

@@ -47,34 +47,36 @@ object TextOps {
       .select(col("word"), (col("__rank") + FirstWordId).as("token_id"))
   }
 
+  /** fuel's sentence-boundary token spellings (fuel/datasets/text.py:30-44:
+    * the dictionary itself carries `<S>`/`</S>`, so boundary tokens are
+    * in-band words — mirrored here). */
+  val BosWord = "<S>"
+  val EosWord = "</S>"
+
   /** Tokenize to (idCol, pos, token_id) rows with optional BOS at pos 0 and
     * EOS at the end (fuel allows bos_token=None — text.py:30-44), dictionary
     * lookup with UNK fallback. The dictionary join is a broadcast
     * (dictionaries are bounded by construction). `tokenizer` swaps word- for
-    * character-level. */
+    * character-level.
+    *
+    * Single scan: BOS/EOS ride in-band as [[BosWord]]/[[EosWord]] prepended
+    * and appended to the token array in the same projection, then ONE
+    * posexplode + broadcast join — positions fall out naturally. (The first
+    * version unioned two extra `df.select`s for the boundary rows: three
+    * scans of the corpus where one suffices.) Like the reference, a literal
+    * `<S>` occurring in text maps to the BOS id. */
   def tokenize(df: DataFrame, idCol: String, textCol: String, dict: DataFrame,
       bos: Option[Long] = Some(BosId), eos: Option[Long] = Some(EosId),
       unk: Long = UnkId, tokenizer: Column => Column = tokens): DataFrame = {
-    val hasBos = bos.isDefined
-    val exploded = df
-      .select(col(idCol), posexplode(tokenizer(col(textCol))).as(Seq("p", "word")))
-    val looked = exploded
+    val base = tokenizer(col(textCol))
+    val withB = bos.fold(base)(_ => concat(array(lit(BosWord)), base))
+    val withBE = eos.fold(withB)(_ => concat(withB, array(lit(EosWord))))
+    val looked = coalesce(col("token_id").cast("bigint"), lit(unk))
+    val withEosCase = eos.fold(looked)(id => when(col("word") === EosWord, id).otherwise(looked))
+    val withBosCase = bos.fold(withEosCase)(id => when(col("word") === BosWord, id).otherwise(withEosCase))
+    df.select(col(idCol), posexplode(withBE).as(Seq("p", "word")))
       .join(broadcast(dict), Seq("word"), "left")
-      .select(col(idCol),
-        (col("p") + (if (hasBos) 1 else 0)).cast("bigint").as("pos"),
-        coalesce(col("token_id").cast("bigint"), lit(unk)).as("token_id"))
-    val withBos = bos match {
-      case Some(id) => looked.unionByName(
-        df.select(col(idCol), lit(0L).as("pos"), lit(id).as("token_id")))
-      case None => looked
-    }
-    eos match {
-      case Some(id) => withBos.unionByName(
-        df.select(col(idCol),
-          (size(tokenizer(col(textCol))) + (if (hasBos) 1 else 0)).cast("bigint").as("pos"),
-          lit(id).as("token_id")))
-      case None => withBos
-    }
+      .select(col(idCol), col("p").cast("bigint").as("pos"), withBosCase.as("token_id"))
   }
 
   // ---------------------------------------------------------------- analysis

@@ -92,19 +92,17 @@ final case class Padding(maskSources: Seq[String], maskDtype: Option[DataType] =
         case other => throw new IllegalArgumentException(
           s"Padding: source '$s' must be array<array<...>>, got $other")
       }
-      // Zero padding element: scalar zero for rank-1 sequences; for rank-2
-      // (sequences of vectors) a zero vector shaped like the batch's first
-      // element — fuel requires all rest-dims equal (__init__.py:728-730).
-      val zero: Column = elem match {
-        case ArrayType(leaf, _) if !leaf.isInstanceOf[ArrayType] =>
-          // rest-dim from the first vector anywhere in the batch (robust
-          // to an empty first sequence; fuel requires all rest dims equal)
-          array_repeat(lit(0).cast(leaf),
-            coalesce(size(element_at(flatten(col(s)), 1)), lit(0)))
-        case leaf if !leaf.isInstanceOf[ArrayType] => lit(0).cast(leaf)
-        case other => throw new IllegalArgumentException(
-          s"Padding: rank>2 sequence elements not supported for '$s' ($other)")
+      // Zero padding element of any rank, built recursively: at each array
+      // level the rest-dim is probed from the first sequence element found
+      // anywhere in the batch (robust to an empty first sequence; fuel
+      // requires all rest-dims equal, __init__.py:728-736). Scalar leaves
+      // are plain zero; still a pure codegen projection at every rank.
+      def zeroOf(dt: DataType, probe: Column): Column = dt match {
+        case ArrayType(inner, _) =>
+          array_repeat(zeroOf(inner, element_at(probe, 1)), coalesce(size(probe), lit(0)))
+        case leaf => lit(0).cast(leaf)
       }
+      val zero: Column = zeroOf(elem, element_at(flatten(col(s)), 1))
       val maxLen = array_max(transform(col(s), x => size(x)))
       val padded = transform(col(s), x =>
         concat(x, array_repeat(zero, maxLen - size(x))))

@@ -67,6 +67,27 @@ class AudioSpec extends SparkSpec {
     assert(short.getInt(0) == 0)
   }
 
+  test("binaryFile ingest: WAV files -> parquet clips (audio converter job)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wav")
+    (0 until 3).foreach { i =>
+      val tone = Array.tabulate(400 + 100 * i)(j =>
+        (math.sin(2 * math.Pi * (220 + 110 * i) * j / 8000.0) * 20000).toShort)
+      java.nio.file.Files.write(dir.resolve(s"clip_$i.wav"), wavBytes(tone))
+    }
+    // one non-audio file: the converter must skip it, not fail
+    java.nio.file.Files.write(dir.resolve("clip_bad.wav"), Array[Byte](9, 9, 9))
+    val out = java.nio.file.Files.createTempDirectory("graft_clips").toString
+    spark.read.format("binaryFile").load(dir.toString + "/*.wav")
+      .select(col("path"), AudioOps.decodeWav(col("content")).as("clip"))
+      .filter(col("clip").isNotNull)
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.select("clip.n").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(400L, 500L, 600L))
+    assert(back.select("clip.sample_rate").collect().forall(_.getInt(0) == 8000))
+  }
+
   test("video plumbing: evenly-spaced frame sampling composes with image ops") {
     import graft.image.VideoOps
     // 640 bytes -> fake container of 10 frames; sample 4 evenly: 0,3,6,9

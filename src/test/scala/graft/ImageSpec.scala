@@ -108,6 +108,17 @@ class ImageSpec extends SparkSpec {
     assert(out.takeRight(3) == Seq(2L, 4L, 28L)) // c e </S>
   }
 
+  test("TextFileSource.lines reads gzip transparently (fuel text.py:96-101)") {
+    val dir = Files.createTempDirectory("graft_gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("corpus.txt.gz")))
+    gz.write("alpha beta\ngamma\n".getBytes("UTF-8")); gz.close()
+    val df = TextFileSource.lines(spark, Seq(dir.toString + "/corpus.txt.gz"))
+    assert(df.count() == 2)
+    assert(df.orderBy("line_no").collect().map(_.getAs[String]("line")).toSeq ==
+      Seq("alpha beta", "gamma"))
+  }
+
   test("InMemory source preserves collection order via __idx") {
     val df = InMemory.fromSeq(spark, Seq("x", "y", "z"))
     assert(df.orderBy("__idx").collect().map(_.getString(0)).toSeq == Seq("x", "y", "z"))

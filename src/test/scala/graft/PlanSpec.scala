@@ -16,6 +16,13 @@ class PlanSpec extends SparkSpec {
       s"scan reads unneeded columns: $readSchema")
   }
 
+  test("q21 tokenize scans the corpus exactly once (in-band BOS/EOS)") {
+    val p = plan("q21_tokenize")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(docScans == 1, s"tokenize should read documents once, saw $docScans scans")
+  }
+
   test("ANN brute force: broadcast nested loop, never CartesianProduct") {
     val p = plan("q30_ann_topk")
     assert(!p.contains("CartesianProduct"), "brute-force ANN degenerated to a cartesian")

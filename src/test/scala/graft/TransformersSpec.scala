@@ -151,6 +151,21 @@ class TransformersSpec extends SparkSpec {
     assert(out(1).getSeq[Float](3).sum == 1.0f) // mask counts real rows only
   }
 
+  test("Padding rank-3: recursive zero element pads with zero matrices") {
+    val df = Seq(
+      (0L, 0L, 0L, Seq(Seq(Seq(1, 2), Seq(3, 4)), Seq(Seq(5, 6), Seq(7, 8)))),
+      (1L, 1L, 0L, Seq(Seq(Seq(9, 10), Seq(11, 12))))
+    ).toDF("__idx", "__pos", "__batch_id", "seq")
+    val out = (Batch(2) andThen Padding(Seq("seq")) andThen Unpack())(df)
+      .orderBy("__i").collect()
+    val second = out(1).getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Int]]]](2)
+      .map(_.map(_.toList).toList).toList
+    assert(second.length == 2) // padded to batch max
+    assert(second(0) == List(List(9, 10), List(11, 12)))
+    assert(second(1) == List(List(0, 0), List(0, 0))) // zero 2x2 matrix
+    assert(out(1).getSeq[Float](3).sum == 1.0f) // mask counts real elements only
+  }
+
   test("Merge zips positionally and rejects duplicate source names") {
     val a = Indexed.withIdx(Seq("x", "y", "z").toDF("l"), Seq(col("l")))
     val b = Indexed.withIdx(Seq(10, 20, 30, 40).toDF("r"), Seq(col("r")))
