@@ -186,9 +186,13 @@ object Ann {
             .as(Seq("table", "bucket")))
     // Candidates and dedup on ids only; vectors rejoin once per surviving
     // pair (corpus side a key join, query side a broadcast — queries are
-    // broadcastable by the same assumption bruteForceTopK makes).
+    // broadcastable by the same assumption bruteForceTopK makes). The
+    // query-bucket side of the candidate join is broadcast explicitly:
+    // under the contract it is `tables`× a bounded set, and the hint keeps
+    // the corpus bucket stream from ever shuffling — map-side candidate
+    // generation at any corpus size.
     val candidates = bucketed(corpus, "neighbor_id")
-      .join(bucketed(queries, "query_id"), Seq("table", "bucket"))
+      .join(broadcast(bucketed(queries, "query_id")), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
     val scored = candidates
