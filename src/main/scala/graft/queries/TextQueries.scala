@@ -167,6 +167,23 @@ object TextQueries {
         .select(col("doc_id"), col("window_idx"),
           concat_ws(" ", col("source")).as("source"),
           concat_ws(" ", col("target")).as("target"))
+    }),
+
+    // Embedding-cosine near-dup pairs. The synthetic embeddings are pure
+    // random (max pairwise cosine ~0.51), so the query plants determinstic
+    // near-duplicates — clones of vec_id<20 with element 0 perturbed by 1%
+    // (cos ≈ 1-5e-7) — via pure float arithmetic both engines reproduce
+    // bit-for-bit. LSH buckets + exact verify, oracle-EXACT like q31; the
+    // 0.99 threshold sits 0.48 above any non-planted pair, so membership
+    // is robust to summation-order at the margin.
+    "q50_near_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(array((col("embedding")(0) * lit(1.01)).cast("float")),
+               slice(col("embedding"), 2, 63)).as("embedding"))
+      Ann.nearDupPairs(emb.unionByName(clones), "vec_id", "embedding", threshold = 0.99)
+        .select(col("id1"), col("id2"))
     })
   )
 
@@ -177,18 +194,24 @@ object TextQueries {
   private def duckCosine(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Sign-LSH bucket CTE body over a source CTE `e(vec_id, v)`: one SELECT
+    * per table with the hyperplane sign bits packed into `bucket` — the SQL
+    * twin of [[Ann.bucketKey]], shared by the q31 and q50 oracles. */
+  private def duckBucketUnion(hp: Array[Array[Array[Double]]]): String = {
+    def bucketExpr(tp: Array[Array[Double]]): String =
+      tp.zipWithIndex.map { case (plane, p) =>
+        s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ",", "]")}) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    hp.indices.map(t =>
+      s"SELECT vec_id, v, $t AS tbl, ${bucketExpr(hp(t))} AS bucket FROM e").mkString("\nUNION ALL ")
+  }
+
   /** q31 oracle: the sign-LSH hyperplanes are seed-derived constants
     * ([[Ann.hyperplanes]](42, 6, 6, 64) — same params as the query), so
     * the oracle embeds them and rebuilds the buckets, candidate join, and
     * exact rerank entirely in SQL. */
   private def duckLshOracle: String = {
-    val hp = Ann.hyperplanes(42, tables = 6, planes = 6, dim = 64)
-    def bucketExpr(tp: Array[Array[Double]]): String =
-      tp.zipWithIndex.map { case (plane, p) =>
-        s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ",", "]")}) >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString(" + ")
-    val buckets = hp.indices.map(t =>
-      s"SELECT vec_id, v, $t AS tbl, ${bucketExpr(hp(t))} AS bucket FROM e").mkString("\nUNION ALL ")
+    val buckets = duckBucketUnion(Ann.hyperplanes(42, tables = 6, planes = 6, dim = 64))
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |b AS ($buckets),
        |qb AS (SELECT * FROM b WHERE vec_id < 50),
@@ -202,6 +225,27 @@ object TextQueries {
        |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= 5""".stripMargin
+  }
+
+  /** q50 oracle: plants the same 1%-perturbed clones with the same float
+    * arithmetic, rebuilds the [[Ann.nearDupPairs]] default LSH tables
+    * (seed 42, 6 tables × 8 planes), and applies the identical cosine
+    * threshold — fully deterministic, so hash-exact like q31/q39. */
+  private def duckNearDupOracle: String = {
+    val buckets = duckBucketUnion(Ann.hyperplanes(42, tables = 6, planes = 8, dim = 64))
+    s"""WITH u AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_prepend(CAST(embedding[1] * 1.01 AS REAL), embedding[2:]) AS embedding
+       |  FROM embeddings WHERE vec_id < 20),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM u),
+       |b AS ($buckets),
+       |cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2, l.v AS v1, r.v AS v2
+       |         FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+       |                          AND l.vec_id < r.vec_id)
+       |SELECT id1, id2 FROM cand
+       |WHERE ${duckCosine("v1", "v2")} >= 0.99""".stripMargin
   }
 
   /** q39 oracle: the IVF coarse quantizer is a seeded-hash sample, so the
@@ -394,6 +438,7 @@ object TextQueries {
 
     "q31_ann_lsh" -> duckLshOracle,
     "q39_ann_ivf" -> duckIvfOracle,
+    "q50_near_dup" -> duckNearDupOracle,
 
     "q46_normalize" ->
       """SELECT doc_id,
