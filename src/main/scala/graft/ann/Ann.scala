@@ -144,7 +144,14 @@ object Ann {
 
   /** Embedding near-duplicate pairs: sign-LSH bucketed candidate join,
     * exact cosine verify at `threshold` — the embedding analog of
-    * MinHash+Jaccard dedup; never all-pairs. */
+    * MinHash+Jaccard dedup; never all-pairs.
+    *
+    * SIZING: candidate volume is quadratic in bucket occupancy, so
+    * `planes` must grow with the corpus — pick
+    * `planes ≈ log2(n / targetBucketSize)` (e.g. 2^12 buckets holds ~24/
+    * bucket at n=100k; at 10^9 vectors use ~planes=26) and raise `tables`
+    * to recover the recall each added plane costs. The defaults suit
+    * ~10^4-10^5 rows. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       seed: Long = 42, tables: Int = 6, planes: Int = 8, dim: Int = 64): DataFrame = {
     val hp = hyperplanes(seed, tables, planes, dim)
@@ -153,8 +160,7 @@ object Ann {
     // the exact verify — carrying the vectors through the bucket join and
     // the dedup would shuffle dim*4 bytes per candidate per table.
     val bucketed = df.select(col(idCol).as("__id"),
-      posexplode(array((0 until tables).map(t => bucketKey(col(vecCol), hp(t))): _*))
-        .as(Seq("table", "bucket")))
+      posexplode(graft.functions.SignBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
     val a = bucketed.select(col("table"), col("bucket"), col("__id").as("id1"))
     val b = bucketed.select(col("table"), col("bucket"), col("__id").as("id2"))
     val pairs = a.join(b, Seq("table", "bucket"))
@@ -182,8 +188,7 @@ object Ann {
     val hp = hyperplanes(seed, tables, planes, dim)
     def bucketed(df: DataFrame, idAs: String): DataFrame =
       df.select(col(idCol).as(idAs),
-          posexplode(array((0 until tables).map(t => bucketKey(col(vecCol), hp(t))): _*))
-            .as(Seq("table", "bucket")))
+          posexplode(graft.functions.SignBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
     // Candidates and dedup on ids only; vectors rejoin once per surviving
     // pair (corpus side a key join, query side a broadcast — queries are
     // broadcastable by the same assumption bruteForceTopK makes). The

@@ -182,7 +182,11 @@ object TextQueries {
         (col("vec_id") + 1000000L).as("vec_id"),
         concat(array((col("embedding")(0) * lit(1.01)).cast("float")),
                slice(col("embedding"), 2, 63)).as("embedding"))
-      Ann.nearDupPairs(emb.unionByName(clones), "vec_id", "embedding", threshold = 0.99)
+      // planes=12 (4096 buckets/table): bucket occupancy, and with it the
+      // per-bucket quadratic candidate count, stays O(1) — see the sizing
+      // note on nearDupPairs.
+      Ann.nearDupPairs(emb.unionByName(clones), "vec_id", "embedding",
+          threshold = 0.99, planes = 12)
         .select(col("id1"), col("id2"))
     })
   )
@@ -232,7 +236,7 @@ object TextQueries {
     * (seed 42, 6 tables × 8 planes), and applies the identical cosine
     * threshold — fully deterministic, so hash-exact like q31/q39. */
   private def duckNearDupOracle: String = {
-    val buckets = duckBucketUnion(Ann.hyperplanes(42, tables = 6, planes = 8, dim = 64))
+    val buckets = duckBucketUnion(Ann.hyperplanes(42, tables = 6, planes = 12, dim = 64))
     s"""WITH u AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL

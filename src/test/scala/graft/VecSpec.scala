@@ -75,6 +75,34 @@ class VecSpec extends SparkSpec {
     assert(err.getMessage.contains("2 arguments") || err.getMessage.contains("graft_dot"))
   }
 
+  test("SignBucketsExpr bit-matches the literal-array bucketKey formulation") {
+    import graft.ann.Ann
+    import graft.functions.SignBuckets
+    val hp = Ann.hyperplanes(42, tables = 6, planes = 12, dim = 64)
+    val gen = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))
+    val vecs = (1 to 100).flatMap(_ => gen.sample).map(_.toArray)
+    val df = vecs.toDF("v")
+    val native = df.select(SignBuckets(col("v"), hp).as("b")).collect()
+      .map(_.getSeq[Long](0).toVector)
+    val viaLiterals = df.select(
+        array(hp.indices.map(t => Ann.bucketKey(col("v"), hp(t))): _*).as("b")).collect()
+      .map(_.getSeq[Long](0).toVector)
+    assert(native.toSeq == viaLiterals.toSeq)
+    // interpreted eval agrees with codegen
+    import graft.functions.SignBucketsExpr
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit0 = Literal.create(ArrayData.toArrayData(vecs.head), ArrayType(FloatType))
+    val viaEval = SignBucketsExpr(lit0, hp).eval(null)
+      .asInstanceOf[ArrayData].toLongArray.toVector
+    assert(viaEval == native.head)
+    // dim guard fails loudly (the anti-degeneration contract)
+    val bad = Seq(Array(1.0f, 2.0f)).toDF("v").select(SignBuckets(col("v"), hp))
+    val err = intercept[Exception] { bad.collect() }
+    assert(err.getMessage != null)
+  }
+
   test("DotExpr interpreted eval path agrees with codegen") {
     import graft.functions.DotExpr
     import org.apache.spark.sql.catalyst.util.ArrayData
