@@ -116,25 +116,41 @@ object Ann {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    def centroidSims(v: Column): Seq[Column] = centroids.toSeq.map { c =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      dot(v, array(c.map(lit).toSeq: _*)) / (norm(v) * lit(cn))
-    }
-    /** ids of the top-`n` centroids by similarity, via sorted (-sim, idx) structs. */
-    def nearest(v: Column, n: Int): Column = {
-      val packed = array(centroidSims(v).zipWithIndex.map { case (s, i) =>
-        struct((-s).as("neg"), lit(i).as("cid"))
-      }: _*)
-      slice(transform(array_sort(packed), e => e.getField("cid")), 1, n)
-    }
+    // Centroid similarities via ONE MatDotsExpr node (the matrix is a
+    // reference object, not nCentroids*dim literal nodes — see
+    // SignBucketsExpr for the plan-size rationale). The sim formula is
+    // UNCHANGED bit-for-bit: dot / (norm(v) * cn), each dot the same
+    // sequential accumulation DotExpr did against a literal row. `__sims`
+    // is materialized as its own projection so the 16-way argsort reads
+    // the array instead of re-evaluating the dots (the q25 lesson:
+    // multi-referenced non-cheap columns must not inline).
+    val cns = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    val cnsLit = array(cns.map(lit).toIndexedSeq: _*)
+    /** ids of the top-`n` centroids by similarity, via sorted (-sim, idx)
+      * structs over the materialized sims array. The heavy kernels (the 16
+      * dots, the vector norm) run codegen'd OUTSIDE the interpreted HOF
+      * lambdas, which only do scalar arithmetic over the 16 results. */
+    def withNearest(df: DataFrame, n: Int, out: String): DataFrame =
+      df.withColumn("__nv", norm(col(vecCol)))
+        .withColumn("__sims",
+          zip_with(graft.functions.VecExpressions.matDots(col(vecCol), centroids), cnsLit,
+            (d, cn) => d / (col("__nv") * cn)))
+        .withColumn(out,
+          slice(transform(array_sort(
+              transform(sequence(lit(0), lit(centroids.length - 1)),
+                i => struct((-element_at(col("__sims"), i + 1)).as("neg"), i.as("cid")))),
+            e => e.getField("cid")), 1, n))
+        .drop("__nv", "__sims")
 
     // No pair-dedup needed: each corpus row has exactly ONE centroid and a
     // query's probe list is distinct, so a (query, neighbor) pair can meet
     // at most once — one shuffle fewer than a dedup would cost.
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
-      element_at(nearest(col(vecCol), 1), 1).as("cid"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
-      explode(nearest(col(vecCol), nProbe)).as("cid"))
+    val c = withNearest(corpus, 1, "__near")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
+        element_at(col("__near"), 1).as("cid"))
+    val q = withNearest(queries, nProbe, "__near")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        explode(col("__near")).as("cid"))
     val scored = c.join(q, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -88,8 +88,96 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** Dots of one vector column against a CONSTANT row matrix, in one codegen
+  * node — the IVF centroid-assignment kernel. Same motivation as
+  * [[graft.functions.SignBucketsExpr]]: the matrix rides as one reference
+  * object instead of `rows * dim` literal nodes, keeping the plan O(1) in
+  * the centroid count. Each output element is bit-identical to
+  * `DotExpr(vec, lit(row))` (sequential double accumulation); a length
+  * mismatch or NULL element nulls the whole output (every per-row dot
+  * would be NULL — not reachable from [[graft.ann.Ann.ivfTopK]], which
+  * guards dims upstream). */
+case class MatDotsExpr(child: Expression, rows: Array[Array[Double]])
+    extends UnaryExpression {
+  private val nRows = rows.length
+  private val dim = rows.head.length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mat_dots"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_mat_dots requires array<float|double> input, got ${other.simpleString}")
+  }
+
+  private def childIsFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    var d = 0
+    while (d < dim) { if (x.isNullAt(d)) return null; d += 1 }
+    val out = new Array[Double](nRows)
+    var r = 0
+    while (r < nRows) {
+      val row = rows(r)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val v = if (childIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += v * row(i)
+        i += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("matRows", rows, "double[][]")
+      val out = ctx.freshName("dots")
+      val bad = ctx.freshName("bad")
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val get = if (childIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |boolean $bad = ($a.numElements() != $dim);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($a.isNullAt($i)) { $bad = true; break; }
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$nRows];
+         |  for (int $r = 0; $r < $nRows; $r++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $acc += ($get) * $ref[$r][$i];
+         |    }
+         |    $out[$r] = $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MatDotsExpr =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Codegen dot product of two array<float|double> columns. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Dots of a vector column against every row of a constant matrix. */
+  def matDots(vec: Column, rows: Array[Array[Double]]): Column =
+    Bridge.column(MatDotsExpr(Bridge.expression(vec), rows))
 }

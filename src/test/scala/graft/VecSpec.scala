@@ -103,6 +103,35 @@ class VecSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("MatDotsExpr bit-matches per-row DotExpr against literal arrays") {
+    val rows = Array.tabulate(16, 64)((r, d) =>
+      math.sin(r * 64 + d + 1.0)) // deterministic non-trivial matrix
+    val gen = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))
+    val vecs = (1 to 100).flatMap(_ => gen.sample).map(_.toArray)
+    val df = vecs.toDF("v")
+    val native = df.select(VecExpressions.matDots(col("v"), rows).as("d")).collect()
+      .map(_.getSeq[Double](0).toVector)
+    val viaLiterals = df.select(array(rows.map(r =>
+        VecExpressions.dot(col("v"), array(r.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*).as("d"))
+      .collect().map(_.getSeq[Double](0).toVector)
+    // bit-compare via raw bits (NaN-safe, -0.0-exact)
+    assert(native.map(_.map(java.lang.Double.doubleToLongBits)).toSeq ==
+      viaLiterals.map(_.map(java.lang.Double.doubleToLongBits)).toSeq)
+    // interpreted eval agrees with codegen
+    import graft.functions.MatDotsExpr
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit0 = Literal.create(ArrayData.toArrayData(vecs.head), ArrayType(FloatType))
+    val viaEval = MatDotsExpr(lit0, rows).eval(null)
+      .asInstanceOf[ArrayData].toDoubleArray.toVector
+    assert(viaEval == native.head)
+    // length mismatch nulls the output (every per-row dot would be NULL)
+    val mm = Seq(Array(1.0f, 2.0f)).toDF("v")
+      .select(VecExpressions.matDots(col("v"), rows).as("d")).head()
+    assert(mm.isNullAt(0))
+  }
+
   test("DotExpr interpreted eval path agrees with codegen") {
     import graft.functions.DotExpr
     import org.apache.spark.sql.catalyst.util.ArrayData
