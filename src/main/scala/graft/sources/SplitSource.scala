@@ -32,6 +32,26 @@ object SplitSource {
     df.withColumn("split", expr)
   }
 
+  /** Split assignment from explicit [[Subset]]s — fuel's indices-ref
+    * splits (hdf5.py:234-300: a split defined by an arbitrary index list
+    * or range, not a proportion). Rows in no subset get `restName`;
+    * overlapping subsets resolve to the FIRST match (fuel splits are
+    * disjoint by construction; this makes the overlap behavior
+    * deterministic rather than an error). A pure projection over `idxName`
+    * — each membership test is the subset's range/IN predicate, so the
+    * whole assignment collapses into one codegen'd CASE chain. */
+  def assignSplitFromSubsets(df: DataFrame, splits: Seq[(String, Subset)],
+      restName: String = "rest", idxName: String = Indexed.Idx): DataFrame = {
+    val expr = splits.foldRight(lit(restName): Column) { case ((name, sub), acc) =>
+      val member = sub.repr match {
+        case Left((start, stop)) => col(idxName) >= start && col(idxName) < stop
+        case Right(indices)      => col(idxName).isin(indices: _*)
+      }
+      when(member, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Sink: split-partitioned parquet (fuel converter sink analog,
     * fuel/converters/base.py:50-104 `fill_hdf5_file`). */
   def write(df: DataFrame, path: String): Unit =

@@ -104,6 +104,28 @@ class SubsetSpec extends SparkSpec {
     assert(Subset.empty(10L)(df).count() == 0)
   }
 
+  test("assignSplitFromSubsets: indices-ref splits land in partitioned storage") {
+    import graft.sources.SplitSource
+    val df = indexedSupplier // 10 rows, __idx 0..9
+    val splits = Seq(
+      "train" -> Subset.slice(0L, 6L, 10L),
+      "valid" -> Subset.list(Seq(9L, 7L), 10L))
+    val assigned = SplitSource.assignSplitFromSubsets(df, splits)
+    val byName = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName == Map("train" -> 6L, "valid" -> 2L, "rest" -> 2L))
+    // overlap resolves to the first match, deterministically
+    val overlapped = SplitSource.assignSplitFromSubsets(df, Seq(
+      "a" -> Subset.slice(0L, 5L, 10L), "b" -> Subset.slice(3L, 8L, 10L)))
+    assert(overlapped.filter(col("__idx") === 4).select("split").head().getString(0) == "a")
+    // round trip: written partitioned, read back split-pruned
+    val out = java.nio.file.Files.createTempDirectory("graft_split").toString
+    SplitSource.write(assigned, out)
+    val back = SplitSource.read(spark, out, "valid")
+    assert(back.count() == 2)
+    assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(split"))
+  }
+
   test("apply: large-list path is a broadcast semi-join, same rows as isin") {
     val df = indexedSupplier
     val sub = Subset.list(Seq(9L, 0L, 3L, 5L), 10L)
