@@ -124,6 +124,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text curation is streaming-transparent: stream results == batch twin") {
+    // The LLM-ingest property: langId/quality/normalize are pure
+    // projections, so the SAME columns run unchanged over an unbounded
+    // source and agree row-for-row with the batch computation.
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "el perro y la casa"),
+      (3L, "Short!!  TEXT, 42 things..."))
+    def curated(df: org.apache.spark.sql.DataFrame) = {
+      val toks = TextOps.tokens(lower(col("text")))
+      df.select(Seq(col("doc_id"), TextOps.normalize(col("text")).as("norm"),
+        TextOps.regexTokenCount(col("text")).as("n_regex_toks")) ++
+        TextOps.langId(toks) ++ TextOps.qualityColumns(col("text"), toks): _*)
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = curated(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated_stream").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_stream").collect().map(_.toSeq).sortBy(_.head.toString)
+      val batch = curated(docs.toDF("doc_id", "text")).collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.length == 3)
+    } finally q.stop()
+  }
+
   test("split assignment is deterministic, complete, and pruned on read") {
     val cust = graft.sources.Tables.load(spark, sf, "customer")
     val weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
