@@ -188,6 +188,40 @@ object TextQueries {
       Ann.nearDupPairs(emb.unionByName(clones), "vec_id", "embedding",
           threshold = 0.99, planes = 12)
         .select(col("id1"), col("id2"))
+    }),
+
+    // The flagship LLM-corpus curation pipeline, end-to-end in ONE composed
+    // query: language gate (stopword argmax) → quality gate (token floor)
+    // → exact dedup (40-char-prefix hash, min id kept) → MinHash/LSH
+    // near-dup removal (greedy: every pair's higher id dropped) → survivors
+    // packed into 512-token training sequences via the distributed prefix
+    // sum. Every stage is an existing first-class operator; the oracle
+    // rebuilds the whole chain in SQL, so the pipeline is hash-exact from
+    // raw corpus to packed offsets. Scale shape: gates are pure
+    // projections; dedups are key-partitioned shuffles; never all-pairs.
+    "q51_curation" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      val enriched = d.select(Seq(col("doc_id"), col("text"), col("ts")) ++
+        TextOps.langId(col("ts")) ++ TextOps.qualityColumns(col("text"), col("ts")): _*)
+      val gated = enriched.filter(col("lang_pred") === "en" && col("n_tokens") >= 30)
+        .select("doc_id", "text", "ts")
+      val keep = Dedup.exact(gated, col("doc_id"), substring(col("text"), 1, 40))
+        .select(col("keep_id").as("doc_id"))
+      val exactKept = gated.join(keep, "doc_id")
+      val shRows = Dedup.shingleHashes(exactKept, "doc_id", "ts", 3)
+      val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+      val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
+      val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      val dropIds = cand
+        .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+        .select(col("id2").as("doc_id")).distinct()
+      val curated = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+      TextOps.packSequences(
+          curated.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens")),
+          "doc_id", "n_tokens", 512)
+        .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
     })
   )
 
@@ -250,6 +284,71 @@ object TextQueries {
        |                          AND l.vec_id < r.vec_id)
        |SELECT id1, id2 FROM cand
        |WHERE ${duckCosine("v1", "v2")} >= 0.99""".stripMargin
+  }
+
+  /** q51 oracle: the whole curation chain in SQL. Per-doc signatures are
+    * independent of the doc set, so the shingle/minhash CTEs run over all
+    * docs and the pair search restricts to the exact-dedup survivors —
+    * identical pairs to the Spark side's post-filter shingling. The final
+    * pack mirrors q43's windowed sum with the BIGINT casts at the edge
+    * (DuckDB windowed sum is HUGEINT). */
+  private def duckCurationOracle: String = {
+    val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
+    val bands = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $DuckToks,
+       |lscores AS (
+       |  SELECT doc_id,
+       |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+       |    len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
+       |    len(list_filter(ts, t -> t IN ('el','la','de','y','que'))) AS s_es,
+       |    len(list_filter(ts, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+       |    len(list_filter(ts, t -> t IN ('de','le','shi','bu','wo'))) AS s_zh
+       |  FROM toks),
+       |lu AS (
+       |  SELECT doc_id, 'de' AS lang, s_de AS score FROM lscores
+       |  UNION ALL SELECT doc_id, 'en', s_en FROM lscores
+       |  UNION ALL SELECT doc_id, 'es', s_es FROM lscores
+       |  UNION ALL SELECT doc_id, 'fr', s_fr FROM lscores
+       |  UNION ALL SELECT doc_id, 'zh', s_zh FROM lscores),
+       |best AS (SELECT doc_id, lang AS lang_pred FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY score DESC, lang ASC) AS rn FROM lu)
+       |  WHERE rn = 1),
+       |gated AS (
+       |  SELECT t.doc_id FROM toks t JOIN best b USING (doc_id)
+       |  WHERE b.lang_pred = 'en' AND len(t.ts) >= 30),
+       |keyd AS (
+       |  SELECT d.doc_id, md5(substr(d.text, 1, 40)) AS kh
+       |  FROM documents d JOIN gated USING (doc_id)),
+       |keep1 AS (SELECT min(doc_id) AS doc_id FROM keyd GROUP BY kh),
+       |$duckShingleHashes,
+       |shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep1 USING (doc_id)),
+       |shsets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM shk GROUP BY doc_id),
+       |mh AS (SELECT doc_id, $mins FROM (SELECT doc_id, sh FROM shk) GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+       |drop2 AS (
+       |  SELECT DISTINCT id2 AS doc_id
+       |  FROM cand JOIN shsets x ON x.doc_id = id1 JOIN shsets y ON y.doc_id = id2
+       |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5),
+       |final AS (SELECT k.doc_id FROM keep1 k ANTI JOIN drop2 d ON k.doc_id = d.doc_id),
+       |d2 AS (SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens
+       |       FROM toks t JOIN final USING (doc_id)),
+       |o AS (SELECT doc_id, n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |          - n_tokens AS tok_offset
+       |      FROM d2)
+       |SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+       |  CAST(tok_offset // 512 AS BIGINT) AS first_seq,
+       |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
+       |       ELSE tok_offset // 512 END AS BIGINT) AS last_seq
+       |FROM o""".stripMargin
   }
 
   /** q39 oracle: the IVF coarse quantizer is a seeded-hash sample, so the
@@ -443,6 +542,7 @@ object TextQueries {
     "q31_ann_lsh" -> duckLshOracle,
     "q39_ann_ivf" -> duckIvfOracle,
     "q50_near_dup" -> duckNearDupOracle,
+    "q51_curation" -> duckCurationOracle,
 
     "q46_normalize" ->
       """SELECT doc_id,
