@@ -166,6 +166,17 @@ class TransformersSpec extends SparkSpec {
     assert(out(1).getSeq[Float](3).sum == 1.0f) // mask counts real elements only
   }
 
+  test("Cache persists the stream: second consumer reads InMemoryRelation") {
+    val df = Tables.load(spark, sf, "supplier").select("s_suppkey")
+    val cached = Cache()(df)
+    try {
+      cached.count() // materialize
+      assert(cached.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "Cache() must persist so downstream consumers reuse the materialized stream")
+      assert(cached.count() == df.count())
+    } finally cached.unpersist()
+  }
+
   test("Merge zips positionally and rejects duplicate source names") {
     val a = Indexed.withIdx(Seq("x", "y", "z").toDF("l"), Seq(col("l")))
     val b = Indexed.withIdx(Seq(10, 20, 30, 40).toDF("r"), Seq(col("r")))
