@@ -90,7 +90,7 @@ object Ann {
     val checked = when(size(vec) === dim, vec).otherwise(
       raise_error(concat(lit(s"LSH dim mismatch: expected $dim, got "), size(vec))))
     tablePlanes.zipWithIndex.map { case (plane, p) =>
-      val d = dot(checked, array(plane.map(lit): _*))
+      val d = dot(checked, array(plane.toIndexedSeq.map(lit): _*))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

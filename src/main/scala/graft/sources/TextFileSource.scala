@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
 object TextFileSource {
   /** Read lines from files/globs with their source path and a stable
     * per-file line number (deterministic — derived from file content
-    * order, not partitioning). */
+    * order, not partitioning). Gzip (`.gz`) files decode transparently
+    * via the Hadoop codec (fuel TextFile gzip support, text.py:96-101).
+    *
+    * SKEW CAVEAT: the line number is a per-FILE window, so one file's
+    * rows converge on one task for numbering. Right-sized for the
+    * many-similar-files corpus layout this mirrors (1B-word ships 100
+    * partition files; gzip is unsplittable anyway, so the scan itself is
+    * already per-file). For a single giant splittable file, number lines
+    * with [[Indexed.withStorageIdx]] (distributed zipWithIndex) instead
+    * and treat the whole corpus as one sequence. */
   def lines(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val raw = spark.read.textFile(paths: _*)
       .select(input_file_name().as("file"), col("value").as("line"))
-    // per-file line index via a per-file window; files are independently
-    // small relative to the corpus (1B-word ships 100 partition files), so
-    // the per-file window partitions well.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("file").orderBy(monotonically_increasing_id())
     raw.withColumn("line_no", row_number().over(w).cast("bigint") - 1)
