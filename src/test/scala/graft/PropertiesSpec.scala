@@ -127,4 +127,38 @@ class PropertiesSpec extends SparkSpec {
       got == want
     }, trials = 8)
   }
+
+  test("property: Subset algebra laws (pure driver-side, high trial count)") {
+    import graft.sources.Subset
+    val N = 50L
+    val genIdx = Gen.listOf(Gen.choose(0L, N - 1)) // may be empty, dups ok
+    // union membership = set union; empty is neutral; union is commutative
+    check(Prop.forAll(genIdx, genIdx) { (a, b) =>
+      val (sa, sb) = (Subset.list(a, N), Subset.list(b, N))
+      val u = sa + sb
+      u.listRepresentation.toSet == (a.toSet ++ b.toSet) &&
+        (sb + sa).listRepresentation == u.listRepresentation &&
+        (sa + Subset.empty(N)).listRepresentation == sa.listRepresentation
+    }, trials = 200)
+    // beautify is idempotent and canonical: contiguous non-empty -> slice
+    check(Prop.forAll(genIdx) { a =>
+      val s = Subset.list(a, N)
+      val again = Subset.list(s.listRepresentation, N)
+      again.repr == s.repr &&
+        (s.listRepresentation.isEmpty ||
+          s.isList != (s.listRepresentation.last - s.listRepresentation.head + 1 ==
+            s.listRepresentation.size))
+    }, trials = 200)
+    // composition: subsetOf(s, [i..j)) selects exactly positions i..j-1 of
+    // the canonical list representation
+    val genNonEmpty = Gen.nonEmptyListOf(Gen.choose(0L, N - 1))
+    check(Prop.forAll(genNonEmpty, Gen.choose(0, 100)) { (a, salt) =>
+      val s = Subset.list(a, N)
+      val n = s.numExamples
+      val i = salt % n
+      val j = i + 1 + (salt % (n - i))
+      Subset.subsetOf(s, i, j).listRepresentation ==
+        s.listRepresentation.slice(i.toInt, j.toInt).distinct.sorted
+    }, trials = 200)
+  }
 }
