@@ -199,6 +199,10 @@ object TextQueries {
     // rebuilds the whole chain in SQL, so the pipeline is hash-exact from
     // raw corpus to packed offsets. Scale shape: gates are pure
     // projections; dedups are key-partitioned shuffles; never all-pairs.
+    // The gated frame feeds several consumers, each re-deriving it from
+    // the scan — the measured-faster choice at this size (see q28's note);
+    // at cluster scale wrap it in the Cache() transformer to trade the
+    // extra corpus scans for one materialization.
     "q51_curation" -> ((s, dir) => {
       val d = docsWithTokens(s, dir)
       val enriched = d.select(Seq(col("doc_id"), col("text"), col("ts")) ++
