@@ -120,27 +120,34 @@ object Ann {
     // reference object, not nCentroids*dim literal nodes — see
     // SignBucketsExpr for the plan-size rationale). The sim formula is
     // UNCHANGED bit-for-bit: dot / (norm(v) * cn), each dot the same
-    // sequential accumulation DotExpr did against a literal row. `__sims`
-    // is materialized as its own projection so the 16-way argsort reads
-    // the array instead of re-evaluating the dots (the q25 lesson:
-    // multi-referenced non-cheap columns must not inline).
+    // sequential accumulation DotExpr did against a literal row.
     val cns = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
-    val cnsLit = array(cns.map(lit).toIndexedSeq: _*)
-    /** ids of the top-`n` centroids by similarity, via sorted (-sim, idx)
-      * structs over the materialized sims array. The heavy kernels (the 16
-      * dots, the vector norm) run codegen'd OUTSIDE the interpreted HOF
-      * lambdas, which only do scalar arithmetic over the 16 results. */
+    // (cn, cid) ride as ONE literal struct array, so the (-sim, cid)
+    // argsort structs are built by a single zip_with pass OVER the dots
+    // array: matDots is the direct argument of the zip_with, consumed
+    // exactly once, so the 16 dots cannot be re-evaluated no matter what
+    // CollapseProject inlines (the r4 hazard: a separate `__sims` column
+    // referenced once inside a transform lambda was legal to inline INTO
+    // the lambda, re-running matDots per element). `__nv` is referenced
+    // 16× (non-cheap) which keeps it a real projection — but correctness
+    // no longer depends on that; PlanSpec counts the graft_mat_dots nodes.
+    val centStructs = array(cns.zipWithIndex.map { case (cn, i) =>
+      struct(lit(cn).as("cn"), lit(i).as("cid"))
+    }.toIndexedSeq: _*)
+    /** ids of the top-`n` centroids by similarity, via sorted (-sim, cid)
+      * structs. The heavy kernels (the 16 dots, the vector norm) run
+      * codegen'd OUTSIDE the interpreted HOF lambdas, which only do scalar
+      * arithmetic over the 16 results. */
     def withNearest(df: DataFrame, n: Int, out: String): DataFrame =
       df.withColumn("__nv", norm(col(vecCol)))
-        .withColumn("__sims",
-          zip_with(graft.functions.VecExpressions.matDots(col(vecCol), centroids), cnsLit,
-            (d, cn) => d / (col("__nv") * cn)))
         .withColumn(out,
           slice(transform(array_sort(
-              transform(sequence(lit(0), lit(centroids.length - 1)),
-                i => struct((-element_at(col("__sims"), i + 1)).as("neg"), i.as("cid")))),
+              zip_with(graft.functions.VecExpressions.matDots(col(vecCol), centroids),
+                centStructs,
+                (d, c) => struct((-(d / (col("__nv") * c.getField("cn")))).as("neg"),
+                  c.getField("cid").as("cid")))),
             e => e.getField("cid")), 1, n))
-        .drop("__nv", "__sims")
+        .drop("__nv")
 
     // No pair-dedup needed: each corpus row has exactly ONE centroid and a
     // query's probe list is distinct, so a (query, neighbor) pair can meet
@@ -194,32 +201,34 @@ object Ann {
     * sign-LSH tables, take candidates sharing a bucket in ANY table, then
     * exact-rerank. All joins are key-partitioned on (table, bucket).
     *
-    * CONTRACT: `queries` must be driver-broadcastable (a bounded query
-    * set — the standard ANN-serving shape, and the same assumption
-    * [[bruteForceTopK]] makes). The rerank force-broadcasts it; a
-    * corpus-sized query set belongs in [[nearDupPairs]] (self-join
-    * shape), not here. */
+    * CONTRACT: with `broadcastQueries = true` (default) `queries` must be
+    * driver-broadcastable (a bounded query set — the standard ANN-serving
+    * shape, and the same assumption [[bruteForceTopK]] makes); the hint
+    * keeps the corpus bucket stream from ever shuffling — map-side
+    * candidate generation at any corpus size. For an unbounded query set,
+    * pass `broadcastQueries = false` to plan ordinary key-partitioned
+    * shuffle joins instead of OOMing the driver with a forced broadcast
+    * (a corpus-vs-ITSELF search still belongs in [[nearDupPairs]] — the
+    * self-join shape dedups pairs instead of ranking twice). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64): DataFrame = {
+      k: Int, seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64,
+      broadcastQueries: Boolean = true): DataFrame = {
     val hp = hyperplanes(seed, tables, planes, dim)
+    def maybeBcast(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     def bucketed(df: DataFrame, idAs: String): DataFrame =
       df.select(col(idCol).as(idAs),
           posexplode(graft.functions.SignBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
     // Candidates and dedup on ids only; vectors rejoin once per surviving
-    // pair (corpus side a key join, query side a broadcast — queries are
-    // broadcastable by the same assumption bruteForceTopK makes). The
-    // query-bucket side of the candidate join is broadcast explicitly:
-    // under the contract it is `tables`× a bounded set, and the hint keeps
-    // the corpus bucket stream from ever shuffling — map-side candidate
-    // generation at any corpus size.
+    // pair (corpus side a key join, query side broadcast-or-shuffle per
+    // the broadcastQueries contract above).
     val candidates = bucketed(corpus, "neighbor_id")
-      .join(broadcast(bucketed(queries, "query_id")), Seq("table", "bucket"))
+      .join(maybeBcast(bucketed(queries, "query_id")), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
     val scored = candidates
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec")),
         Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
+      .join(maybeBcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qvec"), col("__cvec")).as("sim"))

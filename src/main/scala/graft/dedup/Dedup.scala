@@ -188,4 +188,38 @@ object Dedup {
   /** Hamming distance between two simhash values (for near-dup banding). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("bigint")
+
+  /** Banded SimHash near-dup pairs — the [[simhash]] family's analog of
+    * [[lshCandidates]]+verify: split the signature into `bands` contiguous
+    * `bitsPerBand`-bit bands; docs agreeing on ANY band are candidates
+    * (pigeonhole: a pair within Hamming `bands - 1` MUST agree on at least
+    * one band, so recall is exactly 1 for `maxHamming <= bands - 1` —
+    * asserted by the `require`); verify exact [[hammingDistance]] <=
+    * `maxHamming`. Output: (id1, id2, hamming), id1 < id2.
+    *
+    * Scale shape, same as the MinHash path: band extraction is a pure
+    * bit-shift projection, the candidate join is key-partitioned on
+    * (band, band value) — never all-pairs — and the pair dedup + verify
+    * rejoin carry ids and one bigint each. */
+  def simhashNearDup(df: DataFrame, idCol: String, simCol: String,
+      bands: Int, bitsPerBand: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}, " +
+        s"got maxHamming=$maxHamming (raise bands or lower maxHamming)")
+    val banded = df.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col(simCol), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1))
+      }: _*)).as(Seq("band", "bval")))
+    val a = banded.select(col("band"), col("bval"), col(idCol).as("id1"))
+    val b = banded.select(col("band"), col("bval"), col(idCol).as("id2"))
+    val cand = a.join(b, Seq("band", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sigs = df.select(col(idCol), col(simCol))
+    cand
+      .join(sigs.select(col(idCol).as("id1"), col(simCol).as("s1")), Seq("id1"))
+      .join(sigs.select(col(idCol).as("id2"), col(simCol).as("s2")), Seq("id2"))
+      .select(col("id1"), col("id2"), hammingDistance(col("s1"), col("s2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

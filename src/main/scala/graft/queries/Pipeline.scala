@@ -104,6 +104,26 @@ object Pipeline {
       Merge(Seq(parts, sups)).select(col("__idx").as("pair_idx"), col("p_partkey"), col("s_suppkey"))
     }),
 
+    // The epoch driver oracled end-to-end: two epochs of a seeded shuffled
+    // scheme, each compiled by DataStream into the (pos, batch_id) plan its
+    // iterator pulls, reduced to per-batch boundary facts (first/last id by
+    // position, batch size). Epoch e reshuffles with seed 11+e — fuel's
+    // cross-epoch reshuffle made explicit; replaying an epoch re-executes
+    // the identical deterministic plan.
+    "q53_epoch_batches" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select("o_orderkey")
+      (0 until 2).map { e =>
+        val ds = graft.stream.DataStream(ord, ShuffledScheme(64, seed = 11 + e),
+          Seq(col("o_orderkey")))
+        ds.compiled.select(lit(e.toLong).as("epoch"), col("o_orderkey"),
+          col(Schemes.Pos).as("pos"), col(Schemes.BatchId).as("batch_id"))
+      }.reduce(_ unionByName _)
+        .groupBy("epoch", "batch_id")
+        .agg(min_by(col("o_orderkey"), col("pos")).as("first_id"),
+          max_by(col("o_orderkey"), col("pos")).as("last_id"),
+          count(lit(1)).as("n"))
+    }),
+
     // List-form Subset algebra (fuel/utils/__init__.py:30-397): the split
     // below exercises beautify (dups + contiguous tail), overlapping-slice
     // merging, mixed list∪slice union, and slice-request composition — all
@@ -201,6 +221,23 @@ object Pipeline {
         |  SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) - 1 AS i FROM supplier)
         |SELECT a.i AS pair_idx, a.p_partkey, b.s_suppkey
         |FROM a JOIN b ON a.i = b.i""".stripMargin,
+
+    "q53_epoch_batches" -> {
+      def epoch(e: Int, seed: Long): String =
+        s"""SELECT CAST($e AS BIGINT) AS epoch, o_orderkey,
+           |    row_number() OVER (ORDER BY ${duckShuffleHash(seed, "i")}, i) - 1 AS pos
+           |  FROM idx""".stripMargin
+      s"""WITH idx AS (
+         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS i FROM orders),
+         |p AS (
+         |  ${epoch(0, 11)}
+         |  UNION ALL
+         |  ${epoch(1, 12)})
+         |SELECT epoch, CAST(floor(pos / 64) AS BIGINT) AS batch_id,
+         |  min_by(o_orderkey, pos) AS first_id, max_by(o_orderkey, pos) AS last_id,
+         |  count(*) AS n
+         |FROM p GROUP BY 1, 2""".stripMargin
+    },
 
     "q49_subset" ->
       s"""WITH d AS (

@@ -110,6 +110,24 @@ object TextQueries {
       Dedup.simhash(docsWithTokens(s, dir), "doc_id", "ts", 32)
     }),
 
+    // SimHash banded near-dup end-to-end — the SimHash family's q28:
+    // 32-bit signatures → 4 × 8-bit bands → bucket join → exact Hamming
+    // verify at <= 3 (recall exactly 1 by pigeonhole; the require in
+    // [[Dedup.simhashNearDup]] enforces it). Random docs sit ~Hamming 16
+    // apart, so the query plants exact clones (doc_id < 10, id + 1000000)
+    // that land at Hamming 0 — q50's planted-pair pattern; any organic
+    // near-dup pair is kept too.
+    "q52_simhash_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val clones = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val u = docs.unionByName(clones)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      val sh = Dedup.simhash(u, "doc_id", "ts", 32)
+      Dedup.simhashNearDup(sh, "doc_id", "simhash",
+        bands = 4, bitsPerBand = 8, maxHamming = 3)
+    }),
+
     // Exact ANN baseline: brute-force cosine top-5 for 10 query vectors.
     // Broadcast queries + bounded TopK aggregation — BroadcastNestedLoopJoin,
     // no CartesianProduct, no per-query global sort.
@@ -190,43 +208,16 @@ object TextQueries {
         .select(col("id1"), col("id2"))
     }),
 
-    // The flagship LLM-corpus curation pipeline, end-to-end in ONE composed
-    // query: language gate (stopword argmax) → quality gate (token floor)
-    // → exact dedup (40-char-prefix hash, min id kept) → MinHash/LSH
-    // near-dup removal (greedy: every pair's higher id dropped) → survivors
-    // packed into 512-token training sequences via the distributed prefix
-    // sum. Every stage is an existing first-class operator; the oracle
-    // rebuilds the whole chain in SQL, so the pipeline is hash-exact from
-    // raw corpus to packed offsets. Scale shape: gates are pure
-    // projections; dedups are key-partitioned shuffles; never all-pairs.
-    // The gated frame feeds several consumers, each re-deriving it from
-    // the scan — the measured-faster choice at this size (see q28's note);
-    // at cluster scale wrap it in the Cache() transformer to trade the
-    // extra corpus scans for one materialization.
-    "q51_curation" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir)
-      val enriched = d.select(Seq(col("doc_id"), col("text"), col("ts")) ++
-        TextOps.langId(col("ts")) ++ TextOps.qualityColumns(col("text"), col("ts")): _*)
-      val gated = enriched.filter(col("lang_pred") === "en" && col("n_tokens") >= 30)
-        .select("doc_id", "text", "ts")
-      val keep = Dedup.exact(gated, col("doc_id"), substring(col("text"), 1, 40))
-        .select(col("keep_id").as("doc_id"))
-      val exactKept = gated.join(keep, "doc_id")
-      val shRows = Dedup.shingleHashes(exactKept, "doc_id", "ts", 3)
-      val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
-      val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
-      val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
-      val dropIds = cand
-        .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-        .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-        .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
-        .select(col("id2").as("doc_id")).distinct()
-      val curated = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
-      TextOps.packSequences(
-          curated.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens")),
-          "doc_id", "n_tokens", 512)
-        .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
-    })
+    // The flagship LLM-corpus curation pipeline ([[graft.text.Curation]]):
+    // language gate → quality gate → exact dedup → MinHash/LSH near-dup
+    // removal → distributed token packing, hash-exact from raw corpus to
+    // packed offsets (the oracle rebuilds the whole chain in SQL). The
+    // multi-consumer gated frame runs under the Recompute reuse policy —
+    // measured faster than Persist at sf0.1 and pinned by PlanSpec's
+    // corpus-scan count; see Curation.Reuse + README "Recompute vs
+    // persist" for when to flip it.
+    "q51_curation" -> ((s, dir) =>
+      graft.text.Curation.curate(docsWithTokens(s, dir)))
   )
 
   private val H = Stable.duckHash64 _
@@ -270,8 +261,9 @@ object TextQueries {
   }
 
   /** q50 oracle: plants the same 1%-perturbed clones with the same float
-    * arithmetic, rebuilds the [[Ann.nearDupPairs]] default LSH tables
-    * (seed 42, 6 tables × 8 planes), and applies the identical cosine
+    * arithmetic, rebuilds the [[Ann.nearDupPairs]] LSH tables with the
+    * call-site parameters (seed 42, 6 tables × 12 planes — `planes` is
+    * overridden at the q50 call site), and applies the identical cosine
     * threshold — fully deterministic, so hash-exact like q31/q39. */
   private def duckNearDupOracle: String = {
     val buckets = duckBucketUnion(Ann.hyperplanes(42, tables = 6, planes = 12, dim = 64))
@@ -542,6 +534,38 @@ object TextQueries {
         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+
+    // q52: the whole planted-clone + simhash + banding + Hamming-verify
+    // chain in SQL (q29's simhash CTEs over the cloned corpus, band values
+    // by bit-shift, bucket self-join, bit_count(xor) verify).
+    "q52_simhash_near_dup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10),
+         |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM u),
+         |th AS (
+         |  SELECT doc_id, ${H("w")} AS h
+         |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks)),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS c
+         |  FROM th, generate_series(0, 31) g(j)
+         |  GROUP BY doc_id, j),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b, (simhash >> (b * 8)) & 255 AS bval
+         |  FROM sh, generate_series(0, 3) g(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |  FROM banded a JOIN banded c ON a.b = c.b AND a.bval = c.bval
+         |                             AND a.doc_id < c.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
 
     "q31_ann_lsh" -> duckLshOracle,
     "q39_ann_ivf" -> duckIvfOracle,

@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sources.SplitSource
+import graft.transform.Cache
+
+/** The flagship five-stage LLM-corpus curation pipeline, as a first-class
+  * composition of the engine's own operators: language gate (stopword
+  * argmax) → quality gate (token floor) → exact dedup (40-char-prefix
+  * hash, min id kept) → MinHash/LSH near-dup removal (greedy: every
+  * pair's higher id dropped) → distributed token packing. The reference's
+  * converter story ends the same way — a curated artifact on disk fed back
+  * into the training loop (fuel/converters/base.py:50-104 `fill_hdf5_file`
+  * → fuel/datasets/base.py:83-95) — which [[materialize]] closes here.
+  *
+  * Scale shape: gates are pure codegen projections; both dedups are
+  * key-partitioned bucket joins with loud-fail degeneration guards; the
+  * final pack is the distributed prefix sum (never a single-partition
+  * window). PlanSpec pins the corpus scan count so the [[Reuse]] choice
+  * below stays a conscious number.
+  */
+object Curation {
+
+  /** Reuse policy for the gated frame, which feeds ~5 consumers (the
+    * exact-dedup key build, the exact-kept join, the shingle rows for
+    * signatures, and both sides of the Jaccard verify join).
+    *
+    * The trade (README "Recompute vs persist", measured at sf0.1):
+    *   - [[Recompute]] re-derives the gated frame per consumer from the
+    *     narrow, pruned corpus scan. Wins while N·(pruned scan + gate
+    *     projection) < materialize + N·read — which holds here because the
+    *     gates are cheap codegen and the scan reads 2 pruned columns.
+    *   - [[Persist]] materializes the gated frame once via the [[Cache]]
+    *     transformer and shares it. Wins once the corpus scan dominates
+    *     (wide rows, remote storage, or a gate too expensive to re-run —
+    *     at 100 TB, five corpus scans is the pipeline's biggest cost
+    *     lever, so flip this on a real cluster when the scan is the
+    *     bottleneck).
+    */
+  sealed trait Reuse
+  case object Recompute extends Reuse
+  case object Persist extends Reuse
+
+  /** Stages 1–2: language gate (stopword argmax = `lang`) + quality gate
+    * (token floor). Pure projections over (doc_id, text, ts). */
+  def gate(docs: DataFrame, lang: String = "en", minTokens: Int = 30): DataFrame =
+    docs.select(Seq(col("doc_id"), col("text"), col("ts")) ++
+        TextOps.langId(col("ts")) ++ TextOps.qualityColumns(col("text"), col("ts")): _*)
+      .filter(col("lang_pred") === lang && col("n_tokens") >= minTokens)
+      .select("doc_id", "text", "ts")
+
+  /** Stages 3–4: exact dedup (40-char-prefix hash, min id kept) then
+    * MinHash/LSH near-dup removal (4 bands × 2 rows, Jaccard ≥ 0.5,
+    * higher id of each verified pair dropped). Survivors keep
+    * (doc_id, text, ts). */
+  def dedupe(gated: DataFrame): DataFrame = {
+    val keep = Dedup.exact(gated, col("doc_id"), substring(col("text"), 1, 40))
+      .select(col("keep_id").as("doc_id"))
+    val exactKept = gated.join(keep, "doc_id")
+    val shRows = Dedup.shingleHashes(exactKept, "doc_id", "ts", 3)
+    val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+    val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
+    val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+    val dropIds = cand
+      .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+      .select(col("id2").as("doc_id")).distinct()
+    exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** The curated survivor set (doc_id, text, ts), under the chosen
+    * [[Reuse]] policy for the multi-consumer gated frame. */
+  def curatedDocs(docs: DataFrame, reuse: Reuse = Recompute): DataFrame = {
+    val gated = gate(docs)
+    dedupe(reuse match {
+      case Recompute => gated
+      case Persist   => Cache()(gated)
+    })
+  }
+
+  /** Stage 5: survivors packed into `seqLen`-token training sequences —
+    * each doc's global token offset (distributed prefix sum) and the
+    * first/last sequence ids it lands in. */
+  def curate(docs: DataFrame, seqLen: Int = 512, reuse: Reuse = Recompute): DataFrame =
+    TextOps.packSequences(
+        curatedDocs(docs, reuse)
+          .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen)
+      .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+
+  /** Close the pipeline loop (the `fill_hdf5_file` step): pack the curated
+    * corpus, assign train/valid/test splits by seeded hash of doc_id, and
+    * write split-partitioned parquet — reloadable split-pruned via
+    * [[SplitSource.read]] or a [[graft.sources.Catalog]] registration, and
+    * iterable via [[graft.stream.DataStream]]. */
+  def materialize(docs: DataFrame, path: String, seqLen: Int = 512,
+      seed: Long = 7,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      reuse: Reuse = Recompute): Unit =
+    SplitSource.write(
+      SplitSource.assignSplit(curate(docs, seqLen, reuse), col("doc_id"), seed, weights),
+      path)
+}

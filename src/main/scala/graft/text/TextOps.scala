@@ -63,8 +63,13 @@ object TextOps {
     * and appended to the token array in the same projection, then ONE
     * posexplode + broadcast join — positions fall out naturally. (The first
     * version unioned two extra `df.select`s for the boundary rows: three
-    * scans of the corpus where one suffices.) Like the reference, a literal
-    * `<S>` occurring in text maps to the BOS id. */
+    * scans of the corpus where one suffices.)
+    *
+    * Boundary ids resolve THROUGH the dictionary, like the reference
+    * (text.py:30-44 looks up `dictionary[bos_token]`): a dict entry for
+    * [[BosWord]]/[[EosWord]] wins; the `bos`/`eos` ids are the fallback
+    * when the dict has no such entry. A literal `<S>` occurring in text
+    * therefore maps to whatever id the dictionary assigns it. */
   def tokenize(df: DataFrame, idCol: String, textCol: String, dict: DataFrame,
       bos: Option[Long] = Some(BosId), eos: Option[Long] = Some(EosId),
       unk: Long = UnkId, tokenizer: Column => Column = tokens): DataFrame = {
@@ -72,8 +77,11 @@ object TextOps {
     val withB = bos.fold(base)(_ => concat(array(lit(BosWord)), base))
     val withBE = eos.fold(withB)(_ => concat(withB, array(lit(EosWord))))
     val looked = coalesce(col("token_id").cast("bigint"), lit(unk))
-    val withEosCase = eos.fold(looked)(id => when(col("word") === EosWord, id).otherwise(looked))
-    val withBosCase = bos.fold(withEosCase)(id => when(col("word") === BosWord, id).otherwise(withEosCase))
+    val dictId = col("token_id").cast("bigint")
+    val withEosCase = eos.fold(looked)(id =>
+      when(col("word") === EosWord, coalesce(dictId, lit(id))).otherwise(looked))
+    val withBosCase = bos.fold(withEosCase)(id =>
+      when(col("word") === BosWord, coalesce(dictId, lit(id))).otherwise(withEosCase))
     df.select(col(idCol), posexplode(withBE).as(Seq("p", "word")))
       .join(broadcast(dict), Seq("word"), "left")
       .select(col(idCol), col("p").cast("bigint").as("pos"), withBosCase.as("token_id"))

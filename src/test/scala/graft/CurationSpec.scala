@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.schemes.SequentialScheme
+import graft.sources.{Catalog, SplitSource, Tables}
+import graft.stream.DataStream
+import graft.text.{Curation, TextOps}
+
+/** The engine's own story closed end-to-end: curate → materialize
+  * (split-partitioned parquet) → register in the Catalog → reload →
+  * drive an epoch through DataStream — fuel's fill_hdf5_file-to-
+  * training-loop round trip (reference: fuel/converters/base.py:50-104,
+  * fuel/datasets/base.py:83-95). */
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("ts"))
+
+  // Materialized once, shared by the tests below (order-independent).
+  private lazy val curatedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    Curation.materialize(docs, dir)
+    dir
+  }
+
+  test("curate → write split-partitioned → Catalog reload round-trips the frame") {
+    val packed = Curation.curate(docs)
+    val catalog = Catalog.forTestData(spark, sf)
+      .register("curated_corpus", () => spark.read.parquet(curatedDir),
+        Seq(col("doc_id")))
+    val reloaded = catalog.load("curated_corpus")
+    // every split value is one of the three configured ones
+    assert(reloaded.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "valid", "test")))
+    // the reloaded rows (sans the split column) ARE the packed frame
+    val cols = packed.columns.map(col).toSeq
+    val back = reloaded.select(cols: _*)
+    assert(back.count() == packed.count())
+    assert(back.exceptAll(packed).isEmpty && packed.exceptAll(back).isEmpty,
+      "reloaded curated corpus must match the in-memory curation result")
+  }
+
+  test("split selection is partition pruning at the scan, not a post-filter") {
+    val p = SplitSource.read(spark, curatedDir, "train")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(split"),
+      s"split=train must prune partitions at the scan:\n$p")
+  }
+
+  test("reloaded train split drives a full epoch through DataStream") {
+    val train = SplitSource.read(spark, curatedDir, "train")
+      .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+    val n = train.count()
+    assert(n > 0, "train split should not be empty")
+    val ds = DataStream(train, SequentialScheme(32), Seq(col("doc_id")))
+    val batches = ds.epochIterator().toSeq
+    assert(batches.map(_.size).sum == n, "epoch must visit every train row once")
+    assert(batches.size == (n + 31) / 32)
+    assert(batches.dropRight(1).forall(_.size == 32), "only the last batch may be short")
+    // rows arrive in doc_id order within the sequential scheme
+    val ids = batches.flatten.map(_.getLong(0))
+    assert(ids == ids.sorted)
+  }
+}

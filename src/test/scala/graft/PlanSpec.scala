@@ -88,6 +88,78 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q39: every centroid-dots kernel is consumed by a single zip_with pass") {
+    // The r4-advice hazard: a separate __sims projection referenced once
+    // inside a transform lambda was legal for CollapseProject to inline,
+    // re-running the 16 centroid dots per sequence element (element_at over
+    // the kernel inside a lambda). The kernel now feeds the argsort structs
+    // as the DIRECT argument of one zip_with, consumed in one pass — so in
+    // the plan, every graft_mat_dots occurrence must appear as
+    // `zip_with(graft_mat_dots(...)`, never inside a per-element lambda.
+    // (Occurrence COUNT varies with filter pushdown duplication; the shape
+    // is the invariant.)
+    val p = plan("q39_ann_ivf")
+    val all = "graft_mat_dots".r.findAllIn(p).length
+    val singlePass = "zip_with\\(graft_mat_dots".r.findAllIn(p).length
+    assert(all > 0, "q39 must use the graft_mat_dots kernel")
+    assert(singlePass == all,
+      s"$all graft_mat_dots occurrences but only $singlePass in single-pass zip_with position")
+  }
+
+  test("q51 curation: the Recompute reuse policy costs a PINNED number of corpus scans") {
+    // Under Curation.Recompute every consumer of the gated frame re-derives
+    // it from the pruned documents scan (measured faster than Persist at
+    // sf0.1 — see README "Recompute vs persist"). This pin keeps the trade
+    // a conscious number: if composition changes the scan count, the policy
+    // decision must be revisited, not silently inherited. The pin targets
+    // the pre-pack curatedDocs frame because packSequences' distributed
+    // prefix sum executes eagerly and roots the final q51 plan in an
+    // RDD scan, hiding the upstream tree.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), graft.text.TextOps.tokens(col("text")).as("ts"))
+    val p = graft.text.Curation.curatedDocs(docs).queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    // 10 = the multi-consumer DAG expanded to a plan tree: exactKept is
+    // gated⋈keep (2 scans), the LSH band self-join doubles the signature
+    // branch (4), the two verify sides re-derive shingle sets (2+2), and
+    // the final anti-join re-derives exactKept (2).
+    assert(scans == 10,
+      s"curation corpus scan count changed ($scans, expected 10) — revisit Curation.Reuse")
+  }
+
+  test("AQE splits the skewed partition of a fact-fact shuffle join") {
+    // q4-style fact-fact joins rely on AQE for hot-key skew; this forces a
+    // 90%-hot key through the SMJ path with test-sized thresholds and
+    // asserts OptimizeSkewedJoin actually split the partition (skew=true),
+    // so "AQE handles skew" is a checked property, not a claim.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      // ~90% of the left fact lands on key 0 — the classic hot-key shape
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 10 === 0, pmod(col("id"), lit(97L))).otherwise(lit(0L)).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 97).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS QueryExecution — AQE finalizes the plan we
+      // inspect (a count() would plan and execute a different query).
+      assert(joined.collect().nonEmpty)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the hot partition:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   // ------------------------------------------------- global scale audit
   // Two plan shapes are never acceptable at 100 TB, in ANY query:
   //   - WindowExec with an empty partitionSpec: moves every row to ONE

@@ -63,6 +63,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((0L, 0L), (1L, 3L), (2L, 2L), (3L, 4L), (4L, 2L), (5L, 1L)))
   }
 
+  test("tokenize resolves boundary ids through the dictionary (fuel dictionary[bos_token])") {
+    // A dict that assigns its own ids to <S>/</S> wins over the fallback
+    // bos/eos ids — fuel looks boundary tokens up in the dictionary
+    // (text.py:30-44); the passed ids apply only when the dict lacks them.
+    val docs = Seq((1L, "this is")).toDF("doc_id", "text")
+    val dict = Seq(("<S>", 7), ("</S>", 8), ("this", 3)).toDF("word", "token_id")
+    val out = TextOps.tokenize(docs, "doc_id", "text", dict)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 7L), (1L, 3L), (2L, 2L), (3L, 8L)))
+  }
+
   test("buildDictionary ranks by count desc then word asc") {
     val docs = Seq((1L, "b b b a a c"), (2L, "a c")).toDF("doc_id", "text")
     val d = TextOps.buildDictionary(docs, "text", 2).collect()
@@ -152,6 +163,28 @@ class TextDedupSpec extends SparkSpec {
       s"false positives: ${pairs.filterNot { case (a, b) => dupIds(a) && dupIds(b) }}")
     // the planted (0, 100) pair survives bucketing + verify
     assert(pairs.contains((0L, 100L)))
+  }
+
+  test("lshTopK(broadcastQueries=false): corpus-sized query set plans shuffle joins, same results") {
+    // The non-broadcast fallback for unbounded query sets (r4 advice): no
+    // forced driver broadcast anywhere in the plan, and bit-identical
+    // results to the broadcast variant.
+    val emb = Tables.load(spark, sf, "embeddings")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val shuffled = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Ann.lshTopK(emb, emb, "vec_id", "embedding", 3,
+        seed = 42, tables = 8, planes = 3, dim = 64, broadcastQueries = false)
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"broadcastQueries=false must not broadcast the query set:\n$p")
+      rows
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    val bcast = Ann.lshTopK(emb, emb, "vec_id", "embedding", 3,
+        seed = 42, tables = 8, planes = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shuffled == bcast, "shuffle and broadcast variants must agree")
   }
 
   test("ann: cosine self-similarity is 1; lshTopK recalls most brute-force neighbors") {
