@@ -200,7 +200,16 @@ object Dedup {
     * Scale shape, same as the MinHash path: band extraction is a pure
     * bit-shift projection, the candidate join is key-partitioned on
     * (band, band value) — never all-pairs — and the pair dedup + verify
-    * rejoin carry ids and one bigint each. */
+    * rejoin carry ids and one bigint each.
+    *
+    * SIZING (the [[graft.ann.Ann.nearDupPairs]] rule, Hamming edition):
+    * candidate volume is quadratic in bucket occupancy n / 2^bitsPerBand,
+    * so `bitsPerBand` must grow with log2(n) — widen the SIGNATURE
+    * (simhash supports up to 60 bits) rather than shrinking the band
+    * count, because the `bands - 1` Hamming guarantee is what the band
+    * count buys. 4 × 8-bit bands suit ~10^3 docs; 4 × 15-bit bands
+    * (60-bit simhash) hold occupancy O(1) to ~10^6 per partition-sized
+    * corpus slice; beyond that, 64-bit+ signatures via two packed longs. */
   def simhashNearDup(df: DataFrame, idCol: String, simCol: String,
       bands: Int, bitsPerBand: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= bands - 1,

@@ -104,18 +104,18 @@ object Pipeline {
       Merge(Seq(parts, sups)).select(col("__idx").as("pair_idx"), col("p_partkey"), col("s_suppkey"))
     }),
 
-    // The epoch driver oracled end-to-end: two epochs of a seeded shuffled
-    // scheme, each compiled by DataStream into the (pos, batch_id) plan its
-    // iterator pulls, reduced to per-batch boundary facts (first/last id by
-    // position, batch size). Epoch e reshuffles with seed 11+e — fuel's
-    // cross-epoch reshuffle made explicit; replaying an epoch re-executes
-    // the identical deterministic plan.
+    // The epoch driver oracled end-to-end: two epochs of ONE DataStream
+    // over a seeded shuffled scheme, each epoch the (pos, batch_id) plan
+    // its iterator pulls (DataStream.compiledForEpoch — epoch e reshuffles
+    // with seed+e, fuel's cross-epoch rng advance made deterministic),
+    // reduced to per-batch boundary facts (first/last id by position,
+    // batch size).
     "q53_epoch_batches" -> ((s, dir) => {
       val ord = t(s, dir, "orders").select("o_orderkey")
+      val ds = graft.stream.DataStream(ord, ShuffledScheme(64, seed = 11),
+        Seq(col("o_orderkey")))
       (0 until 2).map { e =>
-        val ds = graft.stream.DataStream(ord, ShuffledScheme(64, seed = 11 + e),
-          Seq(col("o_orderkey")))
-        ds.compiled.select(lit(e.toLong).as("epoch"), col("o_orderkey"),
+        ds.compiledForEpoch(e).select(lit(e.toLong).as("epoch"), col("o_orderkey"),
           col(Schemes.Pos).as("pos"), col(Schemes.BatchId).as("batch_id"))
       }.reduce(_ unionByName _)
         .groupBy("epoch", "batch_id")

@@ -91,7 +91,9 @@ object TextQueries {
     // consumer measures FASTER than materializing the sets once (a
     // persist + collect_set shuffle costs more than two recomputes, and
     // it would break the signature's map-side partial min aggregation) —
-    // so the plan deliberately recomputes the narrow projection.
+    // so the plan deliberately recomputes the narrow projection. The
+    // general recompute-vs-persist heuristic lives in README "Recompute
+    // vs persist"; q51's Curation.Reuse is the encoded form.
     "q28_lsh_dedup" -> ((s, dir) => {
       val shRows = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
       val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
@@ -111,21 +113,25 @@ object TextQueries {
     }),
 
     // SimHash banded near-dup end-to-end — the SimHash family's q28:
-    // 32-bit signatures → 4 × 8-bit bands → bucket join → exact Hamming
+    // 60-bit signatures → 4 × 15-bit bands → bucket join → exact Hamming
     // verify at <= 3 (recall exactly 1 by pigeonhole; the require in
-    // [[Dedup.simhashNearDup]] enforces it). Random docs sit ~Hamming 16
-    // apart, so the query plants exact clones (doc_id < 10, id + 1000000)
-    // that land at Hamming 0 — q50's planted-pair pattern; any organic
-    // near-dup pair is kept too.
+    // [[Dedup.simhashNearDup]] enforces it). 15-bit bands follow the
+    // sizing rule on simhashNearDup: 2^15 buckets/band keeps occupancy —
+    // and with it the quadratic per-bucket candidate count — O(1) as the
+    // corpus grows (8-bit bands measured 2.9s at sf0.1 from ~20
+    // docs/bucket; 15-bit runs in the q29 envelope). Random docs sit
+    // ~Hamming 30 apart, so the query plants exact clones (doc_id < 10,
+    // id + 1000000) that land at Hamming 0 — q50's planted-pair pattern;
+    // organic exact-dup texts are kept too.
     "q52_simhash_near_dup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val clones = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val u = docs.unionByName(clones)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      val sh = Dedup.simhash(u, "doc_id", "ts", 32)
+      val sh = Dedup.simhash(u, "doc_id", "ts", 60)
       Dedup.simhashNearDup(sh, "doc_id", "simhash",
-        bands = 4, bitsPerBand = 8, maxHamming = 3)
+        bands = 4, bitsPerBand = 15, maxHamming = 3)
     }),
 
     // Exact ANN baseline: brute-force cosine top-5 for 10 query vectors.
@@ -550,14 +556,14 @@ object TextQueries {
          |bits AS (
          |  SELECT doc_id, j,
          |    sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS c
-         |  FROM th, generate_series(0, 31) g(j)
+         |  FROM th, generate_series(0, 59) g(j)
          |  GROUP BY doc_id, j),
          |sh AS (
          |  SELECT doc_id,
          |    CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
          |  FROM bits GROUP BY doc_id),
          |banded AS (
-         |  SELECT doc_id, b, (simhash >> (b * 8)) & 255 AS bval
+         |  SELECT doc_id, b, (simhash >> (b * 15)) & 32767 AS bval
          |  FROM sh, generate_series(0, 3) g(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2

@@ -57,11 +57,20 @@ class LifecycleSpec extends SparkSpec {
       assert(v.isInstanceOf[Float], s"floatX cast lost: ${v.getClass}")
     }
 
-    // 5. epochs replay identically (fuel's reset contract), and a fresh
-    //    identically-seeded stream yields the same visit order
+    // 5. iterate_epochs: epoch 0 replays the base plan; epoch 1 RESHUFFLES
+    //    (fuel's scheme rng advances across epochs — here deterministically
+    //    as seed+epoch), still visiting every row, and any epoch is
+    //    reproducible from (seed, epoch) alone
     val key1 = epoch1.flatMap(_.map(_.getLong(0)))
-    val epoch2 = stream.iterateEpochs().next().toSeq
-    assert(epoch2.flatMap(_.map(_.getLong(0))) == key1)
+    val epochs = stream.iterateEpochs()
+    assert(epochs.next().toSeq.flatMap(_.map(_.getLong(0))) == key1)
+    val e1 = epochs.next().toSeq.flatMap(_.map(_.getLong(0)))
+    assert(e1 != key1, "epoch 1 must reshuffle")
+    assert(e1.sorted == key1.sorted, "every epoch visits every row exactly once")
+    assert(stream.epochIterator(1).toSeq.flatMap(_.map(_.getLong(0))) == e1,
+      "epoch 1 is reproducible from (seed, epoch)")
+    assert(stream.iterateEpochs(reshuffle = false).drop(1).next().toSeq
+      .flatMap(_.map(_.getLong(0))) == key1, "reshuffle=false replays epoch 0")
     val stream2 = DataStream(
       Indexed.withIdx(prepared, Seq(col("c_custkey"))),
       ShuffledScheme(batchSize = 32, seed = 7),
@@ -76,8 +85,10 @@ class LifecycleSpec extends SparkSpec {
 
     // 6. mid-epoch resume (the deterministic-replay answer to fuel's
     //    iterator pickling): resuming from position 64 yields exactly the
-    //    batches after the first two
+    //    batches after the first two — in any epoch's reshuffled order
     val resumed = stream.resumeFrom(64).toSeq
     assert(resumed.flatMap(_.map(_.getLong(0))) == key1.drop(64))
+    assert(stream.resumeFrom(64, epoch = 1).toSeq.flatMap(_.map(_.getLong(0)))
+      == e1.drop(64), "(seed, epoch, cursor) locates a point in any epoch")
   }
 }

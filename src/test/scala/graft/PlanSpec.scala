@@ -181,8 +181,17 @@ class PlanSpec extends SparkSpec {
   test("global audit: no unpartitioned Window, no CartesianProduct, in any query") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val nodes = allNodes(fn(spark, sf).queryExecution.executedPlan)
+    import org.apache.spark.sql.functions.col
+    // packSequences' eager prefix sum roots q43/q51's FINAL plan in an RDD
+    // scan, hiding the upstream tree from this walk — so the curation
+    // chain's pre-pack frame is audited explicitly alongside the queries.
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), graft.text.TextOps.tokens(col("text")).as("ts"))
+    val targets = SparkEntry.queries.toSeq.map { case (n, fn) =>
+      n -> (() => fn(spark, sf)) } :+
+      ("q51_curation(pre-pack)" -> (() => graft.text.Curation.curatedDocs(docs)))
+    targets.foreach { case (name, mk) =>
+      val nodes = allNodes(mk().queryExecution.executedPlan)
       val unpartitionedWindows = nodes.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
       }

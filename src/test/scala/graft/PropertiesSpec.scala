@@ -60,6 +60,32 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 10)
   }
 
+  test("property: simhash banding finds EXACTLY the pairs within Hamming <= bands-1") {
+    // The pigeonhole law behind Dedup.simhashNearDup: with 4 bands, any
+    // pair within Hamming 3 shares at least one band (recall 1), and the
+    // exact verify removes everything else (precision 1) — so the banded
+    // result must equal the all-pairs ground truth, for ANY signature set.
+    import graft.dedup.Dedup
+    val gen = for {
+      n <- Gen.choose(2, 10)
+      base <- Gen.listOfN(n, Gen.choose(0L, (1L << 32) - 1))
+      flips <- Gen.nonEmptyListOf(Gen.choose(0, 31)).map(_.take(3))
+    } yield (base, flips)
+    check(Prop.forAll(gen) { case (base, flips) =>
+      // plant one near-dup of the first signature (<= 3 bits flipped)
+      val planted = base.head ^ flips.distinct.map(1L << _).fold(0L)(_ | _)
+      val sigs = (base :+ planted).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = Dedup.simhashNearDup(sigs.toDF("id", "h"), "id", "h",
+          bands = 4, bitsPerBand = 8, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = sigs.combinations(2).collect {
+        case Seq((i1, s1), (i2, s2)) if java.lang.Long.bitCount(s1 ^ s2) <= 3 =>
+          (i1, i2)
+      }.toSet
+      got == want
+    }, trials = 8)
+  }
+
   test("property: Rename by a bijection then its inverse restores the schema") {
     val names = Seq("a", "b", "c", "d")
     val gen = Gen.someOf(names).map(_.toList)
