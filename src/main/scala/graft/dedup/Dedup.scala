@@ -23,7 +23,17 @@ object Dedup {
 
   /** Exact dedup on an arbitrary key expression: one hash-partitioned
     * groupBy; keeps the minimum id as cluster representative.
-    * Output: (key_hash, keep_id, n_dups). */
+    * Output: (key_hash, keep_id, n_dups).
+    *
+    * Deliberately NOT a `row_number() over (partition by key)` — that
+    * form would survive with one corpus scan instead of the agg + id-join
+    * two (see Curation's scan pin), but it shuffles the FULL rows keyed
+    * by the dedup key, and dedup keys are precisely the skewed ones in a
+    * real corpus (boilerplate pages, empty strings): one hot key pins
+    * every duplicate's text on one partition. The agg form collapses the
+    * skewed key map-side (partial min/count) and the consumer's join back
+    * moves full rows keyed by the UNIFORM id — at 100 TB, key skew beats
+    * a saved scan. */
   def exact(df: DataFrame, idCol: Column, key: Column): DataFrame =
     df.groupBy(md5(key.cast("string")).as("key_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
