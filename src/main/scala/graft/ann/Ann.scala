@@ -108,54 +108,14 @@ object Ann {
     * recall tuned by nProbe. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long = 42, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    import graft.functions.Stable
-    // deterministic "sample": smallest nCentroids by seeded id-hash
-    val centroids = corpus
-      .select(col(idCol), col(vecCol), Stable.seededHash(seed, col(idCol)).as("__h"))
-      .orderBy("__h").limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
-    // Centroid similarities via ONE MatDotsExpr node (the matrix is a
-    // reference object, not nCentroids*dim literal nodes — see
-    // SignBucketsExpr for the plan-size rationale). The sim formula is
-    // UNCHANGED bit-for-bit: dot / (norm(v) * cn), each dot the same
-    // sequential accumulation DotExpr did against a literal row.
-    val cns = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
-    // (cn, cid) ride as ONE literal struct array, so the (-sim, cid)
-    // argsort structs are built by a single zip_with pass OVER the dots
-    // array: matDots is the direct argument of the zip_with, consumed
-    // exactly once, so the 16 dots cannot be re-evaluated no matter what
-    // CollapseProject inlines (the r4 hazard: a separate `__sims` column
-    // referenced once inside a transform lambda was legal to inline INTO
-    // the lambda, re-running matDots per element). `__nv` is referenced
-    // 16× (non-cheap) which keeps it a real projection — but correctness
-    // no longer depends on that; PlanSpec counts the graft_mat_dots nodes.
-    val centStructs = array(cns.zipWithIndex.map { case (cn, i) =>
-      struct(lit(cn).as("cn"), lit(i).as("cid"))
-    }.toIndexedSeq: _*)
-    /** ids of the top-`n` centroids by similarity, via sorted (-sim, cid)
-      * structs. The heavy kernels (the 16 dots, the vector norm) run
-      * codegen'd OUTSIDE the interpreted HOF lambdas, which only do scalar
-      * arithmetic over the 16 results. */
-    def withNearest(df: DataFrame, n: Int, out: String): DataFrame =
-      df.withColumn("__nv", norm(col(vecCol)))
-        .withColumn(out,
-          slice(transform(array_sort(
-              zip_with(graft.functions.VecExpressions.matDots(col(vecCol), centroids),
-                centStructs,
-                (d, c) => struct((-(d / (col("__nv") * c.getField("cn")))).as("neg"),
-                  c.getField("cid").as("cid")))),
-            e => e.getField("cid")), 1, n))
-        .drop("__nv")
-
+    val centroids = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
     // No pair-dedup needed: each corpus row has exactly ONE centroid and a
     // query's probe list is distinct, so a (query, neighbor) pair can meet
     // at most once — one shuffle fewer than a dedup would cost.
-    val c = withNearest(corpus, 1, "__near")
+    val c = withNearestCentroids(corpus, vecCol, centroids, 1, "__near")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
         element_at(col("__near"), 1).as("cid"))
-    val q = withNearest(queries, nProbe, "__near")
+    val q = withNearestCentroids(queries, vecCol, centroids, nProbe, "__near")
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
         explode(col("__near")).as("cid"))
     val scored = c.join(q, Seq("cid"))
@@ -163,6 +123,95 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qvec"), col("__cvec")).as("sim"))
     topKPerQuery(scored, k)
+  }
+
+  /** The deterministic coarse quantizer shared by [[ivfTopK]] and
+    * [[semanticDedupPairs]]: centroids = the `nCentroids` corpus vectors
+    * with the smallest seeded id-hash (a seeded sample). Driver-side
+    * collect of exactly `nCentroids` vectors, bounded by contract. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      seed: Long, nCentroids: Int): Array[Array[Double]] =
+    corpus
+      .select(col(idCol), col(vecCol),
+        graft.functions.Stable.seededHash(seed, col(idCol)).as("__h"))
+      .orderBy("__h").limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Adds `out` = ids of the `n` nearest centroids by cosine (ties break
+    * to the lower centroid id).
+    *
+    * Centroid similarities run via ONE MatDotsExpr node (the matrix is a
+    * codegen reference object, not nCentroids*dim literal nodes — see
+    * SignBucketsExpr for the plan-size rationale); the sim formula is
+    * dot / (norm(v) * cn), each dot the same sequential accumulation
+    * DotExpr does against a literal row. (cn, cid) ride as ONE literal
+    * struct array, so the (-sim, cid) argsort structs are built by a
+    * single zip_with pass OVER the dots array: matDots is the direct
+    * argument of the zip_with, consumed exactly once, so the dots cannot
+    * be re-evaluated no matter what CollapseProject inlines (the r4
+    * hazard: a separate `__sims` column referenced once inside a
+    * transform lambda was legal to inline INTO the lambda, re-running
+    * matDots per element). `__nv` is referenced nCentroids× (non-cheap)
+    * which keeps it a real projection — but correctness no longer depends
+    * on that; PlanSpec counts the graft_mat_dots nodes. The heavy kernels
+    * (the dots, the vector norm) run codegen'd OUTSIDE the interpreted
+    * HOF lambdas, which only do scalar arithmetic over the results. */
+  def withNearestCentroids(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], n: Int, out: String): DataFrame = {
+    val cns = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    val centStructs = array(cns.zipWithIndex.map { case (cn, i) =>
+      struct(lit(cn).as("cn"), lit(i).as("cid"))
+    }.toIndexedSeq: _*)
+    df.withColumn("__nv", norm(col(vecCol)))
+      .withColumn(out,
+        slice(transform(array_sort(
+            zip_with(graft.functions.VecExpressions.matDots(col(vecCol), centroids),
+              centStructs,
+              (d, c) => struct((-(d / (col("__nv") * c.getField("cn")))).as("neg"),
+                c.getField("cid").as("cid")))),
+          e => e.getField("cid")), 1, n))
+      .drop("__nv")
+  }
+
+  /** SemDeDup-style semantic deduplication pairs (the published curation
+    * stage — Abbas et al. 2023, "SemDeDup": cluster the embeddings, then
+    * compare only WITHIN a cluster): assign every vector to its nearest
+    * [[sampleCentroids]] centroid, self-join within each cluster
+    * (key-partitioned on the centroid id — never corpus-wide all-pairs),
+    * keep pairs with cosine >= `threshold`. Output (cid, id1, id2, cos),
+    * id1 < id2; greedy dedup drops each pair's higher id (q51's
+    * convention).
+    *
+    * Unlike [[nearDupPairs]], the vectors RIDE THROUGH the cluster
+    * shuffle: each side moves the corpus once keyed by cid, and every
+    * within-cluster pair then scores with no further shuffle. The
+    * ids-only discipline would instead shuffle occupancy² candidate-pair
+    * rows into two more vector joins — strictly more bytes once clusters
+    * hold more than a couple of rows. ([[nearDupPairs]] faces the
+    * opposite trade: its bucket rows are exploded `tables`×, so carrying
+    * vectors would multiply them too — which is why IT rejoins.)
+    *
+    * SIZING: within-cluster candidates are quadratic in cluster occupancy
+    * n / nCentroids, so `nCentroids` must grow LINEARLY with the corpus to
+    * hold occupancy constant (SemDeDup's own regime — e.g. 50k clusters at
+    * 10^8 embeddings for ~2k occupancy). The 16-centroid default suits the
+    * 10^2–10^5 test scale. A skewed cluster (many vectors collapsing onto
+    * one centroid) degrades toward quadratic: AQE's skew-join split
+    * handles moderate skew; re-sample centroids with a different seed if
+    * one cluster dominates. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, seed: Long = 42, nCentroids: Int = 16): DataFrame = {
+    val centroids = sampleCentroids(df, idCol, vecCol, seed, nCentroids)
+    val assigned = withNearestCentroids(df, vecCol, centroids, 1, "__near")
+      .select(element_at(col("__near"), 1).as("cid"), col(idCol), col(vecCol))
+    val a = assigned.select(col("cid"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = assigned.select(col("cid"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .select(col("cid").cast("bigint").as("cid"), col("id1"), col("id2"),
+        cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Embedding near-duplicate pairs: sign-LSH bucketed candidate join,

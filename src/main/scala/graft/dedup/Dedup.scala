@@ -195,6 +195,25 @@ object Dedup {
         }.reduce(_ + _).as(out))
   }
 
+  /** Deterministic event-time dedup — the batch twin of
+    * [[graft.streaming.Streaming.dedupStream]]: keep each key's EARLIEST
+    * row by (tsCol, tieCol) and count the suppressed duplicates as
+    * `n_dups`. The tie-break column makes the result well-defined where
+    * the streaming form keeps whichever duplicate ARRIVED first; on an
+    * event-time-ordered replay the two agree (StreamingSpec).
+    *
+    * Per-key window — scale-safe in the event-log shape (many keys, few
+    * rows per key). For corpus-scale dedup on a possibly-skewed content
+    * key, use [[exact]] instead — see its skew note. */
+  def firstPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("__rn",
+        row_number().over(byKey.orderBy(col(tsCol), col(tieCol))))
+      .withColumn("n_dups", count(lit(1)).over(byKey))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Hamming distance between two simhash values (for near-dup banding). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("bigint")

@@ -105,6 +105,20 @@ object EventQueries {
               |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
     }),
 
+    // Deterministic event-time dedup: each (user, event_type)'s earliest
+    // event plus the suppressed-duplicate count — the oracled batch twin
+    // of the streaming dedup path (dropDuplicatesWithinWatermark keeps the
+    // first ARRIVAL; the (ts, event_id) order makes that well-defined, and
+    // StreamingSpec asserts the two agree on an event-time-ordered
+    // replay). Timestamps emitted as epoch micros (the q44 type lesson).
+    "q54_event_dedup" -> ((s, dir) => {
+      graft.dedup.Dedup.firstPerKey(t(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"),
+          unix_micros(col("ts")).as("first_ts_us"), col("n_dups"))
+    }),
+
     // Gap-based sessionization: a new session when >30 min passes between a
     // user's events. Per-user window — scale-safe (users are many, sessions
     // short).
@@ -171,6 +185,17 @@ object EventQueries {
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         |  coalesce(o_orderstatus, 'ALL') AS status, count(*) AS cnt
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "q54_event_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_dups
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS first_event_id,
+        |  epoch_us(ts) AS first_ts_us, CAST(n_dups AS BIGINT) AS n_dups
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q35_sessionize" ->
       """WITH g AS (

@@ -214,6 +214,24 @@ object TextQueries {
         .select(col("id1"), col("id2"))
     }),
 
+    // SemDeDup-style semantic dedup pairs: the same planted clones as
+    // q50, but found by centroid clustering (q39's coarse quantizer) +
+    // within-cluster cosine — the published embedding-space curation
+    // stage. Emitting cid alongside the pair checks the cluster
+    // ASSIGNMENT too, not just the pair set; the oracle rebuilds the
+    // centroid sample, assignment, and within-cluster pairs in SQL, so
+    // hash-exact like q39/q50.
+    "q55_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(array((col("embedding")(0) * lit(1.01)).cast("float")),
+               slice(col("embedding"), 2, 63)).as("embedding"))
+      Ann.semanticDedupPairs(emb.unionByName(clones), "vec_id", "embedding",
+          threshold = 0.99, seed = 42, nCentroids = 16)
+        .select("cid", "id1", "id2")
+    }),
+
     // The flagship LLM-corpus curation pipeline ([[graft.text.Curation]]):
     // language gate → quality gate → exact dedup → MinHash/LSH near-dup
     // removal → distributed token packing, hash-exact from raw corpus to
@@ -287,6 +305,32 @@ object TextQueries {
        |SELECT id1, id2 FROM cand
        |WHERE ${duckCosine("v1", "v2")} >= 0.99""".stripMargin
   }
+
+  /** q55 oracle: plants q50's clones, rebuilds [[Ann.sampleCentroids]]
+    * (seeded id-hash, smallest 16) and the nearest-centroid assignment
+    * (q39's rn=1 pattern — same sim formula, same (sim DESC, cid ASC)
+    * tie-break as the argsort), then the within-cluster pair join and
+    * cosine verify — fully deterministic. */
+  private def duckSemanticDedupOracle: String =
+    s"""WITH u AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_prepend(CAST(embedding[1] * 1.01 AS REAL), embedding[2:]) AS embedding
+       |  FROM embeddings WHERE vec_id < 20),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM u),
+       |h AS (SELECT vec_id, v, ${Stable.duckSeededHash(42, "vec_id")} AS hh FROM e),
+       |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY hh) - 1 AS cid
+       |         FROM (SELECT * FROM h ORDER BY hh LIMIT 16)),
+       |sims AS (SELECT e.vec_id, e.v, c.cid, ${duckCosine("e.v", "c.cv")} AS sim
+       |         FROM e, cent c),
+       |assigned AS (SELECT vec_id, v, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim DESC, cid ASC) AS rn FROM sims)
+       |  WHERE rn = 1)
+       |SELECT CAST(a.cid AS BIGINT) AS cid, a.vec_id AS id1, b.vec_id AS id2
+       |FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |WHERE ${duckCosine("a.v", "b.v")} >= 0.99""".stripMargin
 
   /** q51 oracle: the whole curation chain in SQL. Per-doc signatures are
     * independent of the doc set, so the shingle/minhash CTEs run over all
@@ -576,6 +620,7 @@ object TextQueries {
     "q31_ann_lsh" -> duckLshOracle,
     "q39_ann_ivf" -> duckIvfOracle,
     "q50_near_dup" -> duckNearDupOracle,
+    "q55_semantic_dedup" -> duckSemanticDedupOracle,
     "q51_curation" -> duckCurationOracle,
 
     "q46_normalize" ->

@@ -112,6 +112,37 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming dedup agrees with the batch twin (Dedup.firstPerKey) on an ordered replay") {
+    // dropDuplicates keeps the first ARRIVAL per key; Dedup.firstPerKey
+    // keeps the earliest (ts, tie) row. On an event-time-ordered replay
+    // (each micro-batch later than the last) the two must agree — the
+    // q54 batch-twin contract.
+    import graft.dedup.Dedup
+    val rows = Seq(
+      (1L, 10L, "click", Timestamp.valueOf("2024-01-01 00:01:00")),
+      (2L, 10L, "view", Timestamp.valueOf("2024-01-01 00:02:00")),
+      (3L, 10L, "click", Timestamp.valueOf("2024-01-01 00:03:00")), // dup
+      (4L, 11L, "click", Timestamp.valueOf("2024-01-01 00:04:00")),
+      (5L, 10L, "click", Timestamp.valueOf("2024-01-01 00:05:00"))) // dup
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = Streaming.dedupStreamAllTime(
+        input.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+        Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_twin")
+      .outputMode("append").start()
+    try {
+      rows.foreach { r => input.addData(r); q.processAllAvailable() }
+      val streamed = spark.table("dedup_twin").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = Dedup.firstPerKey(
+          rows.toDF("event_id", "user_id", "event_type", "ts"),
+          Seq("user_id", "event_type"), "ts", "event_id")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(batch == Set(1L, 2L, 4L))
+      assert(streamed == batch, "streaming and batch dedup must keep the same rows")
+    } finally q.stop()
+  }
+
   test("StreamServer: foreachBatch feeds a bounded queue (ServerDataStream analog)") {
     val input = MemoryStream[Long]
     val (queue, q) = Streaming.serve(input.toDF().toDF("v"), capacity = 10)

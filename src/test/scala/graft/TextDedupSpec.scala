@@ -187,6 +187,26 @@ class TextDedupSpec extends SparkSpec {
     assert(shuffled == bcast, "shuffle and broadcast variants must agree")
   }
 
+  test("semanticDedupPairs finds planted clones within clusters, nothing else") {
+    // Same planted-clone pattern as q50/q55: clones sit at cos ~ 1-5e-7,
+    // organic pairs max ~0.51, so at threshold 0.99 every returned pair
+    // must be a planted (i, i+1000000) — and a clone is only findable when
+    // it lands in its original's cluster, which the near-identical
+    // assignment sims make the overwhelming case.
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val clones = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array((col("embedding")(0) * lit(1.01)).cast("float")),
+             slice(col("embedding"), 2, 63)).as("embedding"))
+    val pairs = Ann.semanticDedupPairs(emb.unionByName(clones), "vec_id", "embedding",
+        threshold = 0.99, seed = 42, nCentroids = 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.nonEmpty, "planted clones must surface as semantic dups")
+    assert(pairs.forall { case (a, b) => b == a + 1000000L },
+      s"only planted pairs clear 0.99: $pairs")
+    assert(pairs.size >= 15, s"most clones co-cluster with their original (got ${pairs.size}/20)")
+  }
+
   test("ann: cosine self-similarity is 1; lshTopK recalls most brute-force neighbors") {
     val emb = Tables.load(spark, sf, "embeddings")
     val self = emb.limit(5)
