@@ -201,8 +201,16 @@ object Ann {
     * handles moderate skew; re-sample centroids with a different seed if
     * one cluster dominates. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, seed: Long = 42, nCentroids: Int = 16): DataFrame = {
-    val centroids = sampleCentroids(df, idCol, vecCol, seed, nCentroids)
+      threshold: Double, seed: Long = 42, nCentroids: Int = 16): DataFrame =
+    semanticDedupPairs(df, idCol, vecCol, threshold,
+      sampleCentroids(df, idCol, vecCol, seed, nCentroids))
+
+  /** [[semanticDedupPairs]] against an externally-trained quantizer —
+    * e.g. centroids sampled from the FULL corpus while pairs are searched
+    * among a filtered subset ([[graft.text.Curation.semanticDedupe]]'s
+    * shape, so gating doesn't move the cluster boundaries). */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: Array[Array[Double]]): DataFrame = {
     val assigned = withNearestCentroids(df, vecCol, centroids, 1, "__near")
       .select(element_at(col("__near"), 1).as("cid"), col(idCol), col(vecCol))
     val a = assigned.select(col("cid"), col(idCol).as("id1"), col(vecCol).as("v1"))

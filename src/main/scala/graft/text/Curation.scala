@@ -72,6 +72,30 @@ object Curation {
     exactKept.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Optional stage 4b — SemDeDup-style semantic dedup between near-dup
+    * removal and packing: drop the higher id of every within-cluster
+    * embedding pair at cosine >= `threshold` among the survivors
+    * ([[graft.ann.Ann.semanticDedupPairs]]). The quantizer is
+    * corpus-trained — centroids sample the FULL embedding table — so
+    * gating upstream doesn't move the cluster boundaries.
+    *
+    * `embeddings` rows are (vec_id, embedding) with vec_id == doc_id;
+    * survivors without an embedding pass through (they can't pair). The
+    * machinery is verified hash-exact with planted clones in q55; this
+    * composition is spec-tested in CurationSpec (organic synthetic data
+    * has no pair above ~0.51, so the stage is a checked no-op there). */
+  def semanticDedupe(survivors: DataFrame, embeddings: DataFrame,
+      threshold: Double = 0.99, seed: Long = 42, nCentroids: Int = 16): DataFrame = {
+    val cents = graft.ann.Ann.sampleCentroids(embeddings, "vec_id", "embedding",
+      seed, nCentroids)
+    val se = embeddings.select(col("vec_id"), col("embedding"))
+      .join(survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val drop = graft.ann.Ann
+      .semanticDedupPairs(se, "vec_id", "embedding", threshold, cents)
+      .select(col("id2").as("doc_id")).distinct()
+    survivors.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** The curated survivor set (doc_id, text, ts), under the chosen
     * [[Reuse]] policy for the multi-consumer gated frame. */
   def curatedDocs(docs: DataFrame, reuse: Reuse = Recompute): DataFrame = {

@@ -48,6 +48,26 @@ class CurationSpec extends SparkSpec {
       s"split=train must prune partitions at the scan:\n$p")
   }
 
+  test("semantic dedup stage (4b): checked no-op on organic survivors, drops planted clones") {
+    val survivors = Curation.curatedDocs(docs)
+    val emb = Tables.load(spark, sf, "embeddings")
+    // organic synthetic data has no pair above ~0.51, so at 0.99 the
+    // stage must pass every survivor through
+    assert(Curation.semanticDedupe(survivors, emb).count() == survivors.count())
+    // plant EXACT clones of 3 survivors: identical vectors get identical
+    // centroid sims, hence the same cluster, deterministically — the
+    // clones' higher ids must drop, the originals stay
+    val some = survivors.orderBy("doc_id").limit(3).select("doc_id")
+    val cloneDocs = survivors.join(some, "doc_id")
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("ts"))
+    val cloneEmb = emb.join(some.select(col("doc_id").as("vec_id")), "vec_id")
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val out = Curation.semanticDedupe(
+      survivors.unionByName(cloneDocs), emb.unionByName(cloneEmb))
+    assert(out.count() == survivors.count(), "exactly the clones drop")
+    assert(out.filter(col("doc_id") >= 1000000L).count() == 0, "the higher id of each pair drops")
+  }
+
   test("reloaded train split drives a full epoch through DataStream") {
     val train = SplitSource.read(spark, curatedDir, "train")
       .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
