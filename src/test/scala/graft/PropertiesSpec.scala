@@ -86,6 +86,25 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 8)
   }
 
+  test("property: firstPerKey keeps exactly the earliest row per key; n_dups partitions the input") {
+    import graft.dedup.Dedup
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 5L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 20L))
+    } yield ks.lazyZip(ts).lazyZip(0L until n.toLong).map((k, t, i) => (i, k, t)).toList
+    check(Prop.forAll(gen) { rows =>
+      val out = Dedup.firstPerKey(rows.toDF("id", "k", "ts"), Seq("k"), "ts", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byKey = rows.groupBy(_._2)
+      out.length == byKey.size &&
+        out.forall { case (id, k, ts, nd) =>
+          nd == byKey(k).size && (ts, id) == byKey(k).map(r => (r._3, r._1)).min
+        } &&
+        out.map(_._4).sum == rows.size
+    }, trials = 10)
+  }
+
   test("property: Rename by a bijection then its inverse restores the schema") {
     val names = Seq("a", "b", "c", "d")
     val gen = Gen.someOf(names).map(_.toList)
