@@ -214,6 +214,23 @@ object TextQueries {
         .select(col("id1"), col("id2"))
     }),
 
+    // The packed training sequences THEMSELVES (q43 addresses them; this
+    // materializes them): q21's tokenized rows placed at global positions
+    // via the distributed prefix sum, cut every 512 tokens, each
+    // sequence's ordered token array assembled by a key-partitioned
+    // groupBy. Per-sequence summary facts (length, boundary tokens, token
+    // sum) make the arrays fully DuckDB-checkable.
+    "q56_pack_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dict = TextOps.buildDictionary(docs, "text", topK = 50)
+      val toks = TextOps.tokenize(docs, "doc_id", "text", dict)
+      TextOps.packTokens(toks, "doc_id", "pos", "token_id", 512)
+        .select(col("seq_id"), size(col("tokens")).cast("bigint").as("n_toks"),
+          element_at(col("tokens"), 1).as("first_tok"),
+          element_at(col("tokens"), -1).as("last_tok"),
+          aggregate(col("tokens"), lit(0L), _ + _).as("tok_sum"))
+    }),
+
     // SemDeDup-style semantic dedup pairs: the same planted clones as
     // q50, but found by centroid clustering (q39's coarse quantizer) +
     // within-cluster cosine — the published embedding-space curation
@@ -621,6 +638,34 @@ object TextQueries {
     "q39_ann_ivf" -> duckIvfOracle,
     "q50_near_dup" -> duckNearDupOracle,
     "q55_semantic_dedup" -> duckSemanticDedupOracle,
+
+    // q56: q21's token rows (same dict/BOS/EOS/UNK CTEs), global position
+    // by (doc_id, pos) — the window form of the engine's prefix sum —
+    // then per-512-sequence summary facts.
+    "q56_pack_tokens" ->
+      s"""WITH $DuckToks,
+         |counted AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(ts) AS word FROM toks) GROUP BY word
+         |  ORDER BY cnt DESC, word ASC LIMIT 50),
+         |dict AS (
+         |  SELECT word, row_number() OVER (ORDER BY cnt DESC, word ASC) + 2 AS token_id
+         |  FROM counted),
+         |expl AS (
+         |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks),
+         |tokrows AS (
+         |  SELECT e.doc_id, CAST(e.i AS BIGINT) AS pos,
+         |    CAST(coalesce(d.token_id, 2) AS BIGINT) AS token_id
+         |  FROM (SELECT doc_id, i, ts[i] AS word FROM expl) e LEFT JOIN dict d USING (word)
+         |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM toks
+         |  UNION ALL SELECT doc_id, CAST(len(ts) + 1 AS BIGINT), CAST(1 AS BIGINT) FROM toks),
+         |g AS (SELECT token_id, row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+         |      FROM tokrows),
+         |p AS (SELECT gpos // 512 AS seq_id, gpos % 512 AS lp, token_id FROM g)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  min_by(token_id, lp) AS first_tok, max_by(token_id, lp) AS last_tok,
+         |  CAST(sum(token_id) AS BIGINT) AS tok_sum
+         |FROM p GROUP BY seq_id""".stripMargin,
     "q51_curation" -> duckCurationOracle,
 
     "q46_normalize" ->

@@ -198,6 +198,37 @@ object TextOps {
     * The global offsets are a distributed prefix sum
     * ([[graft.sources.PrefixSum]]) — never a single-partition running-sum
     * window. `nTokCol` must be bigint (use `size(toks).cast("bigint")`). */
+  /** Materialize the packed training sequences THEMSELVES — the
+    * tensor-ready artifact that [[packSequences]] only addresses: place
+    * every token of the (idCol, posCol, tokCol) rows at its global
+    * position (per-doc offsets via the distributed prefix sum over
+    * per-doc counts, ordered by idCol), cut every `seqLen`, and assemble
+    * each sequence's ordered token array. Output: (seq_id, tokens) with
+    * tokens.length == seqLen everywhere except the final partial
+    * sequence.
+    *
+    * Scale shape: the offsets frame is one row per DOC (not per token)
+    * and joins back key-partitioned on the id; the assembly is one
+    * key-partitioned groupBy on seq_id whose groups hold exactly seqLen
+    * tokens (bounded memory, no window); within-sequence order comes from
+    * array_sort over (local pos, token) structs, not a sort shuffle. */
+  def packTokens(tokens: DataFrame, idCol: String, posCol: String, tokCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val counts = tokens.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val offs = graft.sources.PrefixSum
+      .withPrefixSum(counts, Seq(col(idCol)), "__n", "__off")
+      .select(col(idCol), col("__off"))
+    tokens.join(offs, Seq(idCol))
+      .select((col("__off") + col(posCol)).as("__gpos"), col(tokCol))
+      .select(expr(s"__gpos div $seqLen").as("seq_id"),
+        pmod(col("__gpos"), lit(seqLen.toLong)).as("__lp"), col(tokCol))
+      .groupBy("seq_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__lp").as("p"), col(tokCol).as("t")))),
+        e => e.getField("t")).as("tokens"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")

@@ -105,6 +105,26 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 10)
   }
 
+  test("property: packTokens concatenated in seq order replays the corpus in (doc, pos) order") {
+    import graft.text.TextOps
+    val gen = for {
+      nd <- Gen.choose(1, 8)
+      lens <- Gen.listOfN(nd, Gen.choose(0, 12))
+      sl <- Gen.choose(1, 7)
+    } yield (lens, sl)
+    check(Prop.forAll(gen) { case (lens, sl) =>
+      val rows = lens.zipWithIndex.flatMap { case (len, d) =>
+        (0 until len).map(p => (d.toLong, p.toLong, (d * 100 + p).toLong)) }
+      rows.isEmpty || {
+        val packed = TextOps.packTokens(rows.toDF("id", "pos", "tok"), "id", "pos", "tok", sl)
+          .orderBy("seq_id").collect()
+        val flat = packed.flatMap(_.getSeq[Long](1)).toSeq
+        flat == rows.sortBy(r => (r._1, r._2)).map(_._3) &&
+          packed.dropRight(1).forall(_.getSeq[Long](1).size == sl)
+      }
+    }, trials = 10)
+  }
+
   test("property: Rename by a bijection then its inverse restores the schema") {
     val names = Seq("a", "b", "c", "d")
     val gen = Gen.someOf(names).map(_.toList)
