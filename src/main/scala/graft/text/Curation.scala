@@ -128,4 +128,23 @@ object Curation {
     SplitSource.write(
       SplitSource.assignSplit(curate(docs, seqLen, reuse), col("doc_id"), seed, weights),
       path)
+
+  /** [[materialize]] for the tensor-ready artifact: the curated corpus
+    * tokenized against its own top-`topK` dictionary, packed into the
+    * actual `seqLen`-token sequences ([[TextOps.packTokens]]), splits
+    * assigned by seeded hash of seq_id (sequences cross doc boundaries,
+    * so the SEQUENCE is the split unit), written split-partitioned.
+    * The training loop reloads a split and iterates token-array batches
+    * through [[graft.stream.DataStream]] (CurationSpec). */
+  def materializeTokens(docs: DataFrame, path: String, seqLen: Int = 512,
+      topK: Int = 50, seed: Long = 7,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      reuse: Reuse = Recompute): Unit = {
+    val curated = curatedDocs(docs, reuse)
+    val dict = TextOps.buildDictionary(curated, "text", topK)
+    val toks = TextOps.tokenize(curated, "doc_id", "text", dict)
+    val seqs = TextOps.packTokens(toks, "doc_id", "pos", "token_id", seqLen)
+    SplitSource.write(
+      SplitSource.assignSplit(seqs, col("seq_id"), seed, weights), path)
+  }
 }

@@ -48,6 +48,24 @@ class CurationSpec extends SparkSpec {
       s"split=train must prune partitions at the scan:\n$p")
   }
 
+  test("materializeTokens: packed token sequences round-trip and feed an epoch of token batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curated_tok").toString
+    Curation.materializeTokens(docs, dir)
+    val all = spark.read.parquet(dir).select("seq_id", "tokens")
+    val n = all.count()
+    assert(n > 0)
+    // exactly one partial sequence globally (the corpus tail); all others
+    // are full 512-token training rows
+    assert(all.filter(size(col("tokens")) =!= 512).count() <= 1)
+    // the training loop: reload one split, iterate token-array batches
+    val train = SplitSource.read(spark, dir, "train").select("seq_id", "tokens")
+    assert(train.count() > 0, "train split should hold sequences")
+    val ds = DataStream(train, SequentialScheme(2), Seq(col("seq_id")))
+    val batches = ds.epochIterator().toSeq
+    assert(batches.map(_.size).sum == train.count())
+    assert(batches.head.head.getSeq[Long](1).nonEmpty, "rows carry the token arrays")
+  }
+
   test("semantic dedup stage (4b): checked no-op on organic survivors, drops planted clones") {
     val survivors = Curation.curatedDocs(docs)
     val emb = Tables.load(spark, sf, "embeddings")
