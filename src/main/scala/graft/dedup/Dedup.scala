@@ -125,7 +125,15 @@ object Dedup {
 
   /** Candidate pairs from banded LSH: explode band keys, self-join per
     * bucket (id1 < id2), distinct. The join is key-partitioned on the band
-    * hash — bucket sizes, not corpus size, bound the pair blow-up. */
+    * hash — bucket sizes, not corpus size, bound the pair blow-up.
+    *
+    * ORDERING RULE: run [[exact]] dedup BEFORE this. Identical documents
+    * are the hot-bucket pathology — a k-times-duplicated page puts k
+    * identical signatures in every band bucket it touches (k² candidate
+    * pairs no banding parameter can dilute), and web corpora duplicate
+    * exactly that way. Exact-dedup-first collapses each clone family to
+    * one representative, which is why [[graft.text.Curation]] stages it
+    * third, ahead of the MinHash stage. */
   def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     // Guard the banding contract at runtime: slicing past the signature
