@@ -151,6 +151,31 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Benchmark decontamination — the curation stage that finds corpus
+    * documents overlapping an EVALUATION set (eval leakage): pool the
+    * benchmark's distinct k-shingle hashes, count each corpus doc's
+    * DISTINCT matching shingles, keep docs at >= `minOverlap`. Output:
+    * (idCol, n_hits) — anti-join it to scrub
+    * (`corpus.join(contaminated(...), Seq(id), "left_anti")`).
+    *
+    * Scale shape: the benchmark side is broadcast — eval sets are
+    * thousands of rows, not corpora, BY CONTRACT (a corpus-sized
+    * "benchmark" belongs in [[lshCandidates]]' near-dup machinery
+    * instead). The corpus shingle stream therefore never shuffles to
+    * find its matches; only the HIT rows (a tiny fraction) shuffle into
+    * the per-doc distinct count. `minOverlap > 1` guards against
+    * single-shingle coincidences in overlapping vocabularies. */
+  def contaminated(corpus: DataFrame, idCol: String, toksCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchToksCol: String,
+      k: Int = 3, minOverlap: Int = 2): DataFrame =
+    shingleHashes(corpus, idCol, toksCol, k)
+      .join(broadcast(
+          shingleHashes(benchmark, benchIdCol, benchToksCol, k)
+            .select(col("sh")).distinct()),
+        Seq("sh"))
+      .groupBy(idCol).agg(count_distinct(col("sh")).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+
   /** Exact Jaccard similarity of two shingle-set columns (arrays must be
     * distinct): |a ∩ b| / |a ∪ b| — int/int double division, deterministic. */
   def jaccard(a: Column, b: Column): Column =

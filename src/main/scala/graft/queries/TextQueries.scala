@@ -214,6 +214,18 @@ object TextQueries {
         .select(col("id1"), col("id2"))
     }),
 
+    // Benchmark decontamination: every 41st doc plays the eval set; flag
+    // corpus docs sharing >= 2 distinct 3-shingles with it. Each "eval"
+    // doc flags itself (its full distinct-shingle count — exactly the
+    // leakage the stage exists to find) plus any organic vocabulary
+    // overlap, all reproduced by the oracle.
+    "q57_decontaminate" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      Dedup.contaminated(d, "doc_id", "ts",
+        d.filter(col("doc_id") % 41 === 0), "doc_id", "ts",
+        k = 3, minOverlap = 2)
+    }),
+
     // The packed training sequences THEMSELVES (q43 addresses them; this
     // materializes them): q21's tokenized rows placed at global positions
     // via the distributed prefix sum, cut every 512 tokens, each
@@ -638,6 +650,17 @@ object TextQueries {
     "q39_ann_ivf" -> duckIvfOracle,
     "q50_near_dup" -> duckNearDupOracle,
     "q55_semantic_dedup" -> duckSemanticDedupOracle,
+
+    // q57: shingle hashes once over all docs (benchmark ⊆ corpus), the
+    // benchmark's pooled distinct hashes, distinct-overlap count per doc.
+    "q57_decontaminate" ->
+      s"""WITH $DuckToks,
+         |$duckShingleHashes,
+         |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 41 = 0),
+         |hits AS (SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+         |         FROM sh s JOIN bsh USING (sh) GROUP BY s.doc_id)
+         |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
+         |WHERE n_hits >= 2""".stripMargin,
 
     // q56: q21's token rows (same dict/BOS/EOS/UNK CTEs), global position
     // by (doc_id, pos) — the window form of the engine's prefix sum —

@@ -187,6 +187,22 @@ class TextDedupSpec extends SparkSpec {
     assert(shuffled == bcast, "shuffle and broadcast variants must agree")
   }
 
+  test("contaminated flags docs sharing >= minOverlap distinct shingles with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different words here nothing shared at all today"),
+      (3L, "the quick brown fox appears here too")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val out = Dedup.contaminated(corpus, "doc_id", "ts", bench, "doc_id", "ts",
+        k = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc1 shares 3 shingles (the quick brown / quick brown fox /
+    // brown fox jumps), doc3 shares 2, doc2 shares none
+    assert(out == Map(1L -> 3L, 3L -> 2L), s"got $out")
+  }
+
   test("semanticDedupPairs finds planted clones within clusters, nothing else") {
     // Same planted-clone pattern as q50/q55: clones sit at cos ~ 1-5e-7,
     // organic pairs max ~0.51, so at threshold 0.99 every returned pair
