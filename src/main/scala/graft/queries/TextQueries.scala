@@ -214,6 +214,20 @@ object TextQueries {
         .select(col("id1"), col("id2"))
     }),
 
+    // PII redaction: the synthetic corpus carries no organic PII, so the
+    // query plants a deterministic email + long numeric ref per doc (pure
+    // string arithmetic both engines build identically), then redacts.
+    // Exact-string oracle like q46; the patterns are RE2-compatible by
+    // the redact contract, so DuckDB runs them verbatim.
+    "q58_redact" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com ref "),
+        (col("doc_id") * 1000003L + 777777L).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.redact(aug).as("clean"),
+        length(TextOps.redact(aug)).cast("bigint").as("n_chars"))
+    }),
+
     // Benchmark decontamination: every 41st doc plays the eval set; flag
     // corpus docs sharing >= 2 distinct 3-shingles with it. Each "eval"
     // doc flags itself (its full distinct-shingle count — exactly the
@@ -650,6 +664,18 @@ object TextQueries {
     "q39_ann_ivf" -> duckIvfOracle,
     "q50_near_dup" -> duckNearDupOracle,
     "q55_semantic_dedup" -> duckSemanticDedupOracle,
+
+    // q58: same planted PII, same two RE2 rules, applied in the same
+    // order.
+    "q58_redact" -> {
+      val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com ref ' || CAST(doc_id * 1000003 + 777777 AS VARCHAR)"
+      val red = s"regexp_replace(regexp_replace($aug, " +
+        """'[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'), """ +
+        "'[0-9]{6,}', '<num>', 'g')"
+      s"""SELECT doc_id, $red AS clean, CAST(len($red) AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin
+    },
 
     // q57: shingle hashes once over all docs (benchmark ⊆ corpus), the
     // benchmark's pooled distinct hashes, distinct-overlap count per doc.

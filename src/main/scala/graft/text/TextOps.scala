@@ -139,6 +139,22 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Default PII redaction rules: emails, then 6+-digit runs (ids,
+    * phones, SSNs — leaves ordinary small numbers alone). Order matters:
+    * emails first, so an address's digits don't half-redact. */
+  val DefaultRedactions: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<email>",
+    "[0-9]{6,}" -> "<num>")
+
+  /** PII-style redaction — the scrubbing stage of a curation pipeline:
+    * replace matches of each (pattern, token) rule in order. Patterns
+    * must stay in the RE2-compatible subset (no backrefs/lookaround) so
+    * the same strings run unchanged in RE2 engines (the DuckDB oracle,
+    * external scrubbers) — [[normalize]]'s discipline. Pure codegen
+    * projection: streaming-transparent and free to push past joins. */
+  def redact(text: Column, rules: Seq[(String, String)] = DefaultRedactions): Column =
+    rules.foldLeft(text) { case (acc, (p, t)) => regexp_replace(acc, p, t) }
+
   /** Compression-ratio quality signal: deflate-compressed size over raw
     * size (low ratio = repetitive/templated text, a standard LLM-corpus
     * junk detector). JDK Deflater at a fixed level — deterministic for a

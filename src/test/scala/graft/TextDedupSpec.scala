@@ -187,6 +187,13 @@ class TextDedupSpec extends SparkSpec {
     assert(shuffled == bcast, "shuffle and broadcast variants must agree")
   }
 
+  test("redact scrubs emails then long digit runs, leaves short numbers") {
+    val out = Seq((1L, "mail a.b-c%d@sub.example.org now ref 12345678 but keep 42 and 12345"))
+      .toDF("doc_id", "text")
+      .select(TextOps.redact(col("text")).as("t")).collect().head.getString(0)
+    assert(out == "mail <email> now ref <num> but keep 42 and 12345")
+  }
+
   test("contaminated flags docs sharing >= minOverlap distinct shingles with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
