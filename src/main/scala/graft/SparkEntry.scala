@@ -6,10 +6,11 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * q51 is the engine in one query: language ID, quality scoring, exact +
-    * MinHash/LSH dedup, and distributed token packing, composed. */
+    * q59 is the engine in one query: PII redaction, normalization,
+    * language ID, quality scoring, exact + MinHash/LSH dedup, benchmark
+    * decontamination, and distributed token packing, composed. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q51_curation")(spark, "/root/testdata/sf0.001")
+    queries("q59_full_curation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

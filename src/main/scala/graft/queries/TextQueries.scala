@@ -284,7 +284,30 @@ object TextQueries {
     // corpus-scan count; see Curation.Reuse + README "Recompute vs
     // persist" for when to flip it.
     "q51_curation" -> ((s, dir) =>
-      graft.text.Curation.curate(docsWithTokens(s, dir)))
+      graft.text.Curation.curate(docsWithTokens(s, dir))),
+
+    // The COMPLETE curation chain ([[graft.text.Curation.curateFull]]):
+    // PII redaction → normalization → language gate → quality gate →
+    // exact dedup → MinHash/LSH near-dup removal → benchmark
+    // decontamination → token packing, one composed pipeline, hash-exact
+    // end-to-end. q58-style planted PII makes the scrub stage
+    // load-bearing (unredacted emails/refs would change every downstream
+    // token count and shingle hash); the doc_id % 41 slice plays the
+    // eval set (q57's pattern — contaminated docs, eval docs included,
+    // never pack). The PII plants as TWO ISOLATED tokens (`<email>`,
+    // `<num>` — scrubbed: "email num") so no 3-shingle lies fully inside
+    // the redaction boilerplate: a shared-template tail would otherwise
+    // hand every doc the same interior shingles and decontamination
+    // would (correctly!) flag the whole corpus against any eval doc
+    // carrying the same template — the redaction-token-overlap caveat,
+    // documented on [[graft.text.Curation.decontaminate]].
+    "q59_full_curation" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" user"), col("doc_id").cast("string"),
+          lit("@mail.example.com "),
+          (col("doc_id") * 1000003L + 777777L).cast("string")).as("text"))
+      graft.text.Curation.curateFull(raw, raw.filter(col("doc_id") % 41 === 0))
+    })
   )
 
   private val H = Stable.duckHash64 _
@@ -375,19 +398,20 @@ object TextQueries {
        |FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |WHERE ${duckCosine("a.v", "b.v")} >= 0.99""".stripMargin
 
-  /** q51 oracle: the whole curation chain in SQL. Per-doc signatures are
-    * independent of the doc set, so the shingle/minhash CTEs run over all
+  /** Shared curation-chain CTE body (gate → exact dedup → MinHash/LSH
+    * near-dup), assuming a `toks(doc_id, ts)` CTE is in scope:
+    * lscores…best (the q23 langid argmax), `gated` (en + >= 30 tokens),
+    * exact-dedup key over `textSrc`(doc_id, text), shingle/minhash/band
+    * CTEs, ending at `final` = near-dup survivors. Per-doc signatures
+    * are independent of the doc set, so the shingle CTEs run over all
     * docs and the pair search restricts to the exact-dedup survivors —
-    * identical pairs to the Spark side's post-filter shingling. The final
-    * pack mirrors q43's windowed sum with the BIGINT casts at the edge
-    * (DuckDB windowed sum is HUGEINT). */
-  private def duckCurationOracle: String = {
+    * identical pairs to the Spark side's post-filter shingling. */
+  private def duckCurationBody(textSrc: String): String = {
     val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
     val bands = (0 until 4).map { bnd =>
       s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $DuckToks,
-       |lscores AS (
+    s"""lscores AS (
        |  SELECT doc_id,
        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
        |    len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
@@ -410,7 +434,7 @@ object TextQueries {
        |  WHERE b.lang_pred = 'en' AND len(t.ts) >= 30),
        |keyd AS (
        |  SELECT d.doc_id, md5(substr(d.text, 1, 40)) AS kh
-       |  FROM documents d JOIN gated USING (doc_id)),
+       |  FROM $textSrc d JOIN gated USING (doc_id)),
        |keep1 AS (SELECT min(doc_id) AS doc_id FROM keyd GROUP BY kh),
        |$duckShingleHashes,
        |shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep1 USING (doc_id)),
@@ -426,9 +450,15 @@ object TextQueries {
        |  FROM cand JOIN shsets x ON x.doc_id = id1 JOIN shsets y ON y.doc_id = id2
        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
        |        CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5),
-       |final AS (SELECT k.doc_id FROM keep1 k ANTI JOIN drop2 d ON k.doc_id = d.doc_id),
-       |d2 AS (SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens
-       |       FROM toks t JOIN final USING (doc_id)),
+       |final AS (SELECT k.doc_id FROM keep1 k ANTI JOIN drop2 d ON k.doc_id = d.doc_id)""".stripMargin
+  }
+
+  /** Shared pack tail over a survivor-id CTE `src(doc_id)`: mirrors
+    * q43's windowed sum with the BIGINT casts at the edge (DuckDB
+    * windowed sum is HUGEINT). */
+  private def duckPackTail(src: String): String =
+    s"""d2 AS (SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens
+       |       FROM toks t JOIN $src USING (doc_id)),
        |o AS (SELECT doc_id, n_tokens,
        |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
        |          - n_tokens AS tok_offset
@@ -438,6 +468,35 @@ object TextQueries {
        |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
        |       ELSE tok_offset // 512 END AS BIGINT) AS last_seq
        |FROM o""".stripMargin
+
+  /** q51 oracle: the whole curation chain in SQL. */
+  private def duckCurationOracle: String =
+    s"""WITH $DuckToks,
+       |${duckCurationBody("documents")},
+       |${duckPackTail("final")}""".stripMargin
+
+  /** q59 oracle: the COMPLETE chain — q58's planted PII + redaction,
+    * q46's normalization, q51's gate/dedup body over the SCRUBBED text,
+    * q57's decontamination against the doc_id % 41 eval slice (benchmark
+    * ⊆ corpus with identical scrubbing, so its pooled shingles come from
+    * the same `sh` CTE), then the pack tail over the clean survivors.
+    * Every stage is bit-reproduced, so hash-exact like q51. */
+  private def duckFullCurationOracle: String = {
+    val aug = "text || ' user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com ' || CAST(doc_id * 1000003 + 777777 AS VARCHAR)"
+    val red = s"regexp_replace(regexp_replace($aug, " +
+      """'[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'), """ +
+      "'[0-9]{6,}', '<num>', 'g')"
+    val norm = s"trim(regexp_replace(regexp_replace(lower($red), " +
+      "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"""WITH scrub AS (SELECT doc_id, $norm AS text FROM documents),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM scrub),
+       |${duckCurationBody("scrub")},
+       |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 41 = 0),
+       |contam AS (SELECT s.doc_id FROM sh s JOIN bsh USING (sh)
+       |           GROUP BY s.doc_id HAVING count(DISTINCT s.sh) >= 2),
+       |clean AS (SELECT f.doc_id FROM final f ANTI JOIN contam c ON f.doc_id = c.doc_id),
+       |${duckPackTail("clean")}""".stripMargin
   }
 
   /** q39 oracle: the IVF coarse quantizer is a seeded-hash sample, so the
@@ -716,6 +775,7 @@ object TextQueries {
          |  CAST(sum(token_id) AS BIGINT) AS tok_sum
          |FROM p GROUP BY seq_id""".stripMargin,
     "q51_curation" -> duckCurationOracle,
+    "q59_full_curation" -> duckFullCurationOracle,
 
     "q46_normalize" ->
       """SELECT doc_id,

@@ -44,6 +44,19 @@ object Curation {
   case object Recompute extends Reuse
   case object Persist extends Reuse
 
+  /** Stage 0: scrub — PII redaction ([[TextOps.redact]]) THEN text
+    * normalization ([[TextOps.normalize]]), in that order: normalization
+    * strips the `@`/digit structure the redaction rules key on, so
+    * redact-first is the only order in which both stages fire. Emits
+    * (doc_id, text, ts) with `text` the scrubbed form and `ts` its
+    * whitespace tokens — the shape every downstream stage consumes.
+    * Pure codegen projection; free to push past joins. */
+  def scrub(docs: DataFrame,
+      rules: Seq[(String, String)] = TextOps.DefaultRedactions): DataFrame =
+    docs.select(col("doc_id"),
+        TextOps.normalize(TextOps.redact(col("text"), rules)).as("text"))
+      .withColumn("ts", TextOps.tokens(col("text")))
+
   /** Stages 1–2: language gate (stopword argmax = `lang`) + quality gate
     * (token floor). Pure projections over (doc_id, text, ts). */
   def gate(docs: DataFrame, lang: String = "en", minTokens: Int = 30): DataFrame =
@@ -104,6 +117,53 @@ object Curation {
       case Recompute => gated
       case Persist   => Cache()(gated)
     })
+  }
+
+  /** Stage 4c — benchmark decontamination ([[Dedup.contaminated]]):
+    * drop survivors sharing >= `minOverlap` distinct k-shingles with the
+    * evaluation set. `benchmark` must carry (doc_id, ts) tokenized the
+    * same way as the corpus (run it through [[scrub]] when the corpus
+    * is scrubbed — eval prompts carry the same formatting noise).
+    * The eval side is broadcast by [[Dedup.contaminated]]'s contract.
+    *
+    * Redaction-token-overlap caveat: redaction rewrites distinct PII to
+    * IDENTICAL tokens (`<email>`, `<num>`), so a shared template ("contact
+    * X ref Y" boilerplate) scrubs to the same k-shingles in every doc —
+    * and if any eval doc carries it too, decontamination flags the whole
+    * corpus. That is the operator working as specified (the overlap is
+    * real post-scrub); mitigate by raising `minOverlap` above the
+    * boilerplate shingle count or by decontaminating on pre-redaction
+    * text. q59 demonstrates the safe shape: isolated redaction tokens
+    * never form a fully-boilerplate k-shingle. */
+  def decontaminate(survivors: DataFrame, benchmark: DataFrame,
+      k: Int = 3, minOverlap: Int = 2): DataFrame =
+    survivors.join(
+      Dedup.contaminated(survivors, "doc_id", "ts",
+          benchmark, "doc_id", "ts", k, minOverlap)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  /** The COMPLETE published curation chain, composed end-to-end:
+    * scrub (redact → normalize) → language gate → quality gate → exact
+    * dedup → MinHash/LSH near-dup removal → benchmark decontamination →
+    * token packing. This is [[curate]] plus the stages a production run
+    * cannot skip — PII scrubbing before anything hashes the text, and
+    * eval-set decontamination after dedup, before the corpus is frozen
+    * into sequences (the reference's analog is the default transformer
+    * chain folding, fuel/datasets/base.py:83-95).
+    *
+    * `docs` and `benchmark` are RAW (doc_id, text); both sides scrub
+    * identically so shingle overlap is computed on the text that
+    * actually packs. Output: q51's shape — (doc_id, n_tokens,
+    * tok_offset, first_seq, last_seq) over the curated survivors. */
+  def curateFull(docs: DataFrame, benchmark: DataFrame, seqLen: Int = 512,
+      reuse: Reuse = Recompute, k: Int = 3, minOverlap: Int = 2): DataFrame = {
+    val survivors = curatedDocs(scrub(docs), reuse)
+    val clean = decontaminate(survivors, scrub(benchmark), k, minOverlap)
+    TextOps.packSequences(
+        clean.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen)
+      .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
   }
 
   /** Stage 5: survivors packed into `seqLen`-token training sequences —

@@ -86,6 +86,25 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("doc_id") >= 1000000L).count() == 0, "the higher id of each pair drops")
   }
 
+  test("scrub + decontaminate: redaction fires before normalization; eval copies never pack") {
+    import SparkSpec.spark.implicits._
+    // scrub: redact-then-normalize — the email survives as the token
+    // 'email', not as its normalized fragments ('user7 mail example com')
+    val pii = Seq((1L, "Reach me at user7@mail.example.com today!")).toDF("doc_id", "text")
+    val scrubbed = Curation.scrub(pii).select("text").as[String].head()
+    assert(scrubbed == "reach me at email today", s"got: $scrubbed")
+    // decontaminate: a doc sharing its 3-shingles with a benchmark doc is
+    // dropped; an unrelated doc passes through
+    val corpus = Curation.scrub(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text"))
+    val bench = Curation.scrub(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"))
+    val clean = Curation.decontaminate(corpus, bench)
+    assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L),
+      "the benchmark copy must drop; the unrelated doc must survive")
+  }
+
   test("reloaded train split drives a full epoch through DataStream") {
     val train = SplitSource.read(spark, curatedDir, "train")
       .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")

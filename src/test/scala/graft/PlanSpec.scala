@@ -189,7 +189,14 @@ class PlanSpec extends SparkSpec {
       .select(col("doc_id"), col("text"), graft.text.TextOps.tokens(col("text")).as("ts"))
     val targets = SparkEntry.queries.toSeq.map { case (n, fn) =>
       n -> (() => fn(spark, sf)) } :+
-      ("q51_curation(pre-pack)" -> (() => graft.text.Curation.curatedDocs(docs)))
+      ("q51_curation(pre-pack)" -> (() => graft.text.Curation.curatedDocs(docs))) :+
+      ("q59_full_curation(pre-pack)" -> { () =>
+        val raw = graft.sources.Tables.load(spark, sf, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.text.Curation.decontaminate(
+          graft.text.Curation.curatedDocs(graft.text.Curation.scrub(raw)),
+          graft.text.Curation.scrub(raw.filter(col("doc_id") % 41 === 0)))
+      })
     targets.foreach { case (name, mk) =>
       val nodes = allNodes(mk().queryExecution.executedPlan)
       val unpartitionedWindows = nodes.collect {
