@@ -157,8 +157,31 @@ object Curation {
     * actually packs. Output: q51's shape — (doc_id, n_tokens,
     * tok_offset, first_seq, last_seq) over the curated survivors. */
   def curateFull(docs: DataFrame, benchmark: DataFrame, seqLen: Int = 512,
-      reuse: Reuse = Recompute, k: Int = 3, minOverlap: Int = 2): DataFrame = {
-    val survivors = curatedDocs(scrub(docs), reuse)
+      reuse: Reuse = Persist, k: Int = 3, minOverlap: Int = 2): DataFrame = {
+    // Two cache boundaries, each with its own reason (stage-timed at
+    // sf0.1/local[32], BenchQ59 — the full chain went 17.2 s → ~4 s):
+    //
+    // 1. Under [[Persist]], the SCRUB output is what caches — not the
+    //    gated frame. The gate's filter predicate is substituted through
+    //    the projection by predicate pushdown, and filter codegen does no
+    //    subexpression elimination, so every reference in the predicate
+    //    re-evaluates the `ts` tree it was substituted with. With scrub
+    //    inlined that tree is 4 regex passes + a split PER REFERENCE
+    //    (measured: gate alone 3.7-7.2 s); with scrub cached, `ts` is an
+    //    in-memory ATTRIBUTE and the same predicate costs 0.9 s. q51
+    //    tolerates Recompute because its `ts` is one regex-free split.
+    //
+    // 2. The survivor frame persists UNCONDITIONALLY: it feeds three
+    //    consumers (decontamination's shingle stream, its anti-join, and
+    //    the pack), and unlike the projection-lineage trade the [[Reuse]]
+    //    policy governs, its lineage holds every dedup SHUFFLE — one
+    //    cache write of the chain's smallest frame beats re-executing
+    //    its joins and aggregations twice over at any scale.
+    val scrubbed = reuse match {
+      case Persist   => Cache()(scrub(docs))
+      case Recompute => scrub(docs)
+    }
+    val survivors = Cache()(curatedDocs(scrubbed, Recompute))
     val clean = decontaminate(survivors, scrub(benchmark), k, minOverlap)
     TextOps.packSequences(
         clean.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens")),

@@ -99,17 +99,41 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "zh" -> Seq("de", "le", "shi", "bu", "wo"))
 
+  /** The profile order langId scores in (sorted lang codes). */
+  private val ProfileLangs: Seq[String] = StopwordProfiles.keys.toSeq.sorted
+
+  /** The pooled stopword list qualityColumns' stopword_ratio counts. */
+  private val AllStopwords: Seq[String] =
+    StopwordProfiles.values.flatten.toSeq.distinct.sorted
+
+  /** THE canonical gate word-set object: the 5 language profiles (sorted
+    * by lang) + the pooled stopword set, as ONE array instance.
+    * [[graft.functions.TokenStats]] counts all of them (plus the
+    * non-alpha tally) in a single codegen pass, and the single instance
+    * is what lets codegen subexpression elimination share that pass
+    * between [[langId]] and [[qualityColumns]] in the same projection
+    * (case-class equality is reference equality on the array). */
+  private val GateWordSets: Array[Array[String]] =
+    (ProfileLangs.map(StopwordProfiles(_).toArray) :+ AllStopwords.toArray).toArray
+
+  /** (profile counts ++ pooled-stopword count ++ non-alpha count) of a
+    * token array — one fused codegen pass; see [[GateWordSets]]. */
+  private def gateCounts(toks: Column): Column =
+    graft.functions.TokenStats(toks, GateWordSets)
+
   /** N-gram-free stopword-profile language ID: integer hit counts per
     * profile, argmax with lexicographic tie-break — fully deterministic,
-    * no floats. Emits (lang_pred, lang_score). */
+    * no floats. Emits (lang_pred, lang_score). Counting runs in the
+    * fused [[graft.functions.TokenStats]] codegen pass (the original
+    * per-profile `filter(toks, ...)` HOFs were CodegenFallback —
+    * interpreted per token per profile on the engine's hottest path);
+    * TokenStatsSpec asserts count-equality with the HOF form. */
   def langId(toks: Column): Seq[Column] = {
-    val scores = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _))
-      (lang, size(hits))
-    }
+    val counts = gateCounts(toks)
     // argmax by (score DESC, lang ASC) via a sorted struct array
-    val packed = array(scores.map { case (lang, s) =>
-      struct((-s).as("neg"), lit(lang).as("lang"), s.cast("bigint").as("score"))
+    val packed = array(ProfileLangs.zipWithIndex.map { case (lang, i) =>
+      val s = element_at(counts, i + 1)
+      struct((-s).as("neg"), lit(lang).as("lang"), s.as("score"))
     }: _*)
     val best = array_sort(packed).getItem(0)
     Seq(best.getField("lang").as("lang_pred"), best.getField("score").as("lang_score"))
@@ -117,13 +141,16 @@ object TextOps {
 
   /** Quality-scoring signals: token count, mean token length, stopword
     * ratio, non-alpha ratio, char count. Ratios are int/int double
-    * divisions — IEEE-deterministic cross-engine. */
+    * divisions — IEEE-deterministic cross-engine. Stopword and non-alpha
+    * tallies come from the same fused [[graft.functions.TokenStats]]
+    * pass [[langId]] reads (shared via codegen subexpression
+    * elimination when both run in one projection). */
   def qualityColumns(text: Column, toks: Column): Seq[Column] = {
     val nTok = size(toks).cast("bigint")
     val nChar = length(text).cast("bigint")
-    val allStop = StopwordProfiles.values.flatten.toSeq.distinct.sorted
-    val nStop = size(filter(toks, t => allStop.map(w => t === lit(w)).reduce(_ || _))).cast("bigint")
-    val nNonAlpha = size(filter(toks, t => t.rlike("[^a-z]"))).cast("bigint")
+    val counts = gateCounts(toks)
+    val nStop = element_at(counts, ProfileLangs.length + 1)
+    val nNonAlpha = element_at(counts, ProfileLangs.length + 2)
     Seq(
       nTok.as("n_tokens"),
       nChar.as("n_chars_measured"),
