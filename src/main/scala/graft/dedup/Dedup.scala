@@ -123,6 +123,32 @@ object Dedup {
           x => x.cast("string")))))
     }: _*)
 
+  /** Runtime enforcement of the hot-bucket contract shared by
+    * [[lshCandidates]] and [[simhashNearDup]]: candidate volume is
+    * quadratic in bucket occupancy, so a bucket past `maxBucket` means
+    * the exact-dedup-first ORDERING RULE was skipped (a clone family's
+    * identical signatures all land in one bucket) or the banding is
+    * undersized for the corpus — fail loudly with the fix in the message
+    * instead of going quadratic. The occupancy count is a window over
+    * the same (band, key) partitioning the candidate join shuffles on
+    * anyway, over ids-only rows — the guard adds a per-partition count,
+    * not a new shuffle pattern, and the window's output partitioning and
+    * sort order satisfy the join's requirements so no exchange is added. */
+  private def guardOccupancy(banded: DataFrame, keyCol: String,
+      maxBucket: Int, op: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", keyCol)
+    banded
+      .withColumn("__occ", count(lit(1)).over(w))
+      .withColumn(keyCol,
+        when(col("__occ") <= maxBucket, col(keyCol)).otherwise(raise_error(concat(
+          lit(s"$op: bucket occupancy "), col("__occ"),
+          lit(s" exceeds maxBucket=$maxBucket (band "), col("band"),
+          lit(") — candidate pairs grow quadratically in occupancy. Run " +
+            "Dedup.exact BEFORE near-dup banding (clone families are the " +
+            "classic cause), or resize the banding / raise maxBucket")))))
+      .drop("__occ")
+  }
+
   /** Candidate pairs from banded LSH: explode band keys, self-join per
     * bucket (id1 < id2), distinct. The join is key-partitioned on the band
     * hash — bucket sizes, not corpus size, bound the pair blow-up.
@@ -133,9 +159,11 @@ object Dedup {
     * pairs no banding parameter can dilute), and web corpora duplicate
     * exactly that way. Exact-dedup-first collapses each clone family to
     * one representative, which is why [[graft.text.Curation]] stages it
-    * third, ahead of the MinHash stage. */
+    * third, ahead of the MinHash stage. The rule is ENFORCED, not
+    * advisory: any bucket past `maxBucket` ids raises at runtime
+    * ([[guardOccupancy]]) before the quadratic join can materialize. */
   def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, maxBucket: Int = 100000): DataFrame = {
     // Guard the banding contract at runtime: slicing past the signature
     // would give every doc identical band keys — a silent all-pairs join.
     val sig = when(size(col(sigCol)) >= bands * rowsPerBand, col(sigCol)).otherwise(
@@ -144,7 +172,10 @@ object Dedup {
         size(col(sigCol)))))
     val banded = df.select(col(idCol),
         posexplode(bandKeys(sig, bands, rowsPerBand)).as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
+    // One guarded side suffices: every bucket appears on side a, so an
+    // overfull bucket raises there before the join multiplies it.
+    val a = guardOccupancy(banded, "bkey", maxBucket, "lshCandidates")
+      .select(col("band"), col("bkey"), col(idCol).as("id1"))
     val b = banded.select(col("band"), col("bkey"), col(idCol).as("id2"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
@@ -164,10 +195,23 @@ object Dedup {
     * instead). The corpus shingle stream therefore never shuffles to
     * find its matches; only the HIT rows (a tiny fraction) shuffle into
     * the per-doc distinct count. `minOverlap > 1` guards against
-    * single-shingle coincidences in overlapping vocabularies. */
+    * single-shingle coincidences in overlapping vocabularies.
+    *
+    * The broadcast contract is ENFORCED, not advisory: a bounded probe
+    * (one column-pruned scan of at most `maxBenchRows + 1` benchmark ids)
+    * fails fast with the fix in the message — the alternative is the
+    * broadcast either OOMing the driver or silently exceeding Spark's
+    * broadcast threshold mid-job, an error that would point at an
+    * executor instead of at this call site. */
   def contaminated(corpus: DataFrame, idCol: String, toksCol: String,
       benchmark: DataFrame, benchIdCol: String, benchToksCol: String,
-      k: Int = 3, minOverlap: Int = 2): DataFrame =
+      k: Int = 3, minOverlap: Int = 2, maxBenchRows: Int = 1000000): DataFrame = {
+    val probed = benchmark.select(col(benchIdCol)).limit(maxBenchRows + 1).count()
+    require(probed <= maxBenchRows,
+      s"contaminated: benchmark exceeds $maxBenchRows rows — a corpus-sized " +
+        "'benchmark' cannot broadcast; use Dedup.lshCandidates' near-dup " +
+        "machinery for corpus-vs-corpus overlap, or raise maxBenchRows if " +
+        "the eval side genuinely fits the broadcast budget")
     shingleHashes(corpus, idCol, toksCol, k)
       .join(broadcast(
           shingleHashes(benchmark, benchIdCol, benchToksCol, k)
@@ -175,6 +219,7 @@ object Dedup {
         Seq("sh"))
       .groupBy(idCol).agg(count_distinct(col("sh")).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)
+  }
 
   /** Exact Jaccard similarity of two shingle-set columns (arrays must be
     * distinct): |a ∩ b| / |a ∪ b| — int/int double division, deterministic. */
@@ -271,9 +316,12 @@ object Dedup {
     * count, because the `bands - 1` Hamming guarantee is what the band
     * count buys. 4 × 8-bit bands suit ~10^3 docs; 4 × 15-bit bands
     * (60-bit simhash) hold occupancy O(1) to ~10^6 per partition-sized
-    * corpus slice; beyond that, 64-bit+ signatures via two packed longs. */
+    * corpus slice; beyond that, 64-bit+ signatures via two packed longs.
+    * Undersized banding (or skipped exact dedup) fails loudly at runtime
+    * via the shared `maxBucket` occupancy guard ([[guardOccupancy]]). */
   def simhashNearDup(df: DataFrame, idCol: String, simCol: String,
-      bands: Int, bitsPerBand: Int, maxHamming: Int): DataFrame = {
+      bands: Int, bitsPerBand: Int, maxHamming: Int,
+      maxBucket: Int = 100000): DataFrame = {
     require(maxHamming <= bands - 1,
       s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}, " +
         s"got maxHamming=$maxHamming (raise bands or lower maxHamming)")
@@ -281,7 +329,9 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         shiftright(col(simCol), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1))
       }: _*)).as(Seq("band", "bval")))
-    val a = banded.select(col("band"), col("bval"), col(idCol).as("id1"))
+    // One guarded side suffices (see lshCandidates).
+    val a = guardOccupancy(banded, "bval", maxBucket, "simhashNearDup")
+      .select(col("band"), col("bval"), col(idCol).as("id1"))
     val b = banded.select(col("band"), col("bval"), col(idCol).as("id2"))
     val cand = a.join(b, Seq("band", "bval"))
       .filter(col("id1") < col("id2"))

@@ -40,6 +40,19 @@ final class Catalog(spark: SparkSession) {
     this
   }
 
+  /** Register one split of a split-partitioned artifact — e.g. a
+    * [[graft.text.Curation.materializeTokens]] output — as a named dataset
+    * with its default transformer chain. This completes fuel's
+    * named-dataset story for the engine's OWN curated artifacts (MNIST
+    * binds a filename plus `default_transformers`,
+    * fuel/datasets/mnist.py:24-27; here the training loop asks the
+    * catalog for e.g. "curated_tokens/train" and gets the split-PRUNED
+    * scan with the defaults folded in — Catalyst collapses the chain
+    * into the scan projection). */
+  def registerSplit(name: String, path: String, split: String, order: Seq[Column],
+      defaults: Seq[Transform] = Nil): this.type =
+    register(name, () => SplitSource.read(spark, path, split), order, defaults)
+
   def names: Seq[String] = entries.keys.toSeq
 
   /** Raw load (no defaults). */

@@ -44,14 +44,21 @@ object Indexed {
 
   /** Append a contiguous 0-based `__idx` in the total order of `order`.
     * The order must be total (tie-free) for the index to be deterministic —
-    * pass a unique key (or include one as the last sort column). */
+    * pass a unique key (or include one as the last sort column). Given a
+    * total order, the index is a pure function of the DATA: invariant to
+    * the input's partitioning or row order (PropertiesSpec law — the same
+    * frame shuffled 2-way and 32-way indexes identically). */
   def withIdx(df: DataFrame, order: Seq[Column], idxName: String = Idx): DataFrame =
     zipIdx(df.sort(order: _*), idxName)
 
   /** Index in the source's existing partition/row order (no sort) — the
     * analog of iterating an IterableDataset in storage order
     * (reference: fuel/datasets/base.py:244-313). Deterministic for a
-    * deterministic source such as a fixed set of parquet files. */
+    * deterministic source such as a fixed set of parquet files — but,
+    * unlike [[withIdx]], NOT invariant to layout: it numbers the layout,
+    * not the data, so any upstream shuffle (repartition, a different file
+    * split) renumbers the same rows (asserted in PropertiesSpec). Use it
+    * only directly over a source whose layout is the order you mean. */
   def withStorageIdx(df: DataFrame, idxName: String = Idx): DataFrame =
     zipIdx(df, idxName)
 

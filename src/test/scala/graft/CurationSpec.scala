@@ -48,9 +48,15 @@ class CurationSpec extends SparkSpec {
       s"split=train must prune partitions at the scan:\n$p")
   }
 
-  test("materializeTokens: packed token sequences round-trip and feed an epoch of token batches") {
+  // Token artifact, materialized once, shared by the tests below.
+  private lazy val tokensDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_curated_tok").toString
     Curation.materializeTokens(docs, dir)
+    dir
+  }
+
+  test("materializeTokens: packed token sequences round-trip and feed an epoch of token batches") {
+    val dir = tokensDir
     val all = spark.read.parquet(dir).select("seq_id", "tokens")
     val n = all.count()
     assert(n > 0)
@@ -64,6 +70,33 @@ class CurationSpec extends SparkSpec {
     val batches = ds.epochIterator().toSeq
     assert(batches.map(_.size).sum == train.count())
     assert(batches.head.head.getSeq[Long](1).nonEmpty, "rows carry the token arrays")
+  }
+
+  test("catalog-registered token artifact: defaultStream yields split-pruned, float-cast token batches") {
+    import graft.transform.{Cast, FilterSources}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // the fuel named-dataset story over our OWN artifact: bind the
+    // materialized train split plus its default chain (select the training
+    // sources, cast tokens to floatX) under a catalog name, then ask for
+    // the default stream — mnist.py:24-27's shape, engine edition
+    val catalog = new Catalog(spark).registerSplit(
+      "curated_tokens/train", tokensDir, "train", Seq(col("seq_id")),
+      defaults = Seq(FilterSources(Seq("seq_id", "tokens")), Cast("floatX", Seq("tokens"))))
+    val stream = catalog.defaultStream("curated_tokens/train")
+    assert(stream.columns.toSeq == Seq("seq_id", "tokens"))
+    assert(stream.schema("tokens").dataType.asInstanceOf[ArrayType].elementType == FloatType,
+      s"default chain must cast tokens to floatX, got ${stream.schema("tokens").dataType}")
+    // the defaults fold into the split-PRUNED scan: pruning survives the chain
+    val p = stream.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(split"),
+      s"default chain must not break split partition pruning:\n$p")
+    // and the training loop drives an epoch of float-cast batches off it
+    val n = stream.count()
+    assert(n > 0)
+    val ds = DataStream(stream, SequentialScheme(4), catalog.order("curated_tokens/train"))
+    val batches = ds.epochIterator().toSeq
+    assert(batches.map(_.size).sum == n, "epoch must visit every train sequence once")
+    assert(batches.head.head.getSeq[Float](1).nonEmpty, "rows carry float token arrays")
   }
 
   test("semantic dedup stage (4b): checked no-op on organic survivors, drops planted clones") {

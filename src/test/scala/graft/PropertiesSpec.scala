@@ -226,4 +226,34 @@ class PropertiesSpec extends SparkSpec {
         s.listRepresentation.slice(i.toInt, j.toInt).distinct.sorted
     }, trials = 200)
   }
+
+  test("law: withIdx is invariant to input partitioning; withStorageIdx is not") {
+    // withIdx's claim — a total sort makes the index a pure function of the
+    // DATA, not of how the input happened to be partitioned — asserted by
+    // running the same frame through 2-way and 32-way round-robin shuffles:
+    // every key must land on the identical __idx.
+    import graft.sources.{Indexed, Tables}
+    val base = Tables.load(spark, sf, "customer").select("c_custkey", "c_name")
+    def idxMap(df: org.apache.spark.sql.DataFrame) =
+      Indexed.withIdx(df, Seq(col("c_custkey")))
+        .select(col("c_custkey").cast("long"), col(Indexed.Idx))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at2 = idxMap(base.repartition(2))
+    val at32 = idxMap(base.repartition(32))
+    assert(at2 == at32, "withIdx must assign identical indices at any input partitioning")
+    // withStorageIdx explicitly does NOT carry that guarantee — it numbers
+    // rows in the source's layout, so the SAME data shuffled into different
+    // layouts numbers differently (here: 2 vs 32 round-robin partitions of
+    // 1500 rows — identical global orders would mean the layouts coincide).
+    def storageMap(df: org.apache.spark.sql.DataFrame) =
+      Indexed.withStorageIdx(df)
+        .select(col("c_custkey").cast("long"), col(Indexed.Idx))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storageMap(base.repartition(2)) != storageMap(base.repartition(32)),
+      "withStorageIdx numbers the layout, not the data — a shuffle voids determinism")
+    // ...while staying deterministic for a FIXED layout (the contract it
+    // does make: same parquet files, same indices, run to run).
+    assert(storageMap(base) == storageMap(base),
+      "withStorageIdx must be deterministic for an unchanged source layout")
+  }
 }

@@ -143,6 +143,48 @@ class TextDedupSpec extends SparkSpec {
     assert(truth.subsetOf(cand), s"missed pairs: ${truth.diff(cand)}")
   }
 
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString("\n")
+
+  test("hot-bucket guard: a planted clone family trips lshCandidates before the join") {
+    // 1000 identical signatures — the pathology the exact-dedup-first
+    // ordering rule exists to prevent (10^6 candidate pairs per bucket at
+    // this size; unboundedly worse at corpus scale). The guard must raise
+    // with the fix in the message, not silently go quadratic.
+    val clones = spark.range(1000).select(col("id"),
+      array((1 to 8).map(j => lit(j.toLong)): _*).as("sig"))
+    val e = intercept[Exception] {
+      Dedup.lshCandidates(clones, "id", "sig", bands = 4, rowsPerBand = 2,
+        maxBucket = 100).count()
+    }
+    val msg = messageChain(e)
+    assert(msg.contains("lshCandidates: bucket occupancy") && msg.contains("Dedup.exact"), msg)
+  }
+
+  test("hot-bucket guard: simhashNearDup trips on a clone family too") {
+    val clones = spark.range(1000).select(col("id"), lit(0x0F0F0F0FL).as("simhash"))
+    val e = intercept[Exception] {
+      Dedup.simhashNearDup(clones, "id", "simhash", bands = 4, bitsPerBand = 8,
+        maxHamming = 3, maxBucket = 100).count()
+    }
+    assert(messageChain(e).contains("simhashNearDup: bucket occupancy"), messageChain(e))
+  }
+
+  test("contaminated enforces its broadcast contract with a bounded probe") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "one two three four"),
+      (3L, "five six seven eight")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    // a corpus-sized "benchmark" fails fast at the call site, pointing at
+    // the near-dup machinery — not as an executor OOM mid-broadcast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.contaminated(corpus, "doc_id", "ts", corpus, "doc_id", "ts",
+        maxBenchRows = 2)
+    }
+    assert(e.getMessage.contains("cannot broadcast") &&
+      e.getMessage.contains("lshCandidates"), e.getMessage)
+  }
+
   test("embedding near-dup: LSH buckets find planted near-duplicates, none invented") {
     // synthetic corpus: 40 random vectors + 3 planted near-dups of vector 0
     val rng = new scala.util.Random(5)
