@@ -149,6 +149,32 @@ object Dedup {
       .drop("__occ")
   }
 
+  /** Banded signature rows: one (idCol, sigCol, band, bkey) row per band,
+    * with the degeneration guard — slicing past the signature would give
+    * every doc identical band keys (a silent all-pairs join), so
+    * undersized signatures raise instead. The signature column rides
+    * along (8 longs — cheap) for consumers that verify by
+    * [[sigAgreement]]; consumers that don't, project it away and column
+    * pruning removes it from the explode. */
+  def banded(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int, op: String = "banded"): DataFrame = {
+    val sig = when(size(col(sigCol)) >= bands * rowsPerBand, col(sigCol)).otherwise(
+      raise_error(concat(
+        lit(s"$op: bands*rowsPerBand=${bands * rowsPerBand} exceeds signature length "),
+        size(col(sigCol)))))
+    df.select(col(idCol), col(sigCol),
+      posexplode(bandKeys(sig, bands, rowsPerBand)).as(Seq("band", "bkey")))
+  }
+
+  /** [[banded]] plus the hot-bucket occupancy guard — the form a
+    * candidate join's probe side must use (see [[lshCandidates]]'s
+    * ordering rule). */
+  def bandedGuarded(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int, op: String,
+      maxBucket: Int = 100000): DataFrame =
+    guardOccupancy(banded(df, idCol, sigCol, bands, rowsPerBand, op),
+      "bkey", maxBucket, op)
+
   /** Candidate pairs from banded LSH: explode band keys, self-join per
     * bucket (id1 < id2), distinct. The join is key-partitioned on the band
     * hash — bucket sizes, not corpus size, bound the pair blow-up.
@@ -164,19 +190,13 @@ object Dedup {
     * ([[guardOccupancy]]) before the quadratic join can materialize. */
   def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int, maxBucket: Int = 100000): DataFrame = {
-    // Guard the banding contract at runtime: slicing past the signature
-    // would give every doc identical band keys — a silent all-pairs join.
-    val sig = when(size(col(sigCol)) >= bands * rowsPerBand, col(sigCol)).otherwise(
-      raise_error(concat(
-        lit(s"lshCandidates: bands*rowsPerBand=${bands * rowsPerBand} exceeds signature length "),
-        size(col(sigCol)))))
-    val banded = df.select(col(idCol),
-        posexplode(bandKeys(sig, bands, rowsPerBand)).as(Seq("band", "bkey")))
     // One guarded side suffices: every bucket appears on side a, so an
     // overfull bucket raises there before the join multiplies it.
-    val a = guardOccupancy(banded, "bkey", maxBucket, "lshCandidates")
+    val a = bandedGuarded(df, idCol, sigCol, bands, rowsPerBand,
+        "lshCandidates", maxBucket)
       .select(col("band"), col("bkey"), col(idCol).as("id1"))
-    val b = banded.select(col("band"), col("bkey"), col(idCol).as("id2"))
+    val b = banded(df, idCol, sigCol, bands, rowsPerBand, "lshCandidates")
+      .select(col("band"), col("bkey"), col(idCol).as("id2"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -342,5 +362,99 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id2"), col(simCol).as("s2")), Seq("id2"))
       .select(col("id1"), col("id2"), hammingDistance(col("s1"), col("s2")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- incremental admission
+
+  /** Estimated Jaccard similarity from two MinHash signatures: the
+    * fraction of agreeing components (its expectation IS the true Jaccard
+    * — the MinHash identity). This is the verify step when the original
+    * text is gone and only signatures were retained (the incremental
+    * [[signatureStore]] case); the estimate's stderr is
+    * ~sqrt(j(1-j)/numHashes), so size `numHashes` to the decision margin
+    * (8 components resolve 0.5-vs-0.9; admission gates near 0.5 on a
+    * production corpus want 64+). Interpreted HOF — fine here because it
+    * runs per CANDIDATE PAIR (post-banding), never per corpus row. */
+  def sigAgreement(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("double") /
+      size(a).cast("double")
+
+  /** The signature store — the artifact an incremental pipeline retains
+    * per curated document so FUTURE batches can dedup against the corpus
+    * without re-reading it: (idCol, xkey, sig) where `xkey` is the exact
+    * dedup key (md5 of the 40-char text prefix, [[graft.text.Curation]]'s
+    * convention) and `sig` the `numHashes`-component MinHash signature
+    * over hashed k-shingles. Rows whose token array is empty keep a null
+    * `sig` (nothing to shingle) — [[lshCrossCandidates]] ignores them and
+    * exact matching still applies.
+    *
+    * SINGLE corpus pass: the shingle math is [[shingleHashes]]' (same
+    * fold, same window, same family constants — the q60 oracle pins the
+    * bit-equality) with two fusions instead of a build-then-join: the
+    * explode is an OUTER explode so zero-token docs survive to a null
+    * signature, and `xkey` rides the window shuffle on the pos-0 row
+    * only (one 32-char string per DOC, not per token), recovered by a
+    * null-skipping max in the same doc-keyed agg the signature needs
+    * anyway — window partitioning and groupBy key coincide, so the whole
+    * store is one scan, one shuffle, one agg.
+    *
+    * Scale shape: at 100 TB the store is ~1/1000th the corpus bytes and
+    * should be written bucketed by `xkey` (and optionally pre-banded) so
+    * admission joins co-locate without reshuffling the store. */
+  def signatureStore(docs: DataFrame, idCol: String, textCol: String,
+      toksCol: String, numHashes: Int = 8, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    val folded = docs
+      .select(col(idCol),
+        md5(substring(col(textCol), 1, 40).cast("string")).as("__xk"),
+        posexplode_outer(col(toksCol)).as(Seq("pos", "__t")))
+      .select(col(idCol),
+        // doc-level key carried once per doc, on the always-kept row
+        when(coalesce(col("pos"), lit(0)) === 0, col("__xk")).as("xkey"),
+        col("pos"), {
+          val h = Stable.hash64(col("__t"))
+          when(col("__t").isNull, lit(null).cast("long"))
+            .otherwise(pmod(h, lit(1073741824L)).bitwiseXOR(shiftright(h, 30))).as("f")
+        })
+    val leads = (1 until k).foldLeft(folded) { (d, i) =>
+      d.withColumn(s"__l$i", lead(col("f"), i).over(w))
+    }
+    val combined = (0 until k).map { i =>
+      val (a, _, _) = Stable.familyConstants(100 + i)
+      lit(a) * coalesce(if (i == 0) col("f") else col(s"__l$i"), lit(0L))
+    }.reduce(_ + _)
+    val sh = leads
+      .filter(col(s"__l${k - 1}").isNotNull || coalesce(col("pos"), lit(0)) === 0)
+      .select(col(idCol), col("xkey"),
+        when(col("f").isNull, lit(null).cast("long"))
+          .otherwise(pmod(combined, lit(2305843009213693951L))).as("sh"))
+    val mins = (0 until numHashes).map { j =>
+      min(Stable.familyHash(col("sh"), j)).as(s"__m$j")
+    }
+    sh.groupBy(col(idCol))
+      .agg(max(col("xkey")).as("xkey"), mins: _*)
+      .select(col(idCol), col("xkey"),
+        when(col("__m0").isNull, lit(null))
+          .otherwise(array((0 until numHashes).map(j => col(s"__m$j")): _*)).as("sig"))
+  }
+
+  /** Cross-corpus LSH candidates: FRESH docs sharing any band key with a
+    * STORE doc. Output (fresh_id, store_id), distinct. Both inputs are
+    * (id, sig) shaped; null signatures are skipped. The occupancy guard
+    * rides the fresh side — the store is a CURATED corpus, near-dup-free
+    * by construction, so a hot bucket means the fresh batch skipped exact
+    * dedup (see [[lshCandidates]]'s ordering rule). The join is
+    * key-partitioned on (band, band key) and carries ids only; the store
+    * side never moves more than its banded id stream. */
+  def lshCrossCandidates(fresh: DataFrame, store: DataFrame, idCol: String,
+      sigCol: String, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 100000): DataFrame = {
+    val f = bandedGuarded(fresh.filter(col(sigCol).isNotNull), idCol, sigCol,
+        bands, rowsPerBand, "lshCrossCandidates", maxBucket)
+      .select(col("band"), col("bkey"), col(idCol).as("fresh_id"))
+    val s = banded(store.filter(col(sigCol).isNotNull), idCol, sigCol,
+        bands, rowsPerBand, "lshCrossCandidates")
+      .select(col("band"), col("bkey"), col(idCol).as("store_id"))
+    f.join(s, Seq("band", "bkey")).select("fresh_id", "store_id").distinct()
   }
 }

@@ -307,6 +307,58 @@ object TextQueries {
           lit("@mail.example.com "),
           (col("doc_id") * 1000003L + 777777L).cast("string")).as("text"))
       graft.text.Curation.curateFull(raw, raw.filter(col("doc_id") % 41 === 0))
+    }),
+
+    // Incremental admission ([[graft.text.Curation.admit]]): dedup a NEW
+    // batch against the retained signature store of an already-curated
+    // corpus — the production shape where data arrives in shards and the
+    // frozen corpus is never re-read. Even doc_ids play the existing
+    // corpus (signatureStore only — text discarded); the batch is the odd
+    // docs plus four planted families exercising each drop stage:
+    // +1M = verbatim copies of even docs (exact-cross), +2M = even docs
+    // with a mutated PREFIX (new exact key, near-identical shingles →
+    // near-cross via signature-estimated Jaccard), +3M = copies of odd
+    // batch docs (exact-within, min id survives), +4M = prefix-mutated
+    // odd docs (near-within, greedy higher-id drop against their
+    // originals in the same batch). Output: admitted doc_ids.
+    "q60_incremental_admit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def wTs(df: DataFrame): DataFrame =
+        df.withColumn("ts", TextOps.tokens(col("text")))
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      // In production the store is a pruned parquet read of the retained
+      // artifact (cheap to rescan); here it is COMPUTED in-query, so cache
+      // it — admit consumes it three times.
+      val store = graft.transform.Cache()(
+        Dedup.signatureStore(wTs(even), "doc_id", "text", "ts"))
+      val fresh = wTs(odd
+        .unionByName(even.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(even.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("zzz "), col("text")).as("text")))
+        .unionByName(odd.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        .unionByName(odd.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(lit("qq "), col("text")).as("text"))))
+      graft.text.Curation.admit(fresh, store).select("doc_id")
+    }),
+
+    // The curation-run report ([[graft.text.Curation.report]]): per-stage
+    // survivor doc and token counts over q59's exact chain (same planted
+    // PII, same doc_id % 41 eval slice) — the five-row frame an operator
+    // reads after every production run. Checks the STAGING itself: each
+    // count pins one stage boundary, so a gate mis-wired before dedup or
+    // a decontamination running on the wrong frame shows up as a count
+    // mismatch even when the final survivor set happens to agree.
+    "q61_curation_report" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" user"), col("doc_id").cast("string"),
+          lit("@mail.example.com "),
+          (col("doc_id") * 1000003L + 777777L).cast("string")).as("text"))
+      graft.text.Curation.report(raw, raw.filter(col("doc_id") % 41 === 0))
     })
   )
 
@@ -497,6 +549,89 @@ object TextQueries {
        |           GROUP BY s.doc_id HAVING count(DISTINCT s.sh) >= 2),
        |clean AS (SELECT f.doc_id FROM final f ANTI JOIN contam c ON f.doc_id = c.doc_id),
        |${duckPackTail("clean")}""".stripMargin
+  }
+
+  /** q61 oracle: q59's CTE chain (scrub → gate → exact → near-dup →
+    * decontaminate), finished with one count/sum per stage boundary
+    * instead of the pack tail. Token counts ride the shared scrubbed
+    * `toks` CTE on both engines, so hash-exact. */
+  private def duckReportOracle: String = {
+    val aug = "text || ' user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com ' || CAST(doc_id * 1000003 + 777777 AS VARCHAR)"
+    val red = s"regexp_replace(regexp_replace($aug, " +
+      """'[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'), """ +
+      "'[0-9]{6,}', '<num>', 'g')"
+    val norm = s"trim(regexp_replace(regexp_replace(lower($red), " +
+      "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    def stat(name: String, src: String): String =
+      s"""SELECT '$name' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(len(t.ts)), 0) AS BIGINT) AS n_tokens
+         |FROM toks t $src""".stripMargin
+    s"""WITH scrub AS (SELECT doc_id, $norm AS text FROM documents),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM scrub),
+       |${duckCurationBody("scrub")},
+       |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 41 = 0),
+       |contam AS (SELECT s.doc_id FROM sh s JOIN bsh USING (sh)
+       |           GROUP BY s.doc_id HAVING count(DISTINCT s.sh) >= 2),
+       |clean AS (SELECT f.doc_id FROM final f ANTI JOIN contam c ON f.doc_id = c.doc_id)
+       |${stat("0_scrubbed", "")}
+       |UNION ALL ${stat("1_gated", "JOIN gated USING (doc_id)")}
+       |UNION ALL ${stat("2_exact_dedup", "JOIN keep1 USING (doc_id)")}
+       |UNION ALL ${stat("3_near_dedup", "JOIN final USING (doc_id)")}
+       |UNION ALL ${stat("4_decontaminated", "JOIN clean USING (doc_id)")}""".stripMargin
+  }
+
+  /** q60 oracle: the incremental-admission chain in SQL — rebuild both
+    * sides' exact keys and MinHash signatures from the union of corpora
+    * (ids are disjoint by construction), then apply
+    * [[graft.text.Curation.admit]]'s three drop stages: exact-within
+    * (min id per xkey), exact-cross (anti-join store xkeys), and the
+    * single near pass (band-bucket agreement >= 0.5 with any store doc
+    * or any lower-id batch doc). Agreement is an exact rational
+    * (matches/8.0) on both engines, so hash-exact. */
+  private def duckAdmitOracle: String = {
+    val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
+    val bandRows = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until 8).map(j => s"CAST(a.m$j = c.m$j AS INT)").mkString(" + ")
+    s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |fr AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+       |    WHERE doc_id % 2 = 0 AND doc_id < 20
+       |  UNION ALL SELECT doc_id + 2000000, 'zzz ' || text FROM documents
+       |    WHERE doc_id % 2 = 0 AND doc_id >= 20 AND doc_id < 40
+       |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+       |    WHERE doc_id % 2 = 1 AND doc_id < 10
+       |  UNION ALL SELECT doc_id + 4000000, 'qq ' || text FROM documents
+       |    WHERE doc_id % 2 = 1 AND doc_id >= 10 AND doc_id < 30),
+       |d0 AS (SELECT * FROM fr UNION ALL SELECT * FROM ex),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM d0),
+       |$duckShingleHashes,
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |xk AS (SELECT doc_id, md5(substr(text, 1, 40)) AS xkey FROM d0),
+       |fxk AS (SELECT x.doc_id, x.xkey FROM xk x JOIN fr USING (doc_id)),
+       |w1 AS (SELECT min(doc_id) AS doc_id FROM fxk GROUP BY xkey),
+       |sxk AS (SELECT DISTINCT x.xkey FROM xk x JOIN ex USING (doc_id)),
+       |w2 AS (SELECT f.doc_id FROM fxk f JOIN w1 USING (doc_id)
+       |       ANTI JOIN sxk s ON f.xkey = s.xkey),
+       |bands AS (
+       |  $bandRows),
+       |sb AS (SELECT b.* FROM bands b JOIN ex USING (doc_id)),
+       |fb2 AS (SELECT b.* FROM bands b JOIN w2 USING (doc_id)),
+       |xcand AS (SELECT DISTINCT f.doc_id AS fid, s.doc_id AS sid
+       |          FROM fb2 f JOIN sb s ON f.b = s.b AND f.bk = s.bk),
+       |xdrop AS (SELECT DISTINCT fid AS doc_id FROM xcand
+       |          JOIN mh a ON a.doc_id = fid JOIN mh c ON c.doc_id = sid
+       |          WHERE ($agree) / 8.0 >= 0.5),
+       |wcand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |          FROM fb2 x JOIN fb2 y ON x.b = y.b AND x.bk = y.bk AND y.doc_id < x.doc_id),
+       |wdrop AS (SELECT DISTINCT id1 AS doc_id FROM wcand
+       |          JOIN mh a ON a.doc_id = id1 JOIN mh c ON c.doc_id = id2
+       |          WHERE ($agree) / 8.0 >= 0.5),
+       |ndrop AS (SELECT doc_id FROM xdrop UNION SELECT doc_id FROM wdrop)
+       |SELECT w.doc_id FROM w2 w ANTI JOIN ndrop d ON w.doc_id = d.doc_id""".stripMargin
   }
 
   /** q39 oracle: the IVF coarse quantizer is a seeded-hash sample, so the
@@ -776,6 +911,8 @@ object TextQueries {
          |FROM p GROUP BY seq_id""".stripMargin,
     "q51_curation" -> duckCurationOracle,
     "q59_full_curation" -> duckFullCurationOracle,
+    "q60_incremental_admit" -> duckAdmitOracle,
+    "q61_curation_report" -> duckReportOracle,
 
     "q46_normalize" ->
       """SELECT doc_id,

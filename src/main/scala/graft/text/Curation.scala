@@ -65,14 +65,22 @@ object Curation {
       .filter(col("lang_pred") === lang && col("n_tokens") >= minTokens)
       .select("doc_id", "text", "ts")
 
-  /** Stages 3–4: exact dedup (40-char-prefix hash, min id kept) then
-    * MinHash/LSH near-dup removal (4 bands × 2 rows, Jaccard ≥ 0.5,
-    * higher id of each verified pair dropped). Survivors keep
-    * (doc_id, text, ts). */
-  def dedupe(gated: DataFrame): DataFrame = {
+  /** Stage 3 alone: exact dedup (40-char-prefix hash, min id kept).
+    * Survivors keep (doc_id, text, ts). */
+  def exactDeduped(gated: DataFrame): DataFrame = {
     val keep = Dedup.exact(gated, col("doc_id"), substring(col("text"), 1, 40))
       .select(col("keep_id").as("doc_id"))
-    val exactKept = gated.join(keep, "doc_id")
+    gated.join(keep, "doc_id")
+  }
+
+  /** Stages 3–4: exact dedup then MinHash/LSH near-dup removal (4 bands ×
+    * 2 rows, Jaccard ≥ 0.5, higher id of each verified pair dropped).
+    * Survivors keep (doc_id, text, ts). */
+  def dedupe(gated: DataFrame): DataFrame = nearDeduped(exactDeduped(gated))
+
+  /** Stage 4 alone: MinHash/LSH near-dup removal over an exact-deduped
+    * frame ([[exactDeduped]] first — the enforced ordering rule). */
+  def nearDeduped(exactKept: DataFrame): DataFrame = {
     val shRows = Dedup.shingleHashes(exactKept, "doc_id", "ts", 3)
     val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
     val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
@@ -143,6 +151,36 @@ object Curation {
         .select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** The curation run REPORT — per-stage survivor and token counts for
+    * the [[curateFull]] chain, the artifact an operator reads after every
+    * production run (and the one that catches a mis-sized gate or a
+    * dedup gone degenerate before the corpus freezes). One row per
+    * stage: (stage, n_docs, n_tokens), stage names prefixed for stable
+    * ordering.
+    *
+    * Scale shape: each stage's stat is one map-side-combined aggregate
+    * producing a single row; the staged frames persist once each (they
+    * feed both their stat and the next stage), so the chain executes
+    * exactly once — the report costs five one-row aggs on top of the
+    * run it describes. */
+  def report(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 3, minOverlap: Int = 2): DataFrame = {
+    val scrubbed = Cache()(scrub(docs))
+    val gated = Cache()(gate(scrubbed))
+    val ex = Cache()(exactDeduped(gated))
+    val nd = Cache()(nearDeduped(ex))
+    val clean = decontaminate(nd, scrub(benchmark), k, minOverlap)
+    def stat(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("ts")).cast("bigint")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stat("0_scrubbed", scrubbed)
+      .unionByName(stat("1_gated", gated))
+      .unionByName(stat("2_exact_dedup", ex))
+      .unionByName(stat("3_near_dedup", nd))
+      .unionByName(stat("4_decontaminated", clean))
+  }
+
   /** The COMPLETE published curation chain, composed end-to-end:
     * scrub (redact → normalize) → language gate → quality gate → exact
     * dedup → MinHash/LSH near-dup removal → benchmark decontamination →
@@ -198,6 +236,80 @@ object Curation {
           .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens")),
         "doc_id", "n_tokens", seqLen)
       .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+
+  /** Incremental admission — dedup a NEW batch against an already-curated
+    * corpus without re-reading the corpus, the way curation actually runs
+    * in production (data arrives in shards; the curated corpus is frozen).
+    * `fresh` is (doc_id, text, ts); `store` is the retained
+    * [[graft.dedup.Dedup.signatureStore]] of the existing corpus
+    * (doc_id, xkey, sig). Returns the admitted fresh rows.
+    *
+    * Three drop stages:
+    *   1. exact-within: duplicate xkeys inside the batch collapse to the
+    *      min doc_id ([[graft.dedup.Dedup.exact]] — the skew-safe agg form);
+    *   2. exact-cross: anti-join surviving xkeys against the store's;
+    *   3. near: ONE banded-LSH pass — a surviving batch doc drops if its
+    *      signature agrees >= `sigAgree` ([[graft.dedup.Dedup.sigAgreement]],
+    *      the estimated Jaccard — the store keeps no text, so the estimate
+    *      IS the contract; size numHashes accordingly) with any STORE doc
+    *      or any LOWER-ID batch doc sharing a band bucket. The within-batch
+    *      rule is the one-pass greedy form: the shadowing lower-id doc may
+    *      itself be store-dropped, in which case the higher-id doc is a
+    *      near-dup of a near-dup — transitively similar, and dropping it is
+    *      the conservative call. (The alternative — re-banding the
+    *      survivors of a separate cross pass — costs a second guarded
+    *      window, join, and distinct for a set that differs only on those
+    *      transitive chains.)
+    *
+    * Exact-within runs FIRST for the same reason [[dedupe]] stages it
+    * first: clone families inside the batch are the hot-bucket pathology
+    * the occupancy guard would otherwise trip on. Scale shape: the batch
+    * side is the small one everywhere; the store contributes one
+    * key-partitioned stream per join (write it bucketed by xkey /
+    * pre-banded to make those joins shuffle-free); signatures, never
+    * text, cross the wire — the store side carries its 8-long signature
+    * through the band shuffle, which is what saves the verify rejoin.
+    * `store` is consumed TWICE (exact anti-join, banding) — pass the
+    * cheap-to-rescan form (a pruned parquet read of the retained
+    * artifact) or a cached frame, not an expensive lineage.
+    *
+    * The batch survivor frame persists unconditionally (the [[curateFull]]
+    * rationale): it is the batch's smallest shape (id, xkey, sig), feeds
+    * three consumers (banding, verify rejoin, final anti-join), and its
+    * lineage holds the exact stages' agg and anti-join shuffles. */
+  def admit(fresh: DataFrame, store: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 2, numHashes: Int = 8, k: Int = 3,
+      sigAgree: Double = 0.5): DataFrame = {
+    val fstore = Cache()(Dedup.signatureStore(fresh, "doc_id", "text", "ts", numHashes, k))
+    // 1. exact-within: min doc_id per xkey survives.
+    val w1 = fstore.join(
+      Dedup.exact(fstore, col("doc_id"), col("xkey"))
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"))
+    // 2. exact-cross: batch xkeys absent from the store.
+    val w2 = Cache()(w1.join(store.select("xkey"), Seq("xkey"), "left_anti"))
+    // 3. near: one banded pass against store ∪ lower-id batch peers. Both
+    // sides carry their signature through the band shuffle (8 longs), so
+    // the verify is a filter on the joined row — no rejoin, no second
+    // distinct.
+    val sigs = w2.filter(col("sig").isNotNull).select("doc_id", "sig")
+    val left = Dedup.bandedGuarded(sigs, "doc_id", "sig", bands, rowsPerBand,
+        op = "admit")
+      .select(col("band"), col("bkey"), col("doc_id"), col("sig").as("fsig"))
+    val right = Dedup.banded(store.filter(col("sig").isNotNull), "doc_id", "sig",
+        bands, rowsPerBand)
+      .select(col("band"), col("bkey"), lit(true).as("is_store"),
+        col("doc_id").as("rid"), col("sig").as("rsig"))
+      .unionByName(
+        Dedup.banded(sigs, "doc_id", "sig", bands, rowsPerBand)
+          .select(col("band"), col("bkey"), lit(false).as("is_store"),
+            col("doc_id").as("rid"), col("sig").as("rsig")))
+    val nearDrop = left.join(right, Seq("band", "bkey"))
+      .filter(col("is_store") || col("rid") < col("doc_id"))
+      .filter(Dedup.sigAgreement(col("fsig"), col("rsig")) >= sigAgree)
+      .select("doc_id").distinct()
+    fresh.join(w2.join(nearDrop, Seq("doc_id"), "left_anti").select("doc_id"), Seq("doc_id"))
+  }
 
   /** Close the pipeline loop (the `fill_hdf5_file` step): pack the curated
     * corpus, assign train/valid/test splits by seeded hash of doc_id, and

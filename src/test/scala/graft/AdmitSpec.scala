@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{Curation, TextOps}
+
+/** Incremental admission ([[Curation.admit]]): a new batch dedups against
+  * the retained signature store of a frozen, already-curated corpus. Each
+  * planted family exercises exactly one of the four drop stages. */
+class AdmitSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  // Disjoint vocabularies so no two base documents are organic near-dups.
+  private def doc(tag: String, n: Int): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  private def withTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", TextOps.tokens(col("text")))
+
+  private val texts = Map(
+    "a" -> doc("alpha", 50), "b" -> doc("bravo", 50),
+    "c" -> doc("charlie", 50), "d" -> doc("delta", 50),
+    "e" -> doc("echo", 50), "f" -> doc("foxtrot", 50),
+    "g" -> doc("golf", 50))
+
+  private lazy val existing = withTs(Seq(
+    (1L, texts("a")), (2L, texts("b")), (3L, texts("c")), (4L, texts("d"))
+  ).toDF("doc_id", "text"))
+
+  private lazy val store = Dedup.signatureStore(existing, "doc_id", "text", "ts")
+
+  private lazy val fresh = withTs(Seq(
+    10L -> texts("a"),            // verbatim copy of store doc → exact-cross
+    11L -> ("zzz " + texts("b")), // mutated prefix of store doc → near-cross
+    12L -> texts("e"),            // novel; duplicated below
+    13L -> texts("e"),            // exact-within: 12 (min id) survives
+    14L -> texts("f"),            // novel; near-dupped below
+    15L -> ("qq " + texts("f")),  // near-within: higher id drops vs 14
+    16L -> texts("g"),            // unique novel → admitted
+    17L -> ""                     // empty text: no signature, exact-only path
+  ).toDF("doc_id", "text"))
+
+  test("admit drops each planted family at its stage and keeps the novel docs") {
+    val admitted = Curation.admit(fresh, store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(12L, 14L, 16L, 17L),
+      s"expected {12,14,16,17}, got $admitted")
+  }
+
+  test("admit returns the full fresh rows, not just ids") {
+    val row = Curation.admit(fresh, store)
+      .filter(col("doc_id") === 16L).select("text").as[String].collect()
+    assert(row.toSeq == Seq(texts("g")))
+  }
+
+  test("sigAgreement is 1.0 on identical signatures and the match fraction otherwise") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),
+                 (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L)))
+      .toDF("a", "b")
+    val got = df.select(Dedup.sigAgreement(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.5))
+  }
+
+  test("signatureStore: empty token arrays keep a null signature, exact key still present") {
+    val st = Dedup.signatureStore(
+      withTs(Seq((1L, "x y z"), (2L, "")).toDF("doc_id", "text")),
+      "doc_id", "text", "ts")
+    val rows = st.orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(!rows(0).isNullAt(rows(0).fieldIndex("sig")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("sig")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("xkey")))
+  }
+
+  test("lshCrossCandidates pairs near-identical docs across corpora and skips null signatures") {
+    val freshSide = Dedup.signatureStore(fresh, "doc_id", "text", "ts")
+      .select("doc_id", "sig")
+    val pairs = Dedup.lshCrossCandidates(freshSide, store.select("doc_id", "sig"),
+        "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)), "verbatim copy must bucket with its original")
+    assert(pairs.contains((11L, 2L)), "prefix-mutated copy must bucket with its original")
+    assert(!pairs.exists(_._1 == 17L), "null-signature docs can't band")
+  }
+}

@@ -24,6 +24,23 @@ class CurationSpec extends SparkSpec {
     dir
   }
 
+  test("report: stage labels, monotone survivor counts, and boundary agreement with the composed chain") {
+    val raw = docs.select("doc_id", "text")
+    val rep = Curation.report(raw, raw.filter(col("doc_id") % 41 === 0))
+      .orderBy("stage").collect()
+    assert(rep.map(_.getString(0)).toSeq ==
+      Seq("0_scrubbed", "1_gated", "2_exact_dedup", "3_near_dedup", "4_decontaminated"))
+    val nDocs = rep.map(_.getLong(1)).toSeq
+    val nToks = rep.map(_.getLong(2)).toSeq
+    assert(nDocs.sliding(2).forall(p => p.head >= p.last),
+      s"each stage only removes docs: $nDocs")
+    assert(nToks.sliding(2).forall(p => p.head >= p.last),
+      s"each stage only removes tokens: $nToks")
+    // the stage-4 boundary IS the composed chain's survivor set
+    val survivors = Curation.dedupe(Curation.gate(Curation.scrub(raw)))
+    assert(nDocs(3) == survivors.count())
+  }
+
   test("curate → write split-partitioned → Catalog reload round-trips the frame") {
     val packed = Curation.curate(docs)
     val catalog = Catalog.forTestData(spark, sf)
