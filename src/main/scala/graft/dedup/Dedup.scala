@@ -438,6 +438,33 @@ object Dedup {
           .otherwise(array((0 until numHashes).map(j => col(s"__m$j")): _*)).as("sig"))
   }
 
+  /** Materialize a [[signatureStore]] as a bucketed table so admission
+    * joins CO-LOCATE instead of reshuffling the store: the exact-cross
+    * anti-join's store side reads its buckets directly (HashPartitioning
+    * on xkey satisfies the join's distribution — no store-side Exchange;
+    * only the small batch side shuffles, StoreSpec pins the plan). At
+    * 100 TB the store is the big, stable side of every admission join,
+    * so this is the difference between re-shuffling the corpus's
+    * signatures per batch and never moving them at all. Buckets are also
+    * sorted by xkey, so the sort-merge side skips its sort.
+    *
+    * `path` makes it an external table (files live there, not in the
+    * warehouse); bucket metadata lives in the session catalog — re-read
+    * through [[readStore]]/`spark.table`, NOT `spark.read.parquet`
+    * (a bare path read loses the bucket spec and reintroduces the
+    * exchange). For the near join's (band, bkey) keys, a second
+    * pre-banded table bucketed by bkey serves the same way —
+    * HashPartitioning(bkey) satisfies ClusteredDistribution(band, bkey). */
+  def writeStore(store: DataFrame, table: String, path: String,
+      buckets: Int = 64): Unit =
+    store.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "xkey").sortBy("xkey")
+      .saveAsTable(table)
+
+  /** Read back a [[writeStore]] table with its bucket spec intact. */
+  def readStore(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Cross-corpus LSH candidates: FRESH docs sharing any band key with a
     * STORE doc. Output (fresh_id, store_id), distinct. Both inputs are
     * (id, sig) shaped; null signatures are skipped. The occupancy guard

@@ -82,6 +82,51 @@ object Streaming {
     * in-process queue via foreachBatch — producer/consumer with HWM-style
     * backpressure (`capacity` plays fuel's hwm=10). Returns the queue and
     * the running query; the consumer drains with [[nextBatch]]. */
+  /** The incremental-curation loop as a STREAM: each micro-batch of raw
+    * (doc_id, text) docs dedups against the signature store via
+    * [[graft.text.Curation.admit]], the admitted docs append to
+    * `corpusPath`, and their signatures append to `storePath` — so batch
+    * N+1 dedups against the frozen corpus AND everything admitted through
+    * batch N. This is [[graft.text.Curation.materialize]]'s loop-closure
+    * story under continuous arrival (fuel's converter-then-reload cycle,
+    * fuel/converters/base.py:50-104, with the reload happening per
+    * micro-batch).
+    *
+    * `storePath` must exist — bootstrap it by writing the existing
+    * corpus's [[graft.dedup.Dedup.signatureStore]] there (or an empty
+    * store for a from-scratch corpus). foreachBatch is the right tool,
+    * not a stream-stream join: admission needs the store AS OF the batch
+    * boundary (a self-feeding loop no watermark can express), and each
+    * batch re-reads the path so the previous batch's append is visible.
+    *
+    * Semantics notes, by contract: a failed batch REPLAYS under
+    * foreachBatch's at-least-once guarantee — both appends are
+    * re-executed, so a crash between the two writes can admit a doc to
+    * the corpus whose signature never landed (or vice versa); partition
+    * both sinks by a batch-id column and use dynamic-partition overwrite
+    * where exactly-once matters. The per-batch persists inside `admit`
+    * are batch-scoped, so the loop clears the session cache after each
+    * batch — run admission as its own job, not inside a session whose
+    * caches you need. */
+  def admitStream(docs: DataFrame, storePath: String, corpusPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val store = spark.read.parquet(storePath)
+        val admitted = graft.text.Curation.admit(
+          batch.withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+          store).persist()
+        admitted.write.mode("append").parquet(corpusPath)
+        graft.dedup.Dedup.signatureStore(admitted, "doc_id", "text", "ts")
+          .write.mode("append").parquet(storePath)
+        admitted.unpersist()
+        spark.catalog.clearCache()
+        ()
+      }
+      .start()
+
   def serve(stream: DataFrame, capacity: Int = 10): (BlockingQueue[Seq[Row]], StreamingQuery) = {
     val queue = new LinkedBlockingQueue[Seq[Row]](capacity)
     val query = stream.writeStream

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** The bucketed signature store: admission's exact-cross anti-join must
+  * read the store's buckets in place — the batch side shuffles, the store
+  * side never does. */
+class StoreSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def mkDocs(n: Int, tag: String) = {
+    val rows = (1 to n).map(i => (i.toLong, (1 to 30).map(j => s"$tag${i}w$j").mkString(" ")))
+    rows.toDF("doc_id", "text").withColumn("ts", TextOps.tokens(col("text")))
+  }
+
+  test("writeStore: exact-cross anti-join has no store-side exchange, batch side only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    Dedup.writeStore(
+      Dedup.signatureStore(mkDocs(50, "st"), "doc_id", "text", "ts"),
+      // bucket count == session shuffle partitions: a mismatched count
+      // makes EnsureRequirements re-shuffle the bucketed side to 32 anyway
+      "admit_store_spec", s"$dir/store", buckets = 32)
+    val store = Dedup.readStore(spark, "admit_store_spec")
+    assert(store.count() == 50)
+
+    val batch = Dedup.signatureStore(mkDocs(20, "ba"), "doc_id", "text", "ts")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // pin SMJ so the bucket co-location is what the plan must exploit
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = batch.join(store, Seq("xkey"), "left_anti")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"store scan must report its bucket spec:\n$plan")
+      // count only join-key exchanges: the batch side's signature build
+      // legitimately shuffles on doc_id for its window
+      val exchanges = "Exchange hashpartitioning\\(xkey".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"exactly ONE xkey exchange (the batch side) expected, got $exchanges:\n$plan")
+      // and the co-located join returns the right answer
+      assert(probe.count() == 20)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("readStore keeps the bucket spec a bare path read would lose") {
+    val store = Dedup.readStore(spark, "admit_store_spec")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = Dedup.signatureStore(mkDocs(20, "ba"), "doc_id", "text", "ts")
+      val pathRead = spark.read.parquet(
+        spark.sql("DESCRIBE TABLE EXTENDED admit_store_spec")
+          .filter(col("col_name") === "Location").select("data_type")
+          .as[String].head())
+      val viaPath = batch.join(pathRead, Seq("xkey"), "left_anti")
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(xkey".r.findAllIn(viaPath).length == 2,
+        s"a bare path read must reintroduce the store-side exchange:\n$viaPath")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -31,6 +31,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitStream: each batch dedups against the store AND everything admitted before it") {
+    def txt(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admit_stream")
+    val (storeP, corpusP, ckpt) =
+      (s"$tmp/store", s"$tmp/corpus", s"$tmp/ckpt")
+    // bootstrap: the frozen corpus is one doc E
+    graft.dedup.Dedup.signatureStore(
+        Seq((1L, txt("e"))).toDF("doc_id", "text")
+          .withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+        "doc_id", "text", "ts")
+      .write.parquet(storeP)
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.admitStream(
+      input.toDF().toDF("doc_id", "text"), storeP, corpusP, ckpt)
+    try {
+      // batch 1: novel A + a copy of frozen E → only A admitted
+      input.addData((10L, txt("a")), (11L, txt("e")))
+      q.processAllAvailable()
+      // batch 2: a copy of batch-1's A (must now be store-rejected: the
+      // loop property), a near-dup of A, and novel B → only B admitted
+      input.addData((20L, txt("a")), (21L, "zzz " + txt("a")), (22L, txt("b")))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(corpusP)
+        .select("doc_id").as[Long].collect().toSet
+      assert(corpus == Set(10L, 22L), s"expected {10, 22}, got $corpus")
+      // the store grew by exactly the admitted docs
+      val storeIds = spark.read.parquet(storeP)
+        .select("doc_id").as[Long].collect().toSet
+      assert(storeIds == Set(1L, 10L, 22L))
+    } finally q.stop()
+  }
+
   test("watermark drops late data: an event below the watermark cannot revise a window") {
     val input = MemoryStream[Timestamp]
     val counts = Streaming.windowedCounts(
