@@ -67,6 +67,50 @@ object Ann {
       .select(col("query_id"), (col("r") + 1).cast("bigint").as("rank"),
         col("e._2").as("neighbor_id"))
 
+  // ---------------------------------------------------------- quantization
+
+  /** Per-vector affine int8 quantization: scale = maxAbs/127 and
+    * q_i = floor(v_i/scale + 0.5) — round-half-up in exact double math,
+    * identical on any engine (unlike banker's rounding, whose half-even
+    * choice differs across round() implementations). All-zero vectors get
+    * scale 0 and an all-zero q. Output: (idCol, qscale, qvec array<byte>).
+    *
+    * Why it exists: at 100 TB the embedding table's float bytes dominate
+    * every ANN shuffle and broadcast; int8 cuts vector bytes 4× at a
+    * recall cost the verify/rerank stages absorb. COSINE needs no
+    * dequantization — the per-vector scales cancel in the ratio — so
+    * [[quantizedTopK]] runs on the byte arrays directly; `qscale` is
+    * retained for consumers that need magnitudes (dot-product rerank,
+    * reconstruction).
+    *
+    * The transform/aggregate HOFs here are interpreted (CodegenFallback)
+    * — the documented one-time-materialization trade ([[graft.dedup.Dedup.minhashSignature]]'s
+    * note): quantization runs once when the table is written; the
+    * per-query hot path stays codegen via [[dot]] on the cast arrays. */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol), v.as("__v"),
+        (aggregate(v, lit(0d), (acc, x) => greatest(acc, abs(x))) / 127.0).as("qscale"))
+      .select(col(idCol), col("qscale"),
+        when(col("qscale") === 0d,
+            transform(col("__v"), _ => lit(0).cast("byte")))
+          .otherwise(
+            transform(col("__v"), x => floor(x / col("qscale") + 0.5).cast("byte")))
+          .as("qvec"))
+  }
+
+  /** Exact top-k over int8-quantized vectors ([[quantize]]'s output):
+    * [[bruteForceTopK]] on the byte arrays cast to double — integer
+    * dot products are exact in double arithmetic, so the oracle
+    * reproduces every similarity bit-for-bit (q62). Same contract:
+    * (query_id, rank, neighbor_id), broadcastable query side. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, qvecCol: String, k: Int): DataFrame = {
+    def cast(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(qvecCol).cast("array<double>").as("__qv"))
+    bruteForceTopK(cast(corpus), cast(queries), idCol, "__qv", k)
+  }
+
   /** Deterministic hyperplane matrix: `tables` x `planes` hyperplanes of
     * dimension `dim`, components in [-1, 1) derived from splitmix-style
     * hashing of (seed, table, plane, dim index). Pure Scala — the same

@@ -329,7 +329,7 @@ object TextQueries {
       val odd = docs.filter(col("doc_id") % 2 === 1)
       // In production the store is a pruned parquet read of the retained
       // artifact (cheap to rescan); here it is COMPUTED in-query, so cache
-      // it — admit consumes it three times.
+      // it — admit consumes it twice (exact anti-join, banding).
       val store = graft.transform.Cache()(
         Dedup.signatureStore(wTs(even), "doc_id", "text", "ts"))
       val fresh = wTs(odd
@@ -359,6 +359,20 @@ object TextQueries {
           lit("@mail.example.com "),
           (col("doc_id") * 1000003L + 777777L).cast("string")).as("text"))
       graft.text.Curation.report(raw, raw.filter(col("doc_id") % 41 === 0))
+    }),
+
+    // Int8-quantized ANN ([[Ann.quantize]] + [[Ann.quantizedTopK]]):
+    // per-vector affine quantization (scale = maxAbs/127, round-half-up
+    // in exact double math), then exact top-5 cosine over the BYTE
+    // arrays. Per-vector scales cancel in cosine and integer dot
+    // products are exact in double arithmetic, so the approximate
+    // (quantized) path is still ORACLE-EXACT — the 4× vector-byte cut
+    // every 100 TB ANN shuffle wants, with its accuracy measured against
+    // the float path in TextDedupSpec.
+    "q62_ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qz = Ann.quantize(emb, "vec_id", "embedding")
+      Ann.quantizedTopK(qz, qz.filter(col("vec_id") < 50), "vec_id", "qvec", k = 5)
     })
   )
 
@@ -913,6 +927,26 @@ object TextQueries {
     "q59_full_curation" -> duckFullCurationOracle,
     "q60_incremental_admit" -> duckAdmitOracle,
     "q61_curation_report" -> duckReportOracle,
+
+    // Quantization in SQL: same maxAbs/127 scale, same floor(x/s + 0.5)
+    // rounding, cosine over the quantized (exact-integer) lists.
+    "q62_ann_quantized" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+         |q AS (SELECT vec_id,
+         |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+         |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+         |  FROM sc),
+         |corp AS (SELECT vec_id AS neighbor_id, qv AS cv FROM q),
+         |qry AS (SELECT vec_id AS query_id, qv AS qv2 FROM q WHERE vec_id < 50),
+         |scored AS (SELECT query_id, neighbor_id, ${duckCosine("qv2", "cv")} AS sim
+         |           FROM corp, qry WHERE neighbor_id <> query_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
 
     "q46_normalize" ->
       """SELECT doc_id,

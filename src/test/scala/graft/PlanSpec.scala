@@ -106,6 +106,17 @@ class PlanSpec extends SparkSpec {
       s"$all graft_mat_dots occurrences but only $singlePass in single-pass zip_with position")
   }
 
+  test("q60 admission: ONE fused near pass — a single band-bucket occupancy window") {
+    // admit's near stage is one guarded banded join against
+    // store ∪ lower-id peers; a regression to separate cross/within
+    // passes would show a second (band, bkey) occupancy window (and a
+    // second distinct + anti-join behind it).
+    val p = plan("q60_incremental_admit")
+    val guardWindows = p.linesIterator.count(_.contains("windowspecdefinition(band"))
+    assert(guardWindows == 1,
+      s"expected exactly 1 band-occupancy guard window, saw $guardWindows")
+  }
+
   test("q51 curation: the Recompute reuse policy costs a PINNED number of corpus scans") {
     // Under Curation.Recompute every consumer of the gated frame re-derives
     // it from the pruned documents scan (measured faster than Persist at

@@ -302,4 +302,43 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(ivf == ivf2)
   }
+
+  test("int8 quantization: bounded reconstruction error, high top-k agreement with the float path") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val qz = Ann.quantize(emb, "vec_id", "embedding")
+
+    // every component within scale/2 of its original; bytes in [-127, 127]
+    val err = qz.join(emb, "vec_id")
+      .select(col("qscale"),
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"),
+            col("qvec").cast("array<double>"),
+            (v, q) => abs(v - q * col("qscale"))),
+          lit(0d), (acc, x) => greatest(acc, x)).as("max_err"),
+        aggregate(col("qvec").cast("array<double>"), lit(0d),
+          (acc, x) => greatest(acc, abs(x))).as("max_q"))
+      .collect()
+    err.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(0) / 2 + 1e-12,
+        s"reconstruction error ${r.getDouble(1)} exceeds scale/2 ${r.getDouble(0) / 2}")
+      assert(r.getDouble(2) <= 127.0)
+    }
+
+    // quantized top-5 agrees with the float top-5 on most neighbors
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Ann.quantizedTopK(qz, qz.filter(col("vec_id") < 10), "vec_id", "qvec", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val agree = exact.intersect(quant).size.toDouble / exact.size
+    assert(agree >= 0.7, s"quantized/float top-k agreement too low: $agree")
+
+    // all-zero vectors quantize to scale 0 + zero bytes, not NaN
+    import SparkSpec.spark.implicits._
+    val z = Ann.quantize(
+      Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().head
+    assert(z.getDouble(1) == 0.0)
+    assert(z.getSeq[Byte](2).forall(_ == 0))
+  }
 }
