@@ -465,6 +465,26 @@ object Dedup {
   def readStore(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** The near join's analog of [[writeStore]]: the store's [[banded]]
+    * rows (band, bkey, doc_id, sig), materialized bucketed by the FULL
+    * join key (band, bkey) — Spark's default co-partition check
+    * (`spark.sql.requireAllClusterKeysForCoPartition`) only exploits a
+    * bucket spec that matches the join keys exactly, and a subset spec
+    * gets the bucketed scan disabled by the planner outright. With it,
+    * admission's store-side near join reads buckets in place — without
+    * it, every admitted batch re-shuffles the corpus-sized banded
+    * signature stream (bands × corpus rows), which at 100 TB dwarfs the
+    * batch itself. Pass `spark.table(table)` to
+    * [[graft.text.Curation.admit]]'s `storeBands`; AdmitSpec pins both
+    * the plan and the equal-results-with-the-fused-path property. */
+  def writeBandedStore(store: DataFrame, table: String, path: String,
+      bands: Int, rowsPerBand: Int, buckets: Int = 64): Unit =
+    banded(store.filter(col("sig").isNotNull), "doc_id", "sig",
+        bands, rowsPerBand, "writeBandedStore")
+      .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "band", "bkey").saveAsTable(table)
+
   /** Cross-corpus LSH candidates: FRESH docs sharing any band key with a
     * STORE doc. Output (fresh_id, store_id), distinct. Both inputs are
     * (id, sig) shaped; null signatures are skipped. The occupancy guard

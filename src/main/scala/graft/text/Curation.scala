@@ -279,7 +279,7 @@ object Curation {
     * lineage holds the exact stages' agg and anti-join shuffles. */
   def admit(fresh: DataFrame, store: DataFrame,
       bands: Int = 4, rowsPerBand: Int = 2, numHashes: Int = 8, k: Int = 3,
-      sigAgree: Double = 0.5): DataFrame = {
+      sigAgree: Double = 0.5, storeBands: Option[DataFrame] = None): DataFrame = {
     val fstore = Cache()(Dedup.signatureStore(fresh, "doc_id", "text", "ts", numHashes, k))
     // 1. exact-within: min doc_id per xkey survives.
     val w1 = fstore.join(
@@ -288,26 +288,43 @@ object Curation {
       Seq("doc_id"))
     // 2. exact-cross: batch xkeys absent from the store.
     val w2 = Cache()(w1.join(store.select("xkey"), Seq("xkey"), "left_anti"))
-    // 3. near: one banded pass against store ∪ lower-id batch peers. Both
-    // sides carry their signature through the band shuffle (8 longs), so
-    // the verify is a filter on the joined row — no rejoin, no second
-    // distinct.
+    // 3. near: against store ∪ lower-id batch peers. Both sides carry
+    // their signature through the band shuffle (8 longs), so the verify
+    // is a filter on the joined row — no rejoin, no second distinct.
     val sigs = w2.filter(col("sig").isNotNull).select("doc_id", "sig")
     val left = Dedup.bandedGuarded(sigs, "doc_id", "sig", bands, rowsPerBand,
         op = "admit")
       .select(col("band"), col("bkey"), col("doc_id"), col("sig").as("fsig"))
-    val right = Dedup.banded(store.filter(col("sig").isNotNull), "doc_id", "sig",
-        bands, rowsPerBand)
-      .select(col("band"), col("bkey"), lit(true).as("is_store"),
-        col("doc_id").as("rid"), col("sig").as("rsig"))
-      .unionByName(
-        Dedup.banded(sigs, "doc_id", "sig", bands, rowsPerBand)
-          .select(col("band"), col("bkey"), lit(false).as("is_store"),
-            col("doc_id").as("rid"), col("sig").as("rsig")))
-    val nearDrop = left.join(right, Seq("band", "bkey"))
-      .filter(col("is_store") || col("rid") < col("doc_id"))
+    def verified(cand: DataFrame): DataFrame = cand
       .filter(Dedup.sigAgreement(col("fsig"), col("rsig")) >= sigAgree)
-      .select("doc_id").distinct()
+      .select("doc_id")
+    val withinRight = Dedup.banded(sigs, "doc_id", "sig", bands, rowsPerBand)
+      .select(col("band"), col("bkey"), col("doc_id").as("rid"), col("sig").as("rsig"))
+    val nearDrop = (storeBands match {
+      // Pre-banded bucketed store ([[graft.dedup.Dedup.writeBandedStore]]):
+      // join it SEPARATELY so its bucket partitioning survives (a union
+      // with the batch bands would erase it) — the corpus-sized banded
+      // stream then never re-shuffles per batch. Same drops as the fused
+      // form: both evaluate the same (w2 × store) and (w2 × w2) pairs.
+      case Some(sb) =>
+        val storeDrop = verified(left.join(
+          sb.select(col("band"), col("bkey"), col("sig").as("rsig")),
+          Seq("band", "bkey")))
+        val withinDrop = verified(left.join(withinRight, Seq("band", "bkey"))
+          .filter(col("rid") < col("doc_id")))
+        storeDrop.unionByName(withinDrop)
+      // Fused single pass: right = store bands ∪ batch bands, one join,
+      // one occupancy guard — the fewest stages when the store side is
+      // an unbucketed frame that must shuffle anyway.
+      case None =>
+        val right = Dedup.banded(store.filter(col("sig").isNotNull), "doc_id", "sig",
+            bands, rowsPerBand)
+          .select(col("band"), col("bkey"), lit(true).as("is_store"),
+            col("doc_id").as("rid"), col("sig").as("rsig"))
+          .unionByName(withinRight.withColumn("is_store", lit(false)))
+        verified(left.join(right, Seq("band", "bkey"))
+          .filter(col("is_store") || col("rid") < col("doc_id")))
+    }).distinct()
     fresh.join(w2.join(nearDrop, Seq("doc_id"), "left_anti").select("doc_id"), Seq("doc_id"))
   }
 

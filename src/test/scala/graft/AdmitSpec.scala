@@ -74,6 +74,38 @@ class AdmitSpec extends SparkSpec {
     assert(!rows(1).isNullAt(rows(1).fieldIndex("xkey")))
   }
 
+  test("pre-banded bucketed store: same admitted set, no store-side exchange in the near join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded_store").toString
+    // bucket count == session shuffle partitions (see StoreSpec)
+    Dedup.writeBandedStore(store, "admit_banded_spec", s"$dir/bands",
+      bands = 4, rowsPerBand = 2, buckets = 32)
+    val sb = spark.table("admit_banded_spec")
+
+    val fused = Curation.admit(fresh, store)
+      .select("doc_id").as[Long].collect().toSet
+    val prebanded = Curation.admit(fresh, store, storeBands = Some(sb))
+      .select("doc_id").as[Long].collect().toSet
+    assert(prebanded == fused,
+      s"pre-banded path must admit the same set: $prebanded vs $fused")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Curation.admit(fresh, store, storeBands = Some(sb))
+        .queryExecution.executedPlan.toString
+      // the banded store scan must reach its join bucketed, in place:
+      // nothing between the scan and its join may be an Exchange
+      val lines = plan.linesIterator.toVector
+      val scanIdx = lines.indexWhere(l =>
+        l.contains("FileScan") && l.contains("admit_banded_spec"))
+      assert(scanIdx >= 0 && lines(scanIdx).contains("Bucketed: true"),
+        s"banded store scan must report its bucket spec:\n$plan")
+      val above = lines.slice((scanIdx - 4).max(0), scanIdx)
+      assert(!above.exists(_.contains("Exchange")),
+        s"the pre-banded store side must not re-shuffle:\n${above.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("lshCrossCandidates pairs near-identical docs across corpora and skips null signatures") {
     val freshSide = Dedup.signatureStore(fresh, "doc_id", "text", "ts")
       .select("doc_id", "sig")
