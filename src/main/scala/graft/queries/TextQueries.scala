@@ -373,6 +373,18 @@ object TextQueries {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val qz = Ann.quantize(emb, "vec_id", "embedding")
       Ann.quantizedTopK(qz, qz.filter(col("vec_id") < 50), "vec_id", "qvec", k = 5)
+    }),
+
+    // Attention-mask metadata for packed sequences
+    // ([[TextOps.packDocSpans]]): q43's packing, flattened to one row per
+    // (sequence, document) overlap with local [span_start, span_end)
+    // positions — what a trainer needs to block cross-document attention
+    // in packed samples. PropertiesSpec asserts the spans tile every
+    // sequence exactly.
+    "q63_pack_doc_spans" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+        .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      TextOps.packDocSpans(d, "doc_id", "n_tokens", 512)
     })
   )
 
@@ -947,6 +959,25 @@ object TextQueries {
          |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    // q43's prefix-sum packing, finished as per-(seq, doc) local spans.
+    "q63_pack_doc_spans" ->
+      s"""WITH $DuckToks,
+         |d2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+         |o AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |          - n_tokens AS BIGINT) AS off
+         |      FROM d2),
+         |b AS (SELECT doc_id, n_tokens, off,
+         |        CAST(off // 512 AS BIGINT) AS fs,
+         |        CAST((off + n_tokens - 1) // 512 AS BIGINT) AS ls
+         |      FROM o WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, off, n_tokens,
+         |        unnest(generate_series(fs, ls)) AS seq_id FROM b)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  greatest(off - seq_id * 512, 0) AS span_start,
+         |  least(off + n_tokens - seq_id * 512, 512) AS span_end
+         |FROM e""".stripMargin,
 
     "q46_normalize" ->
       """SELECT doc_id,

@@ -255,6 +255,33 @@ object TextOps {
     * key-partitioned groupBy on seq_id whose groups hold exactly seqLen
     * tokens (bounded memory, no window); within-sequence order comes from
     * array_sort over (local pos, token) structs, not a sort shuffle. */
+  /** Document spans inside packed sequences — the attention-mask metadata
+    * cross-document packing needs: when [[packSequences]]/[[packTokens]]
+    * concatenate documents into fixed `seqLen` windows, the trainer must
+    * know where each document starts and ends WITHIN each sequence to
+    * block attention across document boundaries (the packed-sample
+    * masking used by every published LM data pipeline). One row per
+    * (sequence, document) overlap: (seq_id, idCol, span_start,
+    * span_end) with local positions, span_end exclusive; zero-token
+    * docs contribute no span. Consumers wanting one row per sequence
+    * collect_list over seq_id (bounded: a sequence holds at most
+    * `seqLen` spans, since every span is >= 1 token).
+    *
+    * Scale shape: the explode is bounded (a doc touches
+    * ceil(n/seqLen)+1 sequences), everything else is the prefix sum
+    * [[packSequences]] already does plus a projection — no new shuffle
+    * pattern. */
+  def packDocSpans(df: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int): DataFrame =
+    packSequences(df, idCol, nTokCol, seqLen)
+      .filter(col(nTokCol) > 0)
+      .select(col(idCol), col("tok_offset"), col(nTokCol).as("__n"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        greatest(col("tok_offset") - col("seq_id") * seqLen, lit(0L)).as("span_start"),
+        least(col("tok_offset") + col("__n") - col("seq_id") * seqLen,
+          lit(seqLen.toLong)).as("span_end"))
+
   def packTokens(tokens: DataFrame, idCol: String, posCol: String, tokCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")

@@ -256,4 +256,37 @@ class PropertiesSpec extends SparkSpec {
     assert(storageMap(base) == storageMap(base),
       "withStorageIdx must be deterministic for an unchanged source layout")
   }
+
+  test("law: packDocSpans tiles every sequence exactly — no gaps, no overlaps, full cover") {
+    // For any (doc sizes, seqLen): within each seq_id the spans, sorted by
+    // start, must begin at 0, abut exactly, and sum to seqLen (the final
+    // sequence sums to totalTokens % seqLen instead). This IS the
+    // attention-mask contract: every token position belongs to exactly
+    // one document.
+    val gen = for {
+      seqLen <- Gen.choose(3, 17)
+      sizes <- Gen.nonEmptyListOf(Gen.choose(0L, 40L))
+    } yield (seqLen, sizes)
+    check(Prop.forAll(gen) { case (seqLen, sizes) =>
+      val docs = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n_tokens")
+      val spans = graft.text.TextOps.packDocSpans(docs, "doc_id", "n_tokens", seqLen)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      val total = sizes.sum
+      val lastSeq = if (total == 0) -1L else (total - 1) / seqLen
+      spans.forall { case (seqId, rows) =>
+        val sorted = rows.map(t => (t._2, t._3)).sortBy(_._1)
+        val expectedLen = if (seqId == lastSeq && total % seqLen != 0) total % seqLen
+                          else seqLen.toLong
+        sorted.head._1 == 0 &&
+          sorted.last._2 == expectedLen &&
+          sorted.sliding(2).forall {
+            case Array((_, e1), (s2, _)) => e1 == s2
+            case _ => true
+          } &&
+          sorted.forall { case (s, e) => e > s }
+      } && (total == 0 || spans.keySet == (0L to lastSeq).toSet)
+    }, trials = 20)
+  }
 }
