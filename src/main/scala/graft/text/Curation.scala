@@ -354,9 +354,22 @@ object Curation {
       reuse: Reuse = Recompute): Unit = {
     val curated = curatedDocs(docs, reuse)
     val dict = TextOps.buildDictionary(curated, "text", topK)
-    val toks = TextOps.tokenize(curated, "doc_id", "text", dict)
+    val toks = Cache()(TextOps.tokenize(curated, "doc_id", "text", dict))
     val seqs = TextOps.packTokens(toks, "doc_id", "pos", "token_id", seqLen)
+    // The trainer-facing artifact carries the cross-doc attention-mask
+    // metadata ALONGSIDE the tokens: per sequence, the (start, end,
+    // doc_id) spans — from the same per-doc counts packTokens' prefix
+    // sum consumes, so spans and token positions agree by construction
+    // (CurationSpec asserts the tiling against each row's token count).
+    // The struct's field order makes array_sort order spans by start.
+    val spans = TextOps.packDocSpans(
+        toks.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen)
+      .groupBy("seq_id")
+      .agg(array_sort(collect_list(struct(
+        col("span_start"), col("span_end"), col("doc_id")))).as("spans"))
     SplitSource.write(
-      SplitSource.assignSplit(seqs, col("seq_id"), seed, weights), path)
+      SplitSource.assignSplit(seqs.join(spans, Seq("seq_id")),
+        col("seq_id"), seed, weights), path)
   }
 }

@@ -87,6 +87,22 @@ class CurationSpec extends SparkSpec {
     val batches = ds.epochIterator().toSeq
     assert(batches.map(_.size).sum == train.count())
     assert(batches.head.head.getSeq[Long](1).nonEmpty, "rows carry the token arrays")
+
+    // the artifact carries the attention-mask spans, and they tile each
+    // row's OWN token count exactly (start 0, abutting, end == len)
+    val withSpans = spark.read.parquet(dir)
+      .select(size(col("tokens")).as("n"), col("spans")).collect()
+    withSpans.foreach { r =>
+      val n = r.getInt(0)
+      val spans = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getLong(0), s.getLong(1)))
+      assert(spans.head._1 == 0 && spans.last._2 == n.toLong,
+        s"spans must cover [0, $n): $spans")
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 == s2, s"gap/overlap in $spans")
+        case _ =>
+      }
+    }
   }
 
   test("catalog-registered token artifact: defaultStream yields split-pruned, float-cast token batches") {
