@@ -375,6 +375,22 @@ object TextQueries {
       Ann.quantizedTopK(qz, qz.filter(col("vec_id") < 50), "vec_id", "qvec", k = 5)
     }),
 
+    // Deterministic domain mixing ([[graft.text.Curation.mix]]): two
+    // "domains" carved from the corpus (doc_id % 3) combined at a 30/70
+    // token-share target under a 30k-token budget — acceptance is the
+    // q38 integer-threshold Bernoulli per (seed, source, doc), and the
+    // per-source rates derive from token totals the oracle recomputes
+    // from its own sums, so the whole mixture is hash-exact.
+    "q64_mix_domains" -> ((s, dir) => {
+      val n = docsWithTokens(s, dir)
+        .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      graft.text.Curation.mix(
+        Seq(("web", n.filter(col("doc_id") % 3 === 0), 0.3),
+            ("books", n.filter(col("doc_id") % 3 =!= 0), 0.7)),
+        "doc_id", "n_tokens", budgetTokens = 30000, seed = 13)
+        .select("source", "doc_id", "n_tokens")
+    }),
+
     // Attention-mask metadata for packed sequences
     // ([[TextOps.packDocSpans]]): q43's packing, flattened to one row per
     // (sequence, document) overlap with local [span_start, span_end)
@@ -959,6 +975,23 @@ object TextQueries {
          |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    // Mixing rates recomputed from DuckDB's own token sums with the same
+    // (budget * share) / total double association, floored to the same
+    // integer threshold.
+    "q64_mix_domains" -> {
+      def side(name: String, pred: String, share: String): String =
+        s"""SELECT '$name' AS source, doc_id, n_tokens
+           |FROM (SELECT * FROM n WHERE $pred) d,
+           |     (SELECT sum(n_tokens) AS t FROM n WHERE $pred)
+           |WHERE ${Stable.duckSeededHash(13, s"'$name'", "doc_id")} % 1000000 <
+           |  CAST(floor(least(1.0, (30000.0 * $share) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin
+      s"""WITH $DuckToks,
+         |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks)
+         |${side("web", "doc_id % 3 = 0", "0.3")}
+         |UNION ALL
+         |${side("books", "doc_id % 3 <> 0", "0.7")}""".stripMargin
+    },
 
     // q43's prefix-sum packing, finished as per-(seq, doc) local spans.
     "q63_pack_doc_spans" ->

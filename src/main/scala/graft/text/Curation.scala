@@ -328,6 +328,40 @@ object Curation {
     fresh.join(w2.join(nearDrop, Seq("doc_id"), "left_anti").select("doc_id"), Seq("doc_id"))
   }
 
+  /** Deterministic domain mixing — the pretraining stage that combines
+    * curated corpora at target TOKEN proportions under a total budget
+    * (the "data mixture" every published LM recipe specifies). Each
+    * source `s` with target share `share_s` gets acceptance rate
+    * r_s = min(1, budget·share_s / tokens_s); a doc is kept iff
+    * seededHash(seed, source, id) mod 10^6 < floor(r_s·10^6) — the q38
+    * integer-threshold Bernoulli, reproducible bit-for-bit by an
+    * external engine and stable under retries. Sources whose corpus is
+    * smaller than their target allotment keep everything (rate clamps
+    * at 1 — the mixture then under-delivers that domain rather than
+    * inventing data). Output: the union of accepted rows with a
+    * `source` tag.
+    *
+    * One bounded aggregation per source computes tokens_s on the driver
+    * (a scalar per source — the ConcatenatedScheme-style documented
+    * action); the mix itself is a pure per-row filter + union: no
+    * shuffle at any scale. Expected token error vs the target is
+    * O(sqrt(n_docs)) per source (Bernoulli on docs, not tokens). */
+  def mix(sources: Seq[(String, DataFrame, Double)], idCol: String,
+      nTokCol: String, budgetTokens: Long, seed: Long = 13): DataFrame = {
+    require(sources.nonEmpty, "mix needs at least one source")
+    require(math.abs(sources.map(_._3).sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${sources.map(_._3).sum}")
+    sources.map { case (name, df, share) =>
+      val total = df.agg(sum(col(nTokCol)).cast("long")).head().getLong(0)
+      require(total > 0, s"mix source '$name' has no tokens")
+      val rate = math.min(1.0, (budgetTokens.toDouble * share) / total.toDouble)
+      val threshold = math.floor(rate * 1000000).toLong
+      df.filter(pmod(graft.functions.Stable.seededHash(seed, lit(name), col(idCol)),
+          lit(1000000L)) < threshold)
+        .withColumn("source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** Close the pipeline loop (the `fill_hdf5_file` step): pack the curated
     * corpus, assign train/valid/test splits by seeded hash of doc_id, and
     * write split-partitioned parquet — reloadable split-pruned via

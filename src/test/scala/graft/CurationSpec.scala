@@ -41,6 +41,40 @@ class CurationSpec extends SparkSpec {
     assert(nDocs(3) == survivors.count())
   }
 
+  test("mix: token shares approach the target, clamp at rate 1, deterministic under a seed") {
+    import org.apache.spark.sql.functions.{size => asize, sum => asum}
+    val n = docs.select(col("doc_id"), asize(col("ts")).cast("bigint").as("n_tokens"))
+    val a = n.filter(col("doc_id") % 3 === 0)
+    val b = n.filter(col("doc_id") % 3 =!= 0)
+    val srcs = Seq(("web", a, 0.3), ("books", b, 0.7))
+    def tokensBySource(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("source").agg(asum("n_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val budget = 3000L // well under either side's total at sf0.001
+    val got = tokensBySource(graft.text.Curation.mix(srcs, "doc_id", "n_tokens", budget))
+    // Bernoulli on docs: expect each domain within 50% of its allotment
+    // (deterministic — these are fixed seeds on fixed data, the bound is
+    // slack so a testdata regeneration won't flake it)
+    assert(math.abs(got("web") - 900) < 450, s"web tokens ${got("web")} vs target 900")
+    assert(math.abs(got("books") - 2100) < 1050, s"books tokens ${got("books")} vs target 2100")
+
+    // a budget larger than the corpus keeps everything (rate clamps at 1)
+    val all = tokensBySource(graft.text.Curation.mix(srcs, "doc_id", "n_tokens", 100000000L))
+    val totals = tokensBySource(a.withColumn("source", lit("web"))
+      .unionByName(b.withColumn("source", lit("books"))))
+    assert(all == totals, "rate 1 must keep every doc")
+
+    // same seed → identical selection; different seed → different selection
+    val s1 = graft.text.Curation.mix(srcs, "doc_id", "n_tokens", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = graft.text.Curation.mix(srcs, "doc_id", "n_tokens", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s3 = graft.text.Curation.mix(srcs, "doc_id", "n_tokens", budget, seed = 99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1 != s3)
+  }
+
   test("curate → write split-partitioned → Catalog reload round-trips the frame") {
     val packed = Curation.curate(docs)
     val catalog = Catalog.forTestData(spark, sf)
