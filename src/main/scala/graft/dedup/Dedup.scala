@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.Stable
 
 /** Deduplication for training-data pipelines: exact, MinHash+LSH banding,
-  * SimHash, and n-gram Jaccard verification.
+  * SimHash, n-gram Jaccard verification, benchmark decontamination, and
+  * the incremental-admission machinery ([[signatureStore]] /
+  * [[writeStore]] / [[writeBandedStore]] / [[sigAgreement]]) that lets
+  * future batches dedup against a frozen corpus without re-reading it.
   *
   * Scale discipline (the reason these exist as first-class operators):
   * near-dup detection must NEVER be all-pairs. The LSH path is

@@ -21,6 +21,12 @@ import graft.transform.Cache
   * final pack is the distributed prefix sum (never a single-partition
   * window). PlanSpec pins the corpus scan count so the [[Reuse]] choice
   * below stays a conscious number.
+  *
+  * Beyond the single-run chain ([[curateFull]]), the object carries the
+  * pipeline's OPERATIONAL surface: [[report]] (per-stage counts),
+  * [[admit]] (incremental admission of new batches against a frozen
+  * corpus's signature store), and [[mix]] (deterministic domain mixing
+  * to a token budget).
   */
 object Curation {
 
