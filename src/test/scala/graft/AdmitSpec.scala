@@ -63,6 +63,25 @@ class AdmitSpec extends SparkSpec {
     assert(got == Seq(1.0, 0.5))
   }
 
+  test("signatureStore's fused single pass is bit-equal to the canonical shingle→minhash chain") {
+    // The store inlines shingleHashes' fold/window/family math (with the
+    // xkey carry and outer explode fused in); any drift between the two
+    // would silently split the exact/near semantics between fresh batches
+    // and retained stores — pin the bit-equality on real corpus data.
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("ts"))
+    val fused = Dedup.signatureStore(docs, "doc_id", "text", "ts")
+      .select(col("doc_id"), col("sig").as("fsig"))
+    val canonical = Dedup.minhashFromBases(
+        Dedup.shingleHashes(docs, "doc_id", "ts", 3), "doc_id", "sh", 8)
+      .select(col("doc_id"), col("sig").as("csig"))
+    assert(fused.count() == docs.count())
+    val mismatched = fused.join(canonical, Seq("doc_id"), "full_outer")
+      .filter(!(col("fsig") <=> col("csig")))
+    assert(mismatched.isEmpty,
+      "fused store signatures must bit-match the canonical chain")
+  }
+
   test("signatureStore: empty token arrays keep a null signature, exact key still present") {
     val st = Dedup.signatureStore(
       withTs(Seq((1L, "x y z"), (2L, "")).toDF("doc_id", "text")),
