@@ -375,6 +375,14 @@ object TextQueries {
       Ann.quantizedTopK(qz, qz.filter(col("vec_id") < 50), "vec_id", "qvec", k = 5)
     }),
 
+    // Repetition quality signals ([[TextOps.repetitionColumns]]): the
+    // published duplicate-n-gram corpus filters — per doc, the most
+    // frequent 2-gram's share of all 2-gram occurrences and the share
+    // of 3-gram occurrences that repeat within the doc. Pure explode +
+    // two keyed aggs; int/int double fractions, hash-exact.
+    "q65_repetition" -> ((s, dir) =>
+      TextOps.repetitionColumns(docsWithTokens(s, dir), "doc_id", "ts")),
+
     // Deterministic domain mixing ([[graft.text.Curation.mix]]): two
     // "domains" carved from the corpus (doc_id % 3) combined at a 30/70
     // token-share target under a 30k-token budget — acceptance is the
@@ -975,6 +983,26 @@ object TextQueries {
          |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    "q65_repetition" ->
+      s"""WITH $DuckToks,
+         |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+         |         i -> ts[i] || ' ' || ts[i + 1])) AS g
+         |       FROM toks WHERE len(ts) >= 2),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |f2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_2gram_frac
+         |       FROM c2 GROUP BY doc_id),
+         |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+         |         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+         |       FROM toks WHERE len(ts) >= 3),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |f3 AS (SELECT doc_id,
+         |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+         |           CAST(sum(c) AS DOUBLE) AS dup_3gram_frac
+         |       FROM c3 GROUP BY doc_id)
+         |SELECT doc_id, n_2grams, top_2gram_frac, dup_3gram_frac
+         |FROM f2 JOIN f3 USING (doc_id)""".stripMargin,
 
     // Mixing rates recomputed from DuckDB's own token sums with the same
     // (budget * share) / total double association, floored to the same

@@ -159,6 +159,50 @@ object TextOps {
       (nNonAlpha.cast("double") / nTok.cast("double")).as("nonalpha_ratio"))
   }
 
+  /** Contiguous word n-grams WITH occurrences (unlike
+    * [[graft.dedup.Dedup.shingles]], which distincts for set semantics):
+    * the repetition filters below need counts. Empty for docs shorter
+    * than n — the `when` guard matters because Spark's `sequence(1, 0)`
+    * DESCENDS instead of returning empty. */
+  def ngramOccurrences(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+
+  /** Repetition quality signals — the published duplicate-n-gram rules
+    * (the Gopher-style corpus filters): per doc, the fraction of 2-gram
+    * occurrences taken by the single most frequent 2-gram
+    * (`top_2gram_frac` — boilerplate headers max this) and the fraction
+    * of 3-gram occurrences whose 3-gram repeats within the doc
+    * (`dup_3gram_frac` — template/listing spam maxes this). Docs with
+    * fewer than 3 tokens drop (no 3-gram exists to measure).
+    *
+    * Scale shape: explode + two map-side-combined aggs keyed (doc, gram)
+    * then doc — the dedup family's codegen explode pattern; fractions
+    * are int/int double divisions, reproduced exactly by the oracle
+    * (q65). */
+  def repetitionColumns(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    def fracs(n: Int, top: Boolean): DataFrame = {
+      val occ = df
+        .select(col(idCol), explode(ngramOccurrences(col(toksCol), n)).as("__g"))
+        .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      val grouped = occ.groupBy(idCol).agg(
+        sum(col("__c")).as("__total"),
+        max(col("__c")).as("__top"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__dup"))
+      if (top)
+        grouped.select(col(idCol), col("__total").cast("bigint").as(s"n_${n}grams"),
+          (col("__top").cast("double") / col("__total").cast("double"))
+            .as(s"top_${n}gram_frac"))
+      else
+        grouped.select(col(idCol),
+          (col("__dup").cast("double") / col("__total").cast("double"))
+            .as(s"dup_${n}gram_frac"))
+    }
+    fracs(2, top = true).join(fracs(3, top = false), Seq(idCol))
+  }
+
   /** Training-data text normalization: lowercase, strip to alphanumerics
     * and spaces, collapse whitespace runs, trim. All Catalyst built-ins
     * (codegen); character classes chosen to behave identically in Java

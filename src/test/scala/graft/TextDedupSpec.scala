@@ -303,6 +303,31 @@ class TextDedupSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("repetition signals: boilerplate maxes the fractions, diverse text stays low") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(20)("spam").mkString(" ")),               // one 2-gram repeated
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),          // all n-grams unique
+      (3L, "a b c a b c a b c a b c")                          // fully periodic
+    ).toDF("doc_id", "text")
+      .withColumn("ts", graft.text.TextOps.tokens(col("text")))
+    val got = graft.text.TextOps.repetitionColumns(docs, "doc_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (n1, top1, dup1) = got(1L)
+    assert(n1 == 19 && top1 == 1.0 && dup1 == 1.0, s"spam doc: $n1 $top1 $dup1")
+    val (_, top2, dup2) = got(2L)
+    assert(top2 < 0.05 && dup2 == 0.0, s"diverse doc: $top2 $dup2")
+    val (_, top3, dup3) = got(3L)
+    assert(top3 > 0.3 && dup3 == 1.0, s"periodic doc: $top3 $dup3")
+    // docs shorter than 3 tokens have no 3-gram to measure and drop
+    val short = graft.text.TextOps.repetitionColumns(
+      Seq((9L, "xy zz")).toDF("doc_id", "text")
+        .withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+      "doc_id", "ts")
+    assert(short.isEmpty)
+  }
+
   test("int8 quantization: bounded reconstruction error, high top-k agreement with the float path") {
     val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
     val qz = Ann.quantize(emb, "vec_id", "embedding")
