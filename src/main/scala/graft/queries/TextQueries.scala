@@ -375,6 +375,20 @@ object TextQueries {
       Ann.quantizedTopK(qz, qz.filter(col("vec_id") < 50), "vec_id", "qvec", k = 5)
     }),
 
+    // CCNet-style line dedup ([[TextOps.dedupLines]]): every doc gets two
+    // planted boilerplate lines (a shared footer + a parity banner);
+    // corpus-wide line counts scrub exactly those, the organic text line
+    // survives (docs sharing their full text lose it too — count > 1 —
+    // which is the operator working as specified), and docs reassemble
+    // in original line order. Hash-exact on (doc_id, clean_text).
+    "q66_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nall rights reserved"),
+          when(col("doc_id") % 2 === 0, lit("\nsubscribe today"))
+            .otherwise(lit("\nfollow us"))).as("text"))
+      TextOps.dedupLines(planted, "doc_id", "text")
+    }),
+
     // Repetition quality signals ([[TextOps.repetitionColumns]]): the
     // published duplicate-n-gram corpus filters — per doc, the most
     // frequent 2-gram's share of all 2-gram occurrences and the share
@@ -983,6 +997,22 @@ object TextQueries {
          |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
          |  FROM scored)
          |WHERE rn <= 5""".stripMargin,
+
+    // Corpus-wide line counts scrub the planted boilerplate; string_agg
+    // ORDER BY the line index mirrors the array_sort reassembly.
+    "q66_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || chr(10) || 'all rights reserved' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe today'
+        |         ELSE chr(10) || 'follow us' END AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, i - 1 AS li, ls[i] AS ln
+        |      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM sp)),
+        |c AS (SELECT ln, count(*) AS n FROM l GROUP BY ln),
+        |kept AS (SELECT doc_id, li, l.ln FROM l JOIN c USING (ln) WHERE n <= 1)
+        |SELECT doc_id, string_agg(ln, chr(10) ORDER BY li) AS clean_text
+        |FROM kept GROUP BY doc_id""".stripMargin,
 
     "q65_repetition" ->
       s"""WITH $DuckToks,

@@ -203,6 +203,34 @@ object TextOps {
     fracs(2, top = true).join(fracs(3, top = false), Seq(idCol))
   }
 
+  /** CCNet-style line-level dedup — the boilerplate scrubber: drop every
+    * line whose exact text occurs more than `maxOccurrences` times across
+    * the WHOLE corpus (nav menus, footers, cookie banners — the lines
+    * that repeat across pages are precisely the ones that aren't
+    * content), then reassemble each doc from its surviving lines in
+    * original order. Docs whose every line is boilerplate drop from the
+    * output entirely (they had no content). Output: (idCol, `out`).
+    *
+    * Scale shape: explode lines → one map-side-combined count keyed by
+    * line → join back keyed the same way → per-doc reassembly via
+    * array_sort over a collect_list bounded by the doc's own line count
+    * (never a sort shuffle). The hot key IS the boilerplate line — the
+    * count agg collapses it map-side, and the join-back fans each line
+    * row to exactly one count row, so skew costs reading, not
+    * amplification. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Long = 1, out: String = "clean_text"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
+    val counts = lines.groupBy("__line").agg(count(lit(1)).as("__c"))
+    lines.join(counts, Seq("__line"))
+      .filter(col("__c") <= maxOccurrences)
+      .groupBy(idCol)
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__li"), col("__line")))),
+          e => e.getField("__line"))).as(out))
+  }
+
   /** Training-data text normalization: lowercase, strip to alphanumerics
     * and spaces, collapse whitespace runs, trim. All Catalyst built-ins
     * (codegen); character classes chosen to behave identically in Java

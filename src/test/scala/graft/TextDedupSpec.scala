@@ -303,6 +303,24 @@ class TextDedupSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("dedupLines scrubs corpus-wide boilerplate, keeps unique lines in original order") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\nshared footer\nunique beta"),
+      (2L, "unique gamma\nshared footer"),
+      (3L, "shared footer")                  // all-boilerplate doc: vanishes
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unique alpha\nunique beta",
+      2L -> "unique gamma"))
+    // maxOccurrences raises the bar: footer kept when allowed 3 copies
+    val lax = graft.text.TextOps.dedupLines(docs, "doc_id", "text", maxOccurrences = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lax(3L) == "shared footer" && lax(1L) == docs.collect()(0).getString(1))
+  }
+
   test("repetition signals: boilerplate maxes the fractions, diverse text stays low") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
