@@ -36,7 +36,26 @@ object Ann {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The enforced broadcast contract shared by [[bruteForceTopK]] and
+    * [[lshTopK]] ([[graft.dedup.Dedup.contaminated]]'s pattern): a bounded
+    * probe — one column-pruned scan of at most `maxQueryRows + 1` query
+    * ids — fails fast AT THE CALL SITE with the fix in the message. The
+    * alternative is the forced broadcast either OOMing the driver or
+    * blowing Spark's broadcast limit mid-job, an error whose stack trace
+    * points at an executor instead of at the oversized query set. */
+  private def probeQueries(queries: DataFrame, idCol: String, op: String,
+      maxQueryRows: Int, fix: String): Unit = {
+    val probed = queries.select(col(idCol)).limit(maxQueryRows + 1).count()
+    require(probed <= maxQueryRows,
+      s"$op: query set exceeds $maxQueryRows rows — a corpus-sized query side " +
+        s"cannot broadcast. $fix, or raise maxQueryRows if the driver " +
+        "genuinely fits the larger broadcast")
+  }
+
   /** Exact top-k neighbors for each query vector.
+    *
+    * The query side broadcasts BY CONTRACT (the standard ANN-serving
+    * shape) — enforced by [[probeQueries]], not advisory.
     *
     * @param corpus  (idCol, vecCol) corpus rows
     * @param queries (idCol, vecCol) query rows — must be broadcastable
@@ -44,7 +63,11 @@ object Ann {
     *         neighbor id ASC on ties; self-matches excluded.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxQueryRows: Int = 1000000): DataFrame = {
+    probeQueries(queries, idCol, "bruteForceTopK", maxQueryRows,
+      "use lshTopK(broadcastQueries = false) for an unbounded query set " +
+        "(or nearDupPairs for corpus-vs-itself search)")
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
@@ -310,10 +333,14 @@ object Ann {
     * pass `broadcastQueries = false` to plan ordinary key-partitioned
     * shuffle joins instead of OOMing the driver with a forced broadcast
     * (a corpus-vs-ITSELF search still belongs in [[nearDupPairs]] — the
-    * self-join shape dedups pairs instead of ranking twice). */
+    * self-join shape dedups pairs instead of ranking twice). The contract
+    * is ENFORCED by [[probeQueries]] whenever the hint is on. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true, maxQueryRows: Int = 1000000): DataFrame = {
+    if (broadcastQueries)
+      probeQueries(queries, idCol, "lshTopK", maxQueryRows,
+        "pass broadcastQueries = false to plan key-partitioned shuffle joins")
     val hp = hyperplanes(seed, tables, planes, dim)
     def maybeBcast(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     def bucketed(df: DataFrame, idAs: String): DataFrame =

@@ -78,10 +78,6 @@ object Streaming {
   def dedupStreamAllTime(stream: DataFrame, keyCols: Seq[String]): DataFrame =
     stream.dropDuplicates(keyCols)
 
-  /** ServerDataStream analog: drive a streaming DataFrame into a bounded
-    * in-process queue via foreachBatch — producer/consumer with HWM-style
-    * backpressure (`capacity` plays fuel's hwm=10). Returns the queue and
-    * the running query; the consumer drains with [[nextBatch]]. */
   /** The incremental-curation loop as a STREAM: each micro-batch of raw
     * (doc_id, text) docs dedups against the signature store via
     * [[graft.text.Curation.admit]], the admitted docs append to
@@ -127,6 +123,10 @@ object Streaming {
       }
       .start()
 
+  /** ServerDataStream analog: drive a streaming DataFrame into a bounded
+    * in-process queue via foreachBatch — producer/consumer with HWM-style
+    * backpressure (`capacity` plays fuel's hwm=10). Returns the queue and
+    * the running query; the consumer drains with [[nextBatch]]. */
   def serve(stream: DataFrame, capacity: Int = 10): (BlockingQueue[Seq[Row]], StreamingQuery) = {
     val queue = new LinkedBlockingQueue[Seq[Row]](capacity)
     val query = stream.writeStream

@@ -178,29 +178,35 @@ object TextOps {
     * (`dup_3gram_frac` — template/listing spam maxes this). Docs with
     * fewer than 3 tokens drop (no 3-gram exists to measure).
     *
-    * Scale shape: explode + two map-side-combined aggs keyed (doc, gram)
-    * then doc — the dedup family's codegen explode pattern; fractions
-    * are int/int double divisions, reproduced exactly by the oracle
-    * (q65). */
+    * Scale shape: ONE corpus scan — the 2-gram and 3-gram streams are
+    * built in the same projection (each struct-tagged with its length),
+    * concatenated, and exploded once; both signals then come out of two
+    * map-side-combined keyed aggs ((doc, n, gram) then doc) with
+    * conditional aggregation splitting the lengths. (The first version
+    * ran a separate explode + agg pair per length and joined on doc_id —
+    * two corpus scans plus a join where one pass suffices, the engine's
+    * own `tokenize` discipline; PlanSpec pins the scan count.) The
+    * `__t3 > 0` filter reproduces the old inner join's semantics: a doc
+    * with exactly 2 tokens has a 2-gram but no 3-gram to measure, so it
+    * drops. Fractions are int/int double divisions, reproduced exactly
+    * by the oracle (q65). */
   def repetitionColumns(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
-    def fracs(n: Int, top: Boolean): DataFrame = {
-      val occ = df
-        .select(col(idCol), explode(ngramOccurrences(col(toksCol), n)).as("__g"))
-        .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      val grouped = occ.groupBy(idCol).agg(
-        sum(col("__c")).as("__total"),
-        max(col("__c")).as("__top"),
-        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__dup"))
-      if (top)
-        grouped.select(col(idCol), col("__total").cast("bigint").as(s"n_${n}grams"),
-          (col("__top").cast("double") / col("__total").cast("double"))
-            .as(s"top_${n}gram_frac"))
-      else
-        grouped.select(col(idCol),
-          (col("__dup").cast("double") / col("__total").cast("double"))
-            .as(s"dup_${n}gram_frac"))
-    }
-    fracs(2, top = true).join(fracs(3, top = false), Seq(idCol))
+    def tagged(n: Int): Column =
+      transform(ngramOccurrences(col(toksCol), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    df.select(col(idCol), explode(concat(tagged(2), tagged(3))).as("__ng"))
+      .select(col(idCol), col("__ng.n").as("__n"), col("__ng.g").as("__g"))
+      .groupBy(col(idCol), col("__n"), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(
+        sum(when(col("__n") === 2, col("__c")).otherwise(0L)).as("__t2"),
+        max(when(col("__n") === 2, col("__c"))).as("__top2"),
+        sum(when(col("__n") === 3, col("__c")).otherwise(0L)).as("__t3"),
+        sum(when(col("__n") === 3 && col("__c") > 1, col("__c")).otherwise(0L)).as("__dup3"))
+      .filter(col("__t3") > 0)
+      .select(col(idCol),
+        col("__t2").cast("bigint").as("n_2grams"),
+        (col("__top2").cast("double") / col("__t2").cast("double")).as("top_2gram_frac"),
+        (col("__dup3").cast("double") / col("__t3").cast("double")).as("dup_3gram_frac"))
   }
 
   /** CCNet-style line-level dedup — the boilerplate scrubber: drop every
@@ -212,19 +218,46 @@ object TextOps {
     * output entirely (they had no content). Output: (idCol, `out`).
     *
     * Scale shape: explode lines → one map-side-combined count keyed by
-    * line → join back keyed the same way → per-doc reassembly via
+    * line → the OVER-THRESHOLD line set (bounded by construction: every
+    * member has more than `maxOccurrences` copies, so the set holds
+    * fewer than totalLines / (maxOccurrences + 1) distinct strings — in
+    * practice the handful of nav/footer/banner lines) BROADCASTS into a
+    * left_anti join against the line rows → per-doc reassembly via
     * array_sort over a collect_list bounded by the doc's own line count
-    * (never a sort shuffle). The hot key IS the boilerplate line — the
-    * count agg collapses it map-side, and the join-back fans each line
-    * row to exactly one count row, so skew costs reading, not
-    * amplification. */
+    * (never a sort shuffle). The corpus's line rows never shuffle keyed
+    * by line text: the first version inner-joined the FULL counts frame
+    * back — a corpus-wide shuffle whose hot key was precisely the
+    * boilerplate being removed (a footer present in every document sent
+    * one row per document to a single partition). The only
+    * line-text-keyed movement left is the count agg, which partial
+    * aggregation collapses map-side.
+    *
+    * The broadcast contract is ENFORCED in
+    * [[graft.dedup.Dedup.contaminated]]'s style: a bounded probe counts
+    * at most `maxBoilerplateLines + 1` over-threshold lines and fails
+    * fast with the fix in the message — the degenerate corpus where
+    * "boilerplate" is NOT a small set (every line repeated, e.g. log
+    * streams ingested as text) would otherwise OOM the driver on the
+    * forced broadcast with a stack trace pointing at an executor. The
+    * probe materializes the cached boilerplate set the anti-join then
+    * reuses, so the operator still costs two corpus scans total (count
+    * + join side), exactly as before the rewrite. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      maxOccurrences: Long = 1, out: String = "clean_text"): DataFrame = {
+      maxOccurrences: Long = 1, out: String = "clean_text",
+      maxBoilerplateLines: Int = 1000000): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
-    val counts = lines.groupBy("__line").agg(count(lit(1)).as("__c"))
-    lines.join(counts, Seq("__line"))
-      .filter(col("__c") <= maxOccurrences)
+    val boiler = graft.transform.Cache()(
+      lines.groupBy("__line").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > maxOccurrences)
+        .select("__line"))
+    val probed = boiler.limit(maxBoilerplateLines + 1).count()
+    require(probed <= maxBoilerplateLines,
+      s"dedupLines: over-threshold line set exceeds $maxBoilerplateLines entries — " +
+        "this corpus's boilerplate is not a bounded set and cannot broadcast. " +
+        "Raise maxOccurrences (the threshold defines the set), or raise " +
+        "maxBoilerplateLines if the driver genuinely fits the larger broadcast")
+    lines.join(broadcast(boiler), Seq("__line"), "left_anti")
       .groupBy(idCol)
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("__li"), col("__line")))),
@@ -306,27 +339,6 @@ object TextOps {
       .withColumn(out, winnow(col("__grams"), w))
       .drop("__grams")
 
-  /** Pack tokenized documents into fixed-length training sequences (the
-    * LLM-pretraining layout: concatenate docs in id order, cut every
-    * `seqLen` tokens; docs may span sequence boundaries). Emits each doc's
-    * global token offset and the first/last sequence ids it lands in.
-    * The global offsets are a distributed prefix sum
-    * ([[graft.sources.PrefixSum]]) — never a single-partition running-sum
-    * window. `nTokCol` must be bigint (use `size(toks).cast("bigint")`). */
-  /** Materialize the packed training sequences THEMSELVES — the
-    * tensor-ready artifact that [[packSequences]] only addresses: place
-    * every token of the (idCol, posCol, tokCol) rows at its global
-    * position (per-doc offsets via the distributed prefix sum over
-    * per-doc counts, ordered by idCol), cut every `seqLen`, and assemble
-    * each sequence's ordered token array. Output: (seq_id, tokens) with
-    * tokens.length == seqLen everywhere except the final partial
-    * sequence.
-    *
-    * Scale shape: the offsets frame is one row per DOC (not per token)
-    * and joins back key-partitioned on the id; the assembly is one
-    * key-partitioned groupBy on seq_id whose groups hold exactly seqLen
-    * tokens (bounded memory, no window); within-sequence order comes from
-    * array_sort over (local pos, token) structs, not a sort shuffle. */
   /** Document spans inside packed sequences — the attention-mask metadata
     * cross-document packing needs: when [[packSequences]]/[[packTokens]]
     * concatenate documents into fixed `seqLen` windows, the trainer must
@@ -354,6 +366,20 @@ object TextOps {
         least(col("tok_offset") + col("__n") - col("seq_id") * seqLen,
           lit(seqLen.toLong)).as("span_end"))
 
+  /** Materialize the packed training sequences THEMSELVES — the
+    * tensor-ready artifact that [[packSequences]] only addresses: place
+    * every token of the (idCol, posCol, tokCol) rows at its global
+    * position (per-doc offsets via the distributed prefix sum over
+    * per-doc counts, ordered by idCol), cut every `seqLen`, and assemble
+    * each sequence's ordered token array. Output: (seq_id, tokens) with
+    * tokens.length == seqLen everywhere except the final partial
+    * sequence.
+    *
+    * Scale shape: the offsets frame is one row per DOC (not per token)
+    * and joins back key-partitioned on the id; the assembly is one
+    * key-partitioned groupBy on seq_id whose groups hold exactly seqLen
+    * tokens (bounded memory, no window); within-sequence order comes from
+    * array_sort over (local pos, token) structs, not a sort shuffle. */
   def packTokens(tokens: DataFrame, idCol: String, posCol: String, tokCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
@@ -371,6 +397,13 @@ object TextOps {
         e => e.getField("t")).as("tokens"))
   }
 
+  /** Pack tokenized documents into fixed-length training sequences (the
+    * LLM-pretraining layout: concatenate docs in id order, cut every
+    * `seqLen` tokens; docs may span sequence boundaries). Emits each doc's
+    * global token offset and the first/last sequence ids it lands in.
+    * The global offsets are a distributed prefix sum
+    * ([[graft.sources.PrefixSum]]) — never a single-partition running-sum
+    * window. `nTokCol` must be bigint (use `size(toks).cast("bigint")`). */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")

@@ -117,6 +117,34 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 band-occupancy guard window, saw $guardWindows")
   }
 
+  test("q66 line dedup: boilerplate broadcasts; line rows never shuffle keyed by text") {
+    // The r6 scale-killer: the join-back inner-joined the FULL counts frame
+    // keyed by line TEXT — the hot key was exactly the boilerplate being
+    // removed. The rewrite broadcasts the bounded over-threshold set into a
+    // left_anti join, so the only line-text-keyed exchange left is the count
+    // agg's (collapsed map-side by partial aggregation).
+    val p = plan("q66_line_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"line scrub must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join may remain in the line-dedup plan:\n$p")
+    // The cached boilerplate set's InMemoryRelation prints its count-agg
+    // plan twice (codegen'd + cachedPlan repr) — both occurrences are the
+    // SAME single exchange; anything past 2 means a new text-keyed shuffle.
+    val lineExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(__line"))
+    assert(lineExchanges <= 2,
+      s"only the (cached, twice-printed) count agg may exchange on line text, saw $lineExchanges")
+  }
+
+  test("q65 repetition signals come out of ONE corpus scan (fused 2/3-gram explode)") {
+    val p = plan("q65_repetition")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(docScans == 1,
+      s"repetitionColumns should read documents once, saw $docScans scans")
+  }
+
   test("q51 curation: the Recompute reuse policy costs a PINNED number of corpus scans") {
     // Under Curation.Recompute every consumer of the gated frame re-derives
     // it from the pruned documents scan (measured faster than Persist at

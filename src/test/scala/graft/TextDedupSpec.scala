@@ -303,6 +303,24 @@ class TextDedupSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("ANN broadcast contract: a corpus-sized query set fails at the call site") {
+    // The forced broadcast would otherwise OOM the driver with a stack
+    // trace pointing at an executor; the probe names the fix instead.
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val bf = intercept[IllegalArgumentException] {
+      Ann.bruteForceTopK(emb, emb, "vec_id", "embedding", 5, maxQueryRows = 10)
+    }
+    assert(bf.getMessage.contains("bruteForceTopK") &&
+      bf.getMessage.contains("lshTopK(broadcastQueries = false)"))
+    val lsh = intercept[IllegalArgumentException] {
+      Ann.lshTopK(emb, emb, "vec_id", "embedding", 5, maxQueryRows = 10)
+    }
+    assert(lsh.getMessage.contains("broadcastQueries = false"))
+    // the opt-out path plans shuffle joins and stays guard-free
+    assert(Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3,
+      tables = 8, planes = 3, broadcastQueries = false, maxQueryRows = 1).count() > 0)
+  }
+
   test("dedupLines scrubs corpus-wide boilerplate, keeps unique lines in original order") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
@@ -319,6 +337,18 @@ class TextDedupSpec extends SparkSpec {
     val lax = graft.text.TextOps.dedupLines(docs, "doc_id", "text", maxOccurrences = 3)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(lax(3L) == "shared footer" && lax(1L) == docs.collect()(0).getString(1))
+  }
+
+  test("dedupLines probe trips when the over-threshold line set is not bounded") {
+    // Degenerate corpus: EVERY line is over-threshold, so the "bounded
+    // boilerplate set" contract is broken and the broadcast would OOM at
+    // scale — the probe must fail at the call site with the fix named.
+    import SparkSpec.spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "a\nb"), (3L, "a\nb")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextOps.dedupLines(docs, "doc_id", "text", maxBoilerplateLines = 1)
+    }
+    assert(e.getMessage.contains("maxBoilerplateLines"))
   }
 
   test("repetition signals: boilerplate maxes the fractions, diverse text stays low") {
