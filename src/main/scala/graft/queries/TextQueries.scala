@@ -423,8 +423,51 @@ object TextQueries {
       val d = docsWithTokens(s, dir)
         .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
       TextOps.packDocSpans(d, "doc_id", "n_tokens", 512)
+    }),
+
+    // The PUBLISHED pipeline order, composed end-to-end
+    // ([[graft.text.Curation.curatePublished]]): CCNet's line-level dedup
+    // runs BEFORE any doc-level stage, and Gopher's duplicate-n-gram
+    // rules run inside the quality gate. Three plants make every new
+    // stage load-bearing: q66's boilerplate footer lines (scrubbed by
+    // the line stage), repetition spam on doc_id % 13 (" buy now"
+    // repeated ~length/20 times — top2 >= 0.21 / dup3 >= 0.41 vs organic
+    // maxima 0.143 / 0.125, so the 0.15 thresholds drop exactly the
+    // planted docs), and q59's PII tail (the scrub stage). The doc_id %
+    // 41 slice plays the eval set, scrubbed WITHOUT line dedup (an eval
+    // set is external to the corpus's line statistics).
+    "q67_published_curation" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"), plantedPublished)
+      graft.text.Curation.curatePublished(raw, raw.filter(col("doc_id") % 41 === 0))
+    }),
+
+    // Per-stage counts for the published order
+    // ([[graft.text.Curation.reportPublished]]): q61's operator report
+    // with rows for the two NEW boundaries — the line scrub and the
+    // repetition gate — so a repetition threshold gone wrong or a line
+    // scrub silently no-oping (run after normalization, no newlines
+    // left) shows up as a count mismatch at its own stage.
+    "q68_published_report" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"), plantedPublished)
+      graft.text.Curation.reportPublished(raw, raw.filter(col("doc_id") % 41 === 0))
     })
   )
+
+  /** The q67/q68 plant: q59's PII tail + q66's boilerplate footer lines
+    * + repetition spam (" buy now" repeated ~length/20+10 times on
+    * doc_id % 13 — enough to dominate the doc's 2-gram mass at any doc
+    * length). Integer `div` so the repeat count is bit-identical to the
+    * oracle's `//`. */
+  private def plantedPublished: Column =
+    concat(col("text"),
+      when(col("doc_id") % 13 === 0,
+        expr("repeat(' buy now', CAST(length(text) div 20 + 10 AS INT))"))
+        .otherwise(lit("")),
+      lit(" user"), col("doc_id").cast("string"), lit("@mail.example.com "),
+      (col("doc_id") * 1000003L + 777777L).cast("string"),
+      lit("\nall rights reserved"),
+      when(col("doc_id") % 2 === 0, lit("\nsubscribe today"))
+        .otherwise(lit("\nfollow us"))).as("text")
 
   private val H = Stable.duckHash64 _
 
@@ -522,7 +565,7 @@ object TextQueries {
     * are independent of the doc set, so the shingle CTEs run over all
     * docs and the pair search restricts to the exact-dedup survivors —
     * identical pairs to the Spark side's post-filter shingling. */
-  private def duckCurationBody(textSrc: String): String = {
+  private def duckCurationBody(textSrc: String, gateExtra: String = ""): String = {
     val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
     val bands = (0 until 4).map { bnd =>
       s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
@@ -545,14 +588,15 @@ object TextQueries {
        |  SELECT *, row_number() OVER (PARTITION BY doc_id
        |                              ORDER BY score DESC, lang ASC) AS rn FROM lu)
        |  WHERE rn = 1),
-       |gated AS (
+       |gated0 AS (
        |  SELECT t.doc_id FROM toks t JOIN best b USING (doc_id)
        |  WHERE b.lang_pred = 'en' AND len(t.ts) >= 30),
+       |gated AS (SELECT g.doc_id FROM gated0 g $gateExtra),
        |keyd AS (
        |  SELECT d.doc_id, md5(substr(d.text, 1, 40)) AS kh
        |  FROM $textSrc d JOIN gated USING (doc_id)),
        |keep1 AS (SELECT min(doc_id) AS doc_id FROM keyd GROUP BY kh),
-       |$duckShingleHashes,
+       |${duckShingleHashes()},
        |shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep1 USING (doc_id)),
        |shsets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM shk GROUP BY doc_id),
        |mh AS (SELECT doc_id, $mins FROM (SELECT doc_id, sh FROM shk) GROUP BY doc_id),
@@ -645,6 +689,100 @@ object TextQueries {
        |UNION ALL ${stat("4_decontaminated", "JOIN clean USING (doc_id)")}""".stripMargin
   }
 
+  /** Shared RE2/Java-regex fragments for the scrub stages (the q58/q46
+    * strings, applied to a column named `text`). */
+  private val duckRedact = "regexp_replace(regexp_replace(text, " +
+    """'[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'), """ +
+    "'[0-9]{6,}', '<num>', 'g')"
+  private val duckNorm = "trim(regexp_replace(regexp_replace(lower(text), " +
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Shared q67/q68 oracle prefix: the three plants (repetition spam on
+    * doc_id % 13, q59's PII tail, q66's boilerplate footer lines),
+    * redaction, CCNet LINE-level dedup BEFORE normalization (the
+    * [[graft.text.Curation.scrubLines]] order — normalization collapses
+    * the newlines the line scrub keys on), normalization, tokens, and
+    * the q65 repetition fractions the Gopher gate joins. Ends at
+    * `rep(doc_id, top2, dup3)`; `red` (redacted, line-structured) is
+    * what the benchmark side re-scrubs from. */
+  private def duckPublishedPrefix: String =
+    s"""raw AS (SELECT doc_id,
+       |  text || CASE WHEN doc_id % 13 = 0
+       |    THEN repeat(' buy now', CAST(length(text) // 20 + 10 AS INT)) ELSE '' END ||
+       |  ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ' ||
+       |  CAST(doc_id * 1000003 + 777777 AS VARCHAR) ||
+       |  chr(10) || 'all rights reserved' ||
+       |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe today'
+       |       ELSE chr(10) || 'follow us' END AS text
+       |  FROM documents),
+       |red AS (SELECT doc_id, $duckRedact AS text FROM raw),
+       |lsp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM red),
+       |lrows AS (SELECT doc_id, i - 1 AS li, ls[i] AS ln
+       |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM lsp)),
+       |lcnt AS (SELECT ln, count(*) AS n FROM lrows GROUP BY ln),
+       |lkept AS (SELECT doc_id, li, l.ln FROM lrows l JOIN lcnt USING (ln) WHERE n <= 1),
+       |lded AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY li) AS text
+       |         FROM lkept GROUP BY doc_id),
+       |scrub AS (SELECT doc_id, $duckNorm AS text FROM lded),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM scrub),
+       |rg2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+       |  i -> ts[i] || ' ' || ts[i + 1])) AS g FROM toks WHERE len(ts) >= 2),
+       |rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
+       |rf2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
+       |        FROM rc2 GROUP BY doc_id),
+       |rg3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+       |  i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g FROM toks WHERE len(ts) >= 3),
+       |rc3 AS (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY 1, 2),
+       |rf3 AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+       |  CAST(sum(c) AS DOUBLE) AS dup3 FROM rc3 GROUP BY doc_id),
+       |rep AS (SELECT rf2.doc_id, top2, dup3 FROM rf2 JOIN rf3 USING (doc_id))""".stripMargin
+
+  /** The Gopher gate as [[duckCurationBody]]'s gate-extra hook. */
+  private val duckPublishedGateExtra =
+    "JOIN rep r ON g.doc_id = r.doc_id WHERE r.top2 <= 0.15 AND r.dup3 <= 0.15"
+
+  /** Benchmark chain + decontamination for the published order: the
+    * doc_id % 41 slice scrubbed WITHOUT line dedup gets its OWN shingle
+    * stream (prefix `b` — its tokens differ from the line-deduped
+    * corpus's, so q59's benchmark-⊆-corpus shingle reuse no longer
+    * applies), pooled and joined against the corpus `sh`. */
+  private def duckPublishedBench: String =
+    s"""bscrub AS (SELECT doc_id, $duckNorm AS text FROM red WHERE doc_id % 41 = 0),
+       |btoks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM bscrub),
+       |${duckShingleHashes("btoks", "b")},
+       |bpool AS (SELECT DISTINCT sh FROM bsh),
+       |contam AS (SELECT s.doc_id FROM sh s JOIN bpool USING (sh)
+       |           GROUP BY s.doc_id HAVING count(DISTINCT s.sh) >= 2),
+       |clean AS (SELECT f.doc_id FROM final f ANTI JOIN contam c ON f.doc_id = c.doc_id)""".stripMargin
+
+  /** q67 oracle: the published order end-to-end — line dedup before the
+    * doc-level stages, the repetition gate inside the quality gate, the
+    * separately-scrubbed benchmark, the pack tail. */
+  private def duckPublishedCurationOracle: String =
+    s"""WITH $duckPublishedPrefix,
+       |${duckCurationBody("scrub", duckPublishedGateExtra)},
+       |$duckPublishedBench,
+       |${duckPackTail("clean")}""".stripMargin
+
+  /** q68 oracle: the q67 chain finished with one count/sum per stage
+    * boundary — including the two NEW rows (line scrub, repetition
+    * gate). */
+  private def duckPublishedReportOracle: String = {
+    def stat(name: String, src: String): String =
+      s"""SELECT '$name' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(len(t.ts)), 0) AS BIGINT) AS n_tokens
+         |FROM toks t $src""".stripMargin
+    s"""WITH $duckPublishedPrefix,
+       |${duckCurationBody("scrub", duckPublishedGateExtra)},
+       |$duckPublishedBench
+       |${stat("0_line_scrubbed", "")}
+       |UNION ALL ${stat("1_gated", "JOIN gated0 USING (doc_id)")}
+       |UNION ALL ${stat("2_repetition_gated", "JOIN gated USING (doc_id)")}
+       |UNION ALL ${stat("3_exact_dedup", "JOIN keep1 USING (doc_id)")}
+       |UNION ALL ${stat("4_near_dedup", "JOIN final USING (doc_id)")}
+       |UNION ALL ${stat("5_decontaminated", "JOIN clean USING (doc_id)")}""".stripMargin
+  }
+
   /** q60 oracle: the incremental-admission chain in SQL — rebuild both
     * sides' exact keys and MinHash signatures from the union of corpora
     * (ids are disjoint by construction), then apply
@@ -672,7 +810,7 @@ object TextQueries {
        |    WHERE doc_id % 2 = 1 AND doc_id >= 10 AND doc_id < 30),
        |d0 AS (SELECT * FROM fr UNION ALL SELECT * FROM ex),
        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM d0),
-       |$duckShingleHashes,
+       |${duckShingleHashes()},
        |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |xk AS (SELECT doc_id, md5(substr(text, 1, 40)) AS xkey FROM d0),
        |fxk AS (SELECT x.doc_id, x.xkey FROM xk x JOIN fr USING (doc_id)),
@@ -723,26 +861,29 @@ object TextQueries {
        |  FROM scored)
        |WHERE rn <= 5""".stripMargin
 
-  /** DuckDB CTE chain reproducing [[Dedup.shingleHashes]] (k=3) over the
-    * shared `toks` CTE: md5 per token, folded 30-bit form, window lead
-    * combination with the same family constants, mod 2^61-1. */
-  private def duckShingleHashes: String = {
+  /** DuckDB CTE chain reproducing [[Dedup.shingleHashes]] (k=3) over a
+    * tokens CTE `src(doc_id, ts)`: md5 per token, folded 30-bit form,
+    * window lead combination with the same family constants, mod 2^61-1.
+    * `p` prefixes every emitted CTE name (`${p}sh` is the output), so a
+    * second shingle stream — e.g. a benchmark tokenized separately from
+    * the corpus, the q67/q69 shape — coexists in one WITH list. */
+  private def duckShingleHashes(src: String = "toks", p: String = ""): String = {
     val a = (0 until 3).map(i => Stable.familyConstants(100 + i)._1)
-    s"""tok AS (
+    s"""${p}tok AS (
        |  SELECT doc_id, i - 1 AS pos, ${H("w")} AS h FROM (
        |    SELECT doc_id, i, ts[i] AS w FROM (
-       |      SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks))),
-       |fold AS (SELECT doc_id, pos, xor(h % 1073741824, h >> 30) AS f FROM tok),
-       |led AS (
+       |      SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM $src))),
+       |${p}fold AS (SELECT doc_id, pos, xor(h % 1073741824, h >> 30) AS f FROM ${p}tok),
+       |${p}led AS (
        |  SELECT doc_id, pos, f,
        |    lead(f, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
        |    lead(f, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
-       |  FROM fold),
-       |sh AS (
+       |  FROM ${p}fold),
+       |${p}sh AS (
        |  SELECT doc_id,
        |    (${a(0)} * f + ${a(1)} * coalesce(l1, 0) + ${a(2)} * coalesce(l2, 0))
        |      % 2305843009213693951 AS sh
-       |  FROM led WHERE l2 IS NOT NULL OR pos = 0)""".stripMargin
+       |  FROM ${p}led WHERE l2 IS NOT NULL OR pos = 0)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -830,7 +971,7 @@ object TextQueries {
       val unpivot = (0 until 8).map(j =>
         s"SELECT doc_id, CAST($j AS BIGINT) AS sig_idx, m$j AS minhash FROM mh").mkString("\nUNION ALL ")
       s"""WITH $DuckToks,
-         |$duckShingleHashes,
+         |${duckShingleHashes()},
          |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
          |$unpivot""".stripMargin
     },
@@ -841,7 +982,7 @@ object TextQueries {
         s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
       }.mkString("\n  UNION ALL ")
       s"""WITH $DuckToks,
-         |$duckShingleHashes,
+         |${duckShingleHashes()},
          |shsets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id),
          |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |bands AS (
@@ -939,7 +1080,7 @@ object TextQueries {
     // benchmark's pooled distinct hashes, distinct-overlap count per doc.
     "q57_decontaminate" ->
       s"""WITH $DuckToks,
-         |$duckShingleHashes,
+         |${duckShingleHashes()},
          |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 41 = 0),
          |hits AS (SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
          |         FROM sh s JOIN bsh USING (sh) GROUP BY s.doc_id)
@@ -977,6 +1118,8 @@ object TextQueries {
     "q59_full_curation" -> duckFullCurationOracle,
     "q60_incremental_admit" -> duckAdmitOracle,
     "q61_curation_report" -> duckReportOracle,
+    "q67_published_curation" -> duckPublishedCurationOracle,
+    "q68_published_report" -> duckPublishedReportOracle,
 
     // Quantization in SQL: same maxAbs/127 scale, same floor(x/s + 0.5)
     // rounding, cosine over the quantized (exact-integer) lists.

@@ -63,6 +63,49 @@ object Curation {
         TextOps.normalize(TextOps.redact(col("text"), rules)).as("text"))
       .withColumn("ts", TextOps.tokens(col("text")))
 
+  /** Stage 0 in the PUBLISHED pipeline order ([[curatePublished]]): PII
+    * redaction first ([[scrub]]'s ordering argument), then CCNet-style
+    * LINE-level boilerplate removal on the still-line-structured text —
+    * [[TextOps.dedupLines]] MUST run before [[TextOps.normalize]], whose
+    * character classes collapse the newlines the line scrubber keys on —
+    * then normalization + tokenization. Emits the (doc_id, text, ts)
+    * shape [[gate]] consumes. Docs whose every line was corpus-wide
+    * boilerplate drop here (they had no content).
+    *
+    * Scale shape: [[TextOps.dedupLines]]' broadcast-anti-join form plus
+    * two pure projections; the per-doc reassembly groupBy is the only
+    * shuffle. */
+  def scrubLines(docs: DataFrame,
+      rules: Seq[(String, String)] = TextOps.DefaultRedactions,
+      maxLineOccurrences: Long = 1): DataFrame = {
+    val redacted = docs.select(col("doc_id"),
+      TextOps.redact(col("text"), rules).as("text"))
+    TextOps.dedupLines(redacted, "doc_id", "text", maxLineOccurrences, out = "text")
+      .select(col("doc_id"), TextOps.normalize(col("text")).as("text"))
+      .withColumn("ts", TextOps.tokens(col("text")))
+  }
+
+  /** Stage 2b in the published order: the Gopher-style repetition gate —
+    * drop docs whose most-frequent-2-gram share or duplicate-3-gram
+    * share exceeds the thresholds ([[TextOps.repetitionColumns]]' two
+    * signals, the published duplicate-n-gram corpus rules). Runs on
+    * [[gate]] survivors: the language/token-floor gates are pure codegen
+    * projections, so they go first and the explode + aggs here only see
+    * docs that already cleared them. Docs with fewer than 3 tokens have
+    * no repetition row and drop — subsumed by the token floor upstream.
+    *
+    * Scale shape: [[TextOps.repetitionColumns]]' single fused corpus
+    * scan; the survivor join is id-keyed against a frame the signal agg
+    * already partitioned by id. */
+  def repetitionGate(docs: DataFrame, maxTop2GramFrac: Double = 0.15,
+      maxDup3GramFrac: Double = 0.15): DataFrame =
+    docs.join(
+      TextOps.repetitionColumns(docs, "doc_id", "ts")
+        .filter(col("top_2gram_frac") <= maxTop2GramFrac &&
+          col("dup_3gram_frac") <= maxDup3GramFrac)
+        .select("doc_id"),
+      Seq("doc_id"))
+
   /** Stages 1–2: language gate (stopword argmax = `lang`) + quality gate
     * (token floor). Pure projections over (doc_id, text, ts). */
   def gate(docs: DataFrame, lang: String = "en", minTokens: Int = 30): DataFrame =
@@ -231,6 +274,71 @@ object Curation {
         clean.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens")),
         "doc_id", "n_tokens", seqLen)
       .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+  }
+
+  /** The PUBLISHED pipeline order, fully composed — [[curateFull]]'s
+    * chain with the two stages the published recipes place differently:
+    * CCNet runs LINE-level dedup before any document-level stage
+    * (redact → line scrub → normalize, [[scrubLines]]), and Gopher
+    * applies the duplicate-n-gram repetition rules inside the quality
+    * gate ([[repetitionGate]]). Full order: scrub+line dedup → language
+    * gate → quality gate → repetition gate → exact dedup → MinHash/LSH
+    * near-dup removal → benchmark decontamination → token packing. The
+    * reference's analog is the same default-chain folding
+    * (fuel/datasets/base.py:83-95) that [[curateFull]] mirrors.
+    *
+    * `docs` and `benchmark` are RAW (doc_id, text). The benchmark
+    * scrubs WITHOUT line dedup ([[scrub]]): an eval set is small and
+    * external, so corpus line statistics are not its statistics — and
+    * corpus-side line dedup already removed the boilerplate shingles,
+    * so eval boilerplate cannot contaminate; only CONTENT overlap
+    * (which line dedup preserves) triggers decontamination.
+    *
+    * The scrubbed frame persists unconditionally (vs [[curateFull]]'s
+    * policy choice): beyond the gate-predicate re-evaluation trap, its
+    * lineage now holds [[TextOps.dedupLines]]' count shuffle and
+    * reassembly groupBy — recomputing it per consumer would re-run the
+    * line scrub five times. The survivor frame persists for
+    * [[curateFull]]'s reason (three consumers, dedup shuffles in its
+    * lineage). Output: q51/q59's packed shape. */
+  def curatePublished(docs: DataFrame, benchmark: DataFrame, seqLen: Int = 512,
+      k: Int = 3, minOverlap: Int = 2, maxLineOccurrences: Long = 1,
+      maxTop2GramFrac: Double = 0.15, maxDup3GramFrac: Double = 0.15): DataFrame = {
+    val scrubbed = Cache()(scrubLines(docs, maxLineOccurrences = maxLineOccurrences))
+    val gated = repetitionGate(gate(scrubbed), maxTop2GramFrac, maxDup3GramFrac)
+    val survivors = Cache()(dedupe(gated))
+    val clean = decontaminate(survivors, scrub(benchmark), k, minOverlap)
+    TextOps.packSequences(
+        clean.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen)
+      .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+  }
+
+  /** [[report]] for the published order: one row per [[curatePublished]]
+    * stage boundary — the line scrub and the repetition gate get their
+    * own rows, so a mis-sized repetition threshold or a line scrub run
+    * after normalization (which would silently no-op: no newlines left)
+    * shows up as a count mismatch. Same one-agg-per-stage scale shape
+    * as [[report]]. */
+  def reportPublished(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 3, minOverlap: Int = 2, maxLineOccurrences: Long = 1,
+      maxTop2GramFrac: Double = 0.15, maxDup3GramFrac: Double = 0.15): DataFrame = {
+    val scrubbed = Cache()(scrubLines(docs, maxLineOccurrences = maxLineOccurrences))
+    val gated = Cache()(gate(scrubbed))
+    val rg = Cache()(repetitionGate(gated, maxTop2GramFrac, maxDup3GramFrac))
+    val ex = Cache()(exactDeduped(rg))
+    val nd = Cache()(nearDeduped(ex))
+    val clean = decontaminate(nd, scrub(benchmark), k, minOverlap)
+    def stat(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("ts")).cast("bigint")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stat("0_line_scrubbed", scrubbed)
+      .unionByName(stat("1_gated", gated))
+      .unionByName(stat("2_repetition_gated", rg))
+      .unionByName(stat("3_exact_dedup", ex))
+      .unionByName(stat("4_near_dedup", nd))
+      .unionByName(stat("5_decontaminated", clean))
   }
 
   /** Stage 5: survivors packed into `seqLen`-token training sequences —

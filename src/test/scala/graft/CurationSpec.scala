@@ -41,6 +41,33 @@ class CurationSpec extends SparkSpec {
     assert(nDocs(3) == survivors.count())
   }
 
+  test("published order: line scrub precedes normalization, repetition gate drops the spam") {
+    import SparkSpec.spark.implicits._
+    // Three docs share a footer line; doc 3 is repetition spam that
+    // still carries enough English stopwords to clear the language gate.
+    val raw = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank alpha\ncommon footer"),
+      (2L, "a small boat drifts along the calm water and the wind carries it to shore beta\ncommon footer"),
+      (3L, "the old market opens early and many people come to trade goods here " +
+        ("buy now " * 40) + "\ncommon footer")).toDF("doc_id", "text")
+    val scrubbed = Curation.scrubLines(raw)
+    // the footer line is corpus-wide boilerplate → gone from every doc;
+    // run AFTER normalization it would silently no-op (no newlines left)
+    assert(scrubbed.filter(col("text").contains("footer")).count() == 0)
+    val out = Curation.repetitionGate(Curation.gate(scrubbed, minTokens = 10))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L), s"spam doc must fail the repetition gate: $out")
+
+    // reportPublished carries one row per boundary, monotone non-increasing
+    val rep = Curation.reportPublished(raw, raw.filter(col("doc_id") === 1))
+      .orderBy("stage").collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("0_line_scrubbed", "1_gated",
+      "2_repetition_gated", "3_exact_dedup", "4_near_dedup", "5_decontaminated"))
+    val nDocs = rep.map(_.getLong(1)).toSeq
+    assert(nDocs.sliding(2).forall(p => p.head >= p.last),
+      s"each stage only removes docs: $nDocs")
+  }
+
   test("mix: token shares approach the target, clamp at rate 1, deterministic under a seed") {
     import org.apache.spark.sql.functions.{size => asize, sum => asum}
     val n = docs.select(col("doc_id"), asize(col("ts")).cast("bigint").as("n_tokens"))

@@ -235,6 +235,14 @@ class PlanSpec extends SparkSpec {
         graft.text.Curation.decontaminate(
           graft.text.Curation.curatedDocs(graft.text.Curation.scrub(raw)),
           graft.text.Curation.scrub(raw.filter(col("doc_id") % 41 === 0)))
+      }) :+
+      ("q67_published_curation(pre-pack)" -> { () =>
+        val raw = graft.sources.Tables.load(spark, sf, "documents")
+          .select(col("doc_id"), col("text"))
+        graft.text.Curation.decontaminate(
+          graft.text.Curation.dedupe(graft.text.Curation.repetitionGate(
+            graft.text.Curation.gate(graft.text.Curation.scrubLines(raw)))),
+          graft.text.Curation.scrub(raw.filter(col("doc_id") % 41 === 0)))
       })
     targets.foreach { case (name, mk) =>
       val nodes = allNodes(mk().queryExecution.executedPlan)
