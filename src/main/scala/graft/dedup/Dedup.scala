@@ -481,12 +481,76 @@ object Dedup {
     * [[graft.text.Curation.admit]]'s `storeBands`; AdmitSpec pins both
     * the plan and the equal-results-with-the-fused-path property. */
   def writeBandedStore(store: DataFrame, table: String, path: String,
+      bands: Int, rowsPerBand: Int, buckets: Int = 64,
+      idCol: String = "doc_id", sigCol: String = "sig"): Unit =
+    banded(store.filter(col(sigCol).isNotNull), idCol, sigCol,
+        bands, rowsPerBand, "writeBandedStore")
+      .select(col("band"), col("bkey"), col(idCol).as("doc_id"), col(sigCol).as("sig"))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "band", "bkey").saveAsTable(table)
+
+  // ------------------------------------------- streaming store maintenance
+
+  /** [[writeStore]] for a store that GROWS per micro-batch
+    * ([[graft.streaming.Streaming.admitStream]]): same xkey bucket spec
+    * plus a `__batch_id` partition column, so each micro-batch lands via
+    * INSERT OVERWRITE of its OWN partition ([[overwriteStoreBatch]]) — a
+    * replayed batch (foreachBatch is at-least-once) replaces its rows
+    * instead of duplicating them. Bucketing holds per bucket id ACROSS
+    * batch partitions (all files of a bucket coalesce into one scan
+    * partition), so the store-side join stays exchange-free as batches
+    * accumulate; only the one-file-per-bucket SORT guarantee is lost, so
+    * sort-merge joins re-sort in place (no exchange — StreamingSpec pins
+    * it). `store` seeds partition `__batch_id = -1` (the frozen corpus). */
+  def writeStorePartitioned(store: DataFrame, table: String, path: String,
+      buckets: Int = 64): Unit =
+    store.select(col("doc_id"), col("xkey"), col("sig"))
+      .withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").option("path", path)
+      .partitionBy("__batch_id")
+      .bucketBy(buckets, "xkey").sortBy("xkey")
+      .saveAsTable(table)
+
+  /** Land one micro-batch of signatures in a [[writeStorePartitioned]]
+    * table, idempotently: INSERT OVERWRITE of the batch's own partition.
+    * Spark buckets the insert by the table's spec, so the write costs
+    * one batch-sized shuffle and the read-side guarantee is preserved. */
+  def overwriteStoreBatch(sigs: DataFrame, table: String, batchId: Long): Unit = {
+    val view = s"graft_store_batch_$batchId"
+    sigs.select("doc_id", "xkey", "sig").createOrReplaceTempView(view)
+    try sigs.sparkSession.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (__batch_id = $batchId) " +
+        s"SELECT doc_id, xkey, sig FROM $view")
+    finally sigs.sparkSession.catalog.dropTempView(view)
+  }
+
+  /** [[writeBandedStore]], batch-partitioned like [[writeStorePartitioned]]
+    * — the near join's growing-store analog. */
+  def writeBandedStorePartitioned(store: DataFrame, table: String, path: String,
       bands: Int, rowsPerBand: Int, buckets: Int = 64): Unit =
     banded(store.filter(col("sig").isNotNull), "doc_id", "sig",
         bands, rowsPerBand, "writeBandedStore")
       .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
+      .withColumn("__batch_id", lit(-1L))
       .write.mode("overwrite").option("path", path)
+      .partitionBy("__batch_id")
       .bucketBy(buckets, "band", "bkey").saveAsTable(table)
+
+  /** Land one micro-batch's banded rows in a
+    * [[writeBandedStorePartitioned]] table ([[overwriteStoreBatch]]'s
+    * idempotent INSERT OVERWRITE shape). */
+  def overwriteBandedStoreBatch(sigs: DataFrame, table: String, batchId: Long,
+      bands: Int, rowsPerBand: Int): Unit = {
+    val view = s"graft_banded_store_batch_$batchId"
+    banded(sigs.filter(col("sig").isNotNull), "doc_id", "sig",
+        bands, rowsPerBand, "overwriteBandedStoreBatch")
+      .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
+      .createOrReplaceTempView(view)
+    try sigs.sparkSession.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (__batch_id = $batchId) " +
+        s"SELECT band, bkey, doc_id, sig FROM $view")
+    finally sigs.sparkSession.catalog.dropTempView(view)
+  }
 
   /** Cross-corpus LSH candidates: FRESH docs sharing any band key with a
     * STORE doc. Output (fresh_id, store_id), distinct. Both inputs are

@@ -80,44 +80,64 @@ object Streaming {
 
   /** The incremental-curation loop as a STREAM: each micro-batch of raw
     * (doc_id, text) docs dedups against the signature store via
-    * [[graft.text.Curation.admit]], the admitted docs append to
-    * `corpusPath`, and their signatures append to `storePath` — so batch
+    * [[graft.text.Curation.admit]], the admitted docs land under
+    * `corpusPath`, and their signatures land in the store — so batch
     * N+1 dedups against the frozen corpus AND everything admitted through
     * batch N. This is [[graft.text.Curation.materialize]]'s loop-closure
     * story under continuous arrival (fuel's converter-then-reload cycle,
     * fuel/converters/base.py:50-104, with the reload happening per
     * micro-batch).
     *
-    * `storePath` must exist — bootstrap it by writing the existing
-    * corpus's [[graft.dedup.Dedup.signatureStore]] there (or an empty
-    * store for a from-scratch corpus). foreachBatch is the right tool,
-    * not a stream-stream join: admission needs the store AS OF the batch
+    * `storeTable` is a [[graft.dedup.Dedup.writeStorePartitioned]] table —
+    * bootstrap it from the existing corpus's signatureStore (or an empty
+    * frame for a from-scratch corpus). Reading through the catalog keeps
+    * the xkey bucket spec, so the exact-cross anti-join's store side
+    * never re-shuffles, however many batches have accumulated
+    * (StreamingSpec pins the plan after two). Pass `bandedTable`
+    * (a [[graft.dedup.Dedup.writeBandedStorePartitioned]] table) to give
+    * the NEAR join the same treatment — without it the fused path
+    * re-bands the store's signature stream each batch, which at corpus
+    * scale dwarfs the batch itself. foreachBatch is the right tool, not
+    * a stream-stream join: admission needs the store AS OF the batch
     * boundary (a self-feeding loop no watermark can express), and each
-    * batch re-reads the path so the previous batch's append is visible.
+    * batch re-reads the table so the previous batch's landing is visible.
     *
-    * Semantics notes, by contract: a failed batch REPLAYS under
-    * foreachBatch's at-least-once guarantee — both appends are
-    * re-executed, so a crash between the two writes can admit a doc to
-    * the corpus whose signature never landed (or vice versa); partition
-    * both sinks by a batch-id column and use dynamic-partition overwrite
-    * where exactly-once matters. The per-batch persists inside `admit`
-    * are batch-scoped, so the loop clears the session cache after each
-    * batch — run admission as its own job, not inside a session whose
-    * caches you need. */
-  def admitStream(docs: DataFrame, storePath: String, corpusPath: String,
-      checkpoint: String): StreamingQuery =
+    * Replay semantics: foreachBatch is at-least-once, so every sink here
+    * is keyed by `batchId` and OVERWRITES — the corpus write uses
+    * per-batch dynamic-partition overwrite, the store writes INSERT
+    * OVERWRITE their batch's own partition — making the whole batch
+    * idempotent: a crash between writes replays into the same
+    * partitions instead of re-appending (the r6 corruption hazard). The
+    * per-batch persists inside `admit` are batch-scoped, so the loop
+    * clears the session cache after each batch — run admission as its
+    * own job, not inside a session whose caches you need. */
+  def admitStream(docs: DataFrame, storeTable: String, corpusPath: String,
+      checkpoint: String, bandedTable: Option[String] = None,
+      bands: Int = 4, rowsPerBand: Int = 2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val store = spark.read.parquet(storePath)
+        val store = graft.dedup.Dedup.readStore(spark, storeTable)
+        // localCheckpoint (eager), not persist: INSERT OVERWRITE refuses a
+        // target its SELECT's lineage also reads, and the admitted frame's
+        // lineage reads the store table. Checkpointing truncates the plan
+        // to the materialized batch-sized RDD, which both store landings
+        // then reference. (Executor-local: a lost executor fails the
+        // batch — foreachBatch replays it, and every sink here overwrites.)
         val admitted = graft.text.Curation.admit(
           batch.withColumn("ts", graft.text.TextOps.tokens(col("text"))),
-          store).persist()
-        admitted.write.mode("append").parquet(corpusPath)
-        graft.dedup.Dedup.signatureStore(admitted, "doc_id", "text", "ts")
-          .write.mode("append").parquet(storePath)
-        admitted.unpersist()
+          store, bands = bands, rowsPerBand = rowsPerBand,
+          storeBands = bandedTable.map(spark.table)).localCheckpoint(true)
+        admitted.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(corpusPath)
+        val sigs = graft.dedup.Dedup
+          .signatureStore(admitted, "doc_id", "text", "ts").persist()
+        graft.dedup.Dedup.overwriteStoreBatch(sigs, storeTable, batchId)
+        bandedTable.foreach(t => graft.dedup.Dedup
+          .overwriteBandedStoreBatch(sigs, t, batchId, bands, rowsPerBand))
+        sigs.unpersist()
         spark.catalog.clearCache()
         ()
       }

@@ -466,7 +466,10 @@ object Curation {
     require(math.abs(sources.map(_._3).sum - 1.0) < 1e-9,
       s"shares must sum to 1, got ${sources.map(_._3).sum}")
     sources.map { case (name, df, share) =>
-      val total = df.agg(sum(col(nTokCol)).cast("long")).head().getLong(0)
+      // coalesce: sum() over zero rows (or all-null tokens) is null, and a
+      // bare getLong would NPE before the require names the empty source
+      val total = df.agg(coalesce(sum(col(nTokCol)), lit(0L)).cast("long"))
+        .head().getLong(0)
       require(total > 0, s"mix source '$name' has no tokens")
       val rate = math.min(1.0, (budgetTokens.toDouble * share) / total.toDouble)
       val threshold = math.floor(rate * 1000000).toLong

@@ -100,6 +100,13 @@ class CurationSpec extends SparkSpec {
     val s3 = graft.text.Curation.mix(srcs, "doc_id", "n_tokens", budget, seed = 99)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s1 == s2 && s1 != s3)
+
+    // an empty source fails with its NAME in the message, not a bare NPE
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Curation.mix(
+        Seq(("void", n.filter(col("doc_id") < 0), 1.0)), "doc_id", "n_tokens", 100L)
+    }
+    assert(e.getMessage.contains("void"))
   }
 
   test("curate → write split-partitioned → Catalog reload round-trips the frame") {

@@ -34,18 +34,23 @@ class StreamingSpec extends SparkSpec {
   test("admitStream: each batch dedups against the store AND everything admitted before it") {
     def txt(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("graft_admit_stream")
-    val (storeP, corpusP, ckpt) =
-      (s"$tmp/store", s"$tmp/corpus", s"$tmp/ckpt")
-    // bootstrap: the frozen corpus is one doc E
-    graft.dedup.Dedup.signatureStore(
-        Seq((1L, txt("e"))).toDF("doc_id", "text")
-          .withColumn("ts", graft.text.TextOps.tokens(col("text"))),
-        "doc_id", "text", "ts")
-      .write.parquet(storeP)
+    val (corpusP, ckpt) = (s"$tmp/corpus", s"$tmp/ckpt")
+    spark.sql("DROP TABLE IF EXISTS graft_admit_stream_store")
+    spark.sql("DROP TABLE IF EXISTS graft_admit_stream_banded")
+    // bootstrap: the frozen corpus is one doc E, in both bucketed stores
+    val boot = graft.dedup.Dedup.signatureStore(
+      Seq((1L, txt("e"))).toDF("doc_id", "text")
+        .withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+      "doc_id", "text", "ts")
+    graft.dedup.Dedup.writeStorePartitioned(boot,
+      "graft_admit_stream_store", s"$tmp/store", buckets = 32)
+    graft.dedup.Dedup.writeBandedStorePartitioned(boot,
+      "graft_admit_stream_banded", s"$tmp/banded", 4, 2, buckets = 32)
 
     val input = MemoryStream[(Long, String)]
     val q = Streaming.admitStream(
-      input.toDF().toDF("doc_id", "text"), storeP, corpusP, ckpt)
+      input.toDF().toDF("doc_id", "text"), "graft_admit_stream_store", corpusP, ckpt,
+      bandedTable = Some("graft_admit_stream_banded"))
     try {
       // batch 1: novel A + a copy of frozen E → only A admitted
       input.addData((10L, txt("a")), (11L, txt("e")))
@@ -57,11 +62,61 @@ class StreamingSpec extends SparkSpec {
       val corpus = spark.read.parquet(corpusP)
         .select("doc_id").as[Long].collect().toSet
       assert(corpus == Set(10L, 22L), s"expected {10, 22}, got $corpus")
-      // the store grew by exactly the admitted docs
-      val storeIds = spark.read.parquet(storeP)
+      // both stores grew by exactly the admitted docs
+      val storeIds = spark.table("graft_admit_stream_store")
         .select("doc_id").as[Long].collect().toSet
       assert(storeIds == Set(1L, 10L, 22L))
-    } finally q.stop()
+      val bandedIds = spark.table("graft_admit_stream_banded")
+        .select("doc_id").as[Long].collect().toSet
+      assert(bandedIds == Set(1L, 10L, 22L))
+
+      // after two micro-batches (three __batch_id partitions, multiple
+      // files per bucket) the store-side join is STILL exchange-free:
+      // the bucket guarantee is per bucket id across batch partitions
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val batch3 = graft.dedup.Dedup.signatureStore(
+          Seq((30L, txt("c"))).toDF("doc_id", "text")
+            .withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+          "doc_id", "text", "ts")
+        val p = batch3
+          .join(spark.table("graft_admit_stream_store"), Seq("xkey"), "left_anti")
+          .queryExecution.executedPlan.toString
+        assert(p.contains("Bucketed: true"),
+          s"accumulated store scan must keep its bucket spec:\n$p")
+        assert("Exchange hashpartitioning\\(xkey".r.findAllIn(p).length == 1,
+          s"exactly ONE xkey exchange (the batch side) expected:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_admit_stream_store")
+      spark.sql("DROP TABLE IF EXISTS graft_admit_stream_banded")
+    }
+  }
+
+  test("store batch landing is idempotent: a replayed batch overwrites its own partition") {
+    def txt(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_replay")
+    spark.sql("DROP TABLE IF EXISTS graft_replay_store")
+    val boot = graft.dedup.Dedup.signatureStore(
+      Seq((1L, txt("e"))).toDF("doc_id", "text")
+        .withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+      "doc_id", "text", "ts")
+    graft.dedup.Dedup.writeStorePartitioned(boot,
+      "graft_replay_store", s"$tmp/store", buckets = 32)
+    val sigs = graft.dedup.Dedup.signatureStore(
+      Seq((10L, txt("a")), (11L, txt("b"))).toDF("doc_id", "text")
+        .withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+      "doc_id", "text", "ts")
+    graft.dedup.Dedup.overwriteStoreBatch(sigs, "graft_replay_store", 7L)
+    val once = spark.table("graft_replay_store").count()
+    // the at-least-once replay: same batch id lands again
+    graft.dedup.Dedup.overwriteStoreBatch(sigs, "graft_replay_store", 7L)
+    assert(spark.table("graft_replay_store").count() == once,
+      "a replayed batch must overwrite its partition, not re-append")
+    assert(once == 3)
+    spark.sql("DROP TABLE IF EXISTS graft_replay_store")
   }
 
   test("watermark drops late data: an event below the watermark cannot revise a window") {
