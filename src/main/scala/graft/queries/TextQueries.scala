@@ -450,6 +450,30 @@ object TextQueries {
     "q68_published_report" -> ((s, dir) => {
       val raw = t(s, dir, "documents").select(col("doc_id"), plantedPublished)
       graft.text.Curation.reportPublished(raw, raw.filter(col("doc_id") % 41 === 0))
+    }),
+
+    // The mixture ARTIFACT ([[graft.text.Curation.materializeMixture]]):
+    // q64's two-domain mix selected, tokenized against one
+    // mixture-trained dictionary, packed, split-assigned and WRITTEN —
+    // then reloaded from disk and summarized per sequence (split, token
+    // count, boundary tokens, token sum, span count). The oracle
+    // rebuilds the acceptance + dictionary + packing + split assignment
+    // from the raw table, so the round trip through the written
+    // artifact is what the hash compare certifies (the loop-closure
+    // property, oracled).
+    "q69_mixture_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q69_artifact"
+      graft.text.Curation.materializeMixture(
+        Seq(("web", docs.filter(col("doc_id") % 3 === 0), 0.3),
+            ("books", docs.filter(col("doc_id") % 3 =!= 0), 0.7)),
+        path, budgetTokens = 30000, mixSeed = 13)
+      s.read.parquet(path).select(col("split"), col("seq_id"),
+        size(col("tokens")).cast("bigint").as("n_toks"),
+        element_at(col("tokens"), 1).as("first_tok"),
+        element_at(col("tokens"), -1).as("last_tok"),
+        aggregate(col("tokens"), lit(0L), _ + _).as("tok_sum"),
+        size(col("spans")).cast("bigint").as("n_docs"))
     })
   )
 
@@ -1120,6 +1144,52 @@ object TextQueries {
     "q61_curation_report" -> duckReportOracle,
     "q67_published_curation" -> duckPublishedCurationOracle,
     "q68_published_report" -> duckPublishedReportOracle,
+
+    // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
+    // over the accepted docs (carrying doc_id through the packing so the
+    // per-sequence distinct-doc count checks the spans column) → q32's
+    // split CASE on seededHash(7, seq_id).
+    "q69_mixture_artifact" -> {
+      def side(pred: String, name: String, share: String): String =
+        s"""SELECT doc_id FROM (SELECT * FROM n WHERE $pred) d,
+           |     (SELECT sum(n_tokens) AS t FROM n WHERE $pred)
+           |WHERE ${Stable.duckSeededHash(13, s"'$name'", "doc_id")} % 1000000 <
+           |  CAST(floor(least(1.0, (30000.0 * $share) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin
+      s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM documents),
+         |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks0),
+         |acc AS (
+         |  ${side("doc_id % 3 = 0", "web", "0.3")}
+         |  UNION ALL
+         |  ${side("doc_id % 3 <> 0", "books", "0.7")}),
+         |toks AS (SELECT t.doc_id, t.ts FROM toks0 t JOIN acc USING (doc_id)),
+         |counted AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(ts) AS word FROM toks) GROUP BY word
+         |  ORDER BY cnt DESC, word ASC LIMIT 50),
+         |dict AS (
+         |  SELECT word, row_number() OVER (ORDER BY cnt DESC, word ASC) + 2 AS token_id
+         |  FROM counted),
+         |expl AS (
+         |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks),
+         |tokrows AS (
+         |  SELECT e.doc_id, CAST(e.i AS BIGINT) AS pos,
+         |    CAST(coalesce(d.token_id, 2) AS BIGINT) AS token_id
+         |  FROM (SELECT doc_id, i, ts[i] AS word FROM expl) e LEFT JOIN dict d USING (word)
+         |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM toks
+         |  UNION ALL SELECT doc_id, CAST(len(ts) + 1 AS BIGINT), CAST(1 AS BIGINT) FROM toks),
+         |g AS (SELECT doc_id, token_id, row_number() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+         |      FROM tokrows),
+         |p AS (SELECT doc_id, gpos // 512 AS seq_id, gpos % 512 AS lp, token_id FROM g),
+         |s AS (SELECT CAST(seq_id AS BIGINT) AS seq_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  min_by(token_id, lp) AS first_tok, max_by(token_id, lp) AS last_tok,
+         |  CAST(sum(token_id) AS BIGINT) AS tok_sum,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM p GROUP BY seq_id)
+         |SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  seq_id, n_toks, first_tok, last_tok, tok_sum, n_docs
+         |FROM (SELECT *, ${Stable.duckSeededHash(7, "seq_id")} % 1000 AS b FROM s)""".stripMargin
+    },
 
     // Quantization in SQL: same maxAbs/127 scale, same floor(x/s + 0.5)
     // rounding, cosine over the quantized (exact-integer) lists.

@@ -502,10 +502,16 @@ object Curation {
   def materializeTokens(docs: DataFrame, path: String, seqLen: Int = 512,
       topK: Int = 50, seed: Long = 7,
       weights: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
-      reuse: Reuse = Recompute): Unit = {
-    val curated = curatedDocs(docs, reuse)
-    val dict = TextOps.buildDictionary(curated, "text", topK)
-    val toks = Cache()(TextOps.tokenize(curated, "doc_id", "text", dict))
+      reuse: Reuse = Recompute): Unit =
+    writeTokenArtifact(curatedDocs(docs, reuse), path, seqLen, topK, seed, weights)
+
+  /** The tensor-artifact tail shared by [[materializeTokens]] and
+    * [[materializeMixture]]: dictionary over the given docs, tokenize,
+    * pack, span, split-assign by seq_id, write split-partitioned. */
+  private def writeTokenArtifact(docs: DataFrame, path: String, seqLen: Int,
+      topK: Int, seed: Long, weights: Seq[(String, Double)]): Unit = {
+    val dict = TextOps.buildDictionary(docs, "text", topK)
+    val toks = Cache()(TextOps.tokenize(docs, "doc_id", "text", dict))
     val seqs = TextOps.packTokens(toks, "doc_id", "pos", "token_id", seqLen)
     // The trainer-facing artifact carries the cross-doc attention-mask
     // metadata ALONGSIDE the tokens: per sequence, the (start, end,
@@ -522,5 +528,38 @@ object Curation {
     SplitSource.write(
       SplitSource.assignSplit(seqs.join(spans, Seq("seq_id")),
         col("seq_id"), seed, weights), path)
+  }
+
+  /** Close the MIXTURE loop: [[mix]]'s accepted docs from every source,
+    * tokenized against ONE dictionary built over the mixture (the vocab
+    * a trainer of the mixed corpus actually sees), packed into `seqLen`
+    * sequences with doc spans, split-assigned by seq_id and written
+    * split-partitioned — [[materializeTokens]] for a multi-corpus data
+    * recipe, the artifact a published mixing stage ultimately produces.
+    *
+    * `sources` are already-CURATED corpora (name, docs(doc_id, text),
+    * target share) — curation is per-source, upstream
+    * ([[curatePublished]]); the mixture stage only selects and packs.
+    * doc_ids must be disjoint across sources (they key the packing
+    * order) — enforced by a one-row probe before anything writes, since
+    * a collision would silently interleave two documents' tokens into
+    * one packed stream. */
+  def materializeMixture(sources: Seq[(String, DataFrame, Double)], path: String,
+      budgetTokens: Long, seqLen: Int = 512, topK: Int = 50, mixSeed: Long = 13,
+      splitSeed: Long = 7,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): Unit = {
+    val prepped = sources.map { case (name, df, share) =>
+      val ts = TextOps.tokens(col("text"))
+      (name, df.select(col("doc_id"), col("text"), size(ts).cast("bigint").as("n_tokens")),
+        share)
+    }
+    val mixed = Cache()(mix(prepped, "doc_id", "n_tokens", budgetTokens, mixSeed))
+    val ids = mixed.agg(count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("d")).head()
+    require(ids.getLong(0) == ids.getLong(1),
+      "materializeMixture: doc_ids must be disjoint across sources — " +
+        s"${ids.getLong(0)} accepted rows but only ${ids.getLong(1)} distinct ids; " +
+        "re-key the colliding source before mixing")
+    writeTokenArtifact(mixed, path, seqLen, topK, splitSeed, weights)
   }
 }

@@ -109,6 +109,31 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("void"))
   }
 
+  test("mixture artifact: split-pruned reload, spans tile every sequence, id-collision guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixture").toString
+    val raw = docs.select("doc_id", "text")
+    Curation.materializeMixture(
+      Seq(("web", raw.filter(col("doc_id") % 3 === 0), 0.3),
+          ("books", raw.filter(col("doc_id") % 3 =!= 0), 0.7)),
+      dir, budgetTokens = 3000)
+    // the artifact is split-partitioned and reloads pruned
+    assert(SplitSource.read(spark, dir, "train").count() > 0)
+    // every reloaded sequence's spans tile its own token count — the q63
+    // law, re-checked over the WRITTEN mixture artifact
+    val bad = spark.read.parquet(dir).select(
+        size(col("tokens")).cast("long").as("n"),
+        aggregate(col("spans"), lit(0L), (acc, s) =>
+          acc + s.getField("span_end") - s.getField("span_start")).as("covered"))
+      .filter(col("n") =!= col("covered")).count()
+    assert(bad == 0, "spans must tile every packed sequence exactly")
+    // colliding doc_ids across sources trip the probe before any write
+    val e = intercept[IllegalArgumentException] {
+      Curation.materializeMixture(
+        Seq(("a", raw, 0.5), ("b", raw, 0.5)), s"$dir-collide", 3000)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("curate → write split-partitioned → Catalog reload round-trips the frame") {
     val packed = Curation.curate(docs)
     val catalog = Catalog.forTestData(spark, sf)
