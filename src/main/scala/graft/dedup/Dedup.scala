@@ -403,7 +403,20 @@ object Dedup {
     *
     * Scale shape: at 100 TB the store is ~1/1000th the corpus bytes and
     * should be written bucketed by `xkey` (and optionally pre-banded) so
-    * admission joins co-locate without reshuffling the store. */
+    * admission joins co-locate without reshuffling the store.
+    *
+    * MinHash-only, deliberately: the store's near-dup verify is
+    * [[sigAgreement]] (estimated Jaccard from retained signatures — the
+    * original text is gone), and MinHash is the sketch whose
+    * component-agreement IS an unbiased Jaccard estimator. A SimHash
+    * analog would retain one 64-bit word per doc and verify by Hamming
+    * distance ([[hammingDistance]]) — smaller but coarser (no per-pair
+    * similarity estimate to threshold against `sigAgree`, only a bit
+    * distance whose distribution depends on doc length). Corpora that
+    * dedup by Hamming bands ([[simhashNearDup]]) run their admission by
+    * banding the retained `simhash` column directly — the [[banded]]
+    * machinery is sketch-agnostic — but the verify-from-signatures
+    * contract this store feeds is MinHash's alone. */
   def signatureStore(docs: DataFrame, idCol: String, textCol: String,
       toksCol: String, numHashes: Int = 8, k: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")

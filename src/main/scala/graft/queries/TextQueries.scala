@@ -751,12 +751,12 @@ object TextQueries {
        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM scrub),
        |rg2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
        |  i -> ts[i] || ' ' || ts[i + 1])) AS g FROM toks WHERE len(ts) >= 2),
-       |rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
+       |rc2 AS (SELECT doc_id, ${H("g")} AS gh, count(*) AS c FROM rg2 GROUP BY 1, 2),
        |rf2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
        |        FROM rc2 GROUP BY doc_id),
        |rg3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
        |  i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g FROM toks WHERE len(ts) >= 3),
-       |rc3 AS (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY 1, 2),
+       |rc3 AS (SELECT doc_id, ${H("g")} AS gh, count(*) AS c FROM rg3 GROUP BY 1, 2),
        |rf3 AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
        |  CAST(sum(c) AS DOUBLE) AS dup3 FROM rc3 GROUP BY doc_id),
        |rep AS (SELECT rf2.doc_id, top2, dup3 FROM rf2 JOIN rf3 USING (doc_id))""".stripMargin
@@ -1227,19 +1227,22 @@ object TextQueries {
         |SELECT doc_id, string_agg(ln, chr(10) ORDER BY li) AS clean_text
         |FROM kept GROUP BY doc_id""".stripMargin,
 
+    // gram counts key on the same md5-derived hash the Spark side
+    // shuffles (the no-shingle-strings rule), so counts agree even on a
+    // collision
     "q65_repetition" ->
       s"""WITH $DuckToks,
          |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
          |         i -> ts[i] || ' ' || ts[i + 1])) AS g
          |       FROM toks WHERE len(ts) >= 2),
-         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |c2 AS (SELECT doc_id, ${H("g")} AS gh, count(*) AS c FROM g2 GROUP BY 1, 2),
          |f2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
          |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_2gram_frac
          |       FROM c2 GROUP BY doc_id),
          |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
          |         i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
          |       FROM toks WHERE len(ts) >= 3),
-         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |c3 AS (SELECT doc_id, ${H("g")} AS gh, count(*) AS c FROM g3 GROUP BY 1, 2),
          |f3 AS (SELECT doc_id,
          |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
          |           CAST(sum(c) AS DOUBLE) AS dup_3gram_frac

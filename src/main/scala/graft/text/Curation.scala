@@ -305,7 +305,13 @@ object Curation {
       k: Int = 3, minOverlap: Int = 2, maxLineOccurrences: Long = 1,
       maxTop2GramFrac: Double = 0.15, maxDup3GramFrac: Double = 0.15): DataFrame = {
     val scrubbed = Cache()(scrubLines(docs, maxLineOccurrences = maxLineOccurrences))
-    val gated = repetitionGate(gate(scrubbed), maxTop2GramFrac, maxDup3GramFrac)
+    // The repetition-gated frame persists too — [[dedupe]] expands it into
+    // ~5 plan consumers, and unlike [[curateFull]]'s gate (a codegen
+    // projection, cheap to re-derive from cached scrub) this frame's
+    // lineage holds [[repetitionGate]]'s explode, two keyed-agg shuffles,
+    // and survivor join: recomputing THAT per consumer is the q59
+    // survivor-frame argument all over again.
+    val gated = Cache()(repetitionGate(gate(scrubbed), maxTop2GramFrac, maxDup3GramFrac))
     val survivors = Cache()(dedupe(gated))
     val clean = decontaminate(survivors, scrub(benchmark), k, minOverlap)
     TextOps.packSequences(

@@ -185,15 +185,19 @@ object TextOps {
     * conditional aggregation splitting the lengths. (The first version
     * ran a separate explode + agg pair per length and joined on doc_id —
     * two corpus scans plus a join where one pass suffices, the engine's
-    * own `tokenize` discipline; PlanSpec pins the scan count.) The
-    * `__t3 > 0` filter reproduces the old inner join's semantics: a doc
-    * with exactly 2 tokens has a 2-gram but no 3-gram to measure, so it
-    * drops. Fractions are int/int double divisions, reproduced exactly
-    * by the oracle (q65). */
+    * own `tokenize` discipline; PlanSpec pins the scan count.) Grams are
+    * HASHED before the explode ([[Stable.hash64]] — the dedup family's
+    * no-shingle-strings rule): the keyed agg then shuffles and hashes
+    * 8-byte longs, not multi-word strings; the oracle applies the same
+    * md5-derived hash, so counts agree bit-for-bit even in the
+    * astronomically-unlikely collision. The `__t3 > 0` filter reproduces
+    * the old inner join's semantics: a doc with exactly 2 tokens has a
+    * 2-gram but no 3-gram to measure, so it drops. Fractions are int/int
+    * double divisions, reproduced exactly by the oracle (q65). */
   def repetitionColumns(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
     def tagged(n: Int): Column =
       transform(ngramOccurrences(col(toksCol), n),
-        g => struct(lit(n).as("n"), g.as("g")))
+        g => struct(lit(n).as("n"), Stable.hash64(g).as("g")))
     df.select(col(idCol), explode(concat(tagged(2), tagged(3))).as("__ng"))
       .select(col(idCol), col("__ng.n").as("__n"), col("__ng.g").as("__g"))
       .groupBy(col(idCol), col("__n"), col("__g")).agg(count(lit(1)).as("__c"))
