@@ -319,6 +319,27 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("bigint")
 
+  /** Banded rows of a simhash column — [[banded]]'s Hamming analog:
+    * (idCol, simCol, band, bval) with the one-long signature riding
+    * along, so a consumer verifying by [[hammingDistance]] filters the
+    * joined row instead of rejoining ([[graft.text.Curation.admitSimhash]]).
+    * Band extraction is a pure bit-shift projection. */
+  def simhashBanded(df: DataFrame, idCol: String, simCol: String,
+      bands: Int, bitsPerBand: Int): DataFrame =
+    df.select(col(idCol), col(simCol),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col(simCol), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1))
+      }: _*)).as(Seq("band", "bval")))
+
+  /** [[simhashBanded]] plus the hot-bucket occupancy guard — the probe
+    * side of an admission's Hamming candidate join ([[bandedGuarded]]'s
+    * analog). */
+  def simhashBandedGuarded(df: DataFrame, idCol: String, simCol: String,
+      bands: Int, bitsPerBand: Int, op: String,
+      maxBucket: Int = 100000): DataFrame =
+    guardOccupancy(simhashBanded(df, idCol, simCol, bands, bitsPerBand),
+      "bval", maxBucket, op)
+
   /** Banded SimHash near-dup pairs — the [[simhash]] family's analog of
     * [[lshCandidates]]+verify: split the signature into `bands` contiguous
     * `bitsPerBand`-bit bands; docs agreeing on ANY band are candidates
@@ -405,18 +426,14 @@ object Dedup {
     * should be written bucketed by `xkey` (and optionally pre-banded) so
     * admission joins co-locate without reshuffling the store.
     *
-    * MinHash-only, deliberately: the store's near-dup verify is
-    * [[sigAgreement]] (estimated Jaccard from retained signatures — the
-    * original text is gone), and MinHash is the sketch whose
-    * component-agreement IS an unbiased Jaccard estimator. A SimHash
-    * analog would retain one 64-bit word per doc and verify by Hamming
-    * distance ([[hammingDistance]]) — smaller but coarser (no per-pair
-    * similarity estimate to threshold against `sigAgree`, only a bit
-    * distance whose distribution depends on doc length). Corpora that
-    * dedup by Hamming bands ([[simhashNearDup]]) run their admission by
-    * banding the retained `simhash` column directly — the [[banded]]
-    * machinery is sketch-agnostic — but the verify-from-signatures
-    * contract this store feeds is MinHash's alone. */
+    * This store is MinHash: its near-dup verify is [[sigAgreement]]
+    * (estimated Jaccard from retained signatures — the original text is
+    * gone), and MinHash is the sketch whose component-agreement IS an
+    * unbiased Jaccard estimator. Corpora that dedup by Hamming distance
+    * instead ([[simhashNearDup]]) retain [[simhashStore]]'s one-long
+    * signature and admit via
+    * [[graft.text.Curation.admitSimhash]] — same staging, Hamming
+    * verify. */
   def signatureStore(docs: DataFrame, idCol: String, textCol: String,
       toksCol: String, numHashes: Int = 8, k: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
@@ -452,6 +469,42 @@ object Dedup {
       .select(col(idCol), col("xkey"),
         when(col("__m0").isNull, lit(null))
           .otherwise(array((0 until numHashes).map(j => col(s"__m$j")): _*)).as("sig"))
+  }
+
+  /** [[signatureStore]] at SimHash parity — the retention artifact for a
+    * Hamming-based corpus: (idCol, xkey, simhash) with `xkey` the exact
+    * dedup key and `simhash` the `bits`-bit signature ([[simhash]]'s
+    * math). Zero-token docs keep a null simhash — a doc whose every
+    * bit-count is non-positive legitimately hashes to 0, so 0 cannot
+    * mark emptiness; the null is what [[graft.text.Curation.admitSimhash]]
+    * filters before banding. Single corpus pass, [[signatureStore]]'s
+    * fusion: xkey rides the explode on the always-kept first row and is
+    * recovered by a null-skipping max in the same doc-keyed agg the
+    * bit-count sums need anyway. */
+  def simhashStore(docs: DataFrame, idCol: String, textCol: String,
+      toksCol: String, bits: Int = 60): DataFrame = {
+    require(bits > 0 && bits <= 60, "simhash supports 1..60 bits")
+    val exploded = docs.select(col(idCol),
+        md5(substring(col(textCol), 1, 40)).as("__xk"),
+        posexplode_outer(col(toksCol)).as(Seq("pos", "__t")))
+      .select(col(idCol),
+        when(coalesce(col("pos"), lit(0)) === 0, col("__xk")).as("xkey"),
+        when(col("__t").isNull, lit(null).cast("long"))
+          .otherwise(Stable.hash64(col("__t"))).as("__h"))
+    // null __h (the outer-explode row of an empty doc) must contribute 0,
+    // not fall through a null condition to the -1 branch
+    val sums = (0 until bits).map { j =>
+      sum(when(col("__h").isNull, 0L)
+        .otherwise(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L))).as(s"__c$j")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(max(col("xkey")).as("xkey"), (count(col("__h")).as("__n") +: sums): _*)
+      .select(col(idCol), col("xkey"),
+        when(col("__n") === 0, lit(null).cast("long"))
+          .otherwise((0 until bits).map { j =>
+            when(col(s"__c$j") > 0, lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)).as("simhash"))
   }
 
   /** Materialize a [[signatureStore]] as a bucketed table so admission

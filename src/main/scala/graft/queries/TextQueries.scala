@@ -474,6 +474,37 @@ object TextQueries {
         element_at(col("tokens"), -1).as("last_tok"),
         aggregate(col("tokens"), lit(0L), _ + _).as("tok_sum"),
         size(col("spans")).cast("bigint").as("n_docs"))
+    }),
+
+    // Incremental admission at SIMHASH parity
+    // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
+    // with Hamming-flavored near families — simhash is ORDER-INVARIANT
+    // (a per-token ±1 sum), so reversing a doc's tokens lands at Hamming
+    // 0 with a different exact key: the deterministic near-dup plant no
+    // mutation of the token multiset could provide. Even docs play the
+    // frozen corpus (simhashStore only); the batch is the odd docs plus
+    // +1M verbatim even copies (exact-cross), +2M reversed evens
+    // (near-cross), +3M odd copies (exact-within), +4M reversed odds
+    // (near-within, greedy higher-id drop).
+    "q70_simhash_admit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      def rev(c: Column): Column = concat_ws(" ", reverse(TextOps.tokens(c)))
+      def wTs(df: DataFrame): DataFrame =
+        df.withColumn("ts", TextOps.tokens(col("text")))
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      val store = graft.transform.Cache()(
+        Dedup.simhashStore(wTs(even), "doc_id", "text", "ts"))
+      val fresh = wTs(odd
+        .unionByName(even.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(even.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"), rev(col("text")).as("text")))
+        .unionByName(odd.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        .unionByName(odd.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+          .select((col("doc_id") + 4000000L).as("doc_id"), rev(col("text")).as("text"))))
+      graft.text.Curation.admitSimhash(fresh, store).select("doc_id")
     })
   )
 
@@ -805,6 +836,56 @@ object TextQueries {
        |UNION ALL ${stat("3_exact_dedup", "JOIN keep1 USING (doc_id)")}
        |UNION ALL ${stat("4_near_dedup", "JOIN final USING (doc_id)")}
        |UNION ALL ${stat("5_decontaminated", "JOIN clean USING (doc_id)")}""".stripMargin
+  }
+
+  /** q70 oracle: q60's staged admission in SQL, Hamming edition — q29's
+    * simhash CTEs (60-bit) over the union corpus, 4 × 15-bit band values
+    * by bit shift, exact stages on md5 keys, near stage verified by
+    * `bit_count(xor(...)) <= 3` against store ∪ lower-id peers. */
+  private def duckSimhashAdmitOracle: String = {
+    val rev = "array_to_string(list_reverse(list_filter(string_split(text, ' '), " +
+      "t -> len(t) > 0)), ' ')"
+    s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |fr AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+       |    WHERE doc_id % 2 = 0 AND doc_id < 20
+       |  UNION ALL SELECT doc_id + 2000000, $rev FROM documents
+       |    WHERE doc_id % 2 = 0 AND doc_id >= 20 AND doc_id < 40
+       |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+       |    WHERE doc_id % 2 = 1 AND doc_id < 10
+       |  UNION ALL SELECT doc_id + 4000000, $rev FROM documents
+       |    WHERE doc_id % 2 = 1 AND doc_id >= 10 AND doc_id < 30),
+       |d0 AS (SELECT * FROM fr UNION ALL SELECT * FROM ex),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM d0),
+       |th AS (SELECT doc_id, ${H("w")} AS h
+       |       FROM (SELECT doc_id, unnest(ts) AS w FROM toks)),
+       |bits AS (SELECT doc_id, j,
+       |    sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th, generate_series(0, 59) g(j)
+       |  GROUP BY doc_id, j),
+       |sims AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim
+       |  FROM bits GROUP BY doc_id),
+       |xk AS (SELECT doc_id, md5(substr(text, 1, 40)) AS xkey FROM d0),
+       |fxk AS (SELECT x.doc_id, x.xkey FROM xk x JOIN fr USING (doc_id)),
+       |w1 AS (SELECT min(doc_id) AS doc_id FROM fxk GROUP BY xkey),
+       |sxk AS (SELECT DISTINCT x.xkey FROM xk x JOIN ex USING (doc_id)),
+       |w2 AS (SELECT f.doc_id FROM fxk f JOIN w1 USING (doc_id)
+       |       ANTI JOIN sxk s ON f.xkey = s.xkey),
+       |bands AS (
+       |  SELECT doc_id, b, (sim >> (b * 15)) & 32767 AS bval, sim
+       |  FROM sims, generate_series(0, 3) g(b)),
+       |sb AS (SELECT b.* FROM bands b JOIN ex USING (doc_id)),
+       |fb2 AS (SELECT b.* FROM bands b JOIN w2 USING (doc_id)),
+       |xdrop AS (SELECT DISTINCT f.doc_id
+       |          FROM fb2 f JOIN sb s ON f.b = s.b AND f.bval = s.bval
+       |          WHERE bit_count(xor(f.sim, s.sim)) <= 3),
+       |wdrop AS (SELECT DISTINCT x.doc_id FROM fb2 x JOIN fb2 y
+       |          ON x.b = y.b AND x.bval = y.bval AND y.doc_id < x.doc_id
+       |          WHERE bit_count(xor(x.sim, y.sim)) <= 3),
+       |ndrop AS (SELECT doc_id FROM xdrop UNION SELECT doc_id FROM wdrop)
+       |SELECT w.doc_id FROM w2 w ANTI JOIN ndrop d ON w.doc_id = d.doc_id""".stripMargin
   }
 
   /** q60 oracle: the incremental-admission chain in SQL — rebuild both
@@ -1144,6 +1225,7 @@ object TextQueries {
     "q61_curation_report" -> duckReportOracle,
     "q67_published_curation" -> duckPublishedCurationOracle,
     "q68_published_report" -> duckPublishedReportOracle,
+    "q70_simhash_admit" -> duckSimhashAdmitOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

@@ -448,6 +448,51 @@ object Curation {
     fresh.join(w2.join(nearDrop, Seq("doc_id"), "left_anti").select("doc_id"), Seq("doc_id"))
   }
 
+  /** [[admit]] at SimHash parity — incremental admission for a corpus
+    * that dedups by Hamming distance ([[graft.dedup.Dedup.simhashNearDup]]'s
+    * family) rather than estimated Jaccard. `store` is the retained
+    * [[graft.dedup.Dedup.simhashStore]] (doc_id, xkey, simhash) of the
+    * frozen corpus; `fresh` is (doc_id, text, ts). Same three drop
+    * stages as [[admit]]: exact-within (min doc_id per xkey), exact-cross
+    * (xkey anti-join), then ONE banded near pass — a surviving batch doc
+    * drops if it lies within `maxHamming` of any STORE doc or any
+    * LOWER-ID batch peer sharing a band value. The one-long signature
+    * rides the band shuffle on both sides, so the Hamming verify is a
+    * filter on the joined row (no rejoin — cheaper even than the MinHash
+    * path, whose signatures are 8 longs). Recall is exactly 1 for
+    * `maxHamming <= bands - 1` (pigeonhole, enforced); occupancy guard
+    * on the batch side, [[admit]]'s exact-within-first rationale. */
+  def admitSimhash(fresh: DataFrame, store: DataFrame, bits: Int = 60,
+      bands: Int = 4, bitsPerBand: Int = 15, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}, " +
+        s"got maxHamming=$maxHamming (raise bands or lower maxHamming)")
+    val fstore = Cache()(Dedup.simhashStore(fresh, "doc_id", "text", "ts", bits))
+    val w1 = fstore.join(
+      Dedup.exact(fstore, col("doc_id"), col("xkey"))
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"))
+    val w2 = Cache()(w1.join(store.select("xkey"), Seq("xkey"), "left_anti"))
+    val sims = w2.filter(col("simhash").isNotNull).select("doc_id", "simhash")
+    val left = Dedup.simhashBandedGuarded(sims, "doc_id", "simhash",
+        bands, bitsPerBand, op = "admitSimhash")
+      .select(col("band"), col("bval"), col("doc_id"), col("simhash").as("fsim"))
+    val withinRight = Dedup.simhashBanded(sims, "doc_id", "simhash", bands, bitsPerBand)
+      .select(col("band"), col("bval"), col("doc_id").as("rid"),
+        col("simhash").as("rsim"), lit(false).as("is_store"))
+    val right = Dedup
+      .simhashBanded(store.filter(col("simhash").isNotNull), "doc_id", "simhash",
+        bands, bitsPerBand)
+      .select(col("band"), col("bval"), col("doc_id").as("rid"),
+        col("simhash").as("rsim"), lit(true).as("is_store"))
+      .unionByName(withinRight)
+    val nearDrop = left.join(right, Seq("band", "bval"))
+      .filter(col("is_store") || col("rid") < col("doc_id"))
+      .filter(Dedup.hammingDistance(col("fsim"), col("rsim")) <= maxHamming)
+      .select("doc_id").distinct()
+    fresh.join(w2.join(nearDrop, Seq("doc_id"), "left_anti").select("doc_id"), Seq("doc_id"))
+  }
+
   /** Deterministic domain mixing — the pretraining stage that combines
     * curated corpora at target TOKEN proportions under a total budget
     * (the "data mixture" every published LM recipe specifies). Each

@@ -125,6 +125,69 @@ class AdmitSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  // ---- SimHash parity ([[Curation.admitSimhash]] / [[Dedup.simhashStore]]) ----
+
+  private def revText(t: String): String = t.split("\\s+").reverse.mkString(" ")
+
+  private lazy val simStore = Dedup.simhashStore(existing, "doc_id", "text", "ts")
+
+  private lazy val simFresh = withTs(Seq(
+    10L -> texts("a"),           // verbatim copy of store doc → exact-cross
+    11L -> revText(texts("b")),  // reversed store doc: Hamming 0, new xkey → near-cross
+    12L -> texts("e"),           // novel; duplicated below
+    13L -> texts("e"),           // exact-within: 12 (min id) survives
+    14L -> texts("f"),           // novel; near-dupped below
+    15L -> revText(texts("f")),  // reversed 14: near-within, higher id drops
+    16L -> texts("g"),           // unique novel → admitted
+    17L -> ""                    // empty text: null simhash, exact-only path
+  ).toDF("doc_id", "text"))
+
+  test("admitSimhash drops each planted family at its stage and keeps the novel docs") {
+    // Token reversal is the simhash-specific plant: the signature is an
+    // order-invariant per-token ±1 sum, so a reversed doc lands at
+    // Hamming 0 with a DIFFERENT exact key — a guaranteed near-dup that
+    // only the banded Hamming stage can catch.
+    val admitted = Curation.admitSimhash(simFresh, simStore)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(12L, 14L, 16L, 17L),
+      s"expected {12,14,16,17}, got $admitted")
+  }
+
+  test("admitSimhash enforces the pigeonhole recall bound on maxHamming") {
+    val e = intercept[IllegalArgumentException] {
+      Curation.admitSimhash(simFresh, simStore, bands = 4, maxHamming = 4)
+    }
+    assert(e.getMessage.contains("recall"))
+  }
+
+  test("simhashStore's fused pass is bit-equal to the canonical simhash chain") {
+    // Same pin as the MinHash store: the fused xkey-carrying outer-explode
+    // form must not drift from Dedup.simhash's math. Canonical drops
+    // empty-token docs entirely (inner explode), fused keeps them with a
+    // null signature — full_outer + <=> covers both.
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("ts"))
+    val fused = Dedup.simhashStore(docs, "doc_id", "text", "ts")
+      .select(col("doc_id"), col("simhash").as("fsim"))
+    val canonical = Dedup.simhash(docs, "doc_id", "ts", bits = 60)
+      .select(col("doc_id"), col("simhash").as("csim"))
+    val mismatched = fused.join(canonical, Seq("doc_id"), "full_outer")
+      .filter(!(col("fsim") <=> col("csim")))
+    assert(mismatched.isEmpty,
+      "fused simhash store must bit-match Dedup.simhash")
+  }
+
+  test("simhashStore: empty token arrays keep a null simhash, exact key still present") {
+    val st = Dedup.simhashStore(
+      withTs(Seq((1L, "x y z"), (2L, "")).toDF("doc_id", "text")),
+      "doc_id", "text", "ts")
+    val rows = st.orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(!rows(0).isNullAt(rows(0).fieldIndex("simhash")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("simhash")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("xkey")))
+  }
+
   test("lshCrossCandidates pairs near-identical docs across corpora and skips null signatures") {
     val freshSide = Dedup.signatureStore(fresh, "doc_id", "text", "ts")
       .select("doc_id", "sig")
