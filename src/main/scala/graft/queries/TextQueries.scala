@@ -505,6 +505,16 @@ object TextQueries {
         .unionByName(odd.filter(col("doc_id") >= 10 && col("doc_id") < 30)
           .select((col("doc_id") + 4000000L).as("doc_id"), rev(col("text")).as("text"))))
       graft.text.Curation.admitSimhash(fresh, store).select("doc_id")
+    }),
+
+    // Exact substring deduplication (ExactSubstr, Lee et al. 2022):
+    // duplicated 20-token windows (747 organic cross-doc repeats at
+    // sf0.01 — footer passages) cut from every position except the
+    // corpus-wide first occurrence, spans merged and the doc reassembled.
+    "q71_dedup_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      TextOps.dedupSpans(docs, "doc_id", "ts", k = 20)
     })
   )
 
@@ -888,6 +898,44 @@ object TextQueries {
        |SELECT w.doc_id FROM w2 w ANTI JOIN ndrop d ON w.doc_id = d.doc_id""".stripMargin
   }
 
+  /** q71 oracle: [[graft.text.TextOps.dedupSpans]] in SQL — positional
+    * 20-gram hashes (ngramHashes' exact slice/concat form), the
+    * duplicated-gram dictionary with its composed-key owner
+    * (doc_id * 2^21 + pos orders identically to Spark's struct-min while
+    * positions stay under 2^21 — max doc here is 99 tokens), lag-based
+    * gaps-and-islands for the span merge (fixed width k: a new island
+    * starts exactly when p - lag(p) > k), and NOT EXISTS coverage for the
+    * token reassembly. */
+  private def duckDedupSpansOracle: String = {
+    val k = 20
+    s"""WITH $DuckToks,
+       |grams AS (
+       |  SELECT doc_id, i AS p, ${H(s"array_to_string(ts[i+1:i+$k], ' ')")} AS h
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, greatest(len(ts) - $k, 0))) AS i
+       |        FROM toks WHERE len(ts) > 0)),
+       |dict AS (SELECT h, min(doc_id * 2097152 + p) AS own
+       |         FROM grams GROUP BY h HAVING count(*) > 1),
+       |cut AS (SELECT g.doc_id, g.p FROM grams g JOIN dict d USING (h)
+       |        WHERE g.doc_id * 2097152 + g.p <> d.own),
+       |brk AS (SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > $k THEN 1 ELSE 0 END AS b
+       |  FROM cut WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk),
+       |spans AS (SELECT i.doc_id, min(i.p) AS s, least(max(i.p) + $k, len(t.ts)) AS e
+       |          FROM isl i JOIN toks t USING (doc_id) GROUP BY i.doc_id, len(t.ts), i.g),
+       |st AS (SELECT doc_id, count(*) AS ns, sum(e - s) AS nr FROM spans GROUP BY doc_id),
+       |pos AS (SELECT doc_id, i - 1 AS q, ts[i] AS w
+       |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks)),
+       |kept AS (SELECT p.* FROM pos p WHERE NOT EXISTS (
+       |  SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id AND p.q >= s.s AND p.q < s.e)),
+       |clean AS (SELECT doc_id, string_agg(w, ' ' ORDER BY q) AS ct FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(c.ct, '') AS clean_text,
+       |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(st.nr, 0) AS BIGINT) AS n_removed,
+       |  CAST(coalesce(st.ns, 0) AS BIGINT) AS n_spans
+       |FROM toks t LEFT JOIN clean c USING (doc_id) LEFT JOIN st USING (doc_id)""".stripMargin
+  }
+
   /** q60 oracle: the incremental-admission chain in SQL — rebuild both
     * sides' exact keys and MinHash signatures from the union of corpora
     * (ids are disjoint by construction), then apply
@@ -1226,6 +1274,7 @@ object TextQueries {
     "q67_published_curation" -> duckPublishedCurationOracle,
     "q68_published_report" -> duckPublishedReportOracle,
     "q70_simhash_admit" -> duckSimhashAdmitOracle,
+    "q71_dedup_spans" -> duckDedupSpansOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

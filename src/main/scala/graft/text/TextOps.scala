@@ -312,6 +312,102 @@ object TextOps {
     }
   }
 
+  /** Exact substring deduplication — the ExactSubstr operator of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., ACL 2022): any `k`-token window whose exact content occurs at
+    * more than one position in the corpus is a duplicated substring, and
+    * every occurrence except the canonical FIRST (min (id, pos), so
+    * exactly one copy of each repeated passage survives corpus-wide) has
+    * its token span cut from its document. Finer-grained than
+    * [[dedupLines]] (which needs the repeat to align with line breaks)
+    * and than doc-level MinHash/SimHash (which drop or keep whole
+    * documents): this removes the quoted boilerplate passage and keeps
+    * the prose around it. Output: (idCol, `out` = the reassembled
+    * surviving tokens, n_tokens, n_removed, n_spans) — one row per input
+    * doc, empty-token docs pass through untouched.
+    *
+    * The paper builds a corpus-wide suffix array — inherently
+    * single-machine-unfriendly. The Spark-first equivalent fixes the
+    * match length at `k` and works on the k-gram occurrence stream:
+    * positions sharing a gram hash ARE the suffix-array buckets of depth
+    * k, and the span-union of overlapping cut windows recovers maximal
+    * duplicated runs (two occurrences sharing an m > k run match on
+    * every one of the m - k + 1 covering k-grams, so the merged island
+    * is the full run — the suffix array's answer — widened to at most
+    * k - 1 trailing tokens at the run's edges).
+    *
+    * Scale shape: the occurrence stream is one row per corpus token
+    * ((id, pos, hash) — grams are hashed in-projection via
+    * [[ngramHashes]], the dedup family's no-shingle-strings rule, so the
+    * ONE keyed shuffle moves 8-byte longs). The duplicated-gram
+    * dictionary (count > 1, with its canonical owner from the same agg —
+    * map-side combined) is a pure reduction of that stream; the
+    * occurrence→dictionary join is hash-keyed and ids-only, and a hot
+    * gram (a footer in every doc) fans out to exactly its occurrence
+    * count — bounded by the stream itself, never quadratic (unlike LSH
+    * buckets, high occupancy here is legitimate data, not a planning
+    * failure; no occupancy guard wanted). Island merge is a per-doc fold
+    * over CUT positions only (bounded by doc length, the engine's
+    * bounded-doc assumption), never a corpus-wide sort. The occurrence
+    * stream has two consumers (the dictionary agg and the join probe), so
+    * the corpus scans twice — [[dedupLines]]' accepted count-then-probe
+    * trade; the dictionary itself is unbounded (every duplicated gram in
+    * the corpus), so neither side can broadcast and caching the stream
+    * would cache a corpus-sized frame. */
+  def dedupSpans(df: DataFrame, idCol: String, toksCol: String, k: Int = 20,
+      out: String = "clean_text", posCap: Int = 1 << 21): DataFrame = {
+    require(k >= 2, s"dedupSpans needs k >= 2 token windows, got $k")
+    val base = df.select(col(idCol), col(toksCol).as("__ts"))
+    // The owner reduction must stay a PRIMITIVE min: min(struct(id, pos))
+    // compiles to SortAggregate — a per-partition sort of the
+    // corpus-token-sized occurrence stream — while the composed long key
+    // keeps it inside whole-stage-codegen HashAggregate. Hence numeric
+    // ids and the posCap bound (id * posCap + pos must order like
+    // (id, pos)); docs past the cap fail loudly, not mis-order.
+    val occ = base.filter(size(col("__ts")) > 0)
+      .select(col(idCol),
+        when(size(col("__ts")) >= lit(posCap), raise_error(concat(
+            lit(s"dedupSpans: doc exceeds posCap=$posCap tokens (id "),
+            col(idCol).cast("string"),
+            lit(s"); raise posCap — the owner key composes as id * posCap + pos"))))
+          .otherwise(col("__ts")).as("__ts"))
+      .withColumn("__grams", ngramHashes(col("__ts"), k))
+      .select(col(idCol), posexplode(col("__grams")).as(Seq("__p", "__h")))
+      .withColumn("__ok", col(idCol).cast("long") * posCap + col("__p"))
+    val dict = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__c"), min(col("__ok")).as("__own"))
+      .filter(col("__c") > 1)
+      .select("__h", "__own")
+    val cuts = occ.join(dict, Seq("__h"))
+      .filter(col("__ok") =!= col("__own"))
+      .select(col(idCol), col("__p"))
+    // sorted fixed-width spans: e = p + k is monotone, so the fold's merge
+    // never needs a max — a span either extends the last island's end or
+    // (when p > last.e, a genuine gap) opens a new one; p == last.e is
+    // adjacency and merges
+    val empty = array().cast("array<struct<s:int,e:int>>")
+    val islands = cuts.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .select(col(idCol),
+        aggregate(col("__ps"), empty, (acc, p) =>
+          when(size(acc) > 0 && p <= element_at(acc, -1)("e"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(element_at(acc, -1)("s").as("s"), (p + lit(k)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + lit(k)).as("e")))))).as("__spans"))
+    base.join(islands, Seq(idCol), "left")
+      .select(col(idCol), col("__ts"), coalesce(col("__spans"), empty).as("__sp"))
+      .select(col(idCol),
+        concat_ws(" ", filter(col("__ts"), (_, i) =>
+          !exists(col("__sp"), sp => i >= sp("s") && i < sp("e")))).as(out),
+        size(col("__ts")).cast("bigint").as("n_tokens"),
+        // last span of a short doc (n < k) overhangs the end — clip there
+        aggregate(col("__sp"), lit(0),
+          (a, sp) => a + least(sp("e"), size(col("__ts"))) - sp("s"))
+          .cast("bigint").as("n_removed"),
+        size(col("__sp")).cast("bigint").as("n_spans"))
+  }
+
   /** BPE-ish regex token count: runs of letters, runs of digits, or single
     * other non-space chars. Same pattern semantics in Java regex and RE2.
     * DuckDB: `len(regexp_extract_all(x, '[a-z]+|[0-9]+|[^a-z0-9 ]'))`. */

@@ -351,6 +351,34 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBoilerplateLines"))
   }
 
+  test("dedupSpans cuts every duplicated k-gram occurrence except the corpus-wide first") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // canonical owner of the shared run: untouched
+      (2L, "x y a b c d e z"),       // shares the 5-token run "a b c d e" with doc 1:
+                                     // its three covering 3-grams merge to ONE island
+                                     // spanning exactly the run (suffix-array answer)
+      (3L, "p q r s p q r t"),       // within-doc self repeat: first occurrence kept
+      (4L, "mm nn"),                 // short-doc (n < k) duplicate pair: whole-doc gram,
+      (5L, "mm nn"),                 //   non-owner fully removed, span clipped at n
+      (6L, "")                       // empty doc passes through
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val got = TextOps.dedupSpans(docs, "doc_id", "ts", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> (("a b c d e f g h", 8L, 0L, 0L)),
+      2L -> (("x y z", 8L, 5L, 1L)),
+      3L -> (("p q r s t", 8L, 3L, 1L)),
+      4L -> (("mm nn", 2L, 0L, 0L)),
+      5L -> (("", 2L, 2L, 1L)),
+      6L -> (("", 0L, 0L, 0L))), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextOps.dedupSpans(docs, "doc_id", "ts", k = 1)
+    }
+  }
+
   test("repetition signals: boilerplate maxes the fractions, diverse text stays low") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
