@@ -415,8 +415,19 @@ object TextOps {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint")
 
   /** k-gram rolling hashes of a token array ([[Stable.hash64]] per gram).
-    * Short docs (< k tokens) hash the whole token sequence. */
+    * Short docs (< k tokens) hash the whole token sequence. Runs as the
+    * native codegen expression [[graft.functions.NgramHashesExpr]] —
+    * token bytes extracted once per row, grams digested incrementally
+    * (the HOF form re-sliced and re-concatenated k tokens per gram,
+    * interpreted — ~10 µs/gram on ExactSubstr's corpus-token-sized
+    * stream); [[ngramHashesRef]] keeps the built-in-composed reference
+    * definition the expression must match bit-for-bit (StableSpec). */
   def ngramHashes(toks: Column, k: Int): Column =
+    graft.functions.NgramHashesExpr.ngramHashes(toks, k)
+
+  /** The built-in-composed reference form of [[ngramHashes]] — the
+    * definition the DuckDB oracle contract is written against. */
+  def ngramHashesRef(toks: Column, k: Int): Column =
     transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => Stable.hash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))

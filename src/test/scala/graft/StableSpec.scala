@@ -33,6 +33,32 @@ class StableSpec extends SparkSpec {
     }
   }
 
+  test("native NgramHashesExpr == HOF reference form, incl. edge cases and real corpus") {
+    import graft.text.TextOps
+    // Edge cases: empty array (one hash of ""), short doc (whole-doc
+    // gram), exact-k doc, nulls vanishing without separator (concat_ws),
+    // repeated tokens, unicode.
+    val edge = Seq(
+      Seq.empty[String], Seq("solo"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", null, "c", "d"), Seq("a", "a", "a", "a", "a"),
+      Seq("émoji", "✓", "ünïcode", "x")
+    ).toDF("ts")
+    for (k <- Seq(1, 2, 3, 20)) {
+      val bad = edge.select(
+          TextOps.ngramHashes(col("ts"), k).as("native"),
+          TextOps.ngramHashesRef(col("ts"), k).as("ref"))
+        .filter(!(col("native") <=> col("ref")))
+      assert(bad.count() == 0, s"edge mismatch at k=$k")
+    }
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+      .select(TextOps.tokens(col("text")).as("ts"))
+    val bad = corpus.select(
+        TextOps.ngramHashes(col("ts"), 20).as("native"),
+        TextOps.ngramHashesRef(col("ts"), 20).as("ref"))
+      .filter(!(col("native") <=> col("ref")))
+    assert(bad.count() == 0, "corpus mismatch at k=20")
+  }
+
   test("hash64 values are non-negative and fit in 60 bits") {
     val stats = spark.range(10000)
       .select(Stable.hash64(col("id")).as("h"))
