@@ -77,6 +77,15 @@ object Dedup {
       .select(col(idCol), pmod(combined, lit(2305843009213693951L)).as("sh"))
   }
 
+  /** A doc's MinHash signature AND distinct (sorted) shingle-hash set as
+    * ONE shuffle-free projection — [[graft.functions.MinhashFeaturesExpr]],
+    * bit-equal to [[shingleHashes]] → [[minhashFromBases]] / collect_set
+    * (pinned in TextDedupSpec). The canonical chain's per-doc window
+    * shuffles the corpus token stream once PER CONSUMER; this is the form
+    * every composed operator uses. Null for empty token arrays. */
+  def minhashFeatures(toks: Column, k: Int = 3, numHashes: Int = 8): Column =
+    graft.functions.MinhashFeaturesExpr.minhashFeatures(toks, k, numHashes)
+
   /** MinHash signatures from pre-hashed shingle rows (idCol, baseCol):
     * `numHashes` codegen'd min-aggregates over the universal hash family,
     * one map-side-combined shuffle. */
@@ -235,10 +244,15 @@ object Dedup {
         "'benchmark' cannot broadcast; use Dedup.lshCandidates' near-dup " +
         "machinery for corpus-vs-corpus overlap, or raise maxBenchRows if " +
         "the eval side genuinely fits the broadcast budget")
-    shingleHashes(corpus, idCol, toksCol, k)
+    // minhashFeatures' shingle sets are per-doc DISTINCT and come from a
+    // pure projection — the old shingleHashes form paid a per-doc window
+    // shuffle of the exploded token stream before the broadcast join
+    corpus.select(col(idCol),
+        explode(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
       .join(broadcast(
-          shingleHashes(benchmark, benchIdCol, benchToksCol, k)
-            .select(col("sh")).distinct()),
+          benchmark.select(
+              explode(minhashFeatures(col(benchToksCol), k, 1)("shingles")).as("sh"))
+            .distinct()),
         Seq("sh"))
       .groupBy(idCol).agg(count_distinct(col("sh")).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)
@@ -412,15 +426,13 @@ object Dedup {
     * `sig` (nothing to shingle) — [[lshCrossCandidates]] ignores them and
     * exact matching still applies.
     *
-    * SINGLE corpus pass: the shingle math is [[shingleHashes]]' (same
-    * fold, same window, same family constants — the q60 oracle pins the
-    * bit-equality) with two fusions instead of a build-then-join: the
-    * explode is an OUTER explode so zero-token docs survive to a null
-    * signature, and `xkey` rides the window shuffle on the pos-0 row
-    * only (one 32-char string per DOC, not per token), recovered by a
-    * null-skipping max in the same doc-keyed agg the signature needs
-    * anyway — window partitioning and groupBy key coincide, so the whole
-    * store is one scan, one shuffle, one agg.
+    * PURE PROJECTION: the shingle math is [[shingleHashes]]' (same fold,
+    * same family constants — the q60 oracle and AdmitSpec pin the
+    * bit-equality) fused per-row by [[minhashFeatures]], so the store
+    * build is one scan with NO explode, NO window, NO shuffle at all —
+    * empty-token docs keep their null signature straight from the
+    * expression. (The previous fused form still shuffled the exploded
+    * token stream through a per-doc window.)
     *
     * Scale shape: at 100 TB the store is ~1/1000th the corpus bytes and
     * should be written bucketed by `xkey` (and optionally pre-banded) so
@@ -435,41 +447,10 @@ object Dedup {
     * [[graft.text.Curation.admitSimhash]] — same staging, Hamming
     * verify. */
   def signatureStore(docs: DataFrame, idCol: String, textCol: String,
-      toksCol: String, numHashes: Int = 8, k: Int = 3): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
-    val folded = docs
-      .select(col(idCol),
-        md5(substring(col(textCol), 1, 40).cast("string")).as("__xk"),
-        posexplode_outer(col(toksCol)).as(Seq("pos", "__t")))
-      .select(col(idCol),
-        // doc-level key carried once per doc, on the always-kept row
-        when(coalesce(col("pos"), lit(0)) === 0, col("__xk")).as("xkey"),
-        col("pos"), {
-          val h = Stable.hash64(col("__t"))
-          when(col("__t").isNull, lit(null).cast("long"))
-            .otherwise(pmod(h, lit(1073741824L)).bitwiseXOR(shiftright(h, 30))).as("f")
-        })
-    val leads = (1 until k).foldLeft(folded) { (d, i) =>
-      d.withColumn(s"__l$i", lead(col("f"), i).over(w))
-    }
-    val combined = (0 until k).map { i =>
-      val (a, _, _) = Stable.familyConstants(100 + i)
-      lit(a) * coalesce(if (i == 0) col("f") else col(s"__l$i"), lit(0L))
-    }.reduce(_ + _)
-    val sh = leads
-      .filter(col(s"__l${k - 1}").isNotNull || coalesce(col("pos"), lit(0)) === 0)
-      .select(col(idCol), col("xkey"),
-        when(col("f").isNull, lit(null).cast("long"))
-          .otherwise(pmod(combined, lit(2305843009213693951L))).as("sh"))
-    val mins = (0 until numHashes).map { j =>
-      min(Stable.familyHash(col("sh"), j)).as(s"__m$j")
-    }
-    sh.groupBy(col(idCol))
-      .agg(max(col("xkey")).as("xkey"), mins: _*)
-      .select(col(idCol), col("xkey"),
-        when(col("__m0").isNull, lit(null))
-          .otherwise(array((0 until numHashes).map(j => col(s"__m$j")): _*)).as("sig"))
-  }
+      toksCol: String, numHashes: Int = 8, k: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      md5(substring(col(textCol), 1, 40).cast("string")).as("xkey"),
+      minhashFeatures(col(toksCol), k, numHashes)("sig").as("sig"))
 
   /** [[signatureStore]] at SimHash parity — the retention artifact for a
     * Hamming-based corpus: (idCol, xkey, simhash) with `xkey` the exact

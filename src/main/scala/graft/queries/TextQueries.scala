@@ -71,9 +71,11 @@ object TextQueries {
       Dedup.exact(t(s, dir, "documents"), col("doc_id"), substring(col("text"), 1, 40))
     }),
 
-    // MinHash signatures over HASHED 3-shingles: one md5 per token (codegen),
-    // shingle hashes from a per-doc window combination, 8 family min-aggs —
-    // no shingle strings anywhere.
+    // MinHash signatures over HASHED 3-shingles via the CANONICAL chain
+    // (explode + per-doc window combination + 8 family min-aggs) — this
+    // query IS the reference-definition check the oracle is written
+    // against; composed operators run the bit-equal pure-projection form
+    // (Dedup.minhashFeatures, pinned in TextDedupSpec) instead.
     "q27_minhash" -> ((s, dir) => {
       val sh = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
       Dedup.minhashFromBases(sh, "doc_id", "sh", 8)
@@ -86,18 +88,18 @@ object TextQueries {
     // at 0.5 on the distinct shingle-hash sets. Never all-pairs: the only
     // joins are key-partitioned on band hash / candidate ids.
     //
-    // The shingle rows feed three consumers (signature mins + both sides
-    // of the verify join). Recomputing the codegen'd md5 shingling per
-    // consumer measures FASTER than materializing the sets once (a
-    // persist + collect_set shuffle costs more than two recomputes, and
-    // it would break the signature's map-side partial min aggregation) —
-    // so the plan deliberately recomputes the narrow projection. The
-    // general recompute-vs-persist heuristic lives in README "Recompute
-    // vs persist"; q51's Curation.Reuse is the encoded form.
+    // Signatures and shingle sets are ONE pure projection
+    // (Dedup.minhashFeatures — bit-equal to the canonical q27 chain,
+    // TextDedupSpec): the token stream never shuffles; its three
+    // consumers (signature mins + both verify-join sides) each recompute
+    // the narrow projection, which measures faster than persisting (the
+    // recompute-vs-persist heuristic in README "Recompute vs persist").
     "q28_lsh_dedup" -> ((s, dir) => {
-      val shRows = Dedup.shingleHashes(docsWithTokens(s, dir), "doc_id", "ts", 3)
-      val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
-      val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
+      val feat = docsWithTokens(s, dir)
+        .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
+        .filter(col("mf").isNotNull)
+      val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
+      val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
       val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       cand
         .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))

@@ -128,11 +128,21 @@ object Curation {
   def dedupe(gated: DataFrame): DataFrame = nearDeduped(exactDeduped(gated))
 
   /** Stage 4 alone: MinHash/LSH near-dup removal over an exact-deduped
-    * frame ([[exactDeduped]] first — the enforced ordering rule). */
+    * frame ([[exactDeduped]] first — the enforced ordering rule).
+    *
+    * Signatures and shingle sets come from [[Dedup.minhashFeatures]] —
+    * a pure projection, so the corpus token stream never shuffles: the
+    * previous canonical-chain form paid a per-doc window shuffle of the
+    * exploded token stream once per consumer (signature mins + both
+    * verify-join sides = three). The only exchanges left are the band
+    * bucket join and the candidate verify joins, which are genuinely
+    * relational. */
   def nearDeduped(exactKept: DataFrame): DataFrame = {
-    val shRows = Dedup.shingleHashes(exactKept, "doc_id", "ts", 3)
-    val shSets = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
-    val sig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
+    val feat = exactKept
+      .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("__mf"))
+      .filter(col("__mf").isNotNull)
+    val shSets = feat.select(col("doc_id"), col("__mf")("shingles").as("sh"))
+    val sig = feat.select(col("doc_id"), col("__mf")("sig").as("sig"))
     val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
     val dropIds = cand
       .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))

@@ -351,6 +351,42 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBoilerplateLines"))
   }
 
+  test("minhashFeatures is bit-equal to the canonical shingle chain on the real corpus") {
+    import SparkSpec.spark.implicits._
+    val docs = Tables.load(SparkSpec.spark, sf, "documents")
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("ts"))
+    val shRows = Dedup.shingleHashes(docs, "doc_id", "ts", 3)
+    val canonSig = Dedup.minhashFromBases(shRows, "doc_id", "sh", 8)
+      .select(col("doc_id"), col("sig").as("csig"))
+    val canonSets = shRows.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("sh"))).as("cset"))
+    val native = docs.select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
+      .select(col("doc_id"), col("mf")("sig").as("nsig"), col("mf")("shingles").as("nset"))
+    val joined = native.join(canonSig, Seq("doc_id"), "full_outer")
+      .join(canonSets, Seq("doc_id"), "full_outer")
+    // canonical chain drops empty docs via explode; native emits null —
+    // full_outer + <=> holds both sides to agreement
+    val bad = joined.filter(!(col("nsig") <=> col("csig")) || !(col("nset") <=> col("cset")))
+    assert(bad.isEmpty, "native minhash features must bit-match the canonical chain")
+    // edge cases: empty doc (null), single token, exactly k tokens
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq("solo")), (3L, Seq("a", "b", "c")))
+      .toDF("doc_id", "ts")
+    val rows = edge.select(Dedup.minhashFeatures(col("ts")).as("mf"))
+      .orderBy(lit(1)).collect()
+    assert(rows(0).isNullAt(0))
+    val canonEdge = Dedup.minhashFromBases(
+        Dedup.shingleHashes(edge, "doc_id", "ts", 3), "doc_id", "sh", 8)
+      .orderBy("doc_id").collect()
+    val nativeEdge = edge.filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"), Dedup.minhashFeatures(col("ts")).as("mf"))
+      .orderBy("doc_id").collect()
+    assert(canonEdge.length == 2 && nativeEdge.length == 2)
+    (canonEdge zip nativeEdge).foreach { case (c, n) =>
+      assert(c.getSeq[Long](1) == n.getStruct(2).getSeq[Long](0),
+        s"edge sig mismatch for doc ${c.getLong(0)}")
+    }
+  }
+
   test("dedupSpans cuts every duplicated k-gram occurrence except the corpus-wide first") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
