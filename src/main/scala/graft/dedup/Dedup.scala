@@ -266,35 +266,25 @@ object Dedup {
 
   /** SimHash over a token array: `bits`-wide signature where bit j is set
     * iff sum over tokens of ±1 (sign = bit j of the token's md5 hash) is
-    * positive. One per-row aggregate with a `bits`-element accumulator —
-    * no explode, no shuffle; whole-stage codegen. Max 60 bits (md5-derived
-    * hash width). */
-  /** SimHash over a token-array column in one expression (array aggregate
-    * with a finish fold). Correct but interpreted — higher-order functions
-    * are CodegenFallback, so cost is ~µs per (bit x token). Use [[simhash]]
-    * (the DataFrame form) for large corpora. */
-  def simhashColumn(toks: Column, bits: Int): Column = {
-    require(bits > 0 && bits <= 60, "simhash supports 1..60 bits")
-    aggregate(
-      toks,
-      array_repeat(lit(0L), bits),
-      (acc, t) => {
-        val h = Stable.hash64(t)
-        val signs = array((0 until bits).map { j =>
-          when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-        }: _*)
-        zip_with(acc, signs, _ + _)
-      },
-      counts => (0 until bits).map { j =>
-        when(element_at(counts, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _))
-  }
+    * positive. Runs as the native codegen expression
+    * [[graft.functions.SimhashExpr]] — one md5 per token, bit votes in a
+    * registers-only loop, no explode, NO SHUFFLE: this is the scale path
+    * every composed operator uses. Null for an empty token array (0 is a
+    * legitimate signature, so it cannot mark emptiness — the
+    * [[simhashStore]] rationale). Bit-equal to [[simhash]], the canonical
+    * explode + keyed-agg chain the q29 oracle is written against
+    * (pinned in TextDedupSpec). */
+  def simhashColumn(toks: Column, bits: Int): Column =
+    graft.functions.SimhashExpr.simhash(toks, bits)
 
   /** SimHash via explode + codegen'd hash aggregation: one md5 per token
     * (whole-stage codegen), `bits` partial-aggregable ±1 sums, one
     * map-side-combined shuffle keyed by `idCol`, final bit-fold as a cheap
-    * projection. The scale path: identical math to [[simhashColumn]],
-    * ~10x faster locally and shuffle-bounded at cluster scale. */
+    * projection. The CANONICAL chain the q29 oracle checks; composed
+    * operators use the shuffle-free [[simhashColumn]] projection instead
+    * (bit-equal, pinned in TextDedupSpec; note this form DROPS
+    * empty-token docs via its inner explode where the projection yields
+    * null). */
   def simhash(df: DataFrame, idCol: String, toksCol: String, bits: Int,
       out: String = "simhash"): DataFrame = {
     require(bits > 0 && bits <= 60, "simhash supports 1..60 bits")
@@ -458,35 +448,16 @@ object Dedup {
     * math). Zero-token docs keep a null simhash — a doc whose every
     * bit-count is non-positive legitimately hashes to 0, so 0 cannot
     * mark emptiness; the null is what [[graft.text.Curation.admitSimhash]]
-    * filters before banding. Single corpus pass, [[signatureStore]]'s
-    * fusion: xkey rides the explode on the always-kept first row and is
-    * recovered by a null-skipping max in the same doc-keyed agg the
-    * bit-count sums need anyway. */
+    * filters before banding. PURE PROJECTION via [[simhashColumn]]
+    * ([[signatureStore]]'s shape): one scan, no explode, no shuffle —
+    * the null signature comes straight from the expression; bit-equal to
+    * the canonical [[simhash]] chain (AdmitSpec pins it on the real
+    * corpus). */
   def simhashStore(docs: DataFrame, idCol: String, textCol: String,
-      toksCol: String, bits: Int = 60): DataFrame = {
-    require(bits > 0 && bits <= 60, "simhash supports 1..60 bits")
-    val exploded = docs.select(col(idCol),
-        md5(substring(col(textCol), 1, 40)).as("__xk"),
-        posexplode_outer(col(toksCol)).as(Seq("pos", "__t")))
-      .select(col(idCol),
-        when(coalesce(col("pos"), lit(0)) === 0, col("__xk")).as("xkey"),
-        when(col("__t").isNull, lit(null).cast("long"))
-          .otherwise(Stable.hash64(col("__t"))).as("__h"))
-    // null __h (the outer-explode row of an empty doc) must contribute 0,
-    // not fall through a null condition to the -1 branch
-    val sums = (0 until bits).map { j =>
-      sum(when(col("__h").isNull, 0L)
-        .otherwise(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L))).as(s"__c$j")
-    }
-    exploded.groupBy(col(idCol))
-      .agg(max(col("xkey")).as("xkey"), (count(col("__h")).as("__n") +: sums): _*)
-      .select(col(idCol), col("xkey"),
-        when(col("__n") === 0, lit(null).cast("long"))
-          .otherwise((0 until bits).map { j =>
-            when(col(s"__c$j") > 0, lit(1L << j)).otherwise(lit(0L))
-          }.reduce(_ + _)).as("simhash"))
-  }
+      toksCol: String, bits: Int = 60): DataFrame =
+    docs.select(col(idCol),
+      md5(substring(col(textCol), 1, 40)).as("xkey"),
+      simhashColumn(col(toksCol), bits).as("simhash"))
 
   /** Materialize a [[signatureStore]] as a bucketed table so admission
     * joins CO-LOCATE instead of reshuffling the store: the exact-cross

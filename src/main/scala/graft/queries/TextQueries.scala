@@ -131,7 +131,11 @@ object TextQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val u = docs.unionByName(clones)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      val sh = Dedup.simhash(u, "doc_id", "ts", 60)
+      // shuffle-free signature projection (bit-equal to q29's canonical
+      // explode+agg chain; empty docs can't band, so the isNotNull filter
+      // reproduces the canonical inner explode's drop)
+      val sh = u.select(col("doc_id"), Dedup.simhashColumn(col("ts"), 60).as("simhash"))
+        .filter(col("simhash").isNotNull)
       Dedup.simhashNearDup(sh, "doc_id", "simhash",
         bands = 4, bitsPerBand = 15, maxHamming = 3)
     }),

@@ -94,17 +94,25 @@ object Curation {
     * docs that already cleared them. Docs with fewer than 3 tokens have
     * no repetition row and drop — subsumed by the token floor upstream.
     *
-    * Scale shape: [[TextOps.repetitionColumns]]' single fused corpus
-    * scan; the survivor join is id-keyed against a frame the signal agg
-    * already partitioned by id. */
+    * Scale shape: a PURE FILTER — the signals come from
+    * [[graft.functions.RepetitionStatsExpr]] (per-doc counts in-row), so
+    * the gate is a projection + filter with no join and no shuffle,
+    * exactly like the language/token-floor gates it composes with. (The
+    * previous form joined the survivor ids back — a doc-keyed self-join
+    * whose signal side shuffled one row per corpus gram.) The fraction
+    * comparisons are the same int/int double divisions
+    * [[TextOps.repetitionColumns]] exposes, so gate and q65 signal agree
+    * bit-for-bit. */
   def repetitionGate(docs: DataFrame, maxTop2GramFrac: Double = 0.15,
       maxDup3GramFrac: Double = 0.15): DataFrame =
-    docs.join(
-      TextOps.repetitionColumns(docs, "doc_id", "ts")
-        .filter(col("top_2gram_frac") <= maxTop2GramFrac &&
-          col("dup_3gram_frac") <= maxDup3GramFrac)
-        .select("doc_id"),
-      Seq("doc_id"))
+    docs.withColumn("__rs",
+        graft.functions.RepetitionStatsExpr.repetitionStats(col("ts")))
+      .filter(element_at(col("__rs"), 3) > 0 &&
+        (element_at(col("__rs"), 2).cast("double") /
+          element_at(col("__rs"), 1).cast("double")) <= maxTop2GramFrac &&
+        (element_at(col("__rs"), 4).cast("double") /
+          element_at(col("__rs"), 3).cast("double")) <= maxDup3GramFrac)
+      .drop("__rs")
 
   /** Stages 1–2: language gate (stopword argmax = `lang`) + quality gate
     * (token floor). Pure projections over (doc_id, text, ts). */
@@ -315,12 +323,12 @@ object Curation {
       k: Int = 3, minOverlap: Int = 2, maxLineOccurrences: Long = 1,
       maxTop2GramFrac: Double = 0.15, maxDup3GramFrac: Double = 0.15): DataFrame = {
     val scrubbed = Cache()(scrubLines(docs, maxLineOccurrences = maxLineOccurrences))
-    // The repetition-gated frame persists too — [[dedupe]] expands it into
-    // ~5 plan consumers, and unlike [[curateFull]]'s gate (a codegen
-    // projection, cheap to re-derive from cached scrub) this frame's
-    // lineage holds [[repetitionGate]]'s explode, two keyed-agg shuffles,
-    // and survivor join: recomputing THAT per consumer is the q59
-    // survivor-frame argument all over again.
+    // The repetition-gated frame persists too — [[dedupe]] expands it
+    // into ~5 plan consumers. The gate is now a pure filter (no shuffle
+    // in its lineage), but its projection is md5-heavy (one digest per
+    // gram, ~2n per doc): persisting the filtered frame trades one
+    // cached write for five recomputes of that hashing over the cached
+    // scrub — the measured side of the q59 recompute-vs-persist rule.
     val gated = Cache()(repetitionGate(gate(scrubbed), maxTop2GramFrac, maxDup3GramFrac))
     val survivors = Cache()(dedupe(gated))
     val clean = decontaminate(survivors, scrub(benchmark), k, minOverlap)

@@ -178,23 +178,37 @@ object TextOps {
     * (`dup_3gram_frac` — template/listing spam maxes this). Docs with
     * fewer than 3 tokens drop (no 3-gram exists to measure).
     *
-    * Scale shape: ONE corpus scan — the 2-gram and 3-gram streams are
-    * built in the same projection (each struct-tagged with its length),
-    * concatenated, and exploded once; both signals then come out of two
-    * map-side-combined keyed aggs ((doc, n, gram) then doc) with
-    * conditional aggregation splitting the lengths. (The first version
-    * ran a separate explode + agg pair per length and joined on doc_id —
-    * two corpus scans plus a join where one pass suffices, the engine's
-    * own `tokenize` discipline; PlanSpec pins the scan count.) Grams are
-    * HASHED before the explode ([[Stable.hash64]] — the dedup family's
-    * no-shingle-strings rule): the keyed agg then shuffles and hashes
-    * 8-byte longs, not multi-word strings; the oracle applies the same
-    * md5-derived hash, so counts agree bit-for-bit even in the
-    * astronomically-unlikely collision. The `__t3 > 0` filter reproduces
-    * the old inner join's semantics: a doc with exactly 2 tokens has a
-    * 2-gram but no 3-gram to measure, so it drops. Fractions are int/int
-    * double divisions, reproduced exactly by the oracle (q65). */
-  def repetitionColumns(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    * Scale shape: a PURE PROJECTION — every count is per-document (gram
+    * occurrences never cross docs), so the whole computation runs in-row
+    * as the native codegen expression
+    * [[graft.functions.RepetitionStatsExpr]]: grams digested
+    * incrementally, counted in a per-doc map, four aggregates from one
+    * scan of it. NO shuffle at all. (The previous keyed-agg form —
+    * retained as [[repetitionColumnsRef]], bit-equality pinned in
+    * TextDedupSpec — shuffled one row per corpus gram through two keyed
+    * aggs; its first version ran two explode+agg pairs and a join.) Gram
+    * hashes are the same md5 form the oracle applies, so counts agree
+    * bit-for-bit even in the astronomically-unlikely collision. The
+    * `__t3 > 0` filter drops docs with no 3-gram to measure (a doc with
+    * exactly 2 tokens has a 2-gram but nothing for `dup_3gram_frac`).
+    * Fractions are int/int double divisions, reproduced exactly by the
+    * oracle (q65). */
+  def repetitionColumns(df: DataFrame, idCol: String, toksCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.RepetitionStatsExpr.repetitionStats(col(toksCol)).as("__rs"))
+      .filter(element_at(col("__rs"), 3) > 0)
+      .select(col(idCol),
+        element_at(col("__rs"), 1).as("n_2grams"),
+        (element_at(col("__rs"), 2).cast("double") /
+          element_at(col("__rs"), 1).cast("double")).as("top_2gram_frac"),
+        (element_at(col("__rs"), 4).cast("double") /
+          element_at(col("__rs"), 3).cast("double")).as("dup_3gram_frac"))
+
+  /** The keyed-agg reference form of [[repetitionColumns]]: tag-union the
+    * hashed 2-/3-gram streams in one projection, explode once, two
+    * map-side-combined keyed aggs. The definition the q65 oracle is
+    * written against; the native projection must match it bit-for-bit. */
+  def repetitionColumnsRef(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
     def tagged(n: Int): Column =
       transform(ngramOccurrences(col(toksCol), n),
         g => struct(lit(n).as("n"), Stable.hash64(g).as("g")))

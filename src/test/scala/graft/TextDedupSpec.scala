@@ -351,6 +351,37 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBoilerplateLines"))
   }
 
+  test("native simhashColumn / repetitionColumns are bit-equal to their keyed-agg forms") {
+    import SparkSpec.spark.implicits._
+    val docs = Tables.load(SparkSpec.spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    // simhash: projection vs canonical explode+agg (which drops empty docs)
+    val canonSim = Dedup.simhash(docs, "doc_id", "ts", 60)
+      .select(col("doc_id"), col("simhash").as("c"))
+    val nativeSim = docs
+      .select(col("doc_id"), Dedup.simhashColumn(col("ts"), 60).as("n"))
+      .filter(col("n").isNotNull)
+    val badSim = nativeSim.join(canonSim, Seq("doc_id"), "full_outer")
+      .filter(!(col("n") <=> col("c")))
+    assert(badSim.isEmpty, "native simhash must bit-match the canonical chain")
+    // repetition stats: projection vs keyed-agg reference
+    val nativeRep = TextOps.repetitionColumns(docs, "doc_id", "ts")
+    val refRep = TextOps.repetitionColumnsRef(docs, "doc_id", "ts")
+      .withColumnRenamed("n_2grams", "r1").withColumnRenamed("top_2gram_frac", "r2")
+      .withColumnRenamed("dup_3gram_frac", "r3")
+    val badRep = nativeRep.join(refRep, Seq("doc_id"), "full_outer")
+      .filter(!(col("n_2grams") <=> col("r1")) ||
+        !(col("top_2gram_frac") <=> col("r2")) ||
+        !(col("dup_3gram_frac") <=> col("r3")))
+    assert(badRep.isEmpty, "native repetition stats must bit-match the keyed-agg form")
+    // short-doc edges: 2 tokens (has a 2-gram, drops on no 3-gram), 3 tokens
+    val edge = Seq((1L, Seq("a", "b")), (2L, Seq("a", "b", "a")), (3L, Seq.empty[String]))
+      .toDF("doc_id", "ts")
+    val e = TextOps.repetitionColumns(edge, "doc_id", "ts")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(e == Set(2L), s"only the 3-token doc is measurable, got $e")
+  }
+
   test("minhashFeatures is bit-equal to the canonical shingle chain on the real corpus") {
     import SparkSpec.spark.implicits._
     val docs = Tables.load(SparkSpec.spark, sf, "documents")
