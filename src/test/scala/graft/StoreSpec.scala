@@ -16,6 +16,21 @@ class StoreSpec extends SparkSpec {
     rows.toDF("doc_id", "text").withColumn("ts", TextOps.tokens(col("text")))
   }
 
+  test("store builds are pure projections: no Exchange, no Generate, no Window") {
+    // signatureStore / simhashStore compute signatures in-row
+    // (MinhashFeaturesExpr / SimhashExpr) — a regression that reintroduces
+    // the explode + per-doc window/agg shape would re-shuffle the corpus
+    // token stream on every store build and admission batch.
+    val docs = mkDocs(50, "pp")
+    for ((name, store) <- Seq(
+        "signatureStore" -> Dedup.signatureStore(docs, "doc_id", "text", "ts"),
+        "simhashStore" -> Dedup.simhashStore(docs, "doc_id", "text", "ts"))) {
+      val plan = store.queryExecution.executedPlan.toString
+      for (op <- Seq("Exchange", "Generate", "Window"))
+        assert(!plan.contains(op), s"$name plan must not contain $op:\n$plan")
+    }
+  }
+
   test("writeStore: exact-cross anti-join has no store-side exchange, batch side only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     Dedup.writeStore(
