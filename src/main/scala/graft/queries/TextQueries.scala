@@ -513,6 +513,22 @@ object TextQueries {
       graft.text.Curation.admitSimhash(fresh, store).select("doc_id")
     }),
 
+    // Classifier quality gate ([[graft.text.Classify]]): feature-hashing
+    // linear scorer (dim 4096, seeded fixed-point weights) + integer
+    // cross-multiplied mean cut at 50 micro-units + 10% seeded Bernoulli
+    // rescue of the rejects — the GPT-3 quality-filter shape, fully
+    // oracle-verifiable because every quantity is integer until the
+    // output-edge division.
+    "q72_classifier_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      graft.text.Classify.score(
+          graft.text.Classify.gate(docs, "doc_id", "ts", q72Weights,
+            minMeanMicros = 50000000L, rescueFraction = 0.1, seed = 9),
+          "ts", q72Weights)
+        .select("doc_id", "score_sum", "n_tokens", "mean_score")
+    }),
+
     // Exact substring deduplication (ExactSubstr, Lee et al. 2022):
     // duplicated 20-token windows (747 organic cross-doc repeats at
     // sf0.01 — footer passages) cut from every position except the
@@ -904,6 +920,29 @@ object TextQueries {
        |SELECT w.doc_id FROM w2 w ANTI JOIN ndrop d ON w.doc_id = d.doc_id""".stripMargin
   }
 
+  /** q72's weight vector — ONE shared instance so the scorer's reference
+    * object is identical across the gate and score calls (subexpression
+    * elimination) and across query invocations. */
+  private lazy val q72Weights = graft.text.Classify.seededWeights(4096, "w")
+
+  /** q72 oracle: [[graft.text.Classify]] in SQL — per-token weight
+    * lookup rebuilt from the same md5 derivation
+    * (`(hash64('w' || (h % 4096)) % 2001) - 1000`), exact integer score
+    * sums, the cross-multiplied mean cut, and the q38 integer-threshold
+    * Bernoulli rescue. Zero-token docs have no score row and drop. */
+  private def duckClassifierGateOracle: String =
+    s"""WITH $DuckToks,
+       |th AS (SELECT doc_id, ${H("w")} AS h
+       |       FROM (SELECT doc_id, unnest(ts) AS w FROM toks)),
+       |sc AS (SELECT doc_id,
+       |    sum((${H("concat('w', CAST(h % 4096 AS VARCHAR))")} % 2001) - 1000) AS score_sum,
+       |    count(*) AS n FROM th GROUP BY doc_id)
+       |SELECT doc_id, score_sum, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(score_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score
+       |FROM sc
+       |WHERE score_sum * 1000000 > 50000000 * n
+       |   OR ${Stable.duckSeededHash(9, "doc_id")} % 1000 < 100""".stripMargin
+
   /** q71 oracle: [[graft.text.TextOps.dedupSpans]] in SQL — positional
     * 20-gram hashes (ngramHashes' exact slice/concat form), the
     * duplicated-gram dictionary with its composed-key owner
@@ -1281,6 +1320,7 @@ object TextQueries {
     "q68_published_report" -> duckPublishedReportOracle,
     "q70_simhash_admit" -> duckSimhashAdmitOracle,
     "q71_dedup_spans" -> duckDedupSpansOracle,
+    "q72_classifier_gate" -> duckClassifierGateOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hash64Expr, HashScoreExpr, Stable}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Classifier-based quality gating — the "train a quality classifier,
+  * score the whole corpus, keep the high scorers plus a stochastic
+  * rescue tail" stage of the published LM pipelines (GPT-3's
+  * logistic-regression quality filter with Pareto-sampled admission;
+  * CCNet's fastText scoring; reference analog: fuel's Filter transformer,
+  * fuel/transformers/__init__.py — a predicate over a stream, here a
+  * model score over the corpus).
+  *
+  * The scorer is the feature-hashing linear model
+  * ([[graft.functions.HashScoreExpr]]): score = Σ_tokens
+  * weights[hash64(token) mod dim]. Production use packs a TRAINED
+  * model's weights into the fixed-point array (scale floats by 10^6 and
+  * round — the exact-arithmetic-at-the-edges rule: an integer sum is
+  * order-independent and bit-exact cross-engine, a float dot product is
+  * neither); q72 drives it with [[seededWeights]] so the whole path is
+  * oracle-verifiable. Scoring and gating are PURE PROJECTIONS — no
+  * shuffle anywhere; the gate composes with the language/token-floor/
+  * repetition gates as one codegen'd filter chain. */
+object Classify {
+
+  /** Deterministic fixed-point weight fill, reproducible by an external
+    * engine: weights(i) = (hash64(tag + i) mod 2001) - 1000 — integer
+    * micro-weights in [-1000, 1000] (DuckDB:
+    * `(hash64(concat(tag, i)) % 2001) - 1000`). Stand-in for a trained
+    * model in oracles and specs; ALSO the seeded random-projection
+    * baseline (hashing-trick features with random weights) a classifier
+    * gate is calibrated against. */
+  def seededWeights(dim: Int, tag: String): Array[Long] =
+    Array.tabulate(dim) { i =>
+      Hash64Expr.hash(UTF8String.fromString(s"$tag$i")) % 2001 - 1000
+    }
+
+  /** Score every doc: adds `score_sum` (exact integer dot product),
+    * `n_tokens`, and `mean_score` (int/int double division at the output
+    * edge — the only float, and an exactly-reproducible one; null for a
+    * zero-token doc, which has no mean — and ANSI mode would rightly
+    * throw on the 0/0). */
+  def score(docs: DataFrame, toksCol: String, weights: Array[Long]): DataFrame =
+    docs
+      .withColumn("score_sum", HashScoreExpr.hashScore(col(toksCol), weights))
+      .withColumn("n_tokens", size(col(toksCol)).cast("bigint"))
+      .withColumn("mean_score",
+        when(col("n_tokens") > 0,
+          col("score_sum").cast("double") / col("n_tokens").cast("double")))
+
+  /** The gate: keep docs whose mean token score clears `minMeanMicros`
+    * (micro-units: mean_score > minMeanMicros / 10^6, compared in exact
+    * integer cross-multiplied form — `score_sum * 10^6 > minMeanMicros *
+    * n_tokens` — so the cut is bit-stable cross-engine), plus a seeded
+    * Bernoulli RESCUE of the rejects at `rescueFraction` (the published
+    * trick that keeps the training distribution from collapsing onto the
+    * classifier's notion of quality; [[graft.sources.SplitSource.sample]]'s
+    * integer-threshold determinism, keyed by (seed, idCol)). Zero-token
+    * docs drop (no score to gate on). Pure filter — pushes to the scan. */
+  def gate(docs: DataFrame, idCol: String, toksCol: String, weights: Array[Long],
+      minMeanMicros: Long, rescueFraction: Double = 0.0,
+      seed: Long = 42): DataFrame = {
+    require(rescueFraction >= 0 && rescueFraction <= 1,
+      s"rescueFraction must be in [0,1]: $rescueFraction")
+    val scoreSum = HashScoreExpr.hashScore(col(toksCol), weights)
+    val n = size(col(toksCol)).cast("bigint")
+    val rescueThreshold = math.round(rescueFraction * graft.sources.SplitSource.Buckets)
+    docs.filter(n > 0 &&
+      (scoreSum * lit(1000000L) > lit(minMeanMicros) * n ||
+        pmod(Stable.seededHash(seed, col(idCol)),
+          lit(graft.sources.SplitSource.Buckets.toLong)) < lit(rescueThreshold)))
+  }
+}

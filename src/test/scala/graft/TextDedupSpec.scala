@@ -509,4 +509,52 @@ class TextDedupSpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0)
     assert(z.getSeq[Byte](2).forall(_ == 0))
   }
+
+  test("classifier gate: exact hashed-linear scores, integer mean cut, seeded rescue") {
+    import SparkSpec.spark.implicits._
+    import graft.text.Classify
+    import graft.functions.Hash64Expr
+    import org.apache.spark.unsafe.types.UTF8String
+    val weights = Classify.seededWeights(16, "spec")
+    // hand-computed score: Σ weights[hash64(token) % 16]
+    def w(t: String): Long =
+      weights((Hash64Expr.hash(UTF8String.fromString(t)) % 16).toInt)
+    val docs = Seq(
+      (1L, Seq("aa", "bb", "cc")),
+      (2L, Seq("dd")),
+      (3L, Seq.empty[String])
+    ).toDF("doc_id", "ts")
+    val scored = Classify.score(docs, "ts", weights)
+      .select("doc_id", "score_sum", "n_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(scored(1L) == ((w("aa") + w("bb") + w("cc"), 3L)))
+    assert(scored(2L) == ((w("dd"), 1L)))
+    assert(scored(3L) == ((0L, 0L)), "empty doc scores 0 over 0 tokens")
+
+    // threshold-only gate (no rescue): exact cross-multiplied cut; empty doc drops
+    val corpus = graft.sources.Tables.load(SparkSpec.spark, sf, "documents")
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("ts"))
+    val bigW = Classify.seededWeights(4096, "w")
+    val cut = 50000000L
+    val kept = Classify.gate(corpus, "doc_id", "ts", bigW, cut)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = Classify.score(corpus, "ts", bigW)
+      .filter(col("n_tokens") > 0 &&
+        col("score_sum") * 1000000L > lit(cut) * col("n_tokens"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < corpus.count(),
+      s"cut at 50 micro-units must bisect the corpus, kept ${kept.size}")
+
+    // rescue admits a seed-deterministic subset of the REJECTS only
+    val rescued = Classify.gate(corpus, "doc_id", "ts", bigW, cut,
+        rescueFraction = 0.1, seed = 9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rescued.intersect(kept) == kept, "rescue never drops a threshold-kept doc")
+    assert(rescued.size > kept.size, "a 10% rescue must admit some rejects")
+    val again = Classify.gate(corpus, "doc_id", "ts", bigW, cut,
+        rescueFraction = 0.1, seed = 9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == rescued, "rescue is a pure row property — identical re-run")
+  }
 }
