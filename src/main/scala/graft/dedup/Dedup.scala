@@ -570,6 +570,72 @@ object Dedup {
     finally sigs.sparkSession.catalog.dropTempView(view)
   }
 
+  // ------------------------------ simhash store maintenance (parity tier)
+
+  /** [[writeBandedStore]] at SimHash parity: the store's [[simhashBanded]]
+    * rows (band, bval, doc_id, simhash) bucketed by the FULL (band, bval)
+    * join key, so [[graft.text.Curation.admitSimhash]]'s store-side
+    * Hamming join reads buckets in place — the corpus-sized banded
+    * signature stream never re-shuffles per admitted batch (same
+    * co-partition-spec rule as the MinHash store; AdmitSpec pins plan
+    * and results). The exact side needs no parity writer: [[writeStore]]
+    * buckets whatever columns its frame carries, simhash stores
+    * included. */
+  def writeBandedSimhashStore(store: DataFrame, table: String, path: String,
+      bands: Int, bitsPerBand: Int, buckets: Int = 64): Unit =
+    simhashBanded(store.filter(col("simhash").isNotNull), "doc_id", "simhash",
+        bands, bitsPerBand)
+      .select(col("band"), col("bval"), col("doc_id"), col("simhash"))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "band", "bval").saveAsTable(table)
+
+  /** [[writeStorePartitioned]] at SimHash parity: (doc_id, xkey, simhash)
+    * under the same `__batch_id` partition + xkey bucket scheme, for the
+    * streaming admission loop's idempotent per-batch landings. */
+  def writeSimhashStorePartitioned(store: DataFrame, table: String, path: String,
+      buckets: Int = 64): Unit =
+    store.select(col("doc_id"), col("xkey"), col("simhash"))
+      .withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").option("path", path)
+      .partitionBy("__batch_id")
+      .bucketBy(buckets, "xkey").sortBy("xkey")
+      .saveAsTable(table)
+
+  /** [[overwriteStoreBatch]] at SimHash parity. */
+  def overwriteSimhashStoreBatch(sigs: DataFrame, table: String, batchId: Long): Unit = {
+    val view = s"graft_simhash_store_batch_$batchId"
+    sigs.select("doc_id", "xkey", "simhash").createOrReplaceTempView(view)
+    try sigs.sparkSession.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (__batch_id = $batchId) " +
+        s"SELECT doc_id, xkey, simhash FROM $view")
+    finally sigs.sparkSession.catalog.dropTempView(view)
+  }
+
+  /** [[writeBandedStorePartitioned]] at SimHash parity. */
+  def writeBandedSimhashStorePartitioned(store: DataFrame, table: String,
+      path: String, bands: Int, bitsPerBand: Int, buckets: Int = 64): Unit =
+    simhashBanded(store.filter(col("simhash").isNotNull), "doc_id", "simhash",
+        bands, bitsPerBand)
+      .select(col("band"), col("bval"), col("doc_id"), col("simhash"))
+      .withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").option("path", path)
+      .partitionBy("__batch_id")
+      .bucketBy(buckets, "band", "bval").saveAsTable(table)
+
+  /** [[overwriteBandedStoreBatch]] at SimHash parity. */
+  def overwriteBandedSimhashStoreBatch(sigs: DataFrame, table: String,
+      batchId: Long, bands: Int, bitsPerBand: Int): Unit = {
+    val view = s"graft_banded_simhash_store_batch_$batchId"
+    simhashBanded(sigs.filter(col("simhash").isNotNull), "doc_id", "simhash",
+        bands, bitsPerBand)
+      .select(col("band"), col("bval"), col("doc_id"), col("simhash"))
+      .createOrReplaceTempView(view)
+    try sigs.sparkSession.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (__batch_id = $batchId) " +
+        s"SELECT band, bval, doc_id, simhash FROM $view")
+    finally sigs.sparkSession.catalog.dropTempView(view)
+  }
+
   /** Cross-corpus LSH candidates: FRESH docs sharing any band key with a
     * STORE doc. Output (fresh_id, store_id), distinct. Both inputs are
     * (id, sig) shaped; null signatures are skipped. The occupancy guard

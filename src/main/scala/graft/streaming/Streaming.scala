@@ -143,6 +143,44 @@ object Streaming {
       }
       .start()
 
+  /** [[admitStream]] at SimHash parity — the streaming admission loop for
+    * a corpus that dedups by Hamming distance: each micro-batch admits
+    * via [[graft.text.Curation.admitSimhash]] against the simhash store
+    * as of the batch boundary, lands the admitted docs and their
+    * (xkey, simhash) signatures idempotently (same batchId-keyed
+    * overwrite discipline), and grows the store for batch N+1.
+    * `storeTable` is a [[graft.dedup.Dedup.writeSimhashStorePartitioned]]
+    * table; pass `bandedTable`
+    * ([[graft.dedup.Dedup.writeBandedSimhashStorePartitioned]]) to keep
+    * the Hamming near join's store side exchange-free per batch. */
+  def admitSimhashStream(docs: DataFrame, storeTable: String, corpusPath: String,
+      checkpoint: String, bandedTable: Option[String] = None,
+      bands: Int = 4, bitsPerBand: Int = 15, maxHamming: Int = 3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = graft.dedup.Dedup.readStore(spark, storeTable)
+        // localCheckpoint for admitStream's reason: INSERT OVERWRITE
+        // refuses a target its SELECT's lineage also reads
+        val admitted = graft.text.Curation.admitSimhash(
+          batch.withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+          store, bands = bands, bitsPerBand = bitsPerBand, maxHamming = maxHamming,
+          storeBands = bandedTable.map(spark.table)).localCheckpoint(true)
+        admitted.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(corpusPath)
+        val sigs = graft.dedup.Dedup
+          .simhashStore(admitted, "doc_id", "text", "ts").persist()
+        graft.dedup.Dedup.overwriteSimhashStoreBatch(sigs, storeTable, batchId)
+        bandedTable.foreach(t => graft.dedup.Dedup
+          .overwriteBandedSimhashStoreBatch(sigs, t, batchId, bands, bitsPerBand))
+        sigs.unpersist()
+        spark.catalog.clearCache()
+        ()
+      }
+      .start()
+
   /** ServerDataStream analog: drive a streaming DataFrame into a bounded
     * in-process queue via foreachBatch — producer/consumer with HWM-style
     * backpressure (`capacity` plays fuel's hwm=10). Returns the queue and

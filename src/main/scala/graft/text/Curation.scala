@@ -479,9 +479,13 @@ object Curation {
     * filter on the joined row (no rejoin — cheaper even than the MinHash
     * path, whose signatures are 8 longs). Recall is exactly 1 for
     * `maxHamming <= bands - 1` (pigeonhole, enforced); occupancy guard
-    * on the batch side, [[admit]]'s exact-within-first rationale. */
+    * on the batch side, [[admit]]'s exact-within-first rationale. Pass
+    * `storeBands` (a [[graft.dedup.Dedup.writeBandedSimhashStore]] table)
+    * to read the store's banded rows bucketed in place — [[admit]]'s
+    * exchange-free store side, Hamming edition. */
   def admitSimhash(fresh: DataFrame, store: DataFrame, bits: Int = 60,
-      bands: Int = 4, bitsPerBand: Int = 15, maxHamming: Int = 3): DataFrame = {
+      bands: Int = 4, bitsPerBand: Int = 15, maxHamming: Int = 3,
+      storeBands: Option[DataFrame] = None): DataFrame = {
     require(maxHamming <= bands - 1,
       s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}, " +
         s"got maxHamming=$maxHamming (raise bands or lower maxHamming)")
@@ -495,19 +499,33 @@ object Curation {
     val left = Dedup.simhashBandedGuarded(sims, "doc_id", "simhash",
         bands, bitsPerBand, op = "admitSimhash")
       .select(col("band"), col("bval"), col("doc_id"), col("simhash").as("fsim"))
+    def verified(cand: DataFrame): DataFrame = cand
+      .filter(Dedup.hammingDistance(col("fsim"), col("rsim")) <= maxHamming)
+      .select("doc_id")
     val withinRight = Dedup.simhashBanded(sims, "doc_id", "simhash", bands, bitsPerBand)
       .select(col("band"), col("bval"), col("doc_id").as("rid"),
-        col("simhash").as("rsim"), lit(false).as("is_store"))
-    val right = Dedup
-      .simhashBanded(store.filter(col("simhash").isNotNull), "doc_id", "simhash",
-        bands, bitsPerBand)
-      .select(col("band"), col("bval"), col("doc_id").as("rid"),
-        col("simhash").as("rsim"), lit(true).as("is_store"))
-      .unionByName(withinRight)
-    val nearDrop = left.join(right, Seq("band", "bval"))
-      .filter(col("is_store") || col("rid") < col("doc_id"))
-      .filter(Dedup.hammingDistance(col("fsim"), col("rsim")) <= maxHamming)
-      .select("doc_id").distinct()
+        col("simhash").as("rsim"))
+    val nearDrop = (storeBands match {
+      // Pre-banded bucketed store ([[graft.dedup.Dedup.writeBandedSimhashStore]]):
+      // joined SEPARATELY so its (band, bval) bucket partitioning
+      // survives — [[admit]]'s split-join rationale, Hamming edition.
+      case Some(sb) =>
+        val storeDrop = verified(left.join(
+          sb.select(col("band"), col("bval"), col("simhash").as("rsim")),
+          Seq("band", "bval")))
+        val withinDrop = verified(left.join(withinRight, Seq("band", "bval"))
+          .filter(col("rid") < col("doc_id")))
+        storeDrop.unionByName(withinDrop)
+      case None =>
+        val right = Dedup
+          .simhashBanded(store.filter(col("simhash").isNotNull), "doc_id", "simhash",
+            bands, bitsPerBand)
+          .select(col("band"), col("bval"), col("doc_id").as("rid"),
+            col("simhash").as("rsim"), lit(true).as("is_store"))
+          .unionByName(withinRight.withColumn("is_store", lit(false)))
+        verified(left.join(right, Seq("band", "bval"))
+          .filter(col("is_store") || col("rid") < col("doc_id")))
+    }).distinct()
     fresh.join(w2.join(nearDrop, Seq("doc_id"), "left_anti").select("doc_id"), Seq("doc_id"))
   }
 

@@ -177,6 +177,36 @@ class AdmitSpec extends SparkSpec {
       "fused simhash store must bit-match Dedup.simhash")
   }
 
+  test("pre-banded simhash store: same admitted set, no store-side exchange in the Hamming join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded_simstore").toString
+    Dedup.writeBandedSimhashStore(simStore, "simadmit_banded_spec", s"$dir/bands",
+      bands = 4, bitsPerBand = 15, buckets = 32)
+    val sb = spark.table("simadmit_banded_spec")
+    try {
+      val fused = Curation.admitSimhash(simFresh, simStore)
+        .select("doc_id").as[Long].collect().toSet
+      val prebanded = Curation.admitSimhash(simFresh, simStore, storeBands = Some(sb))
+        .select("doc_id").as[Long].collect().toSet
+      assert(prebanded == fused,
+        s"pre-banded path must admit the same set: $prebanded vs $fused")
+
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = Curation.admitSimhash(simFresh, simStore, storeBands = Some(sb))
+          .queryExecution.executedPlan.toString
+        val lines = plan.linesIterator.toVector
+        val scanIdx = lines.indexWhere(l =>
+          l.contains("FileScan") && l.contains("simadmit_banded_spec"))
+        assert(scanIdx >= 0 && lines(scanIdx).contains("Bucketed: true"),
+          s"banded simhash store scan must report its bucket spec:\n$plan")
+        val above = lines.slice((scanIdx - 4).max(0), scanIdx)
+        assert(!above.exists(_.contains("Exchange")),
+          s"the pre-banded simhash store side must not re-shuffle:\n${above.mkString("\n")}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS simadmit_banded_spec")
+  }
+
   test("simhashStore: empty token arrays keep a null simhash, exact key still present") {
     val st = Dedup.simhashStore(
       withTs(Seq((1L, "x y z"), (2L, "")).toDF("doc_id", "text")),

@@ -95,6 +95,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("admitSimhashStream: the Hamming admission loop matches the MinHash loop's story") {
+    def txt(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    def rev(t: String) = t.split(" ").reverse.mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simadmit_stream")
+    val (corpusP, ckpt) = (s"$tmp/corpus", s"$tmp/ckpt")
+    spark.sql("DROP TABLE IF EXISTS graft_simadmit_store")
+    spark.sql("DROP TABLE IF EXISTS graft_simadmit_banded")
+    val boot = graft.dedup.Dedup.simhashStore(
+      Seq((1L, txt("e"))).toDF("doc_id", "text")
+        .withColumn("ts", graft.text.TextOps.tokens(col("text"))),
+      "doc_id", "text", "ts")
+    graft.dedup.Dedup.writeSimhashStorePartitioned(boot,
+      "graft_simadmit_store", s"$tmp/store", buckets = 32)
+    graft.dedup.Dedup.writeBandedSimhashStorePartitioned(boot,
+      "graft_simadmit_banded", s"$tmp/banded", 4, 15, buckets = 32)
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.admitSimhashStream(
+      input.toDF().toDF("doc_id", "text"), "graft_simadmit_store", corpusP, ckpt,
+      bandedTable = Some("graft_simadmit_banded"))
+    try {
+      // batch 1: novel A + a REVERSED copy of frozen E (simhash is
+      // order-invariant: Hamming 0 under a new exact key — only the
+      // banded near stage can reject it) → only A admitted
+      input.addData((10L, txt("a")), (11L, rev(txt("e"))))
+      q.processAllAvailable()
+      // batch 2: verbatim batch-1 A (exact-cross vs the grown store),
+      // reversed A (near-cross), novel B → only B admitted
+      input.addData((20L, txt("a")), (21L, rev(txt("a"))), (22L, txt("b")))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(corpusP)
+        .select("doc_id").as[Long].collect().toSet
+      assert(corpus == Set(10L, 22L), s"expected {10, 22}, got $corpus")
+      val storeIds = spark.table("graft_simadmit_store")
+        .select("doc_id").as[Long].collect().toSet
+      assert(storeIds == Set(1L, 10L, 22L))
+      val bandedIds = spark.table("graft_simadmit_banded")
+        .select("doc_id").as[Long].collect().toSet
+      assert(bandedIds == Set(1L, 10L, 22L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_simadmit_store")
+      spark.sql("DROP TABLE IF EXISTS graft_simadmit_banded")
+    }
+  }
+
   test("store batch landing is idempotent: a replayed batch overwrites its own partition") {
     def txt(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_replay")
