@@ -482,6 +482,21 @@ object TextQueries {
         size(col("spans")).cast("bigint").as("n_docs"))
     }),
 
+    // The RefinedWeb order end-to-end
+    // ([[graft.text.Curation.curateRefined]]): q67's chain finished with
+    // EXACT SUBSTRING dedup — fuzzy doc dedup first, then duplicated
+    // 20-token spans cut corpus-wide, pack sizes from the SURVIVING
+    // counts. The plant: a shared 25-token passage on doc_id % 17 == 1
+    // (outside the eval slice) survives every earlier stage by
+    // construction (adds ~23 shared shingles — Jaccard stays under the
+    // 0.5 verify; no internal repetition; inline, so line dedup can't
+    // see it) and ONLY the span stage removes it: every planted doc
+    // except the corpus-wide first loses exactly the quote's tokens.
+    "q73_refined_curation" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"), plantedRefined)
+      graft.text.Curation.curateRefined(raw, raw.filter(col("doc_id") % 41 === 0))
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -545,16 +560,38 @@ object TextQueries {
     * doc_id % 13 — enough to dominate the doc's 2-gram mass at any doc
     * length). Integer `div` so the repeat count is bit-identical to the
     * oracle's `//`. */
-  private def plantedPublished: Column =
+  private def plantedPublished: Column = plantedPublishedWith(lit(""))
+
+  /** q67's planted corpus with an extra text segment spliced into the
+    * BODY (after the spam, before the PII tail) — q73 plants its shared
+    * passage there. */
+  private def plantedPublishedWith(extra: Column): Column =
     concat(col("text"),
       when(col("doc_id") % 13 === 0,
         expr("repeat(' buy now', CAST(length(text) div 20 + 10 AS INT))"))
         .otherwise(lit("")),
+      extra,
       lit(" user"), col("doc_id").cast("string"), lit("@mail.example.com "),
       (col("doc_id") * 1000003L + 777777L).cast("string"),
       lit("\nall rights reserved"),
       when(col("doc_id") % 2 === 0, lit("\nsubscribe today"))
         .otherwise(lit("\nfollow us"))).as("text")
+
+  /** q73's shared 25-token passage — long enough that its covering
+    * 20-grams repeat across every planted doc, short enough that the
+    * added Jaccard overlap (~23 shared shingles) keeps planted pairs
+    * well under the 0.5 near-dup verify. Planted on doc_id % 17 == 1
+    * EXCLUDING the % 41 eval slice: a quote inside the benchmark pool
+    * would decontaminate every planted doc away before the span stage
+    * could see it. */
+  private val RefinedQuote =
+    "the quick brown fox jumps over the lazy dog while the wise old owl " +
+      "watches from the ancient oak tree near the quiet river bank"
+
+  private def plantedRefined: Column =
+    plantedPublishedWith(
+      when(col("doc_id") % 17 === 1 && col("doc_id") % 41 =!= 0,
+        lit(" " + RefinedQuote)).otherwise(lit("")))
 
   private val H = Stable.duckHash64 _
 
@@ -792,10 +829,16 @@ object TextQueries {
     * the q65 repetition fractions the Gopher gate joins. Ends at
     * `rep(doc_id, top2, dup3)`; `red` (redacted, line-structured) is
     * what the benchmark side re-scrubs from. */
-  private def duckPublishedPrefix: String =
+  private def duckPublishedPrefix: String = duckPublishedPrefixWith("")
+
+  /** [[duckPublishedPrefix]] with [[plantedPublishedWith]]'s extra-text
+    * hook: `extraSql` is a SQL string expression appended after the spam
+    * segment (pass `''`-safe fragments like `CASE ... END`). */
+  private def duckPublishedPrefixWith(extraSql: String): String = {
+    val extra = if (extraSql.isEmpty) "" else s" || $extraSql"
     s"""raw AS (SELECT doc_id,
        |  text || CASE WHEN doc_id % 13 = 0
-       |    THEN repeat(' buy now', CAST(length(text) // 20 + 10 AS INT)) ELSE '' END ||
+       |    THEN repeat(' buy now', CAST(length(text) // 20 + 10 AS INT)) ELSE '' END$extra ||
        |  ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ' ||
        |  CAST(doc_id * 1000003 + 777777 AS VARCHAR) ||
        |  chr(10) || 'all rights reserved' ||
@@ -823,6 +866,7 @@ object TextQueries {
        |rf3 AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
        |  CAST(sum(c) AS DOUBLE) AS dup3 FROM rc3 GROUP BY doc_id),
        |rep AS (SELECT rf2.doc_id, top2, dup3 FROM rf2 JOIN rf3 USING (doc_id))""".stripMargin
+  }
 
   /** The Gopher gate as [[duckCurationBody]]'s gate-extra hook. */
   private val duckPublishedGateExtra =
@@ -868,6 +912,57 @@ object TextQueries {
        |UNION ALL ${stat("3_exact_dedup", "JOIN keep1 USING (doc_id)")}
        |UNION ALL ${stat("4_near_dedup", "JOIN final USING (doc_id)")}
        |UNION ALL ${stat("5_decontaminated", "JOIN clean USING (doc_id)")}""".stripMargin
+  }
+
+  /** The ExactSubstr span stage over a clean survivor set, as prefixed
+    * CTEs: q71's gram/dict/cut/islands chain (k=20, composed owner key)
+    * restricted to docs in `cleanSrc`, ending in `skept(doc_id,
+    * n_tokens)` — the SURVIVING token counts the pack tail consumes. */
+  private def duckSpanStage(cleanSrc: String, k: Int = 20): String =
+    s"""sv AS (SELECT t.doc_id, t.ts FROM toks t JOIN $cleanSrc USING (doc_id)),
+       |sgr AS (
+       |  SELECT doc_id, i AS p, ${H(s"array_to_string(ts[i+1:i+$k], ' ')")} AS h
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, greatest(len(ts) - $k, 0))) AS i
+       |        FROM sv WHERE len(ts) > 0)),
+       |sdict AS (SELECT h, min(doc_id * 2097152 + p) AS own
+       |          FROM sgr GROUP BY h HAVING count(*) > 1),
+       |scut AS (SELECT g.doc_id, g.p FROM sgr g JOIN sdict d USING (h)
+       |         WHERE g.doc_id * 2097152 + g.p <> d.own),
+       |sbrk AS (SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER sw IS NULL OR p - lag(p) OVER sw > $k THEN 1 ELSE 0 END AS b
+       |  FROM scut WINDOW sw AS (PARTITION BY doc_id ORDER BY p)),
+       |sisl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM sbrk),
+       |sspans AS (SELECT i.doc_id, min(i.p) AS s, least(max(i.p) + $k, len(t.ts)) AS e
+       |           FROM sisl i JOIN toks t USING (doc_id) GROUP BY i.doc_id, len(t.ts), i.g),
+       |sst AS (SELECT doc_id, sum(e - s) AS nr FROM sspans GROUP BY doc_id),
+       |skept AS (SELECT v.doc_id, len(v.ts) - coalesce(st.nr, 0) AS n_tokens
+       |          FROM sv v LEFT JOIN sst st USING (doc_id)
+       |          WHERE len(v.ts) - coalesce(st.nr, 0) > 0)""".stripMargin
+
+  /** [[duckPackTail]] over a (doc_id, n_tokens) source instead of raw
+    * token lists — the span stage's surviving counts. */
+  private def duckPackTailCounts(src: String): String =
+    s"""o AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |          - n_tokens AS tok_offset
+       |      FROM $src)
+       |SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+       |  CAST(tok_offset // 512 AS BIGINT) AS first_seq,
+       |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
+       |       ELSE tok_offset // 512 END AS BIGINT) AS last_seq
+       |FROM o""".stripMargin
+
+  /** q73 oracle: the q67 chain (with the quote plant in the prefix),
+    * the span stage over the decontaminated set, the pack tail over
+    * surviving counts. */
+  private def duckRefinedCurationOracle: String = {
+    val quote = s"CASE WHEN doc_id % 17 = 1 AND doc_id % 41 <> 0 " +
+      s"THEN ' $RefinedQuote' ELSE '' END"
+    s"""WITH ${duckPublishedPrefixWith(quote)},
+       |${duckCurationBody("scrub", duckPublishedGateExtra)},
+       |$duckPublishedBench,
+       |${duckSpanStage("clean")},
+       |${duckPackTailCounts("skept")}""".stripMargin
   }
 
   /** q70 oracle: q60's staged admission in SQL, Hamming edition — q29's
@@ -1321,6 +1416,7 @@ object TextQueries {
     "q70_simhash_admit" -> duckSimhashAdmitOracle,
     "q71_dedup_spans" -> duckDedupSpansOracle,
     "q72_classifier_gate" -> duckClassifierGateOracle,
+    "q73_refined_curation" -> duckRefinedCurationOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

@@ -338,6 +338,34 @@ object Curation {
       .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
   }
 
+  /** The RefinedWeb order (Penedo et al. 2023): [[curatePublished]]'s
+    * chain finished with EXACT SUBSTRING deduplication — the paper runs
+    * fuzzy (MinHash) doc-level dedup first, THEN cuts duplicated
+    * k-token spans corpus-wide ([[TextOps.dedupSpans]]), because span
+    * cutting changes documents and must not perturb the doc-level
+    * signatures it follows. Here the span stage runs over the
+    * DECONTAMINATED survivors and packing sizes use the SURVIVING token
+    * counts (original minus removed spans); docs cut to nothing drop.
+    *
+    * Scale shape: every stage keeps its own contract (the span stage
+    * adds [[TextOps.dedupSpans]]' one hash-keyed ids-only shuffle); the
+    * decontaminated frame persists because the span stage's occurrence
+    * stream has two consumers plus the final count join. */
+  def curateRefined(docs: DataFrame, benchmark: DataFrame, seqLen: Int = 512,
+      k: Int = 3, minOverlap: Int = 2, maxLineOccurrences: Long = 1,
+      maxTop2GramFrac: Double = 0.15, maxDup3GramFrac: Double = 0.15,
+      spanK: Int = 20): DataFrame = {
+    val scrubbed = Cache()(scrubLines(docs, maxLineOccurrences = maxLineOccurrences))
+    val gated = Cache()(repetitionGate(gate(scrubbed), maxTop2GramFrac, maxDup3GramFrac))
+    val survivors = Cache()(dedupe(gated))
+    val clean = Cache()(decontaminate(survivors, scrub(benchmark), k, minOverlap))
+    val spanned = TextOps.dedupSpans(clean, "doc_id", "ts", spanK)
+      .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    TextOps.packSequences(spanned, "doc_id", "n_tokens", seqLen)
+      .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+  }
+
   /** [[report]] for the published order: one row per [[curatePublished]]
     * stage boundary — the line scrub and the repetition gate get their
     * own rows, so a mis-sized repetition threshold or a line scrub run

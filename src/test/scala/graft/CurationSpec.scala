@@ -68,6 +68,39 @@ class CurationSpec extends SparkSpec {
       s"each stage only removes docs: $nDocs")
   }
 
+  test("refined order: the span stage only shrinks docs, and cuts exactly the shared passage") {
+    import SparkSpec.spark.implicits._
+    // Same chain prefix as curatePublished; the ONLY difference is the
+    // terminal ExactSubstr stage — so comparing both over the same raw
+    // isolates exactly what span dedup did.
+    // rotated stopwords keep the language gate green WITHOUT repeating
+    // any 2-gram (a fixed "the X of" pattern would trip the repetition
+    // gate on "of the")
+    val sw = Seq("the", "a", "of", "and", "to")
+    def en(tag: String, n: Int): String =
+      (1 to n).map(i => s"${sw(i % 5)} $tag$i").mkString(" ")
+    val quote = (1 to 9).map(i => s"shared$i").mkString(" ")  // 9 tokens, k=5 below
+    val raw = Seq(
+      (1L, en("alpha", 16) + " " + quote),  // canonical: first doc with the passage
+      (2L, en("bravo", 16) + " " + quote),  // loses exactly the passage
+      (3L, en("charlie", 16) + " " + quote),
+      (4L, en("delta", 16))                 // no passage: untouched
+    ).toDF("doc_id", "text")
+    val bench = raw.filter(col("doc_id") < 0) // empty benchmark
+    val pub = Curation.curatePublished(raw, bench)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = Curation.curateRefined(raw, bench, spanK = 5)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref.keySet == pub.keySet, s"span stage dropped a doc: $ref vs $pub")
+    assert(ref(1L) == pub(1L), "the corpus-wide first occurrence keeps its passage")
+    for (id <- Seq(2L, 3L))
+      assert(ref(id) == pub(id) - 9,
+        s"doc $id must lose exactly the 9-token passage: ${ref(id)} vs ${pub(id)}")
+    assert(ref(4L) == pub(4L), "a doc without the passage is untouched")
+  }
+
   test("mix: token shares approach the target, clamp at rate 1, deterministic under a seed") {
     import org.apache.spark.sql.functions.{size => asize, sum => asum}
     val n = docs.select(col("doc_id"), asize(col("ts")).cast("bigint").as("n_tokens"))
