@@ -497,6 +497,35 @@ object TextQueries {
       graft.text.Curation.curateRefined(raw, raw.filter(col("doc_id") % 41 === 0))
     }),
 
+    // Near-dup CLUSTERS ([[graft.dedup.Components]]): the verified LSH
+    // pair graph's transitive closure — what published pipelines keep
+    // one doc per, and what pairwise drop-the-larger cannot see. The
+    // plant: progressive-drift chains — per base doc, four 40-token
+    // windows at stride 8, so adjacent windows share 32 tokens (shingle
+    // Jaccard ≈ 0.65, above the 0.5 verify) while windows two apart
+    // share 24 (≈ 0.43, below it): the family's similarity graph is a
+    // PATH, and only the closure reassembles it. Oracle closes the same
+    // graph with a recursive CTE.
+    "q74_cluster_dedup" -> ((s, dir) => {
+      val base = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val chains = base.filter(col("doc_id") % 29 === 3 && size(col("ts")) >= 64)
+      val planted = (0 until 4).map { i =>
+        chains.select((col("doc_id") * 10 + lit(1000000 + i)).as("doc_id"),
+          slice(col("ts"), 1 + 8 * i, 40).as("ts"))
+      }.reduce(_ union _)
+      val feat = base.union(planted)
+        .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
+        .filter(col("mf").isNotNull)
+      val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
+      val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
+      val pairs = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+        .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+        .select("id1", "id2")
+      graft.dedup.Components.clusterSizes(pairs)
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -965,6 +994,49 @@ object TextQueries {
        |${duckPackTailCounts("skept")}""".stripMargin
   }
 
+  /** q74 oracle: q28's verified-pair derivation over the chain-planted
+    * corpus, closed transitively by a recursive CTE — reach(id, r)
+    * holds "root candidate r reaches id"; min(r) per id is the
+    * component label, exactly [[graft.dedup.Components]]' keep-min
+    * canonical. */
+  private def duckClusterDedupOracle: String = {
+    val mins = (0 until 8).map(j =>
+      s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
+    val bands = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $DuckToks,
+       |chains AS (SELECT doc_id, ts FROM toks WHERE doc_id % 29 = 3 AND len(ts) >= 64),
+       |corpus AS (
+       |  SELECT doc_id, ts FROM toks
+       |  UNION ALL
+       |  SELECT doc_id * 10 + 1000000 + i AS doc_id, ts[1 + 8*i : 40 + 8*i] AS ts
+       |  FROM chains, generate_series(0, 3) g(i)),
+       |${duckShingleHashes("corpus")},
+       |shsets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id),
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+       |pairs AS (
+       |  SELECT id1, id2 FROM cand
+       |  JOIN shsets x ON x.doc_id = id1 JOIN shsets y ON y.doc_id = id2
+       |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5),
+       |sym AS (SELECT id1 AS u, id2 AS v FROM pairs
+       |        UNION SELECT id2, id1 FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+       |  UNION
+       |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM comp""".stripMargin
+  }
+
   /** q70 oracle: q60's staged admission in SQL, Hamming edition — q29's
     * simhash CTEs (60-bit) over the union corpus, 4 × 15-bit band values
     * by bit shift, exact stages on md5 keys, near stage verified by
@@ -1417,6 +1489,7 @@ object TextQueries {
     "q71_dedup_spans" -> duckDedupSpansOracle,
     "q72_classifier_gate" -> duckClassifierGateOracle,
     "q73_refined_curation" -> duckRefinedCurationOracle,
+    "q74_cluster_dedup" -> duckClusterDedupOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the
