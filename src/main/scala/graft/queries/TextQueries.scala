@@ -526,6 +526,27 @@ object TextQueries {
       graft.dedup.Components.clusterSizes(pairs)
     }),
 
+    // CCNet-style LM quality gate ([[graft.text.Perplexity]]): bigram
+    // model trained on the doc_id % 5 < 2 ORGANIC slice, every doc
+    // scored in integer bit costs (ilog2 via binary-string length —
+    // bit-identical in DuckDB), gated at mean 8 bits/bigram by
+    // cross-multiplied integer compare. The plant: OUT-OF-VOCABULARY
+    // token streams on doc_id % 23 == 7 (every token suffixed — the
+    // other-language/gibberish class the CCNet LM tier exists to drop):
+    // every bigram context is unseen, so each pair costs the full
+    // `unseenBits` 20 and the doc lands far above the gate, while
+    // organic docs sit near 5 bits/bigram. (The corpus vocabulary is 31
+    // i.i.d. words, so ORDER-based plants — e.g. reversal — score the
+    // same as organic text here: every pair is a seen bigram.)
+    "q75_perplexity_gate" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val planted = docs.filter(col("doc_id") % 23 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          transform(col("ts"), t => concat(t, lit("~"))).as("ts"))
+      val model = graft.text.Perplexity.bigramCounts(docs.filter(col("doc_id") % 5 < 2))
+      graft.text.Perplexity.gate(docs.union(planted), model, maxBitsPerBigram = 8)
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1037,6 +1058,44 @@ object TextQueries {
        |FROM comp""".stripMargin
   }
 
+  /** q75 oracle: the quantized bigram LM in SQL — same reference slice,
+    * same integer bit costs. `length(bin(x)) - 1` is floor(log2 x) in
+    * both engines; the unseen-bigram cost ilog2(c1) + 1 collapses to
+    * plain `length(bin(c1))`. */
+  private def duckPerplexityOracle: String =
+    s"""WITH $DuckToks,
+       |corpus AS (
+       |  SELECT doc_id, ts FROM toks
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    list_transform(ts, t -> t || '~') AS ts
+       |  FROM toks WHERE doc_id % 23 = 7),
+       |bigr AS (
+       |  SELECT doc_id, ${H("w1")} AS h1, ${H("w2")} AS h2 FROM (
+       |    SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM (
+       |      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |      FROM corpus WHERE len(ts) >= 2))),
+       |c12 AS (SELECT h1, h2, count(*) AS c12 FROM bigr
+       |        WHERE doc_id < 2000000 AND doc_id % 5 < 2 GROUP BY h1, h2),
+       |c1 AS (SELECT h1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY h1),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN m.c12 IS NOT NULL
+       |           THEN (length(bin(u.c1)) - 1) - (length(bin(m.c12)) - 1)
+       |         WHEN u.c1 IS NOT NULL THEN length(bin(u.c1))
+       |         ELSE 20 END AS bits
+       |  FROM bigr b
+       |  LEFT JOIN c12 m ON m.h1 = b.h1 AND m.h2 = b.h2
+       |  LEFT JOIN c1 u ON u.h1 = b.h1),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS total_bits
+       |        FROM sc GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(a.total_bits, 0) AS BIGINT) AS total_bits,
+       |  CAST(CASE WHEN coalesce(a.total_bits, 0) <= 8 * coalesce(a.n_bigrams, 0)
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM corpus t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin
+
   /** q70 oracle: q60's staged admission in SQL, Hamming edition — q29's
     * simhash CTEs (60-bit) over the union corpus, 4 × 15-bit band values
     * by bit shift, exact stages on md5 keys, near stage verified by
@@ -1490,6 +1549,7 @@ object TextQueries {
     "q72_classifier_gate" -> duckClassifierGateOracle,
     "q73_refined_curation" -> duckRefinedCurationOracle,
     "q74_cluster_dedup" -> duckClusterDedupOracle,
+    "q75_perplexity_gate" -> duckPerplexityOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable
+
+/** CCNet-style language-model quality gate (Wenzek et al. 2020): score
+  * every corpus document by how surprising its token stream is under a
+  * bigram model trained on a REFERENCE corpus (CCNet uses a Wikipedia
+  * KenLM; the reference side here is any curated frame), and gate on
+  * mean surprise. Low bits-per-bigram ≈ fluent in-domain text; high ≈
+  * boilerplate, code dumps, other-language, or gibberish.
+  *
+  * Cross-engine exactness is the design constraint: real log-probs are
+  * IEEE doubles whose distributed sum is order-dependent, so the model
+  * is QUANTIZED to integer bit costs — `ilog2(x) = length(bin(x)) - 1`,
+  * identical in Spark and DuckDB — and every score is an integer sum:
+  *
+  *   bits(w1, w2) = ilog2(c1)  - ilog2(c12)   seen bigram  (≈ -log2 p)
+  *                = ilog2(c1)  + 1            unseen bigram, seen context
+  *                  (one bit worse than any seen bigram in that context)
+  *                = unseenBits                unseen context
+  *
+  * where c12 = count(w1 w2) in the reference and c1 = Σ_w2 c12 (the
+  * context total, so seen costs are ≥ 0 by construction). The gate is
+  * the cross-multiplied integer comparison `total_bits <= maxBitsPerBigram
+  * * n_bigrams` — no per-row division ever happens.
+  *
+  * Scale shape (the KenLM deployment shape): the MODEL is bounded by
+  * the reference vocabulary, not the corpus, BY CONTRACT — [[score]]
+  * probes `maxModelRows` and fails at the call site rather than letting
+  * a corpus-sized "reference" OOM the driver mid-broadcast. The corpus
+  * side is a pure projection (hashed bigram pairs) + two broadcast
+  * joins + one doc-keyed map-side-combined agg: the corpus token stream
+  * never shuffles.
+  *
+  * Reference analog: fuel has no quality tier; this extends SURVEY §2's
+  * text-analysis family the way CCNet's perplexity buckets extend
+  * heuristic gates.
+  */
+object Perplexity {
+
+  /** Hashed adjacent-token pairs as a pure projection; docs with < 2
+    * tokens contribute nothing (explode of the empty array). The
+    * sequence is guarded by the caller's `size >= 2` filter — Spark's
+    * `sequence(1, 0)` DESCENDS rather than returning empty. */
+  private def bigramPairs(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1), i => struct(
+      Stable.hash64(element_at(toks, i)).as("h1"),
+      Stable.hash64(element_at(toks, i + 1)).as("h2")))
+
+  /** Integer bit cost: floor(log2(x)) for x >= 1, via the binary-string
+    * length — exact, branch-free, and bit-identical in DuckDB. */
+  private def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+
+  /** Train: the bigram count table (h1, h2, c12) over a reference
+    * frame. Two shuffles, both over the REFERENCE (bounded by the
+    * [[score]] contract), both map-side combined. */
+  def bigramCounts(ref: DataFrame, idCol: String = "doc_id",
+      toksCol: String = "ts"): DataFrame =
+    ref.filter(size(col(toksCol)) >= 2)
+      .select(explode(bigramPairs(col(toksCol))).as("bg"))
+      .groupBy(col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+      .agg(count(lit(1)).as("c12"))
+
+  /** Score every document: (idCol, n_bigrams, total_bits). Docs with
+    * < 2 tokens score (0, 0) — vacuously fluent, the gate keeps them
+    * (length flooring belongs to the length gate, not the LM). */
+  def score(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
+      toksCol: String = "ts", unseenBits: Int = 20,
+      maxModelRows: Long = 2000000L): DataFrame = {
+    val probed = model.select(col("h1")).limit((maxModelRows + 1).toInt).count()
+    require(probed <= maxModelRows,
+      s"Perplexity.score: model exceeds $maxModelRows bigram rows — a " +
+        "corpus-sized 'reference' cannot broadcast; train on a bounded " +
+        "curated slice (the KenLM contract), or raise maxModelRows if the " +
+        "model genuinely fits the broadcast budget")
+    val c1 = model.groupBy("h1").agg(sum(col("c12")).as("c1"))
+    val bgr = docs.filter(size(col(toksCol)) >= 2)
+      .select(col(idCol), explode(bigramPairs(col(toksCol))).as("bg"))
+      .select(col(idCol), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+    val bits = when(col("c12").isNotNull, ilog2(col("c1")) - ilog2(col("c12")))
+      .when(col("c1").isNotNull, ilog2(col("c1")) + lit(1L))
+      .otherwise(lit(unseenBits.toLong))
+    val scores = bgr
+      .join(broadcast(model), Seq("h1", "h2"), "left")
+      .join(broadcast(c1), Seq("h1"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(bits).as("total_bits"))
+    docs.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"))
+  }
+
+  /** The gate: keep documents at mean bit cost <= `maxBitsPerBigram`
+    * (cross-multiplied — no division). Returns the scored frame plus
+    * the `keep` flag so callers can gate (`filter(col("keep") === 1)`)
+    * or report the score distribution from one pass. */
+  def gate(docs: DataFrame, model: DataFrame, maxBitsPerBigram: Int,
+      idCol: String = "doc_id", toksCol: String = "ts",
+      unseenBits: Int = 20, maxModelRows: Long = 2000000L): DataFrame =
+    score(docs, model, idCol, toksCol, unseenBits, maxModelRows)
+      .withColumn("keep",
+        when(col("total_bits") <= col("n_bigrams") * maxBitsPerBigram, 1)
+          .otherwise(0).cast("int"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Perplexity
+
+/** Quantized-log2 bigram LM gate: hand-computed bit costs, the model
+  * broadcast contract, and the short-doc edge. */
+class PerplexitySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  // Reference "a b a b a c": bigrams ab, ba, ab, ba, ac →
+  // c12(ab)=2, c12(ba)=2, c12(ac)=1; contexts c1(a)=3, c1(b)=2.
+  private def ref = Seq((100L, Seq("a", "b", "a", "b", "a", "c")))
+    .toDF("doc_id", "ts")
+
+  private def model = Perplexity.bigramCounts(ref)
+
+  test("bigramCounts: hand-checked count table") {
+    val m = model.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m.values.toSeq.sorted == Seq(1L, 2L, 2L))
+    assert(m.size == 3)
+  }
+
+  test("score: seen / unseen-bigram / unseen-context costs, hand-computed") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "c")), // ab:1-1=0, ba:1-1=0, ac:1-0=1 → 1
+      (2L, Seq("a", "z")),           // seen context a: ilog2(3)+1 = 2
+      (3L, Seq("z", "q")),           // unseen context → unseenBits
+      (4L, Seq("a"))                 // < 2 tokens → (0, 0)
+    ).toDF("doc_id", "ts")
+    val out = Perplexity.score(docs, model, unseenBits = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((3L, 1L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 20L)), 4L -> ((0L, 0L))))
+  }
+
+  test("gate: cross-multiplied threshold keeps fluent docs and vacuous shorts") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "c")),
+      (2L, Seq("a", "z")),
+      (3L, Seq("z", "q")),
+      (4L, Seq("a"))
+    ).toDF("doc_id", "ts")
+    val keep = Perplexity.gate(docs, model, maxBitsPerBigram = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(keep == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1))
+  }
+
+  test("score: the model broadcast contract is enforced at the call site") {
+    val docs = Seq((1L, Seq("a", "b"))).toDF("doc_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Perplexity.score(docs, model, maxModelRows = 2L)
+    }
+    assert(e.getMessage.contains("maxModelRows"))
+  }
+
+  test("scores are invariant under corpus repartitioning") {
+    val docs = Seq((1L, Seq("a", "b", "a", "c")), (2L, Seq("b", "a", "b")))
+      .toDF("doc_id", "ts")
+    val a = Perplexity.score(docs, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Perplexity.score(docs.repartition(5), model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}
