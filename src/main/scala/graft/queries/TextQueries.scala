@@ -547,6 +547,23 @@ object TextQueries {
       graft.text.Perplexity.gate(docs.union(planted), model, maxBitsPerBigram = 8)
     }),
 
+    // CCNet's head/middle/tail buckets ([[graft.text.Perplexity
+    // .buckets]]): q75's bigram LM scores split into per-LANGUAGE
+    // equal-count terciles of the integer deci-bit mean (`(10 *
+    // total_bits) div n_bigrams`). The cutoffs come from a bounded
+    // per-language score histogram — CCNet's own shape — so no window
+    // ever sorts the corpus; `lang` rides through [[Perplexity.score]]
+    // and the bucket assignment is one broadcast join. Bucket 1 = most
+    // fluent (head), 3 = tail, 0 = unscored (< 2 tokens).
+    "q76_perplexity_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("ts"))
+      val model = graft.text.Perplexity.bigramCounts(
+        d.filter(col("doc_id") % 5 < 2).select(col("doc_id"), col("ts")))
+      graft.text.Perplexity.buckets(
+        graft.text.Perplexity.score(d, model), groupCol = "lang")
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1096,6 +1113,60 @@ object TextQueries {
        |       THEN 1 ELSE 0 END AS INT) AS keep
        |FROM corpus t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin
 
+  /** q76 oracle: q75's LM CTEs with `lang` carried through, then the
+    * bucket tier — histogram → cumulative window → per-lang tercile
+    * cutoffs → threshold compare. `//` is DuckDB's integer division
+    * (Spark's `div`); the cumulative/cut arithmetic is all-integer
+    * cross-multiplication, so no float ever enters the tiling. */
+  private def duckPerplexityBucketsOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+       |  FROM documents),
+       |bigr AS (
+       |  SELECT doc_id, ${H("w1")} AS h1, ${H("w2")} AS h2 FROM (
+       |    SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM (
+       |      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |      FROM corpus WHERE len(ts) >= 2))),
+       |c12 AS (SELECT h1, h2, count(*) AS c12 FROM bigr
+       |        WHERE doc_id % 5 < 2 GROUP BY h1, h2),
+       |c1 AS (SELECT h1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY h1),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN m.c12 IS NOT NULL
+       |           THEN (length(bin(u.c1)) - 1) - (length(bin(m.c12)) - 1)
+       |         WHEN u.c1 IS NOT NULL THEN length(bin(u.c1))
+       |         ELSE 20 END AS bits
+       |  FROM bigr b
+       |  LEFT JOIN c12 m ON m.h1 = b.h1 AND m.h2 = b.h2
+       |  LEFT JOIN c1 u ON u.h1 = b.h1),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS total_bits
+       |        FROM sc GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.doc_id, c.lang,
+       |    CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(coalesce(a.total_bits, 0) AS BIGINT) AS total_bits
+       |  FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id),
+       |q AS (SELECT *, CASE WHEN n_bigrams > 0
+       |        THEN (total_bits * 10) // n_bigrams END AS score_q
+       |      FROM scored),
+       |hist AS (SELECT lang, score_q, count(*) AS c FROM q
+       |         WHERE score_q IS NOT NULL GROUP BY lang, score_q),
+       |cum AS (SELECT lang, score_q,
+       |          sum(c) OVER (PARTITION BY lang ORDER BY score_q) AS cm,
+       |          sum(c) OVER (PARTITION BY lang) AS n
+       |        FROM hist),
+       |cuts AS (SELECT lang,
+       |           min(CASE WHEN cm * 3 >= n THEN score_q END) AS cut1,
+       |           min(CASE WHEN cm * 3 >= 2 * n THEN score_q END) AS cut2
+       |         FROM cum GROUP BY lang)
+       |SELECT q.doc_id, q.lang, q.n_bigrams, q.total_bits,
+       |  CAST(q.score_q AS BIGINT) AS score_q,
+       |  CAST(CASE WHEN q.score_q IS NULL THEN 0
+       |       ELSE 1 + CAST(q.score_q > k.cut1 AS INT)
+       |              + CAST(q.score_q > k.cut2 AS INT) END AS INT) AS bucket
+       |FROM q LEFT JOIN cuts k ON k.lang = q.lang""".stripMargin
+
   /** q70 oracle: q60's staged admission in SQL, Hamming edition — q29's
     * simhash CTEs (60-bit) over the union corpus, 4 × 15-bit band values
     * by bit shift, exact stages on md5 keys, near stage verified by
@@ -1550,6 +1621,7 @@ object TextQueries {
     "q73_refined_curation" -> duckRefinedCurationOracle,
     "q74_cluster_dedup" -> duckClusterDedupOracle,
     "q75_perplexity_gate" -> duckPerplexityOracle,
+    "q76_perplexity_buckets" -> duckPerplexityBucketsOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

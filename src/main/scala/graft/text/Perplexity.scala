@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Stable
@@ -64,9 +65,12 @@ object Perplexity {
       .groupBy(col("bg.h1").as("h1"), col("bg.h2").as("h2"))
       .agg(count(lit(1)).as("c12"))
 
-  /** Score every document: (idCol, n_bigrams, total_bits). Docs with
-    * < 2 tokens score (0, 0) — vacuously fluent, the gate keeps them
-    * (length flooring belongs to the length gate, not the LM). */
+  /** Score every document: the input frame minus `toksCol`, plus
+    * (n_bigrams, total_bits) — non-token columns (lang, source, …) ride
+    * through so downstream tiers ([[buckets]]) need no second doc-keyed
+    * join. Docs with < 2 tokens score (0, 0) — vacuously fluent, the
+    * gate keeps them (length flooring belongs to the length gate, not
+    * the LM). */
   def score(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
       toksCol: String = "ts", unseenBits: Int = 20,
       maxModelRows: Long = 2000000L): DataFrame = {
@@ -88,11 +92,10 @@ object Perplexity {
       .join(broadcast(c1), Seq("h1"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum(bits).as("total_bits"))
-    docs.select(col(idCol))
+    docs.drop(toksCol)
       .join(scores, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("total_bits"), lit(0L)).as("total_bits"))
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("total_bits", coalesce(col("total_bits"), lit(0L)))
   }
 
   /** The gate: keep documents at mean bit cost <= `maxBitsPerBigram`
@@ -106,4 +109,50 @@ object Perplexity {
       .withColumn("keep",
         when(col("total_bits") <= col("n_bigrams") * maxBitsPerBigram, 1)
           .otherwise(0).cast("int"))
+
+  /** CCNet's head/middle/tail buckets (Wenzek et al. 2020 §4.3): split
+    * each `groupCol` group (CCNet buckets per language) into `nBuckets`
+    * equal-count tiers by mean bit cost, ascending — bucket 1 = most
+    * fluent. Input is [[score]]/[[gate]] output.
+    *
+    * The scale shape is CCNet's own: cutoffs come from a per-group
+    * score HISTOGRAM, never a corpus-wide rank. `ntile` would sort
+    * 50 TB of "en" inside one window partition; here the corpus side is
+    * a pure projection + one broadcast join, and the only windows run
+    * over the histogram, which is bounded by construction: the mean is
+    * quantized to integer deci-bits (`score_q = (10*total_bits) div
+    * n_bigrams`, exact in both engines), so a group has at most
+    * 10*unseenBits + 1 distinct scores. cut_i is the least score_q
+    * whose cumulative count reaches i/nBuckets of the group
+    * (cross-multiplied — no division); a doc's bucket is 1 + the number
+    * of cuts it exceeds, so tied docs share a bucket by construction
+    * (CCNet cuts at score thresholds, not ranks — boundary buckets may
+    * exceed n/nBuckets when ties straddle a cut). Unscored docs
+    * (n_bigrams = 0) get bucket 0: length flooring is the length
+    * gate's jurisdiction, not the LM's. */
+  def buckets(scored: DataFrame, groupCol: String, nBuckets: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, s"buckets: nBuckets must be >= 2, got $nBuckets")
+    val q = scored.withColumn("score_q",
+      when(col("n_bigrams") > 0,
+        expr("(total_bits * 10L) div n_bigrams")))
+    val hist = q.filter(col("score_q").isNotNull)
+      .groupBy(col(groupCol), col("score_q")).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(groupCol).orderBy("score_q")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCol)))
+    val cutAggs = (1 until nBuckets).map(i =>
+      min(when(col("__cum") * nBuckets >= col("__n") * i, col("score_q")))
+        .as(s"__cut$i"))
+    val cuts = cum.groupBy(groupCol).agg(cutAggs.head, cutAggs.tail: _*)
+    val bucket = (1 until nBuckets).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("score_q") > col(s"__cut$i"), 1).otherwise(0)
+    }
+    q.join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn("bucket",
+        when(col("score_q").isNull, 0).otherwise(bucket).cast("int"))
+      .drop((1 until nBuckets).map(i => s"__cut$i"): _*)
+  }
 }

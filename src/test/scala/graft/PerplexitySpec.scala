@@ -56,6 +56,39 @@ class PerplexitySpec extends SparkSpec {
     assert(e.getMessage.contains("maxModelRows"))
   }
 
+  test("buckets: per-group tercile cutoffs, hand-computed, ties share a bucket") {
+    // Group x: distinct deci-bit scores 10..60 → n=6, cut1 = 20 (cum 2),
+    // cut2 = 40 (cum 4) → buckets 1,1,2,2,3,3; the n_bigrams=0 doc is
+    // unscored → bucket 0. Group y: scores {10,10,90} → both cuts land
+    // on 10 (cum 2 of 3 clears both 1/3 and 2/3), so the tied pair is
+    // bucket 1 and the outlier 3 — the middle tier is legitimately
+    // empty when ties straddle a cut.
+    val scored = Seq(
+      (1L, "x", 1L, 1L), (2L, "x", 1L, 2L), (3L, "x", 1L, 3L),
+      (4L, "x", 1L, 4L), (5L, "x", 1L, 5L), (6L, "x", 1L, 6L),
+      (10L, "x", 0L, 0L),
+      (7L, "y", 1L, 1L), (8L, "y", 1L, 1L), (9L, "y", 1L, 9L)
+    ).toDF("doc_id", "lang", "n_bigrams", "total_bits")
+    val out = Perplexity.buckets(scored, groupCol = "lang")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 3,
+      10L -> 0, 7L -> 1, 8L -> 1, 9L -> 3))
+  }
+
+  test("buckets: score carries through score() so lang needs no rejoin") {
+    val docs = Seq((1L, "en", Seq("a", "b", "a", "c")),
+      (2L, "en", Seq("z", "q"))).toDF("doc_id", "lang", "ts")
+    val out = Perplexity.buckets(Perplexity.score(docs, model), "lang")
+    assert(out.columns.toSet ==
+      Set("doc_id", "lang", "n_bigrams", "total_bits", "score_q", "bucket"))
+    // Two docs: cum(3)=1 clears 1/3 (cut1=3) and cum(200)=2 clears 2/3
+    // (cut2=200), so the unseen-context doc sits AT cut2 → bucket 2.
+    val m = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Int]("bucket")).toMap
+    assert(m == Map(1L -> 1, 2L -> 2))
+  }
+
   test("scores are invariant under corpus repartitioning") {
     val docs = Seq((1L, Seq("a", "b", "a", "c")), (2L, Seq("b", "a", "b")))
       .toDF("doc_id", "ts")
