@@ -214,6 +214,86 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Exact n-gram Jaccard similarity join (AllPairs prefix filtering,
+    * Bayardo et al. WWW 2007): EVERY pair of documents whose distinct
+    * k-shingle-hash sets reach Jaccard >= tNum/tDen — the
+    * zero-recall-loss tier of the near-dup family. [[lshCandidates]]
+    * trades recall for bounded candidate volume (pairs the banding
+    * misses are simply gone); this tier trades bounded volume for
+    * exactness, so it fits verification sweeps and moderate corpora,
+    * while LSH stays the 100 TB default (candidates here grow with
+    * shared-shingle pair counts, which no parameter bounds).
+    *
+    * Lossless pruning, all integer (ceil(t·n) = (tNum·n + tDen-1) div
+    * tDen; the verify compare is cross-multiplied — no float anywhere):
+    *  - Global order = shingle hash ascending, the sorted array
+    *    [[minhashFeatures]] already emits as a projection. An
+    *    md5-derived order is a seeded random permutation of the shingle
+    *    vocabulary, so no document-frequency table (and its corpus-wide
+    *    frequency join) is needed; df-ordered prefixes would prune
+    *    harder at that extra cost.
+    *  - Prefix theorem: if J(A,B) >= t then |A∩B| >= ceil(t·|A|), and
+    *    only |A| - prefix slots sit past A's first |A| - ceil(t·|A|) + 1
+    *    elements — too few to hold the whole intersection, so the
+    *    SMALLEST common element lies in BOTH prefixes. Candidates =
+    *    prefix explode, self-join keyed on the prefix hash, id1 < id2;
+    *    only ids and set sizes ride the shuffle.
+    *  - Length filter before the distinct: tNum·max(|A|,|B|) <=
+    *    tDen·min(|A|,|B|) — size-incompatible pairs can't reach t.
+    *  - Verify = join the sorted sets back by id (the q28 shape):
+    *    tDen·|A∩B| >= tNum·(|A|+|B|-|A∩B|).
+    *
+    * The prefix-bucket join carries the same hot-key pathology as LSH
+    * buckets (a boilerplate shingle with a small hash lands in MANY
+    * prefixes), so the probe side runs under the same occupancy guard,
+    * and the exact-dedup-first ORDERING RULE applies unchanged — clone
+    * families put identical prefixes in every bucket they touch.
+    *
+    * Output: (id1, id2, inter, n1, n2) per qualifying pair — integer
+    * intersection and set sizes; derive the ratio at the edge if needed.
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, toksCol: String,
+      k: Int = 3, tNum: Int = 1, tDen: Int = 2,
+      maxBucket: Int = 100000): DataFrame = {
+    require(tNum > 0 && tNum < tDen,
+      s"jaccardJoin: threshold must be in (0,1), got $tNum/$tDen")
+    val sets = df
+      .select(col(idCol), minhashFeatures(col(toksCol), k, numHashes = 1).as("mf"))
+      .filter(col("mf").isNotNull)
+      .select(col(idCol), col("mf")("shingles").as("sh"))
+    val prefixes = sets.select(col(idCol), size(col("sh")).as("n"),
+      explode(expr(
+        s"slice(sh, 1, size(sh) - ((size(sh) * $tNum + ${tDen - 1}) div $tDen) + 1)"))
+        .as("ph"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ph")
+    val probe = prefixes
+      .withColumn("__occ", count(lit(1)).over(w))
+      .withColumn("ph", when(col("__occ") <= maxBucket, col("ph"))
+        .otherwise(raise_error(concat(
+          lit("jaccardJoin: prefix bucket occupancy "), col("__occ"),
+          lit(s" exceeds maxBucket=$maxBucket — candidate pairs grow " +
+            "quadratically in occupancy. Run Dedup.exact first (clone " +
+            "families are the classic cause), raise the threshold, or " +
+            "move this corpus to the LSH tier")))))
+      .drop("__occ")
+    val cand = probe
+      .select(col("ph"), col(idCol).as("id1"), col("n").as("n1"))
+      .join(prefixes.select(col("ph"), col(idCol).as("id2"), col("n").as("n2")),
+        Seq("ph"))
+      .filter(col("id1") < col("id2"))
+      .filter(greatest(col("n1"), col("n2")) * tNum <=
+        least(col("n1"), col("n2")) * tDen)
+      .select("id1", "id2").distinct()
+    cand
+      .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("bigint").as("inter"),
+        size(col("sh1")).cast("bigint").as("n1"),
+        size(col("sh2")).cast("bigint").as("n2"))
+      .filter(col("inter") * tDen >= (col("n1") + col("n2") - col("inter")) * tNum)
+  }
+
   /** Benchmark decontamination — the curation stage that finds corpus
     * documents overlapping an EVALUATION set (eval leakage): pool the
     * benchmark's distinct k-shingle hashes, count each corpus doc's

@@ -564,6 +564,18 @@ object TextQueries {
         graft.text.Perplexity.score(d, model), groupCol = "lang")
     }),
 
+    // Exact n-gram Jaccard similarity join ([[graft.dedup.Dedup
+    // .jaccardJoin]]): AllPairs prefix filtering at t = 1/2 over the
+    // same 3-shingle hash sets q28's LSH tier bands — the
+    // zero-recall-loss tier of the near-dup family. The oracle is the
+    // plain inverted-index all-pairs build with no prefix pruning:
+    // prefix filtering is provably lossless, so both engines must
+    // produce the IDENTICAL pair set — the pruning itself is what the
+    // hash equality checks.
+    "q77_jaccard_join" -> ((s, dir) =>
+      Dedup.jaccardJoin(docsWithTokens(s, dir), "doc_id", "ts",
+        k = 3, tNum = 1, tDen = 2)),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1167,6 +1179,25 @@ object TextQueries {
        |              + CAST(q.score_q > k.cut2 AS INT) END AS INT) AS bucket
        |FROM q LEFT JOIN cuts k ON k.lang = q.lang""".stripMargin
 
+  /** q77 oracle: the exact similarity join WITHOUT the prefix pruning —
+    * inverted-index all-pairs (every pair sharing any shingle), exact
+    * integer intersection counts, cross-multiplied threshold. Lossless
+    * pruning means the Spark side's pruned plan must reproduce this
+    * exactly. */
+  private def duckJaccardJoinOracle: String =
+    s"""WITH $DuckToks,
+       |${duckShingleHashes()},
+       |d AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+       |  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT p.id1, p.id2, CAST(p.inter AS BIGINT) AS inter,
+       |  CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2
+       |FROM pairs p JOIN sz x ON x.doc_id = p.id1 JOIN sz y ON y.doc_id = p.id2
+       |WHERE p.inter * 2 >= (x.n + y.n - p.inter)""".stripMargin
+
   /** q70 oracle: q60's staged admission in SQL, Hamming edition — q29's
     * simhash CTEs (60-bit) over the union corpus, 4 × 15-bit band values
     * by bit shift, exact stages on md5 keys, near stage verified by
@@ -1622,6 +1653,7 @@ object TextQueries {
     "q74_cluster_dedup" -> duckClusterDedupOracle,
     "q75_perplexity_gate" -> duckPerplexityOracle,
     "q76_perplexity_buckets" -> duckPerplexityBucketsOracle,
+    "q77_jaccard_join" -> duckJaccardJoinOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

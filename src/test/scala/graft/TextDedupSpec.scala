@@ -146,6 +146,51 @@ class TextDedupSpec extends SparkSpec {
   private def messageChain(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString("\n")
 
+  test("jaccardJoin equals the unpruned all-pairs join on the real corpus") {
+    // The exactness claim IS the test: prefix filtering + length filter
+    // must lose nothing vs brute force (tiny corpus -> crossJoin OK here).
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val out = Dedup.jaccardJoin(docs, "doc_id", "ts", k = 3, tNum = 1, tDen = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val sets = docs.select(col("doc_id"),
+        Dedup.minhashFeatures(col("ts"), 3, 1).as("mf"))
+      .filter(col("mf").isNotNull)
+      .select(col("doc_id"), col("mf")("shingles").as("sh"))
+    val truth = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("bigint").as("inter"),
+        size(col("a.sh")).cast("bigint").as("n1"),
+        size(col("b.sh")).cast("bigint").as("n2"))
+      .filter(col("inter") * 2 >= col("n1") + col("n2") - col("inter"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(truth.nonEmpty, "test corpus should contain qualifying pairs")
+    assert(out == truth,
+      s"missed: ${truth.diff(out)}; invented: ${out.diff(truth)}")
+  }
+
+  test("jaccardJoin prefix-bucket guard trips on a clone family") {
+    val clones = spark.range(200).select(col("id"),
+      array(lit("a"), lit("b"), lit("c"), lit("d")).as("ts"))
+    val e = intercept[Exception] {
+      Dedup.jaccardJoin(clones, "id", "ts", maxBucket = 50).count()
+    }
+    val msg = messageChain(e)
+    assert(msg.contains("jaccardJoin: prefix bucket occupancy") &&
+      msg.contains("Dedup.exact"), msg)
+  }
+
+  test("jaccardJoin rejects a degenerate threshold") {
+    val docs = Seq((1L, Seq("a", "b", "c"))).toDF("doc_id", "ts")
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(docs, "doc_id", "ts", tNum = 2, tDen = 2)
+    }
+  }
+
   test("hot-bucket guard: a planted clone family trips lshCandidates before the join") {
     // 1000 identical signatures — the pathology the exact-dedup-first
     // ordering rule exists to prevent (10^6 candidate pairs per bucket at
