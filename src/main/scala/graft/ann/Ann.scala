@@ -192,6 +192,75 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** The IVF index as a PERSISTED artifact — the ANN analog of
+    * [[graft.dedup.Dedup.writeStore]]: train once (the centroid sample
+    * and the corpus-wide nearest-centroid assignment — everything in
+    * [[ivfTopK]] that touches the whole corpus), keep it, and serve
+    * every future query batch by probe + in-list rerank with no
+    * re-clustering and no corpus movement.
+    *
+    * Two tables: `<table>` holds the inverted lists (cid, idCol, vecCol)
+    * bucketed AND sorted by cid — HashPartitioning(cid) satisfies the
+    * probe join's distribution, so the corpus side reads its buckets in
+    * place and only the (small) query batch shuffles. `<path>_centroids`
+    * holds the quantizer itself, (cid, cvec): nCentroids rows by the
+    * [[sampleCentroids]] contract, which future sessions reload to
+    * compute probe lists as a pure projection. Re-read through
+    * [[readIvfIndex]] (`spark.table`), never a bare parquet path — the
+    * bucket-spec trap [[graft.dedup.Dedup.writeStore]] documents applies
+    * unchanged. Vectors persist in their source type (float arrays stay
+    * float — exact under the double cast every kernel applies), so the
+    * artifact costs the corpus's own vector bytes, not 2x. */
+  def writeIvfIndex(corpus: DataFrame, table: String, path: String,
+      idCol: String, vecCol: String, seed: Long = 42, nCentroids: Int = 16,
+      buckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${path}_centroids")
+    withNearestCentroids(corpus, vecCol, centroids, 1, "__near")
+      .select(element_at(col("__near"), 1).as("cid"), col(idCol), col(vecCol))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+  }
+
+  /** Reload a [[writeIvfIndex]] artifact: the inverted lists with their
+    * bucket spec intact, plus the quantizer as the driver-side array
+    * every probe helper takes (nCentroids rows by contract). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String): (DataFrame, Array[Array[Double]]) = {
+    val cents = spark.read.parquet(s"${path}_centroids")
+      .orderBy("cid").select("cvec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    (spark.table(table), cents)
+  }
+
+  /** Query a persisted IVF index ([[readIvfIndex]]'s output): probe-list
+    * projection on the batch, cid join against the bucketed inverted
+    * lists (the corpus side reads in place — no Exchange), exact in-list
+    * rerank. Scoring is [[ivfTopK]]'s bit-for-bit — same assignment,
+    * same cosine, same tie order — minus its train-time work; q78 pins
+    * the loop closure against a from-raw SQL rebuild. */
+  def ivfProbe(index: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val q = withNearestCentroids(queries, vecCol, centroids, nProbe, "__near")
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        explode(col("__near")).as("cid"))
+    val scored = index
+      .select(col("cid"), col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .join(q, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** The deterministic coarse quantizer shared by [[ivfTopK]] and
     * [[semanticDedupPairs]]: centroids = the `nCentroids` corpus vectors
     * with the smallest seeded id-hash (a seeded sample). Driver-side

@@ -576,6 +576,24 @@ object TextQueries {
       Dedup.jaccardJoin(docsWithTokens(s, dir), "doc_id", "ts",
         k = 3, tNum = 1, tDen = 2)),
 
+    // IVF index as a persisted artifact ([[graft.ann.Ann.writeIvfIndex]]):
+    // train the coarse quantizer once, WRITE the inverted lists bucketed
+    // by centroid id + the centroid table, then answer a FRESH query
+    // batch purely from the reloaded artifact (probe projection + in-list
+    // rerank — no re-clustering, no corpus shuffle; the lists side reads
+    // its buckets in place). The oracle rebuilds the identical index
+    // from the raw embeddings in SQL — loop closure, oracled (the q69
+    // pattern for ANN).
+    "q78_ann_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q78_index"
+      Ann.writeIvfIndex(emb, "graft_q78_index", path, "vec_id", "embedding",
+        seed = 42, nCentroids = 16)
+      val (index, cents) = Ann.readIvfIndex(s, "graft_q78_index", path)
+      Ann.ivfProbe(index, cents, emb.filter(col("vec_id") % 20 === 3),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1362,11 +1380,15 @@ object TextQueries {
        |SELECT w.doc_id FROM w2 w ANTI JOIN ndrop d ON w.doc_id = d.doc_id""".stripMargin
   }
 
-  /** q39 oracle: the IVF coarse quantizer is a seeded-hash sample, so the
-    * oracle re-derives the same 16 centroids (smallest seededHash(42, id)),
-    * the same nearest-centroid assignment (sim DESC, cid ASC), the same
-    * 4-probe lists, and the exact rerank. */
-  private def duckIvfOracle: String =
+  /** q39/q78 oracle: the IVF coarse quantizer is a seeded-hash sample, so
+    * the oracle re-derives the same 16 centroids (smallest
+    * seededHash(42, id)), the same nearest-centroid assignment (sim DESC,
+    * cid ASC), the same 4-probe lists, and the exact rerank. q78 runs the
+    * identical math from the PERSISTED index — rebuilding from raw here
+    * is exactly what makes it a loop-closure check. */
+  private def duckIvfOracle: String = duckIvfOracle("vec_id < 50")
+
+  private def duckIvfOracle(queryPred: String): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |h AS (SELECT vec_id, v, ${Stable.duckSeededHash(42, "vec_id")} AS hh FROM e),
        |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY hh) - 1 AS cid
@@ -1377,7 +1399,7 @@ object TextQueries {
        |                                       ORDER BY sim DESC, cid ASC) AS rn FROM sims),
        |corp AS (SELECT vec_id AS neighbor_id, v AS cvv, cid FROM ranked WHERE rn = 1),
        |qry AS (SELECT vec_id AS query_id, v AS qv, cid FROM ranked
-       |        WHERE rn <= 4 AND vec_id < 50),
+       |        WHERE rn <= 4 AND ($queryPred)),
        |cand AS (SELECT query_id, neighbor_id, qv, cvv FROM corp JOIN qry USING (cid)
        |         WHERE neighbor_id <> query_id),
        |scored AS (SELECT query_id, neighbor_id, ${duckCosine("qv", "cvv")} AS sim FROM cand)
@@ -1654,6 +1676,7 @@ object TextQueries {
     "q75_perplexity_gate" -> duckPerplexityOracle,
     "q76_perplexity_buckets" -> duckPerplexityBucketsOracle,
     "q77_jaccard_join" -> duckJaccardJoinOracle,
+    "q78_ann_index" -> duckIvfOracle("vec_id % 20 = 3"),
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.text.TextOps
 
@@ -57,6 +58,40 @@ class StoreSpec extends SparkSpec {
         s"exactly ONE xkey exchange (the batch side) expected, got $exchanges:\n$plan")
       // and the co-located join returns the right answer
       assert(probe.count() == 20)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("writeIvfIndex: probe answers equal ivfTopK; lists side reads buckets in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    // deterministic synthetic embeddings (no RNG: pmod lattice); floats,
+    // the embeddings table's element type sampleCentroids expects
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        (pmod(col("id") * (d + 3), lit(11)) - lit(5)).cast("float")): _*).as("vec"))
+    Ann.writeIvfIndex(emb, "ivf_index_spec", s"$dir/index", "vec_id", "vec",
+      seed = 42, nCentroids = 8, buckets = 32)
+    val (index, cents) = Ann.readIvfIndex(spark, "ivf_index_spec", s"$dir/index")
+    assert(cents.length == 8 && index.count() == 200)
+
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val probe = Ann.ivfProbe(index, cents, queries, "vec_id", "vec", k = 3)
+    val fromIndex = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Ann.ivfTopK(emb, queries, "vec_id", "vec", k = 3,
+        seed = 42, nCentroids = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex.nonEmpty && fromIndex == direct,
+      s"index answers diverge: ${fromIndex.diff(direct)} / ${direct.diff(fromIndex)}")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ann.ivfProbe(index, cents, queries, "vec_id", "vec", k = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"inverted-list scan must report its bucket spec:\n$plan")
+      assert("Exchange hashpartitioning\\(cid".r.findAllIn(plan).length == 1,
+        s"exactly ONE cid exchange (the query batch) expected:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
