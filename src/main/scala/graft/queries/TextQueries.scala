@@ -594,6 +594,21 @@ object TextQueries {
         "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
+    // The CCNet order end-to-end ([[graft.text.Curation.curateCCNet]]):
+    // line dedup → language ID (every language kept, tagged) → the
+    // bigram-LM perplexity tier trained on the separately-scrubbed
+    // doc_id % 7 < 2 reference slice, head/middle kept per predicted
+    // language, tail dropped → token packing. q67's plants exercise the
+    // line scrub; the LM cutoffs come from the per-language histogram —
+    // q75/q76's machinery composed into a lifecycle chain, the same
+    // move that made q59/q67 the flagships.
+    "q79_ccnet_curation" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"), plantedPublished)
+      val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 2)
+        .select("doc_id", "text")
+      graft.text.Curation.curateCCNet(raw, ref)
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -964,6 +979,79 @@ object TextQueries {
        |  CAST(sum(c) AS DOUBLE) AS dup3 FROM rc3 GROUP BY doc_id),
        |rep AS (SELECT rf2.doc_id, top2, dup3 FROM rf2 JOIN rf3 USING (doc_id))""".stripMargin
   }
+
+  /** q79 oracle: the CCNet chain in SQL — the q67 prefix (plants, line
+    * dedup before normalization, tokens), q23's stopword-argmax language
+    * scores, the q75 LM CTEs trained on the separately-scrubbed
+    * doc_id % 7 < 2 reference slice, q76's histogram terciles per
+    * predicted language (tail dropped ⟺ score_q <= cut2 — every tagged
+    * doc has >= 29 bigrams, so bucket 0 is unreachable), and q43's pack
+    * tail over the kept counts. */
+  private def duckCCNetOracle: String =
+    s"""WITH $duckPublishedPrefix,
+       |lsc AS (
+       |  SELECT doc_id,
+       |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+       |    len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
+       |    len(list_filter(ts, t -> t IN ('el','la','de','y','que'))) AS s_es,
+       |    len(list_filter(ts, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+       |    len(list_filter(ts, t -> t IN ('de','le','shi','bu','wo'))) AS s_zh
+       |  FROM toks),
+       |lu AS (
+       |  SELECT doc_id, 'de' AS lang, s_de AS score FROM lsc
+       |  UNION ALL SELECT doc_id, 'en', s_en FROM lsc
+       |  UNION ALL SELECT doc_id, 'es', s_es FROM lsc
+       |  UNION ALL SELECT doc_id, 'fr', s_fr FROM lsc
+       |  UNION ALL SELECT doc_id, 'zh', s_zh FROM lsc),
+       |lang AS (SELECT doc_id, lang AS lang_pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                                ORDER BY score DESC, lang ASC) AS rn FROM lu)
+       |  WHERE rn = 1),
+       |tag AS (SELECT t.doc_id, l.lang_pred, CAST(len(t.ts) AS BIGINT) AS n_tokens
+       |        FROM toks t JOIN lang l USING (doc_id) WHERE len(t.ts) >= 30),
+       |rred AS (SELECT doc_id, $duckRedact AS text FROM documents WHERE doc_id % 7 < 2),
+       |rscrub AS (SELECT doc_id, $duckNorm AS text FROM rred),
+       |rtoks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM rscrub),
+       |rbigr AS (
+       |  SELECT ${H("w1")} AS h1, ${H("w2")} AS h2 FROM (
+       |    SELECT ts[i] AS w1, ts[i+1] AS w2 FROM (
+       |      SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |      FROM rtoks WHERE len(ts) >= 2))),
+       |c12 AS (SELECT h1, h2, count(*) AS c12 FROM rbigr GROUP BY h1, h2),
+       |c1 AS (SELECT h1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY h1),
+       |cbigr AS (
+       |  SELECT doc_id, ${H("w1")} AS h1, ${H("w2")} AS h2 FROM (
+       |    SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM (
+       |      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |      FROM toks WHERE len(ts) >= 30))),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN m.c12 IS NOT NULL
+       |           THEN (length(bin(u.c1)) - 1) - (length(bin(m.c12)) - 1)
+       |         WHEN u.c1 IS NOT NULL THEN length(bin(u.c1))
+       |         ELSE 20 END AS bits
+       |  FROM cbigr b
+       |  LEFT JOIN c12 m ON m.h1 = b.h1 AND m.h2 = b.h2
+       |  LEFT JOIN c1 u ON u.h1 = b.h1),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS total_bits
+       |        FROM sc GROUP BY doc_id),
+       |pq AS (SELECT g.doc_id, g.lang_pred, g.n_tokens,
+       |         (CAST(a.total_bits AS BIGINT) * 10)
+       |           // CAST(a.n_bigrams AS BIGINT) AS score_q
+       |       FROM tag g JOIN agg a USING (doc_id)),
+       |hist AS (SELECT lang_pred, score_q, count(*) AS c FROM pq
+       |         GROUP BY lang_pred, score_q),
+       |cum AS (SELECT lang_pred, score_q,
+       |          sum(c) OVER (PARTITION BY lang_pred ORDER BY score_q) AS cm,
+       |          sum(c) OVER (PARTITION BY lang_pred) AS n
+       |        FROM hist),
+       |cuts AS (SELECT lang_pred,
+       |           min(CASE WHEN cm * 3 >= 2 * n THEN score_q END) AS cut2
+       |         FROM cum GROUP BY lang_pred),
+       |kept AS (SELECT p.doc_id, p.n_tokens
+       |         FROM pq p JOIN cuts k USING (lang_pred)
+       |         WHERE p.score_q <= k.cut2),
+       |${duckPackTailCounts("kept")}""".stripMargin
 
   /** The Gopher gate as [[duckCurationBody]]'s gate-extra hook. */
   private val duckPublishedGateExtra =
@@ -1677,6 +1765,7 @@ object TextQueries {
     "q76_perplexity_buckets" -> duckPerplexityBucketsOracle,
     "q77_jaccard_join" -> duckJaccardJoinOracle,
     "q78_ann_index" -> duckIvfOracle("vec_id % 20 = 3"),
+    "q79_ccnet_curation" -> duckCCNetOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

@@ -366,6 +366,51 @@ object Curation {
       .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
   }
 
+  /** The CCNet order end-to-end (Wenzek et al. 2020) — the chain that
+    * paper actually runs: line-level hash dedup ([[scrubLines]]),
+    * language identification with EVERY language kept and tagged (CCNet
+    * emits one corpus per language, not an English filter), then the LM
+    * tier — a bigram model ([[Perplexity.bigramCounts]]) trained on a
+    * REFERENCE corpus (CCNet's Wikipedia KenLM analog) scores each doc
+    * and [[Perplexity.buckets]] splits each language into
+    * head/middle/tail by histogram cutoffs; the TAIL bucket drops
+    * (CCNet retains head+middle — the tail is where boilerplate,
+    * gibberish, and mis-identified language concentrate). Token packing
+    * closes the chain.
+    *
+    * The reference frame is RAW (doc_id, text) and scrubs through
+    * [[scrub]] — the SAME normalization as the corpus: perplexity
+    * against a differently-normalized LM mis-scores casing and
+    * punctuation, the classic deployment bug. Model size is enforced by
+    * [[Perplexity.score]]'s maxModelRows probe (the KenLM vocabulary
+    * contract).
+    *
+    * Scale shape: the line scrub is [[curatePublished]]'s stage 0 (and
+    * caches for its reason); language ID and the token floor are pure
+    * projections; the LM tier adds one projection + two broadcast joins
+    * + one doc-keyed map-side agg (the corpus token stream never
+    * shuffles), and bucket cutoffs come from a bounded per-language
+    * histogram — no corpus-wide sort anywhere ([[Perplexity.buckets]]'s
+    * rationale). Output: q51's packed shape over the kept docs. */
+  def curateCCNet(docs: DataFrame, reference: DataFrame, seqLen: Int = 512,
+      maxLineOccurrences: Long = 1, minTokens: Int = 30,
+      nBuckets: Int = 3): DataFrame = {
+    val scrubbed = Cache()(scrubLines(docs, maxLineOccurrences = maxLineOccurrences))
+    val tagged = scrubbed
+      .select(Seq(col("doc_id"), col("ts"),
+        size(col("ts")).cast("bigint").as("n_tokens")) ++
+        TextOps.langId(col("ts")): _*)
+      .filter(col("n_tokens") >= minTokens)
+      .select("doc_id", "lang_pred", "n_tokens", "ts")
+    val model = Perplexity.bigramCounts(scrub(reference))
+    val kept = Perplexity.buckets(
+        Perplexity.score(tagged, model), groupCol = "lang_pred", nBuckets)
+      .filter(col("bucket") >= 1 && col("bucket") < nBuckets)
+    TextOps.packSequences(kept.select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", seqLen)
+      .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+  }
+
   /** [[report]] for the published order: one row per [[curatePublished]]
     * stage boundary — the line scrub and the repetition gate get their
     * own rows, so a mis-sized repetition threshold or a line scrub run

@@ -68,6 +68,32 @@ class CurationSpec extends SparkSpec {
       s"each stage only removes docs: $nDocs")
   }
 
+  test("CCNet order: the LM tier drops OOV gibberish the earlier gates admit") {
+    import SparkSpec.spark.implicits._
+    val base = "the cat sat on a mat and the dog ran to the park of the town " +
+      "a bird flew over the trees and the sun set to the west of the hill end"
+    // 9 organic docs: the reference's bigrams + one OOV suffix — all tie
+    // at ONE quantized score, so the tercile cut2 lands exactly on it.
+    val organic = (1 to 9).map(i => (i.toLong, s"$base extra$i"))
+    // 3 gibberish docs: enough stopwords to read as English and clear
+    // the token floor, but every content bigram is out-of-vocabulary.
+    val junk = (1 to 3).map(j => (100L + j,
+      "the a of and to " + (1 to 30).map(n => s"zz${j}q$n").mkString(" ")))
+    val raw = (organic ++ junk).toDF("doc_id", "text")
+    val ref = Seq((1000L, base)).toDF("doc_id", "text")
+    // the heuristic gates admit the gibberish (stopwords + length clear
+    // them) — only the LM tier can tell it from fluent text
+    val gated = Curation.gate(Curation.scrubLines(raw), minTokens = 30)
+    assert(gated.filter(col("doc_id") > 100).count() == 3)
+    val out = Curation.curateCCNet(raw, ref).collect()
+    assert(out.map(_.getLong(0)).toSet == (1 to 9).map(_.toLong).toSet,
+      s"kept: ${out.map(_.getLong(0)).toSet}")
+    // pack tail: contiguous token offsets in doc_id order
+    val sorted = out.sortBy(_.getLong(0))
+    val offs = sorted.map(r => (r.getLong(1), r.getLong(2)))
+    assert(offs.scanLeft(0L)(_ + _._1).init.sameElements(offs.map(_._2)))
+  }
+
   test("refined order: the span stage only shrinks docs, and cuts exactly the shared passage") {
     import SparkSpec.spark.implicits._
     // Same chain prefix as curatePublished; the ONLY difference is the
