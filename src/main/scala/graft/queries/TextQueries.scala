@@ -609,6 +609,37 @@ object TextQueries {
       graft.text.Curation.curateCCNet(raw, ref)
     }),
 
+    // The CCNet corpus report ([[graft.text.Curation.reportCCNet]]):
+    // the paper's per-language table — doc/token counts per (predicted
+    // language, perplexity bucket) over q79's shared interior. The
+    // operator's read: bucket sizes per language size the
+    // head/middle/tail trade; a mis-normalized reference LM shows up as
+    // one giant bucket-3 row.
+    "q80_ccnet_report" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"), plantedPublished)
+      val ref = t(s, dir, "documents").filter(col("doc_id") % 7 < 2)
+        .select("doc_id", "text")
+      graft.text.Curation.reportCCNet(raw, ref)
+    }),
+
+    // Temperature-balanced mixing ([[graft.text.Curation
+    // .mixTemperature]]): q64's acceptance machinery with shares DERIVED
+    // from per-source token totals at alpha = 0.5 (share ∝ sqrt(tokens),
+    // renormalized — the multilingual sampling rule that upweights small
+    // sources). Three deliberately unequal sources (4/7, 2/7, 1/7 of the
+    // corpus); sqrt is correctly rounded in IEEE, so the oracle
+    // re-derives the identical shares, rates, and integer thresholds.
+    "q81_mix_temperature" -> ((s, dir) => {
+      val n = docsWithTokens(s, dir)
+        .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      graft.text.Curation.mixTemperature(
+        Seq(("web", n.filter(col("doc_id") % 7 < 4)),
+            ("books", n.filter(col("doc_id") % 7 === 4 || col("doc_id") % 7 === 5)),
+            ("code", n.filter(col("doc_id") % 7 === 6))),
+        "doc_id", "n_tokens", budgetTokens = 20000, alpha = 0.5, seed = 13)
+        .select("source", "doc_id", "n_tokens")
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -980,15 +1011,16 @@ object TextQueries {
        |rep AS (SELECT rf2.doc_id, top2, dup3 FROM rf2 JOIN rf3 USING (doc_id))""".stripMargin
   }
 
-  /** q79 oracle: the CCNet chain in SQL — the q67 prefix (plants, line
-    * dedup before normalization, tokens), q23's stopword-argmax language
-    * scores, the q75 LM CTEs trained on the separately-scrubbed
-    * doc_id % 7 < 2 reference slice, q76's histogram terciles per
-    * predicted language (tail dropped ⟺ score_q <= cut2 — every tagged
-    * doc has >= 29 bigrams, so bucket 0 is unreachable), and q43's pack
-    * tail over the kept counts. */
-  private def duckCCNetOracle: String =
-    s"""WITH $duckPublishedPrefix,
+  /** q79/q80 oracle core: the CCNet chain in SQL — the q67 prefix
+    * (plants, line dedup before normalization, tokens), q23's
+    * stopword-argmax language scores, the q75 LM CTEs trained on the
+    * separately-scrubbed doc_id % 7 < 2 reference slice, and q76's
+    * histogram terciles per predicted language. Ends at
+    * `bkt(doc_id, lang_pred, n_tokens, bucket)` — every tagged doc has
+    * >= 29 bigrams, so bucket 0 is unreachable. q79 packs the
+    * head+middle survivors; q80 is the per-(language, bucket) report. */
+  private def duckCCNetCore: String =
+    s"""$duckPublishedPrefix,
        |lsc AS (
        |  SELECT doc_id,
        |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
@@ -1046,12 +1078,27 @@ object TextQueries {
        |          sum(c) OVER (PARTITION BY lang_pred) AS n
        |        FROM hist),
        |cuts AS (SELECT lang_pred,
+       |           min(CASE WHEN cm * 3 >= n THEN score_q END) AS cut1,
        |           min(CASE WHEN cm * 3 >= 2 * n THEN score_q END) AS cut2
        |         FROM cum GROUP BY lang_pred),
-       |kept AS (SELECT p.doc_id, p.n_tokens
-       |         FROM pq p JOIN cuts k USING (lang_pred)
-       |         WHERE p.score_q <= k.cut2),
+       |bkt AS (SELECT p.doc_id, p.lang_pred, p.n_tokens,
+       |          1 + CAST(p.score_q > k.cut1 AS INT)
+       |            + CAST(p.score_q > k.cut2 AS INT) AS bucket
+       |        FROM pq p JOIN cuts k USING (lang_pred))""".stripMargin
+
+  private def duckCCNetOracle: String =
+    s"""WITH $duckCCNetCore,
+       |kept AS (SELECT doc_id, n_tokens FROM bkt WHERE bucket < 3),
        |${duckPackTailCounts("kept")}""".stripMargin
+
+  /** q80 oracle: the CCNet per-(language, bucket) corpus table over the
+    * shared core. */
+  private def duckCCNetReportOracle: String =
+    s"""WITH $duckCCNetCore
+       |SELECT lang_pred, CAST(bucket AS INT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+       |FROM bkt GROUP BY lang_pred, bucket""".stripMargin
 
   /** The Gopher gate as [[duckCurationBody]]'s gate-extra hook. */
   private val duckPublishedGateExtra =
@@ -1766,6 +1813,7 @@ object TextQueries {
     "q77_jaccard_join" -> duckJaccardJoinOracle,
     "q78_ann_index" -> duckIvfOracle("vec_id % 20 = 3"),
     "q79_ccnet_curation" -> duckCCNetOracle,
+    "q80_ccnet_report" -> duckCCNetReportOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the
@@ -1887,6 +1935,29 @@ object TextQueries {
          |${side("web", "doc_id % 3 = 0", "0.3")}
          |UNION ALL
          |${side("books", "doc_id % 3 <> 0", "0.7")}""".stripMargin
+    },
+
+    // q81: q64's acceptance CTEs with sqrt-derived shares — the weight
+    // sum adds in the Scala seq order (left-assoc, like the driver), and
+    // every rate/threshold repeats q64's exact double/floor sequence.
+    "q81_mix_temperature" -> {
+      def side(name: String, pred: String, tcol: String): String =
+        s"""SELECT '$name' AS source, doc_id, n_tokens FROM n, w
+           |WHERE ($pred) AND ${Stable.duckSeededHash(13, s"'$name'", "doc_id")} % 1000000 <
+           |  CAST(floor(least(1.0, (20000.0 * (sqrt($tcol) / ws)) / $tcol) * 1000000) AS BIGINT)""".stripMargin
+      s"""WITH $DuckToks,
+         |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+         |tw AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 7 < 4),
+         |tb AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 7 IN (4, 5)),
+         |tc AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 7 = 6),
+         |w AS (SELECT tw.t AS dw, tb.t AS db, tc.t AS dc,
+         |        sqrt(tw.t) + sqrt(tb.t) + sqrt(tc.t) AS ws
+         |      FROM tw, tb, tc)
+         |${side("web", "doc_id % 7 < 4", "dw")}
+         |UNION ALL
+         |${side("books", "doc_id % 7 IN (4, 5)", "db")}
+         |UNION ALL
+         |${side("code", "doc_id % 7 = 6", "dc")}""".stripMargin
     },
 
     // q43's prefix-sum packing, finished as per-(seq, doc) local spans.

@@ -395,6 +395,19 @@ object Curation {
   def curateCCNet(docs: DataFrame, reference: DataFrame, seqLen: Int = 512,
       maxLineOccurrences: Long = 1, minTokens: Int = 30,
       nBuckets: Int = 3): DataFrame = {
+    val kept = ccnetBucketed(docs, reference, maxLineOccurrences, minTokens,
+        nBuckets)
+      .filter(col("bucket") >= 1 && col("bucket") < nBuckets)
+    TextOps.packSequences(kept.select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", seqLen)
+      .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+  }
+
+  /** [[curateCCNet]]'s shared interior: every doc that cleared the line
+    * scrub and token floor, scored and bucketed — (doc_id, lang_pred,
+    * n_tokens, n_bigrams, total_bits, score_q, bucket). */
+  private def ccnetBucketed(docs: DataFrame, reference: DataFrame,
+      maxLineOccurrences: Long, minTokens: Int, nBuckets: Int): DataFrame = {
     val scrubbed = Cache()(scrubLines(docs, maxLineOccurrences = maxLineOccurrences))
     val tagged = scrubbed
       .select(Seq(col("doc_id"), col("ts"),
@@ -403,13 +416,25 @@ object Curation {
       .filter(col("n_tokens") >= minTokens)
       .select("doc_id", "lang_pred", "n_tokens", "ts")
     val model = Perplexity.bigramCounts(scrub(reference))
-    val kept = Perplexity.buckets(
-        Perplexity.score(tagged, model), groupCol = "lang_pred", nBuckets)
-      .filter(col("bucket") >= 1 && col("bucket") < nBuckets)
-    TextOps.packSequences(kept.select("doc_id", "n_tokens"),
-        "doc_id", "n_tokens", seqLen)
-      .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+    Perplexity.buckets(
+      Perplexity.score(tagged, model), groupCol = "lang_pred", nBuckets)
   }
+
+  /** The CCNet corpus report — the paper's per-language table: document
+    * and token counts per (predicted language, perplexity bucket), the
+    * artifact an operator reads to size the head/middle/tail trade
+    * before freezing a per-language corpus (and the one that catches a
+    * mis-trained LM: a reference that doesn't match the corpus's
+    * normalization pushes EVERYTHING into the tail, visible here as one
+    * giant bucket-3 row). One bounded agg over [[curateCCNet]]'s shared
+    * interior — output rows = languages x buckets. */
+  def reportCCNet(docs: DataFrame, reference: DataFrame,
+      maxLineOccurrences: Long = 1, minTokens: Int = 30,
+      nBuckets: Int = 3): DataFrame =
+    ccnetBucketed(docs, reference, maxLineOccurrences, minTokens, nBuckets)
+      .groupBy("lang_pred", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
 
   /** [[report]] for the published order: one row per [[curatePublished]]
     * stage boundary — the line scrub and the repetition gate get their
@@ -625,19 +650,71 @@ object Curation {
     require(sources.nonEmpty, "mix needs at least one source")
     require(math.abs(sources.map(_._3).sum - 1.0) < 1e-9,
       s"shares must sum to 1, got ${sources.map(_._3).sum}")
-    sources.map { case (name, df, share) =>
-      // coalesce: sum() over zero rows (or all-null tokens) is null, and a
-      // bare getLong would NPE before the require names the empty source
-      val total = df.agg(coalesce(sum(col(nTokCol)), lit(0L)).cast("long"))
-        .head().getLong(0)
-      require(total > 0, s"mix source '$name' has no tokens")
+    mixAccept(sources.map { case (name, df, share) =>
+      (name, df, share, sourceTokens(name, df, nTokCol, "mix"))
+    }, idCol, budgetTokens, seed)
+  }
+
+  /** [[mix]] with TEMPERATURE-derived shares — the multilingual /
+    * multi-domain balancing rule (Conneau & Lample 2019's sampling:
+    * share_s ∝ tokens_s^alpha, renormalized): alpha = 1 reproduces
+    * natural proportions, alpha → 0 approaches uniform, and the common
+    * alpha = 0.5 upweights small sources at sub-linear cost to large
+    * ones. The derived shares feed the SAME integer-threshold Bernoulli
+    * as [[mix]].
+    *
+    * alpha is restricted to {1, 0.5, 0.25} — the IEEE-EXACT exponents:
+    * sqrt is correctly rounded (so sqrt and sqrt∘sqrt are bit-stable
+    * cross-engine), while pow(x, a) for general a is libm-dependent and
+    * would break both the oracle contract and retry determinism. Token
+    * totals compute once (one bounded agg per source) and flow to both
+    * the share derivation and the acceptance rates. */
+  def mixTemperature(sources: Seq[(String, DataFrame)], idCol: String,
+      nTokCol: String, budgetTokens: Long, alpha: Double = 0.5,
+      seed: Long = 13): DataFrame = {
+    require(sources.nonEmpty, "mixTemperature needs at least one source")
+    require(Set(1.0, 0.5, 0.25).contains(alpha),
+      s"mixTemperature: alpha must be 1, 0.5 or 0.25 (the IEEE-exact " +
+        s"roots — general pow is libm-dependent and breaks cross-engine " +
+        s"reproducibility); got $alpha")
+    val root: Double => Double =
+      if (alpha == 1.0) identity
+      else if (alpha == 0.5) math.sqrt
+      else x => math.sqrt(math.sqrt(x))
+    val totals = sources.map { case (name, df) =>
+      (name, df, sourceTokens(name, df, nTokCol, "mixTemperature"))
+    }
+    val weights = totals.map { case (_, _, t) => root(t.toDouble) }
+    val wsum = weights.sum // left-fold order — the oracle adds in the same order
+    mixAccept(totals.zip(weights).map { case ((name, df, t), w) =>
+      (name, df, w / wsum, t)
+    }, idCol, budgetTokens, seed)
+  }
+
+  /** One bounded agg: a source's token total (the driver-side scalar
+    * both mixers consume). coalesce: sum() over zero rows (or all-null
+    * tokens) is null, and a bare getLong would NPE before the require
+    * names the empty source. */
+  private def sourceTokens(name: String, df: DataFrame, nTokCol: String,
+      op: String): Long = {
+    val total = df.agg(coalesce(sum(col(nTokCol)), lit(0L)).cast("long"))
+      .head().getLong(0)
+    require(total > 0, s"$op source '$name' has no tokens")
+    total
+  }
+
+  /** The shared acceptance tail: rate_s = min(1, budget·share_s /
+    * tokens_s), kept iff seededHash(seed, source, id) mod 10^6 <
+    * floor(rate_s·10^6) — a pure per-row filter + union, no shuffle. */
+  private def mixAccept(sources: Seq[(String, DataFrame, Double, Long)],
+      idCol: String, budgetTokens: Long, seed: Long): DataFrame =
+    sources.map { case (name, df, share, total) =>
       val rate = math.min(1.0, (budgetTokens.toDouble * share) / total.toDouble)
       val threshold = math.floor(rate * 1000000).toLong
       df.filter(pmod(graft.functions.Stable.seededHash(seed, lit(name), col(idCol)),
           lit(1000000L)) < threshold)
         .withColumn("source", lit(name))
     }.reduce(_ unionByName _)
-  }
 
   /** Close the pipeline loop (the `fill_hdf5_file` step): pack the curated
     * corpus, assign train/valid/test splits by seeded hash of doc_id, and

@@ -92,6 +92,11 @@ class CurationSpec extends SparkSpec {
     val sorted = out.sortBy(_.getLong(0))
     val offs = sorted.map(r => (r.getLong(1), r.getLong(2)))
     assert(offs.scanLeft(0L)(_ + _._1).init.sameElements(offs.map(_._2)))
+    // the report agrees with the chain: head+middle doc counts = packed
+    // rows, and the tail row holds exactly the gibberish
+    val rep = Curation.reportCCNet(raw, ref).collect()
+    assert(rep.filter(_.getInt(1) < 3).map(_.getLong(2)).sum == out.length)
+    assert(rep.filter(_.getInt(1) == 3).map(_.getLong(2)).sum == 3)
   }
 
   test("refined order: the span stage only shrinks docs, and cuts exactly the shared passage") {
@@ -166,6 +171,48 @@ class CurationSpec extends SparkSpec {
         Seq(("void", n.filter(col("doc_id") < 0), 1.0)), "doc_id", "n_tokens", 100L)
     }
     assert(e.getMessage.contains("void"))
+  }
+
+  test("mixTemperature: alpha=1 is natural proportions; alpha=0.5 upweights the small source") {
+    import org.apache.spark.sql.functions.{size => asize, sum => asum}
+    val n = docs.select(col("doc_id"), asize(col("ts")).cast("bigint").as("n_tokens"))
+    val big = n.filter(col("doc_id") % 7 < 5)
+    val small = n.filter(col("doc_id") % 7 >= 5)
+    val srcs = Seq(("big", big), ("small", small))
+    def tokensBySource(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("source").agg(asum("n_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // alpha = 1 reproduces mix() under the natural shares (same driver
+    // double arithmetic: w_i = t_i, share = w_i / (w_big + w_small))
+    def tot(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(asum("n_tokens")).head().getLong(0)
+    val (tb, ts) = (tot(big), tot(small))
+    val wsum = tb.toDouble + ts.toDouble
+    val natural = graft.text.Curation.mix(
+      Seq(("big", big, tb.toDouble / wsum), ("small", small, ts.toDouble / wsum)),
+      "doc_id", "n_tokens", 3000L)
+    val alpha1 = graft.text.Curation.mixTemperature(srcs, "doc_id", "n_tokens",
+      3000L, alpha = 1.0)
+    assert(alpha1.select("source", "doc_id").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet ==
+      natural.select("source", "doc_id").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet)
+
+    // alpha = 0.5: the small source's accepted-token share strictly
+    // exceeds its natural share of the same budget
+    val t05 = tokensBySource(graft.text.Curation.mixTemperature(
+      srcs, "doc_id", "n_tokens", 3000L, alpha = 0.5))
+    val t1 = tokensBySource(alpha1)
+    assert(t05("small") > t1("small"),
+      s"sqrt temperature must upweight the small source: $t05 vs $t1")
+
+    // a libm-dependent exponent is rejected at the call site
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Curation.mixTemperature(srcs, "doc_id", "n_tokens", 3000L,
+        alpha = 0.3)
+    }
+    assert(e.getMessage.contains("IEEE-exact"))
   }
 
   test("mixture artifact: split-pruned reload, spans tile every sequence, id-collision guard") {
