@@ -134,6 +134,24 @@ object Ann {
     bruteForceTopK(cast(corpus), cast(queries), idCol, "__qv", k)
   }
 
+  /** The embedding-admission retention artifact —
+    * [[graft.dedup.Dedup.signatureStore]]'s third parity tier, for
+    * corpora that dedup by embedding COSINE rather than estimated
+    * Jaccard or Hamming distance: (idCol, xkey, qvec) per corpus
+    * vector. `qvec` is the int8 [[quantize]] form — 4× smaller through
+    * every admission shuffle, cosine preserved exactly (integer dots
+    * are exact in double, the q62 rule) — and `xkey` is md5 of the
+    * comma-joined quantized components: the "exact" tier is
+    * direction-identity at int8 resolution, which is what embedding
+    * duplication MEANS (a re-scaled copy quantizes to the same qvec —
+    * [[quantize]] is scale-invariant — so it lands in the exact tier,
+    * not the near tier). Pure projection: one scan, no shuffle. */
+  def embeddingStore(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantize(df, idCol, vecCol)
+      .select(col(idCol),
+        md5(concat_ws(",", col("qvec").cast("array<string>"))).as("xkey"),
+        col("qvec"))
+
   /** Deterministic hyperplane matrix: `tables` x `planes` hyperplanes of
     * dimension `dim`, components in [-1, 1) derived from splitmix-style
     * hashing of (seed, table, plane, dim index). Pure Scala — the same

@@ -640,6 +640,38 @@ object TextQueries {
         .select("source", "doc_id", "n_tokens")
     }),
 
+    // Incremental admission at EMBEDDING parity
+    // ([[graft.text.Curation.admitEmbedding]]): q60's staged-plant
+    // pattern over the embeddings table, cosine-flavored. Store = the
+    // even-id slice's [[graft.ann.Ann.embeddingStore]]; batch = the odd
+    // organic slice plus one plant per drop stage: +1M copies of batch
+    // vectors (exact-WITHIN drops the copy, min id survives), +2M+1
+    // copies of store vectors (exact-CROSS — identical qvec, identical
+    // xkey), and +3M q50-style perturbed store vectors (first component
+    // x1.01 — cosine ≈ 1 with the store original; caught by the NEAR
+    // tier, or by exact-cross on rows where the perturbation rounds
+    // back to the same int8 — dropped either way, and the oracle
+    // recomputes the identical stage outcomes).
+    "q82_embedding_admit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val store = emb.filter(col("vec_id") % 2 === 0)
+      val organic = emb.filter(col("vec_id") % 2 === 1)
+      val dupWithin = organic.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val storeCopies = store.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 2000001L).as("vec_id"), col("embedding"))
+      val nearStore = store.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          concat(array((col("embedding")(0) * lit(1.01)).cast("float")),
+                 slice(col("embedding"), 2, 63)).as("embedding"))
+      val batch = organic.unionByName(dupWithin).unionByName(storeCopies)
+        .unionByName(nearStore)
+      graft.text.Curation.admitEmbedding(batch,
+          graft.ann.Ann.embeddingStore(store, "vec_id", "embedding"),
+          threshold = 0.99)
+        .select("vec_id")
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1099,6 +1131,51 @@ object TextQueries {
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
        |FROM bkt GROUP BY lang_pred, bucket""".stripMargin
+
+  /** q82 oracle: embedding admission in SQL — rebuild the batch plants,
+    * q62's quantization (ints via CAST so the md5 key string matches the
+    * byte-cast Spark form), the three drop stages (exact-within min id
+    * per xkey, exact-cross xkey anti-join, sign-LSH bucketed near pass
+    * against store ∪ lower-id batch survivors with the exact integer-dot
+    * cosine verify). The hyperplanes are the same seed-derived constants
+    * as the query. */
+  private def duckEmbeddingAdmitOracle: String = {
+    val buckets = duckBucketUnion(Ann.hyperplanes(42, tables = 6, planes = 8, dim = 64))
+    s"""WITH au AS (
+       |  SELECT vec_id, embedding, TRUE AS is_batch FROM embeddings WHERE vec_id % 2 = 1
+       |  UNION ALL SELECT vec_id + 1000000, embedding, TRUE FROM embeddings
+       |    WHERE vec_id % 2 = 1 AND vec_id < 50
+       |  UNION ALL SELECT vec_id + 2000001, embedding, TRUE FROM embeddings
+       |    WHERE vec_id % 2 = 0 AND vec_id < 40
+       |  UNION ALL SELECT vec_id + 3000000,
+       |    list_prepend(CAST(embedding[1] * 1.01 AS REAL), embedding[2:]), TRUE
+       |    FROM embeddings WHERE vec_id % 2 = 0 AND vec_id >= 40 AND vec_id < 80
+       |  UNION ALL SELECT vec_id, embedding, FALSE FROM embeddings WHERE vec_id % 2 = 0),
+       |ad AS (SELECT vec_id, is_batch, CAST(embedding AS DOUBLE[]) dv FROM au),
+       |qz AS (SELECT vec_id, is_batch, dv,
+       |         list_max(list_transform(dv, x -> abs(x))) / 127.0 AS qscale FROM ad),
+       |qq AS (SELECT vec_id, is_batch,
+       |  CASE WHEN qscale = 0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+       |       ELSE list_transform(dv, x -> CAST(floor(x / qscale + 0.5) AS BIGINT))
+       |  END AS qv FROM qz),
+       |keyd AS (SELECT vec_id, is_batch,
+       |           md5(array_to_string(qv, ',')) AS xkey, qv FROM qq),
+       |w1 AS (SELECT min(vec_id) AS vec_id FROM keyd WHERE is_batch GROUP BY xkey),
+       |sk AS (SELECT DISTINCT xkey FROM keyd WHERE NOT is_batch),
+       |w2 AS (SELECT k.vec_id FROM keyd k JOIN w1 USING (vec_id)
+       |       ANTI JOIN sk s ON k.xkey = s.xkey),
+       |e AS (SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM qq),
+       |b AS ($buckets),
+       |ndrop AS (
+       |  SELECT DISTINCT l.vec_id FROM b l
+       |  JOIN w2 lw ON lw.vec_id = l.vec_id
+       |  JOIN b r ON r.tbl = l.tbl AND r.bucket = l.bucket
+       |  JOIN keyd rk ON rk.vec_id = r.vec_id
+       |  LEFT JOIN w2 rw ON rw.vec_id = r.vec_id
+       |  WHERE ((NOT rk.is_batch) OR (rw.vec_id IS NOT NULL AND r.vec_id < l.vec_id))
+       |    AND ${duckCosine("l.v", "r.v")} >= 0.99)
+       |SELECT w.vec_id FROM w2 w ANTI JOIN ndrop d ON w.vec_id = d.vec_id""".stripMargin
+  }
 
   /** The Gopher gate as [[duckCurationBody]]'s gate-extra hook. */
   private val duckPublishedGateExtra =
@@ -1814,6 +1891,7 @@ object TextQueries {
     "q78_ann_index" -> duckIvfOracle("vec_id % 20 = 3"),
     "q79_ccnet_curation" -> duckCCNetOracle,
     "q80_ccnet_report" -> duckCCNetReportOracle,
+    "q82_embedding_admit" -> duckEmbeddingAdmitOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

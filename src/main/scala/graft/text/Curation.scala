@@ -627,6 +627,67 @@ object Curation {
     fresh.join(w2.join(nearDrop, Seq("doc_id"), "left_anti").select("doc_id"), Seq("doc_id"))
   }
 
+  /** [[admit]] at EMBEDDING parity — incremental admission for a corpus
+    * that dedups by embedding cosine ([[graft.ann.Ann.nearDupPairs]]'
+    * family, SemDeDup's regime) rather than token sketches. `store` is
+    * the retained [[graft.ann.Ann.embeddingStore]] (idCol, xkey, qvec)
+    * of the frozen corpus; `fresh` is (idCol, vecCol) raw float
+    * vectors. Same three drop stages:
+    *  1. exact-within — min id per xkey (direction-identity at int8
+    *     resolution; re-scaled copies land HERE, since quantization is
+    *     scale-invariant);
+    *  2. exact-cross — batch xkeys absent from the store;
+    *  3. near — sign-LSH buckets over the QUANTIZED vectors (the
+    *     hyperplanes are seed-derived constants, [[graft.ann.Ann.hyperplanes]]),
+    *     one fused pass against store ∪ lower-id batch peers; the
+    *     int8 vector rides the bucket shuffle on both sides (dim bytes
+    *     ≈ the MinHash signature's 64), so the cosine verify is a
+    *     FILTER on the joined row — no rejoin, no second distinct —
+    *     and integer dots keep it bit-exact cross-engine.
+    *
+    * The batch probe side runs under the LSH occupancy guard (a zero
+    * or constant-direction vector family is the hot-bucket pathology
+    * here — every member shares all sign bits); exact-within-first is
+    * the same enforced ordering rationale as [[admit]]. Sizing:
+    * `planes` grows with log2(corpus) ([[graft.ann.Ann.nearDupPairs]]'
+    * rule); raise `tables` to buy back per-plane recall. */
+  def admitEmbedding(fresh: DataFrame, store: DataFrame,
+      threshold: Double = 0.99, seed: Long = 42, tables: Int = 6,
+      planes: Int = 8, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxBucket: Int = 100000): DataFrame = {
+    val fstore = Cache()(graft.ann.Ann.embeddingStore(fresh, idCol, vecCol))
+    val w1 = fstore.join(
+      Dedup.exact(fstore, col(idCol), col("xkey"))
+        .select(col("keep_id").as(idCol)),
+      Seq(idCol))
+    val w2 = Cache()(w1.join(store.select("xkey"), Seq("xkey"), "left_anti"))
+    val hp = graft.ann.Ann.hyperplanes(seed, tables, planes, dim)
+    def buckets(df: DataFrame, idAs: String, qAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col("qvec").cast("array<double>").as(qAs))
+        .select(col(idAs), col(qAs),
+          posexplode(graft.functions.SignBuckets(col(qAs), hp))
+            .as(Seq("table", "bucket")))
+        .select(col("table"), col("bucket"), col(idAs), col(qAs))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
+    val left = buckets(w2, "fid", "fq")
+      .withColumn("__occ", count(lit(1)).over(w))
+      .withColumn("bucket", when(col("__occ") <= maxBucket, col("bucket"))
+        .otherwise(raise_error(concat(
+          lit("admitEmbedding: bucket occupancy "), col("__occ"),
+          lit(s" exceeds maxBucket=$maxBucket — candidate pairs grow " +
+            "quadratically in occupancy. Run the exact tiers first " +
+            "(constant-direction families are the classic cause), or " +
+            "raise planes/tables for this corpus size")))))
+      .drop("__occ")
+    val right = buckets(store, "rid", "rq").withColumn("is_store", lit(true))
+      .unionByName(buckets(w2, "rid", "rq").withColumn("is_store", lit(false)))
+    val nearDrop = left.join(right, Seq("table", "bucket"))
+      .filter(col("is_store") || col("rid") < col("fid"))
+      .filter(graft.ann.Ann.cosine(col("fq"), col("rq")) >= threshold)
+      .select(col("fid").as(idCol)).distinct()
+    fresh.join(w2.join(nearDrop, Seq(idCol), "left_anti").select(idCol), Seq(idCol))
+  }
+
   /** Deterministic domain mixing — the pretraining stage that combines
     * curated corpora at target TOKEN proportions under a total budget
     * (the "data mixture" every published LM recipe specifies). Each

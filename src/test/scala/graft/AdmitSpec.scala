@@ -55,6 +55,31 @@ class AdmitSpec extends SparkSpec {
     assert(row.toSeq == Seq(texts("g")))
   }
 
+  test("admitEmbedding drops each planted family at its stage and keeps the novel vectors") {
+    def vec(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(8)(0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val store = Seq(1L -> vec(0 -> 1.0), 2L -> vec(1 -> 1.0), 3L -> vec(2 -> 1.0))
+      .toDF("vec_id", "embedding")
+    val fresh = Seq(
+      10L -> vec(0 -> 1.0),            // verbatim store copy → exact-cross
+      11L -> vec(0 -> 2.5),            // SCALED copy → SAME qvec (quantize is
+                                       // scale-invariant) → exact-cross, not near
+      12L -> vec(3 -> 1.0),            // novel; duplicated below
+      13L -> vec(3 -> 1.0),            // exact-within: 12 (min id) survives
+      14L -> vec(4 -> 1.0),            // novel unique → admitted
+      15L -> vec(1 -> 1.0, 5 -> 0.05), // cos ≈ 0.9988 vs store 2 → near-cross
+      16L -> vec(4 -> 1.0, 6 -> 0.05)  // cos ≈ 0.9988 vs 14 → near-within
+    ).toDF("vec_id", "embedding")
+    val admitted = Curation.admitEmbedding(fresh,
+        graft.ann.Ann.embeddingStore(store, "vec_id", "embedding"),
+        threshold = 0.99, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(12L, 14L), s"expected {12,14}, got $admitted")
+  }
+
   test("sigAgreement is 1.0 on identical signatures and the match fraction otherwise") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L)),
                  (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L)))
