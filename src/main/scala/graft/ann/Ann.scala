@@ -152,6 +152,84 @@ object Ann {
         md5(concat_ws(",", col("qvec").cast("array<string>"))).as("xkey"),
         col("qvec"))
 
+  /** Sign-LSH bucket rows over an [[embeddingStore]]-shaped frame:
+    * (tbl, bucket, idCol, qvec) — the embedding near tier's
+    * [[graft.dedup.Dedup.banded]] analog. The int8 qvec (dim bytes)
+    * rides the shuffle instead of the cast doubles (8× fewer bytes);
+    * consumers cast at the verify, where integer dots stay exact in
+    * double. */
+  def signBucketRows(store: DataFrame, idCol: String,
+      hp: Array[Array[Array[Double]]]): DataFrame =
+    store.select(col(idCol), col("qvec"),
+        posexplode(graft.functions.SignBuckets(col("qvec").cast("array<double>"), hp))
+          .as(Seq("tbl", "bucket")))
+      .select(col("tbl"), col("bucket"), col(idCol), col("qvec"))
+
+  /** Materialize an [[embeddingStore]]'s sign-bucket rows bucketed by
+    * the FULL (tbl, bucket) join key —
+    * [[graft.dedup.Dedup.writeBandedStore]]'s cosine edition: admission's
+    * store-side near join reads buckets in place (only the batch
+    * shuffles; the subset-bucket-spec and bare-path traps are the same).
+    * Pass `spark.table(table)` to
+    * [[graft.text.Curation.admitEmbedding]]'s `storeBuckets`. */
+  def writeBucketedEmbeddingStore(store: DataFrame, table: String, path: String,
+      seed: Long = 42, tables: Int = 6, planes: Int = 8, dim: Int = 64,
+      buckets: Int = 64, idCol: String = "vec_id"): Unit =
+    signBucketRows(store, idCol, hyperplanes(seed, tables, planes, dim))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "tbl", "bucket").saveAsTable(table)
+
+  /** [[graft.dedup.Dedup.writeStorePartitioned]] at embedding parity:
+    * (vec_id, xkey, qvec) with a `__batch_id` partition column for
+    * idempotent micro-batch landings, bucketed+sorted by xkey so the
+    * exact-cross anti-join's store side stays exchange-free as batches
+    * accumulate. */
+  def writeEmbeddingStorePartitioned(store: DataFrame, table: String,
+      path: String, buckets: Int = 64): Unit =
+    store.select(col("vec_id"), col("xkey"), col("qvec"))
+      .withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").option("path", path)
+      .partitionBy("__batch_id")
+      .bucketBy(buckets, "xkey").sortBy("xkey")
+      .saveAsTable(table)
+
+  /** Land one micro-batch of embedding-store rows idempotently
+    * ([[graft.dedup.Dedup.overwriteStoreBatch]]'s INSERT OVERWRITE
+    * shape). */
+  def overwriteEmbeddingStoreBatch(sigs: DataFrame, table: String,
+      batchId: Long): Unit = {
+    val view = s"graft_emb_store_batch_$batchId"
+    sigs.select("vec_id", "xkey", "qvec").createOrReplaceTempView(view)
+    try sigs.sparkSession.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (__batch_id = $batchId) " +
+        s"SELECT vec_id, xkey, qvec FROM $view")
+    finally sigs.sparkSession.catalog.dropTempView(view)
+  }
+
+  /** Batch-partitioned [[writeBucketedEmbeddingStore]] — the growing
+    * store's near-side table. */
+  def writeBucketedEmbeddingStorePartitioned(store: DataFrame, table: String,
+      path: String, seed: Long = 42, tables: Int = 6, planes: Int = 8,
+      dim: Int = 64, buckets: Int = 64): Unit =
+    signBucketRows(store, "vec_id", hyperplanes(seed, tables, planes, dim))
+      .withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").option("path", path)
+      .partitionBy("__batch_id")
+      .bucketBy(buckets, "tbl", "bucket").saveAsTable(table)
+
+  /** Land one micro-batch's sign-bucket rows idempotently. */
+  def overwriteBucketedEmbeddingStoreBatch(sigs: DataFrame, table: String,
+      batchId: Long, seed: Long = 42, tables: Int = 6, planes: Int = 8,
+      dim: Int = 64): Unit = {
+    val view = s"graft_emb_bucket_batch_$batchId"
+    signBucketRows(sigs, "vec_id", hyperplanes(seed, tables, planes, dim))
+      .createOrReplaceTempView(view)
+    try sigs.sparkSession.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (__batch_id = $batchId) " +
+        s"SELECT tbl, bucket, vec_id, qvec FROM $view")
+    finally sigs.sparkSession.catalog.dropTempView(view)
+  }
+
   /** Deterministic hyperplane matrix: `tables` x `planes` hyperplanes of
     * dimension `dim`, components in [-1, 1) derived from splitmix-style
     * hashing of (seed, table, plane, dim index). Pure Scala — the same

@@ -181,6 +181,47 @@ object Streaming {
       }
       .start()
 
+  /** [[admitStream]] at EMBEDDING parity — incremental admission for a
+    * vector corpus that dedups by cosine: each micro-batch admits via
+    * [[graft.text.Curation.admitEmbedding]] against the embedding store
+    * as of the batch boundary, lands the admitted vectors and their
+    * (xkey, qvec) rows idempotently (the same batchId-keyed overwrite
+    * discipline), and grows the store for batch N+1. `storeTable` is an
+    * [[graft.ann.Ann.writeEmbeddingStorePartitioned]] table; pass
+    * `bucketTable` ([[graft.ann.Ann.writeBucketedEmbeddingStorePartitioned]])
+    * to keep the cosine near join's store side exchange-free per
+    * batch. */
+  def admitEmbeddingStream(vecs: DataFrame, storeTable: String,
+      corpusPath: String, checkpoint: String,
+      bucketTable: Option[String] = None, threshold: Double = 0.99,
+      seed: Long = 42, tables: Int = 6, planes: Int = 8,
+      dim: Int = 64): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = graft.dedup.Dedup.readStore(spark, storeTable)
+        // localCheckpoint for admitStream's reason: INSERT OVERWRITE
+        // refuses a target its SELECT's lineage also reads
+        val admitted = graft.text.Curation.admitEmbedding(
+          batch, store, threshold = threshold, seed = seed, tables = tables,
+          planes = planes, dim = dim,
+          storeBuckets = bucketTable.map(spark.table)).localCheckpoint(true)
+        admitted.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(corpusPath)
+        val sigs = graft.ann.Ann
+          .embeddingStore(admitted, "vec_id", "embedding").persist()
+        graft.ann.Ann.overwriteEmbeddingStoreBatch(sigs, storeTable, batchId)
+        bucketTable.foreach(t => graft.ann.Ann
+          .overwriteBucketedEmbeddingStoreBatch(sigs, t, batchId, seed,
+            tables, planes, dim))
+        sigs.unpersist()
+        spark.catalog.clearCache()
+        ()
+      }
+      .start()
+
   /** ServerDataStream analog: drive a streaming DataFrame into a bounded
     * in-process queue via foreachBatch — producer/consumer with HWM-style
     * backpressure (`capacity` plays fuel's hwm=10). Returns the queue and

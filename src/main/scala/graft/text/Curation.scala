@@ -650,11 +650,15 @@ object Curation {
     * here — every member shares all sign bits); exact-within-first is
     * the same enforced ordering rationale as [[admit]]. Sizing:
     * `planes` grows with log2(corpus) ([[graft.ann.Ann.nearDupPairs]]'
-    * rule); raise `tables` to buy back per-plane recall. */
+    * rule); raise `tables` to buy back per-plane recall. Pass
+    * `storeBuckets` (a [[graft.ann.Ann.writeBucketedEmbeddingStore]]
+    * table) to read the store's sign-bucket rows bucketed in place —
+    * [[admit]]'s exchange-free store side, cosine edition. */
   def admitEmbedding(fresh: DataFrame, store: DataFrame,
       threshold: Double = 0.99, seed: Long = 42, tables: Int = 6,
       planes: Int = 8, dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding", maxBucket: Int = 100000): DataFrame = {
+      vecCol: String = "embedding", maxBucket: Int = 100000,
+      storeBuckets: Option[DataFrame] = None): DataFrame = {
     val fstore = Cache()(graft.ann.Ann.embeddingStore(fresh, idCol, vecCol))
     val w1 = fstore.join(
       Dedup.exact(fstore, col(idCol), col("xkey"))
@@ -662,14 +666,10 @@ object Curation {
       Seq(idCol))
     val w2 = Cache()(w1.join(store.select("xkey"), Seq("xkey"), "left_anti"))
     val hp = graft.ann.Ann.hyperplanes(seed, tables, planes, dim)
-    def buckets(df: DataFrame, idAs: String, qAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), col("qvec").cast("array<double>").as(qAs))
-        .select(col(idAs), col(qAs),
-          posexplode(graft.functions.SignBuckets(col(qAs), hp))
-            .as(Seq("table", "bucket")))
-        .select(col("table"), col("bucket"), col(idAs), col(qAs))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
-    val left = buckets(w2, "fid", "fq")
+    def rows(df: DataFrame): DataFrame = graft.ann.Ann.signBucketRows(df, idCol, hp)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bucket")
+    val left = rows(w2)
+      .select(col("tbl"), col("bucket"), col(idCol).as("fid"), col("qvec").as("fq"))
       .withColumn("__occ", count(lit(1)).over(w))
       .withColumn("bucket", when(col("__occ") <= maxBucket, col("bucket"))
         .otherwise(raise_error(concat(
@@ -679,12 +679,33 @@ object Curation {
             "(constant-direction families are the classic cause), or " +
             "raise planes/tables for this corpus size")))))
       .drop("__occ")
-    val right = buckets(store, "rid", "rq").withColumn("is_store", lit(true))
-      .unionByName(buckets(w2, "rid", "rq").withColumn("is_store", lit(false)))
-    val nearDrop = left.join(right, Seq("table", "bucket"))
-      .filter(col("is_store") || col("rid") < col("fid"))
-      .filter(graft.ann.Ann.cosine(col("fq"), col("rq")) >= threshold)
-      .select(col("fid").as(idCol)).distinct()
+    def verified(cand: DataFrame): DataFrame = cand
+      .filter(graft.ann.Ann.cosine(col("fq").cast("array<double>"),
+        col("rq").cast("array<double>")) >= threshold)
+      .select(col("fid").as(idCol))
+    val withinRight = rows(w2)
+      .select(col("tbl"), col("bucket"), col(idCol).as("rid"), col("qvec").as("rq"))
+    val nearDrop = (storeBuckets match {
+      // Pre-bucketed store table ([[graft.ann.Ann.writeBucketedEmbeddingStore]]):
+      // join it SEPARATELY so its bucket partitioning survives (the
+      // [[admit]] rationale) — the store's sign-bucket stream then never
+      // re-shuffles per batch.
+      case Some(sb) =>
+        val storeDrop = verified(left.join(
+          sb.select(col("tbl"), col("bucket"), col("qvec").as("rq")),
+          Seq("tbl", "bucket")))
+        val withinDrop = verified(left.join(withinRight, Seq("tbl", "bucket"))
+          .filter(col("rid") < col("fid")))
+        storeDrop.unionByName(withinDrop)
+      // Fused single pass when the store side is an unbucketed frame.
+      case None =>
+        val right = rows(store)
+          .select(col("tbl"), col("bucket"), lit(true).as("is_store"),
+            col(idCol).as("rid"), col("qvec").as("rq"))
+          .unionByName(withinRight.withColumn("is_store", lit(false)))
+        verified(left.join(right, Seq("tbl", "bucket"))
+          .filter(col("is_store") || col("rid") < col("fid")))
+    }).distinct()
     fresh.join(w2.join(nearDrop, Seq(idCol), "left_anti").select(idCol), Seq(idCol))
   }
 

@@ -55,29 +55,70 @@ class AdmitSpec extends SparkSpec {
     assert(row.toSeq == Seq(texts("g")))
   }
 
-  test("admitEmbedding drops each planted family at its stage and keeps the novel vectors") {
-    def vec(parts: (Int, Double)*): Seq[Float] = {
-      val a = Array.fill(8)(0f)
-      parts.foreach { case (i, x) => a(i) = x.toFloat }
-      a.toSeq
-    }
-    val store = Seq(1L -> vec(0 -> 1.0), 2L -> vec(1 -> 1.0), 3L -> vec(2 -> 1.0))
+  // ---- Embedding parity ([[Curation.admitEmbedding]] / [[Ann.embeddingStore]]) ----
+
+  private def vec(parts: (Int, Double)*): Seq[Float] = {
+    val a = Array.fill(8)(0f)
+    parts.foreach { case (i, x) => a(i) = x.toFloat }
+    a.toSeq
+  }
+
+  private lazy val embExisting =
+    Seq(1L -> vec(0 -> 1.0), 2L -> vec(1 -> 1.0), 3L -> vec(2 -> 1.0))
       .toDF("vec_id", "embedding")
-    val fresh = Seq(
-      10L -> vec(0 -> 1.0),            // verbatim store copy → exact-cross
-      11L -> vec(0 -> 2.5),            // SCALED copy → SAME qvec (quantize is
-                                       // scale-invariant) → exact-cross, not near
-      12L -> vec(3 -> 1.0),            // novel; duplicated below
-      13L -> vec(3 -> 1.0),            // exact-within: 12 (min id) survives
-      14L -> vec(4 -> 1.0),            // novel unique → admitted
-      15L -> vec(1 -> 1.0, 5 -> 0.05), // cos ≈ 0.9988 vs store 2 → near-cross
-      16L -> vec(4 -> 1.0, 6 -> 0.05)  // cos ≈ 0.9988 vs 14 → near-within
-    ).toDF("vec_id", "embedding")
-    val admitted = Curation.admitEmbedding(fresh,
-        graft.ann.Ann.embeddingStore(store, "vec_id", "embedding"),
+
+  private lazy val embStore =
+    graft.ann.Ann.embeddingStore(embExisting, "vec_id", "embedding")
+
+  private lazy val embFresh = Seq(
+    10L -> vec(0 -> 1.0),            // verbatim store copy → exact-cross
+    11L -> vec(0 -> 2.5),            // SCALED copy → SAME qvec (quantize is
+                                     // scale-invariant) → exact-cross, not near
+    12L -> vec(3 -> 1.0),            // novel; duplicated below
+    13L -> vec(3 -> 1.0),            // exact-within: 12 (min id) survives
+    14L -> vec(4 -> 1.0),            // novel unique → admitted
+    15L -> vec(1 -> 1.0, 5 -> 0.05), // cos ≈ 0.9988 vs store 2 → near-cross
+    16L -> vec(4 -> 1.0, 6 -> 0.05)  // cos ≈ 0.9988 vs 14 → near-within
+  ).toDF("vec_id", "embedding")
+
+  test("admitEmbedding drops each planted family at its stage and keeps the novel vectors") {
+    val admitted = Curation.admitEmbedding(embFresh, embStore,
         threshold = 0.99, dim = 8)
       .select("vec_id").as[Long].collect().toSet
     assert(admitted == Set(12L, 14L), s"expected {12,14}, got $admitted")
+  }
+
+  test("pre-bucketed embedding store: same admitted set, no store-side exchange in the cosine join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_store").toString
+    // bucket count == session shuffle partitions (see StoreSpec)
+    graft.ann.Ann.writeBucketedEmbeddingStore(embStore, "admit_emb_bucket_spec",
+      s"$dir/buckets", dim = 8, buckets = 32)
+    val sb = spark.table("admit_emb_bucket_spec")
+
+    val fused = Curation.admitEmbedding(embFresh, embStore,
+        threshold = 0.99, dim = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val prebucketed = Curation.admitEmbedding(embFresh, embStore,
+        threshold = 0.99, dim = 8, storeBuckets = Some(sb))
+      .select("vec_id").as[Long].collect().toSet
+    assert(prebucketed == fused,
+      s"pre-bucketed path must admit the same set: $prebucketed vs $fused")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Curation.admitEmbedding(embFresh, embStore,
+          threshold = 0.99, dim = 8, storeBuckets = Some(sb))
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      val scanIdx = lines.indexWhere(l =>
+        l.contains("FileScan") && l.contains("admit_emb_bucket_spec"))
+      assert(scanIdx >= 0 && lines(scanIdx).contains("Bucketed: true"),
+        s"bucketed store scan must report its bucket spec:\n$plan")
+      val above = lines.slice((scanIdx - 4).max(0), scanIdx)
+      assert(!above.exists(_.contains("Exchange")),
+        s"the pre-bucketed store side must not re-shuffle:\n${above.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("sigAgreement is 1.0 on identical signatures and the match fraction otherwise") {

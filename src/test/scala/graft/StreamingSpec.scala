@@ -141,6 +141,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("admitEmbeddingStream: the cosine admission loop matches the sketch loops' story") {
+    def vec(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(8)(0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_embadmit_stream")
+    val (corpusP, ckpt) = (s"$tmp/corpus", s"$tmp/ckpt")
+    spark.sql("DROP TABLE IF EXISTS graft_embadmit_store")
+    spark.sql("DROP TABLE IF EXISTS graft_embadmit_bucket")
+    val boot = graft.ann.Ann.embeddingStore(
+      Seq(1L -> vec(0 -> 1.0)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    graft.ann.Ann.writeEmbeddingStorePartitioned(boot,
+      "graft_embadmit_store", s"$tmp/store", buckets = 32)
+    graft.ann.Ann.writeBucketedEmbeddingStorePartitioned(boot,
+      "graft_embadmit_bucket", s"$tmp/bucket", dim = 8, buckets = 32)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.admitEmbeddingStream(
+      input.toDF().toDF("vec_id", "embedding"), "graft_embadmit_store",
+      corpusP, ckpt, bucketTable = Some("graft_embadmit_bucket"), dim = 8)
+    try {
+      // batch 1: novel u3 + a SCALED copy of the frozen u0 — identical
+      // qvec (quantize is scale-invariant), so the exact-cross tier
+      // rejects it → only 10 admitted
+      input.addData((10L, vec(3 -> 1.0)), (11L, vec(0 -> 2.5)))
+      q.processAllAvailable()
+      // batch 2: verbatim batch-1 u3 (exact-cross vs the GROWN store),
+      // a near-dup of it (cos ≈ 0.9988 — the bucketed near tier), and
+      // novel u4 → only 22 admitted
+      input.addData((20L, vec(3 -> 1.0)), (21L, vec(3 -> 1.0, 5 -> 0.05)),
+        (22L, vec(4 -> 1.0)))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(corpusP)
+        .select("vec_id").as[Long].collect().toSet
+      assert(corpus == Set(10L, 22L), s"expected {10, 22}, got $corpus")
+      val storeIds = spark.table("graft_embadmit_store")
+        .select("vec_id").as[Long].collect().toSet
+      assert(storeIds == Set(1L, 10L, 22L))
+      val bucketIds = spark.table("graft_embadmit_bucket")
+        .select("vec_id").as[Long].collect().toSet
+      assert(bucketIds == Set(1L, 10L, 22L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_embadmit_store")
+      spark.sql("DROP TABLE IF EXISTS graft_embadmit_bucket")
+    }
+  }
+
   test("store batch landing is idempotent: a replayed batch overwrites its own partition") {
     def txt(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_replay")
