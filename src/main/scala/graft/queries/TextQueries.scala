@@ -672,6 +672,28 @@ object TextQueries {
         .select("vec_id")
     }),
 
+    // Perplexity-curriculum packing ([[graft.text.TextOps
+    // .packSequencesOrdered]]): the published curriculum-learning data
+    // order — concatenate the most fluent text FIRST (ascending
+    // quantized bits-per-bigram from q75's LM, doc_id tie-break; the
+    // handful of sub-2-token docs score -1 and lead vacuously), cut
+    // every 512 tokens. Same distributed prefix sum as q43 — ordering
+    // changes the range-sort key, not the shape — so the oracle is
+    // q43's running-sum window over the curriculum order.
+    "q83_curriculum_pack" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val model = graft.text.Perplexity.bigramCounts(docs.filter(col("doc_id") % 5 < 2))
+      val scored = graft.text.Perplexity.score(
+        docs.withColumn("n_tokens", size(col("ts")).cast("bigint")), model)
+      val q = scored.withColumn("score_q",
+        when(col("n_bigrams") > 0, expr("(total_bits * 10L) div n_bigrams"))
+          .otherwise(lit(-1L)))
+      TextOps.packSequencesOrdered(q.select("doc_id", "n_tokens", "score_q"),
+          "doc_id", "n_tokens", seqLen = 512, orderBy = Seq(col("score_q")))
+        .select("doc_id", "score_q", "n_tokens", "tok_offset",
+          "first_seq", "last_seq")
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1131,6 +1153,49 @@ object TextQueries {
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
        |FROM bkt GROUP BY lang_pred, bucket""".stripMargin
+
+  /** q83 oracle: q75's LM CTEs (no plants), the deci-bit score with -1
+    * for unscored docs, and the pack tail's running-sum window over the
+    * curriculum order (score_q, doc_id). */
+  private def duckCurriculumPackOracle: String =
+    s"""WITH $DuckToks,
+       |bigr AS (
+       |  SELECT doc_id, ${H("w1")} AS h1, ${H("w2")} AS h2 FROM (
+       |    SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM (
+       |      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |      FROM toks WHERE len(ts) >= 2))),
+       |c12 AS (SELECT h1, h2, count(*) AS c12 FROM bigr
+       |        WHERE doc_id % 5 < 2 GROUP BY h1, h2),
+       |c1 AS (SELECT h1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY h1),
+       |sc AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN m.c12 IS NOT NULL
+       |           THEN (length(bin(u.c1)) - 1) - (length(bin(m.c12)) - 1)
+       |         WHEN u.c1 IS NOT NULL THEN length(bin(u.c1))
+       |         ELSE 20 END AS bits
+       |  FROM bigr b
+       |  LEFT JOIN c12 m ON m.h1 = b.h1 AND m.h2 = b.h2
+       |  LEFT JOIN c1 u ON u.h1 = b.h1),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(bits) AS total_bits
+       |        FROM sc GROUP BY doc_id),
+       |q AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN coalesce(a.n_bigrams, 0) > 0
+       |         THEN (CAST(a.total_bits AS BIGINT) * 10)
+       |                // CAST(a.n_bigrams AS BIGINT)
+       |         ELSE -1 END AS score_q,
+       |    CAST(len(t.ts) AS BIGINT) AS n_tokens
+       |  FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id),
+       |o AS (SELECT doc_id, score_q, n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY score_q, doc_id
+       |                            ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+       |      FROM q)
+       |SELECT doc_id, CAST(score_q AS BIGINT) AS score_q, n_tokens,
+       |  CAST(tok_offset AS BIGINT) AS tok_offset,
+       |  CAST(tok_offset // 512 AS BIGINT) AS first_seq,
+       |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
+       |       ELSE tok_offset // 512 END AS BIGINT) AS last_seq
+       |FROM o""".stripMargin
 
   /** q82 oracle: embedding admission in SQL — rebuild the batch plants,
     * q62's quantization (ints via CAST so the md5 key string matches the
@@ -1892,6 +1957,7 @@ object TextQueries {
     "q79_ccnet_curation" -> duckCCNetOracle,
     "q80_ccnet_report" -> duckCCNetReportOracle,
     "q82_embedding_admit" -> duckEmbeddingAdmitOracle,
+    "q83_curriculum_pack" -> duckCurriculumPackOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

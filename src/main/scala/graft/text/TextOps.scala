@@ -530,10 +530,24 @@ object TextOps {
     * ([[graft.sources.PrefixSum]]) — never a single-partition running-sum
     * window. `nTokCol` must be bigint (use `size(toks).cast("bigint")`). */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
-      seqLen: Int): DataFrame = {
+      seqLen: Int): DataFrame =
+    packSequencesOrdered(df, idCol, nTokCol, seqLen, Nil)
+
+  /** [[packSequences]] in an explicit curriculum ORDER — the published
+    * data-ordering recipes (curriculum learning: concatenate easiest /
+    * most-fluent text first, e.g. ascending perplexity; anti-curriculum
+    * reverses the key): documents concatenate in `orderBy` order with
+    * `idCol` appended as the tie-break (the prefix sum requires a TOTAL
+    * order — ties would make offsets nondeterministic under retries),
+    * then cut every `seqLen` tokens. Ordering changes the range-sort
+    * key, not the shape: same distributed prefix sum, no new shuffle
+    * pattern, and downstream span/split machinery composes unchanged
+    * because the output contract is identical. */
+  def packSequencesOrdered(df: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int, orderBy: Seq[Column]): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     graft.sources.PrefixSum
-      .withPrefixSum(df, Seq(col(idCol)), nTokCol, "tok_offset")
+      .withPrefixSum(df, orderBy :+ col(idCol), nTokCol, "tok_offset")
       .withColumn("first_seq", expr(s"tok_offset div $seqLen"))
       .withColumn("last_seq",
         when(col(nTokCol) > 0, expr(s"(tok_offset + $nTokCol - 1) div $seqLen"))

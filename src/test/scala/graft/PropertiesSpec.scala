@@ -125,6 +125,24 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 10)
   }
 
+  test("packSequencesOrdered: the curriculum key reorders offsets; empty order = packSequences") {
+    import SparkSpec.spark.implicits._
+    import graft.text.TextOps
+    val d = Seq((1L, 10L, 3L), (2L, 20L, 1L), (3L, 30L, 2L))
+      .toDF("doc_id", "n_tokens", "score")
+    val out = TextOps.packSequencesOrdered(d, "doc_id", "n_tokens", 16,
+        Seq(col("score")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_offset"))
+      .toMap
+    // score-ascending layout: doc 2 (20 toks), doc 3 (30), doc 1 (10)
+    assert(out == Map(2L -> 0L, 3L -> 20L, 1L -> 50L))
+    val plain = TextOps.packSequences(d.select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_offset"))
+      .toMap
+    assert(plain == Map(1L -> 0L, 2L -> 10L, 3L -> 30L))
+  }
+
   test("property: Rename by a bijection then its inverse restores the schema") {
     val names = Seq("a", "b", "c", "d")
     val gen = Gen.someOf(names).map(_.toList)
