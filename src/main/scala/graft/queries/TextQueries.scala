@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.functions.Stable
 import graft.sequences.Sequences
 import graft.sources.Tables
-import graft.text.TextOps
+import graft.text.{Dsir, TextOps}
 
 /** Text path + LLM-data-pipeline queries over `documents`/`embeddings`:
   * tokenizer+dictionary (fuel TextFile), n-grams, language ID, quality
@@ -694,6 +694,20 @@ object TextQueries {
           "first_seq", "last_seq")
     }),
 
+    // DSIR data selection ([[graft.text.Dsir]]): pick the 150 raw-corpus
+    // docs whose hashed unigram+bigram profile is most like the src3
+    // target slice — quantized integer log importance weights (the
+    // Gumbel resample is replaced by a seeded-hash tie-break; IEEE log
+    // would break cross-engine exactness, rationale in the scaladoc).
+    "q84_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("ts"))
+      Dsir.select(
+        d.filter(col("source") =!= "src3").select("doc_id", "ts"),
+        d.filter(col("source") === "src3").select("doc_id", "ts"),
+        k = 150, buckets = 4096, seed = 7L)
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1196,6 +1210,48 @@ object TextQueries {
        |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
        |       ELSE tok_offset // 512 END AS BIGINT) AS last_seq
        |FROM o""".stripMargin
+
+  /** q84 oracle: DSIR in SQL — the hashed unigram+bigram bucket stream,
+    * both bucket-count models, the integer-quantized λ table over all
+    * 4096 buckets (add-one smoothing + the folded total-bits constant),
+    * the doc-keyed importance sum, and the deterministic top-150 by
+    * (lw DESC, seeded hash, doc_id). */
+  private def duckDsirOracle: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, source, ${H("g")} % 4096 AS b FROM (
+       |    SELECT doc_id, source, unnest(ts) AS g FROM dd
+       |    UNION ALL
+       |    SELECT doc_id, source, ts[i] || ' ' || ts[i+1] AS g FROM (
+       |      SELECT doc_id, source, ts,
+       |        unnest(generate_series(1, len(ts) - 1)) AS i
+       |      FROM dd WHERE len(ts) >= 2))),
+       |tm AS (SELECT b, count(*) AS c FROM gr WHERE source = 'src3' GROUP BY b),
+       |rm AS (SELECT b, count(*) AS c FROM gr WHERE source <> 'src3' GROUP BY b),
+       |tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM tm),
+       |rt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM rm),
+       |lam AS (
+       |  SELECT r.range AS b,
+       |    (length(bin(CAST(coalesce(t.c, 0) + 1 AS BIGINT))) - 1)
+       |      - (length(bin(CAST(coalesce(m.c, 0) + 1 AS BIGINT))) - 1)
+       |      + (length(bin(rt.n)) - 1) - (length(bin(tt.n)) - 1) AS lam
+       |  FROM range(4096) r
+       |  LEFT JOIN tm t ON t.b = r.range
+       |  LEFT JOIN rm m ON m.b = r.range
+       |  CROSS JOIN tt CROSS JOIN rt),
+       |sc AS (
+       |  SELECT g.doc_id, count(*) AS n_grams, sum(l.lam) AS lw
+       |  FROM gr g JOIN lam l ON l.b = g.b
+       |  WHERE g.source <> 'src3' GROUP BY g.doc_id)
+       |SELECT a.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(s.lw, 0) AS BIGINT) AS lw
+       |FROM (SELECT doc_id FROM dd WHERE source <> 'src3') a
+       |LEFT JOIN sc s ON s.doc_id = a.doc_id
+       |ORDER BY lw DESC, ${Stable.duckSeededHash(7L, "a.doc_id")}, a.doc_id
+       |LIMIT 150""".stripMargin
 
   /** q82 oracle: embedding admission in SQL — rebuild the batch plants,
     * q62's quantization (ints via CAST so the md5 key string matches the
@@ -1958,6 +2014,7 @@ object TextQueries {
     "q80_ccnet_report" -> duckCCNetReportOracle,
     "q82_embedding_admit" -> duckEmbeddingAdmitOracle,
     "q83_curriculum_pack" -> duckCurriculumPackOracle,
+    "q84_dsir_select" -> duckDsirOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the
