@@ -147,8 +147,9 @@ object Dedup {
     * not a new shuffle pattern, and the window's output partitioning and
     * sort order satisfy the join's requirements so no exchange is added. */
   private def guardOccupancy(banded: DataFrame, keyCol: String,
-      maxBucket: Int, op: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", keyCol)
+      maxBucket: Int, op: String, groupCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCols :+ "band" :+ keyCol).map(col): _*)
     banded
       .withColumn("__occ", count(lit(1)).over(w))
       .withColumn(keyCol,
@@ -169,13 +170,14 @@ object Dedup {
     * [[sigAgreement]]; consumers that don't, project it away and column
     * pruning removes it from the explode. */
   def banded(df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int, op: String = "banded"): DataFrame = {
+      bands: Int, rowsPerBand: Int, op: String = "banded",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val sig = when(size(col(sigCol)) >= bands * rowsPerBand, col(sigCol)).otherwise(
       raise_error(concat(
         lit(s"$op: bands*rowsPerBand=${bands * rowsPerBand} exceeds signature length "),
         size(col(sigCol)))))
-    df.select(col(idCol), col(sigCol),
-      posexplode(bandKeys(sig, bands, rowsPerBand)).as(Seq("band", "bkey")))
+    df.select(col(idCol) +: carryCols.map(col) :+ col(sigCol) :+
+      posexplode(bandKeys(sig, bands, rowsPerBand)).as(Seq("band", "bkey")): _*)
   }
 
   /** [[banded]] plus the hot-bucket occupancy guard — the form a
@@ -212,6 +214,34 @@ object Dedup {
     a.join(b, Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** [[lshCandidates]] restricted WITHIN groups — the sharded-dedup
+    * shape the published pipelines actually run (FineWeb dedups per CC
+    * snapshot, Penedo et al. 2024 §3.4; CCNet shards per language):
+    * candidate pairs form only between documents sharing `groupCol`.
+    * The group value rides the bucket join key, so the join shuffles on
+    * (group, band, bkey) — cross-group signature collisions never meet,
+    * each shard's buckets stay independent, and the plan shape is
+    * IDENTICAL to the ungrouped form (one more key column, no new
+    * exchange). Sharding also CONTAINS the hot-bucket pathology: the
+    * occupancy guard counts per (group, band, bucket), so one shard's
+    * boilerplate explosion raises without inflating any other shard's
+    * buckets. The same ordering rule applies — run [[exact]] (per
+    * group: key on (group, content-hash)) before this. */
+  def lshCandidatesGrouped(df: DataFrame, idCol: String, sigCol: String,
+      groupCol: String, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = 100000): DataFrame = {
+    val op = "lshCandidatesGrouped"
+    val a = guardOccupancy(
+        banded(df, idCol, sigCol, bands, rowsPerBand, op, Seq(groupCol)),
+        "bkey", maxBucket, op, Seq(groupCol))
+      .select(col(groupCol), col("band"), col("bkey"), col(idCol).as("id1"))
+    val b = banded(df, idCol, sigCol, bands, rowsPerBand, op, Seq(groupCol))
+      .select(col(groupCol), col("band"), col("bkey"), col(idCol).as("id2"))
+    a.join(b, Seq(groupCol, "band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(groupCol, "id1", "id2").distinct()
   }
 
   /** Exact n-gram Jaccard similarity join (AllPairs prefix filtering,

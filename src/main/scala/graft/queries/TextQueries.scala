@@ -708,6 +708,34 @@ object TextQueries {
         k = 150, buckets = 4096, seed = 7L)
     }),
 
+    // Sharded near-dup ([[graft.dedup.Dedup.lshCandidatesGrouped]]):
+    // FineWeb's per-snapshot dedup discipline — candidate pairs form
+    // only WITHIN a source shard. Two plant families prove the
+    // semantics: +1M clones carry a foreign source (identical
+    // signatures, so ungrouped LSH would pair them — grouped must NOT),
+    // +2M clones keep their source (must pair).
+    "q85_sharded_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val u = d
+        .unionAll(d.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"), lit("xshift").as("source"), col("text")))
+        .unionAll(d.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"), col("text")))
+      val feat = u.select(col("doc_id"), col("source"),
+          Dedup.minhashFeatures(TextOps.tokens(col("text"))).as("mf"))
+        .filter(col("mf").isNotNull)
+      val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
+      val sig = feat.select(col("doc_id"), col("source"), col("mf")("sig").as("sig"))
+      val cand = Dedup.lshCandidatesGrouped(sig, "doc_id", "sig", "source",
+        bands = 4, rowsPerBand = 2)
+      cand
+        .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .select(col("source"), col("id1"), col("id2"),
+          Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1252,6 +1280,44 @@ object TextQueries {
        |LEFT JOIN sc s ON s.doc_id = a.doc_id
        |ORDER BY lw DESC, ${Stable.duckSeededHash(7L, "a.doc_id")}, a.doc_id
        |LIMIT 150""".stripMargin
+
+  /** q85 oracle: q28's minhash/band/verify SQL over the planted union,
+    * with the band self-join additionally keyed on the doc's source —
+    * the grouped-dedup semantics (cross-shard collisions never pair). */
+  private def duckShardedDedupOracle: String = {
+    val mins = (0 until 8).map(j =>
+      s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
+    val bands = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH u AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'xshift' AS source, text
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, source, text
+       |  FROM documents WHERE doc_id % 7 = 3),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM u),
+       |srcs AS (SELECT doc_id, source FROM u),
+       |${duckShingleHashes()},
+       |shsets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id),
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT s1.source, a.doc_id AS id1, c.doc_id AS id2
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk
+       |                           AND a.doc_id < c.doc_id
+       |  JOIN srcs s1 ON s1.doc_id = a.doc_id
+       |  JOIN srcs s2 ON s2.doc_id = c.doc_id AND s2.source = s1.source)
+       |SELECT source, id1, id2,
+       |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
+       |FROM cand JOIN shsets x ON x.doc_id = id1 JOIN shsets y ON y.doc_id = id2
+       |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5""".stripMargin
+  }
 
   /** q82 oracle: embedding admission in SQL — rebuild the batch plants,
     * q62's quantization (ints via CAST so the md5 key string matches the
@@ -2015,6 +2081,7 @@ object TextQueries {
     "q82_embedding_admit" -> duckEmbeddingAdmitOracle,
     "q83_curriculum_pack" -> duckCurriculumPackOracle,
     "q84_dsir_select" -> duckDsirOracle,
+    "q85_sharded_dedup" -> duckShardedDedupOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

@@ -143,6 +143,28 @@ class TextDedupSpec extends SparkSpec {
     assert(truth.subsetOf(cand), s"missed pairs: ${truth.diff(cand)}")
   }
 
+  test("grouped LSH candidates: identical docs pair within a shard, never across") {
+    import SparkSpec.spark.implicits._
+    val sig = Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val rows = Seq(
+      (1L, "snap_a", sig), (2L, "snap_a", sig), // same shard → must pair
+      (3L, "snap_b", sig)                       // identical sig, other shard
+    ).toDF("doc_id", "grp", "sig")
+    val pairs = Dedup.lshCandidatesGrouped(rows, "doc_id", "sig", "grp",
+        bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getAs[String]("grp"),
+        r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs == Set(("snap_a", 1L, 2L)))
+    // the occupancy guard counts per shard: 50 clones in one shard trip
+    // it even when every other shard is quiet
+    val clones = (1L to 50L).map(i => (i, "hot", sig)) :+ (51L, "cold", sig)
+    val e = intercept[Exception] {
+      Dedup.lshCandidatesGrouped(clones.toDF("doc_id", "grp", "sig"),
+        "doc_id", "sig", "grp", bands = 4, rowsPerBand = 2, maxBucket = 10).count()
+    }
+    assert(messageChain(e).contains("bucket occupancy"))
+  }
+
   private def messageChain(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString("\n")
 
