@@ -736,6 +736,32 @@ object TextQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // FineWeb-order curation ([[graft.text.Curation.curateFineWeb]]):
+    // blocklist → lang/quality/repetition gates → PER-SNAPSHOT dedup →
+    // PII anonymization LAST (the paper's two ordering departures).
+    // Plants, one per distinguishing stage: src5 is blocklisted (organic
+    // docs must vanish); +1M exact clones carry a foreign snapshot and
+    // must SURVIVE the sharded dedup; +2M same-snapshot clones with a
+    // unique prefix token dodge exact dedup and drop at the near stage;
+    // every doc carries a PII tail that must reach the output as
+    // <email>/<num> (redaction runs on the raw text, after dedup).
+    "q86_fineweb_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val aug = d.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ref "),
+          (col("doc_id") * 1000003 + 777777).cast("string")).as("text"))
+      val u = aug
+        .unionAll(aug.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("xshift").as("source"), col("text")))
+        .unionAll(aug.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+            concat(lit("zqq"), col("doc_id").cast("string"), lit(" "),
+              col("text")).as("text")))
+      graft.text.Curation.curateFineWeb(u, blocked = Seq("src5"))
+    }),
+
     // Incremental admission at SIMHASH parity
     // ([[graft.text.Curation.admitSimhash]]): q60's staged-plant pattern
     // with Hamming-flavored near families — simhash is ORDER-INVARIANT
@@ -1280,6 +1306,98 @@ object TextQueries {
        |LEFT JOIN sc s ON s.doc_id = a.doc_id
        |ORDER BY lw DESC, ${Stable.duckSeededHash(7L, "a.doc_id")}, a.doc_id
        |LIMIT 150""".stripMargin
+
+  /** q86 oracle: the FineWeb chain in SQL — the plants, the blocklist,
+    * q23's language argmax + token floor over RAW (un-normalized)
+    * tokens, q65's repetition fractions, exact dedup keyed on
+    * (snapshot, 40-char prefix), the q85 source-keyed band join for the
+    * per-snapshot near stage, and redaction applied LAST to the
+    * surviving raw text (n_tokens counts the post-redaction tokens). */
+  private def duckFineWebOracle: String = {
+    val mins = (0 until 8).map(j =>
+      s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
+    val bands = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH aug AS (
+       |  SELECT doc_id, source,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.com ref ' ||
+       |    CAST(doc_id * 1000003 + 777777 AS VARCHAR) AS text
+       |  FROM documents),
+       |u AS (
+       |  SELECT * FROM aug
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'xshift' AS source, text
+       |  FROM aug WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, source,
+       |    'zqq' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+       |  FROM aug WHERE doc_id % 7 = 3),
+       |adm AS (SELECT * FROM u WHERE source <> 'src5'),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM adm),
+       |lscores AS (
+       |  SELECT doc_id,
+       |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+       |    len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
+       |    len(list_filter(ts, t -> t IN ('el','la','de','y','que'))) AS s_es,
+       |    len(list_filter(ts, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+       |    len(list_filter(ts, t -> t IN ('de','le','shi','bu','wo'))) AS s_zh
+       |  FROM toks),
+       |lu AS (
+       |  SELECT doc_id, 'de' AS lang, s_de AS score FROM lscores
+       |  UNION ALL SELECT doc_id, 'en', s_en FROM lscores
+       |  UNION ALL SELECT doc_id, 'es', s_es FROM lscores
+       |  UNION ALL SELECT doc_id, 'fr', s_fr FROM lscores
+       |  UNION ALL SELECT doc_id, 'zh', s_zh FROM lscores),
+       |best AS (SELECT doc_id, lang AS lang_pred FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY score DESC, lang ASC) AS rn FROM lu)
+       |  WHERE rn = 1),
+       |gated0 AS (
+       |  SELECT t.doc_id FROM toks t JOIN best b USING (doc_id)
+       |  WHERE b.lang_pred = 'en' AND len(t.ts) >= 30),
+       |rg2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+       |  i -> ts[i] || ' ' || ts[i + 1])) AS g FROM toks WHERE len(ts) >= 2),
+       |rc2 AS (SELECT doc_id, ${H("g")} AS gh, count(*) AS c FROM rg2 GROUP BY 1, 2),
+       |rf2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
+       |        FROM rc2 GROUP BY doc_id),
+       |rg3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+       |  i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g FROM toks WHERE len(ts) >= 3),
+       |rc3 AS (SELECT doc_id, ${H("g")} AS gh, count(*) AS c FROM rg3 GROUP BY 1, 2),
+       |rf3 AS (SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+       |  CAST(sum(c) AS DOUBLE) AS dup3 FROM rc3 GROUP BY doc_id),
+       |gated AS (
+       |  SELECT g.doc_id FROM gated0 g
+       |  JOIN rf2 USING (doc_id) JOIN rf3 USING (doc_id)
+       |  WHERE top2 <= 0.15 AND dup3 <= 0.15),
+       |keep1 AS (
+       |  SELECT min(a.doc_id) AS doc_id FROM adm a JOIN gated USING (doc_id)
+       |  GROUP BY a.source, substr(a.text, 1, 40)),
+       |${duckShingleHashes()},
+       |shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep1 USING (doc_id)),
+       |shsets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM shk GROUP BY doc_id),
+       |mh AS (SELECT doc_id, $mins FROM (SELECT doc_id, sh FROM shk) GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |srcs AS (SELECT doc_id, source FROM adm),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk
+       |                           AND a.doc_id < c.doc_id
+       |  JOIN srcs s1 ON s1.doc_id = a.doc_id
+       |  JOIN srcs s2 ON s2.doc_id = c.doc_id AND s2.source = s1.source),
+       |drop2 AS (
+       |  SELECT DISTINCT id2 AS doc_id
+       |  FROM cand JOIN shsets x ON x.doc_id = id1 JOIN shsets y ON y.doc_id = id2
+       |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5),
+       |fin AS (SELECT k.doc_id FROM keep1 k ANTI JOIN drop2 d ON k.doc_id = d.doc_id)
+       |SELECT doc_id, source, clean,
+       |  CAST(len(list_filter(string_split(clean, ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+       |FROM (SELECT f.doc_id, a.source, $duckRedact AS clean
+       |      FROM fin f JOIN adm a USING (doc_id))""".stripMargin
+  }
 
   /** q85 oracle: q28's minhash/band/verify SQL over the planted union,
     * with the band self-join additionally keyed on the doc's source —
@@ -2082,6 +2200,7 @@ object TextQueries {
     "q83_curriculum_pack" -> duckCurriculumPackOracle,
     "q84_dsir_select" -> duckDsirOracle,
     "q85_sharded_dedup" -> duckShardedDedupOracle,
+    "q86_fineweb_curation" -> duckFineWebOracle,
 
     // q69: q64's acceptance CTEs → q56's dictionary/tokenize/pack chain
     // over the accepted docs (carrying doc_id through the packing so the

@@ -115,12 +115,14 @@ object Curation {
       .drop("__rs")
 
   /** Stages 1–2: language gate (stopword argmax = `lang`) + quality gate
-    * (token floor). Pure projections over (doc_id, text, ts). */
-  def gate(docs: DataFrame, lang: String = "en", minTokens: Int = 30): DataFrame =
-    docs.select(Seq(col("doc_id"), col("text"), col("ts")) ++
+    * (token floor). Pure projections over (doc_id, text, ts); `carry`
+    * columns (e.g. a snapshot key for [[curateFineWeb]]) ride through. */
+  def gate(docs: DataFrame, lang: String = "en", minTokens: Int = 30,
+      carry: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col("doc_id"), col("text"), col("ts")) ++ carry.map(col) ++
         TextOps.langId(col("ts")) ++ TextOps.qualityColumns(col("text"), col("ts")): _*)
       .filter(col("lang_pred") === lang && col("n_tokens") >= minTokens)
-      .select("doc_id", "text", "ts")
+      .select(("doc_id" +: "text" +: "ts" +: carry).map(col): _*)
 
   /** Stage 3 alone: exact dedup (40-char-prefix hash, min id kept).
     * Survivors keep (doc_id, text, ts). */
@@ -152,6 +154,28 @@ object Curation {
     val shSets = feat.select(col("doc_id"), col("__mf")("shingles").as("sh"))
     val sig = feat.select(col("doc_id"), col("__mf")("sig").as("sig"))
     val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+    val dropIds = cand
+      .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+      .select(col("id2").as("doc_id")).distinct()
+    exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[nearDeduped]] SHARDED by `groupCol` — candidate pairs form only
+    * within a shard ([[graft.dedup.Dedup.lshCandidatesGrouped]]'s
+    * semantics: the group value rides the bucket join key, so
+    * cross-shard collisions never meet and the occupancy guard counts
+    * per shard). The ordering rule still applies, per shard: exact
+    * dedup first, keyed on (group, content-key). */
+  def nearDedupedGrouped(exactKept: DataFrame, groupCol: String): DataFrame = {
+    val feat = exactKept
+      .select(col("doc_id"), col(groupCol), Dedup.minhashFeatures(col("ts")).as("__mf"))
+      .filter(col("__mf").isNotNull)
+    val shSets = feat.select(col("doc_id"), col("__mf")("shingles").as("sh"))
+    val sig = feat.select(col("doc_id"), col(groupCol), col("__mf")("sig").as("sig"))
+    val cand = Dedup.lshCandidatesGrouped(sig, "doc_id", "sig", groupCol,
+      bands = 4, rowsPerBand = 2)
     val dropIds = cand
       .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
@@ -401,6 +425,60 @@ object Curation {
     TextOps.packSequences(kept.select("doc_id", "n_tokens"),
         "doc_id", "n_tokens", seqLen)
       .select("doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq")
+  }
+
+  /** The FineWeb order end-to-end (Penedo et al. 2024) — the chain that
+    * paper actually runs, with its two ordering departures from every
+    * other composed chain here:
+    *
+    *  1. **No normalization, PII LAST.** FineWeb preserves the extracted
+    *     text through the whole pipeline and anonymizes (emails, long
+    *     digit runs) only on OUTPUT — so the text that flows through
+    *     gates and dedup is the raw form, and redaction cannot perturb
+    *     signatures. (Every scrub-first chain here does the opposite,
+    *     because normalization feeds their downstream LM/line stages;
+    *     FineWeb has neither.) Consequence: [[TextOps.redact]] runs on
+    *     still-structured text, after the last dedup stage.
+    *  2. **Dedup is SHARDED per snapshot** (§3.4: MinHash per CC dump —
+    *     global dedup measurably hurt their benchmarks): exact dedup
+    *     keys on (shard, content-prefix) and the near stage is
+    *     [[nearDedupedGrouped]], so cross-shard duplicates SURVIVE by
+    *     design.
+    *
+    * Full order: blocklist filter (the URL/domain blocklist analog over
+    * the provenance column) → language gate → token floor →
+    * Gopher repetition gate → per-shard exact dedup → per-shard
+    * MinHash/LSH near-dup → output anonymization. Output: (doc_id,
+    * groupCol, clean, n_tokens) — the anonymized surviving documents
+    * with their post-redaction token counts (FineWeb ships text, not
+    * packed sequences — packing is the consumer's recipe).
+    *
+    * Scale shape: blocklist/gates are pure projections; the repetition
+    * gate is [[repetitionGate]]'s in-row filter; the gated frame
+    * persists (its RepetitionStatsExpr projection is md5-heavy and the
+    * dedup stages expand it into ~4 consumers); the only shuffles are
+    * the exact-dedup key agg and the (group, band, bkey)-keyed bucket
+    * join — same count as the unsharded chain. */
+  def curateFineWeb(docs: DataFrame, groupCol: String = "source",
+      blocked: Seq[String] = Nil, lang: String = "en", minTokens: Int = 30,
+      maxTop2GramFrac: Double = 0.15, maxDup3GramFrac: Double = 0.15,
+      rules: Seq[(String, String)] = TextOps.DefaultRedactions): DataFrame = {
+    val admitted =
+      if (blocked.isEmpty) docs else docs.filter(!col(groupCol).isin(blocked: _*))
+    val withTs = admitted.select(col("doc_id"), col(groupCol), col("text"))
+      .withColumn("ts", TextOps.tokens(col("text")))
+    val gated = Cache()(repetitionGate(
+      gate(withTs, lang, minTokens, carry = Seq(groupCol)),
+      maxTop2GramFrac, maxDup3GramFrac))
+    // separator-joined pair key: "src1"+"0..." must not collide with
+    // "src10"+"..." (\u0001 occurs in neither part).
+    val keep = Dedup.exact(gated, col("doc_id"),
+        concat_ws("\u0001", col(groupCol), substring(col("text"), 1, 40)))
+      .select(col("keep_id").as("doc_id"))
+    val survivors = nearDedupedGrouped(gated.join(keep, Seq("doc_id")), groupCol)
+    survivors.select(col("doc_id"), col(groupCol),
+        TextOps.redact(col("text"), rules).as("clean"))
+      .withColumn("n_tokens", size(TextOps.tokens(col("clean"))).cast("bigint"))
   }
 
   /** [[curateCCNet]]'s shared interior: every doc that cleared the line

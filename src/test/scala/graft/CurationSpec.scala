@@ -384,4 +384,24 @@ class CurationSpec extends SparkSpec {
     val ids = batches.flatten.map(_.getLong(0))
     assert(ids == ids.sorted)
   }
+
+  test("curateFineWeb: sharded dedup, blocklist, and PII-last, one plant each") {
+    import SparkSpec.spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and runs to the " +
+      "old mill of the town while a bright morning sun rises above the " +
+      "quiet river bank near tall green trees today contact bob@example.com"
+    val rows = Seq(
+      (1L, "snap_a", base),                       // keeps: the shard-a original
+      (2L, "snap_b", base),                       // exact clone, OTHER shard → keeps
+      (3L, "snap_a", "zzz" + base.drop(3)),       // near clone, SAME shard → drops
+      (4L, "badsite", base)                       // blocklisted → drops
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curateFineWeb(rows, blocked = Seq("badsite"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean")).toMap
+    // cross-shard duplicate SURVIVES (FineWeb §3.4), same-shard near-dup
+    // and the blocklisted doc drop
+    assert(out.keySet == Set(1L, 2L))
+    // redaction ran LAST, on still-structured text
+    assert(out(1L).contains("<email>") && !out(1L).contains("bob@example.com"))
+  }
 }
