@@ -368,6 +368,87 @@ object Dedup {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** Family indices reserved for the Bloom decontamination hashes —
+    * disjoint from the MinHash signature members (0..numHashes-1) and the
+    * shingle-combination constants (100..102), so the Bloom positions are
+    * independent of every other derived hash in the engine. */
+  private val BloomFamilyBase = 200
+
+  /** Bloom bitset of a benchmark's k-gram shingle hashes — the
+    * decontamination scale path past [[contaminated]]'s broadcast join.
+    *
+    * [[contaminated]] broadcasts the benchmark's distinct gram hashes as a
+    * join relation: B grams cost ~8B bytes of longs PLUS the hash-relation
+    * overhead (~3-4× in practice), so a 100M-gram eval suite is a
+    * multi-GB broadcast. The Bloom form compresses the same membership
+    * test to `mBits/8` bytes FIXED — at the standard 16 bits/gram,
+    * numHashes=4 sizing that's 200 MB for 100M grams at ~2.4e-3
+    * false-positive rate — and turns the corpus-side check into a pure
+    * projection ([[contaminatedBloom]]): no join in the plan at all.
+    *
+    * False positives are DETERMINISTIC (the bitset is a pure function of
+    * the benchmark), so a run is reproducible under retries and an
+    * external engine re-derives the identical flag set — the oracle
+    * reproduces even the false positives bit-for-bit. False negatives:
+    * none, by construction (every real benchmark gram sets its own bits),
+    * so the flagged set is a superset of [[contaminated]]'s — the safe
+    * direction for decontamination.
+    *
+    * Driver-side action is bounded: the distinct bit POSITIONS (at most
+    * `mBits` longs, i.e. ≤ mBits·8 bytes) collect to the driver and fold
+    * into the word array. The benchmark row bound is probed up front,
+    * [[contaminated]]-style. */
+  def bloomBits(benchmark: DataFrame, toksCol: String, k: Int = 3,
+      mBits: Int = 1 << 20, numHashes: Int = 4,
+      maxBenchRows: Int = 1000000): Array[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"bloomBits: mBits must be a positive multiple of 64, got $mBits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"bloomBits: numHashes out of range: $numHashes")
+    val probed = benchmark.limit(maxBenchRows + 1).count()
+    require(probed <= maxBenchRows,
+      s"bloomBits: benchmark exceeds $maxBenchRows rows — a corpus-sized " +
+        "'benchmark' is not a decontamination list; raise maxBenchRows " +
+        "only if the eval side is genuinely bounded")
+    val positions = benchmark
+      .select(explode(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+      .distinct()
+      .select(explode(array((0 until numHashes).map(j =>
+        pmod(Stable.familyHash(col("sh"), BloomFamilyBase + j),
+          lit(mBits.toLong))): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val bits = new Array[Long](mBits / 64)
+    positions.foreach(p => bits((p >>> 6).toInt) |= (1L << (p & 63)))
+    bits
+  }
+
+  /** Corpus-side Bloom membership check over [[bloomBits]]' bitset: flags
+    * every doc with at least `minOverlap` distinct grams whose numHashes
+    * Bloom positions are ALL set. Same output contract as
+    * [[contaminated]] — (idCol, n_hits) — but the plan is
+    * scan → explode → codegen'd bit tests → one map-side-combined agg:
+    * NO join. The word array rides the plan as a literal, which Spark
+    * ships inside the torrent-broadcast task binary — one copy per
+    * executor, not per task; the bit test itself is built-ins only
+    * (element_at / shiftright / bit_get), fully codegen'd. */
+  def contaminatedBloom(corpus: DataFrame, idCol: String, toksCol: String,
+      bits: Array[Long], numHashes: Int = 4, k: Int = 3,
+      minOverlap: Int = 2): DataFrame = {
+    val mBits = bits.length.toLong * 64L
+    val bitsLit = typedLit(bits.toSeq)
+    val hit = (0 until numHashes).map { j =>
+      val p = pmod(Stable.familyHash(col("sh"), BloomFamilyBase + j), lit(mBits))
+      bit_get(element_at(bitsLit, shiftright(p, 6).cast("int") + 1),
+        pmod(p, lit(64L)).cast("int")) === 1
+    }.reduce(_ && _)
+    corpus.select(col(idCol),
+        explode(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+      .filter(hit)
+      .groupBy(idCol).agg(count_distinct(col("sh")).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns (arrays must be
     * distinct): |a ∩ b| / |a ∪ b| — int/int double division, deterministic. */
   def jaccard(a: Column, b: Column): Column =

@@ -246,6 +246,21 @@ object TextQueries {
         k = 3, minOverlap = 2)
     }),
 
+    // Bloom-filter decontamination
+    // ([[graft.dedup.Dedup.contaminatedBloom]]): q57's benchmark
+    // compressed to a 2^17-bit Bloom set (4 family hashes), so the
+    // corpus-side check is a pure projection — the plan has NO join.
+    // False positives are deterministic (the bitset is a pure function
+    // of the benchmark), so the oracle reproduces the flag set exactly,
+    // false positives included.
+    "q87_decontaminate_bloom" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      val bits = Dedup.bloomBits(d.filter(col("doc_id") % 41 === 0), "ts",
+        k = 3, mBits = 1 << 17, numHashes = 4)
+      Dedup.contaminatedBloom(d, "doc_id", "ts", bits, numHashes = 4,
+        k = 3, minOverlap = 2)
+    }),
+
     // The packed training sequences THEMSELVES (q43 addresses them; this
     // materializes them): q21's tokenized rows placed at global positions
     // via the distributed prefix sum, cut every 512 tokens, each
@@ -2151,6 +2166,34 @@ object TextQueries {
          |         FROM sh s JOIN bsh USING (sh) GROUP BY s.doc_id)
          |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
          |WHERE n_hits >= 2""".stripMargin,
+
+    // q87: q57's CTEs + the Bloom semantics re-derived in SQL — the
+    // benchmark grams' 4 family-hash positions mod 2^17 form the bit
+    // set; a corpus gram hits iff ALL 4 of its positions are set
+    // (count(*) = 4 over the position join — a j,j' position collision
+    // contributes two rows, exactly like two true bit tests); docs with
+    // >= 2 distinct hitting grams. Deterministic false positives fall
+    // out of the same arithmetic, so the compare stays hash-exact.
+    "q87_decontaminate_bloom" -> {
+      val m = 1 << 17
+      val benchPos = (0 until 4).map(j =>
+        s"SELECT (${Stable.duckFamilyHash("sh", 200 + j)}) % $m AS p FROM bsh").mkString("\n  UNION ALL ")
+      val candPos = (0 until 4).map(j =>
+        s"SELECT doc_id, sh, (${Stable.duckFamilyHash("sh", 200 + j)}) % $m AS p FROM csh").mkString("\n  UNION ALL ")
+      s"""WITH $DuckToks,
+         |${duckShingleHashes()},
+         |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 41 = 0),
+         |bpos AS (SELECT DISTINCT p FROM (
+         |  $benchPos)),
+         |csh AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |cand AS (
+         |  $candPos),
+         |hitg AS (SELECT doc_id, sh FROM cand JOIN bpos USING (p)
+         |         GROUP BY doc_id, sh HAVING count(*) = 4),
+         |hits AS (SELECT doc_id, count(*) AS n_hits FROM hitg GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
+         |WHERE n_hits >= 2""".stripMargin
+    },
 
     // q56: q21's token rows (same dict/BOS/EOS/UNK CTEs), global position
     // by (doc_id, pos) — the window form of the engine's prefix sum —

@@ -252,6 +252,32 @@ class TextDedupSpec extends SparkSpec {
       e.getMessage.contains("lshCandidates"), e.getMessage)
   }
 
+  test("bloom decontamination: superset of exact at tight m, equal at wide m, bounded probe") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+    val exact = Dedup.contaminated(docs, "doc_id", "ts", bench, "doc_id", "ts",
+      k = 3, minOverlap = 2).select("doc_id").as[Long].collect().toSet
+    // tight m: deterministic false positives allowed, false negatives NEVER
+    // (every real benchmark gram sets its own bits) — the safe direction
+    val tight = Dedup.contaminatedBloom(docs, "doc_id", "ts",
+      Dedup.bloomBits(bench, "ts", k = 3, mBits = 1024, numHashes = 4),
+      numHashes = 4, k = 3, minOverlap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(tight))
+    // wide m: the false-positive rate vanishes and the flag sets coincide
+    val wide = Dedup.contaminatedBloom(docs, "doc_id", "ts",
+      Dedup.bloomBits(bench, "ts", k = 3, mBits = 1 << 20, numHashes = 4),
+      numHashes = 4, k = 3, minOverlap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(wide == exact)
+    // the benchmark bound is probed up front, contaminated-style
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomBits(docs, "ts", maxBenchRows = 2)
+    }
+    assert(e.getMessage.contains("bloomBits"), e.getMessage)
+  }
+
   test("embedding near-dup: LSH buckets find planted near-duplicates, none invented") {
     // synthetic corpus: 40 random vectors + 3 planted near-dups of vector 0
     val rng = new scala.util.Random(5)
