@@ -134,6 +134,59 @@ object Ann {
     bruteForceTopK(cast(corpus), cast(queries), idCol, "__qv", k)
   }
 
+  /** Semantic (embedding-space) benchmark decontamination: flags every
+    * corpus row whose int8-quantized embedding ([[quantize]]'s `qvec`)
+    * has cosine ≥ tauNum/tauDen with ANY benchmark embedding — the
+    * embedding twin of [[graft.dedup.Dedup.contaminated]], for the
+    * contamination n-grams miss (paraphrases, translations,
+    * re-formatted eval items). Output: (idCol, n_hits), n_hits = the
+    * number of benchmark vectors at or above the threshold.
+    *
+    * Deliberately EXACT — no LSH pruning: decontamination must not have
+    * false negatives, and the benchmark side is bounded (eval suites),
+    * so the right plan is a broadcast nested-loop with the threshold as
+    * the join condition — each corpus row streams past the broadcast
+    * bench vectors once, codegen'd integer dots, no shuffle of the
+    * corpus at all; only HIT rows reach the one keyed agg. The bound is
+    * probed up front ([[graft.dedup.Dedup.contaminated]]'s enforced
+    * contract).
+    *
+    * The threshold compare is PURE INTEGER arithmetic (exact in double,
+    * so the oracle reproduces every flag bit-for-bit): cos ≥ τ ⟺
+    * dot ≥ 0 ∧ den²·dot² ≥ num²·|a|²·|b|², no sqrt, no division.
+    * Exactness bound: den²·(dim·127²)² < 2^53 — at tauDen ≤ 10 that
+    * holds through dim 512; larger dims need a coarser denominator
+    * (the require carries the rule). Zero vectors never flag (cosine
+    * undefined — excluded by the positive-norm guard). */
+  def contaminatedSemantic(corpus: DataFrame, idCol: String, qvecCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchQvecCol: String,
+      tauNum: Int = 9, tauDen: Int = 10,
+      maxBenchRows: Int = 100000): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0 && tauNum <= tauDen,
+      s"contaminatedSemantic: threshold $tauNum/$tauDen is not in [0, 1]")
+    require(tauDen <= 10,
+      s"contaminatedSemantic: tauDen=$tauDen — the integer compare " +
+        "den²·dot² vs num²·|a|²·|b|² must stay below 2^53 for bit-exact " +
+        "double arithmetic; keep the denominator ≤ 10 (e.g. 9/10, 4/5)")
+    val probed = benchmark.select(col(benchIdCol)).limit(maxBenchRows + 1).count()
+    require(probed <= maxBenchRows,
+      s"contaminatedSemantic: benchmark exceeds $maxBenchRows rows — a " +
+        "corpus-sized 'benchmark' cannot broadcast; use nearDupPairs' " +
+        "LSH machinery for corpus-vs-corpus similarity, or raise " +
+        "maxBenchRows if the eval side genuinely fits the broadcast budget")
+    val c = corpus.select(col(idCol), col(qvecCol).cast("array<double>").as("__cv"))
+    val b = benchmark.select(col(benchIdCol).as("__bid"),
+      col(benchQvecCol).cast("array<double>").as("__bv"))
+    val d = dot(col("__cv"), col("__bv"))
+    val na2 = dot(col("__cv"), col("__cv"))
+    val nb2 = dot(col("__bv"), col("__bv"))
+    val cond = na2 > 0d && nb2 > 0d && d >= 0d &&
+      lit((tauDen.toLong * tauDen).toDouble) * d * d >=
+        lit((tauNum.toLong * tauNum).toDouble) * na2 * nb2
+    c.join(broadcast(b), cond)
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** The embedding-admission retention artifact —
     * [[graft.dedup.Dedup.signatureStore]]'s third parity tier, for
     * corpora that dedup by embedding COSINE rather than estimated

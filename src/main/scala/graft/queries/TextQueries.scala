@@ -246,6 +246,24 @@ object TextQueries {
         k = 3, minOverlap = 2)
     }),
 
+    // Semantic decontamination ([[graft.ann.Ann.contaminatedSemantic]]):
+    // the embedding twin of q57, for contamination n-grams miss. The
+    // benchmark is every 37th embedding; q50's perturbed copies of the
+    // bench vectors (+1M ids) are planted into the corpus and must flag
+    // at cosine >= 9/10 alongside the bench rows' self-hits. Quantized
+    // vectors + pure-integer threshold compare → hash-exact.
+    "q88_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val plants = emb.filter(col("vec_id") % 37 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(array((col("embedding")(0) * lit(1.01)).cast("float")),
+               slice(col("embedding"), 2, 63)).as("embedding"))
+      val qz = Ann.quantize(emb.unionByName(plants), "vec_id", "embedding")
+      Ann.contaminatedSemantic(qz, "vec_id", "qvec",
+        qz.filter(col("vec_id") % 37 === 0 && col("vec_id") < 1000000L),
+        "vec_id", "qvec", tauNum = 9, tauDen = 10)
+    }),
+
     // Bloom-filter decontamination
     // ([[graft.dedup.Dedup.contaminatedBloom]]): q57's benchmark
     // compressed to a 2^17-bit Bloom set (4 family hashes), so the
@@ -2166,6 +2184,38 @@ object TextQueries {
          |         FROM sh s JOIN bsh USING (sh) GROUP BY s.doc_id)
          |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
          |WHERE n_hits >= 2""".stripMargin,
+
+    // q88: q62's quantization CTEs over the planted union, then the
+    // broadcast-threshold semantics as the same integer compare —
+    // 100·dot² >= 81·|a|²·|b|² with dot >= 0 and positive norms; every
+    // intermediate is an integer below 2^53, so the double arithmetic
+    // is exact on both engines.
+    "q88_decontaminate_semantic" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |         list_prepend(CAST(embedding[1] * 1.01 AS REAL), embedding[2:]) AS embedding
+         |  FROM embeddings WHERE vec_id % 37 = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM u),
+         |sc AS (SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+         |q AS (SELECT vec_id,
+         |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+         |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+         |  FROM sc),
+         |bench AS (SELECT vec_id AS bid, qv AS bv FROM q
+         |          WHERE vec_id % 37 = 0 AND vec_id < 1000000),
+         |hits AS (
+         |  SELECT c.vec_id, count(*) AS n_hits
+         |  FROM q c, bench b
+         |  WHERE list_dot_product(c.qv, c.qv) > 0
+         |    AND list_dot_product(b.bv, b.bv) > 0
+         |    AND list_dot_product(c.qv, b.bv) >= 0
+         |    AND 100 * list_dot_product(c.qv, b.bv) * list_dot_product(c.qv, b.bv)
+         |     >= 81 * list_dot_product(c.qv, c.qv) * list_dot_product(b.bv, b.bv)
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits""".stripMargin,
 
     // q87: q57's CTEs + the Bloom semantics re-derived in SQL — the
     // benchmark grams' 4 family-hash positions mod 2^17 form the bit

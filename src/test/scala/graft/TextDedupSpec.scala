@@ -278,6 +278,39 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("bloomBits"), e.getMessage)
   }
 
+  test("semantic decontamination: threshold flags copies not strangers, guards enforced") {
+    // 8-dim basis-vector corpus: doc 1 IS bench vector 100 (cos 1), doc 2
+    // is a near copy (cos ~0.995), doc 3 orthogonal (cos 0), doc 4 zero
+    def v(xs: Double*) = xs.toArray
+    val corpus = Seq(
+      (1L, v(1, 0, 0, 0, 0, 0, 0, 0)),
+      (2L, v(1, 0.1, 0, 0, 0, 0, 0, 0)),
+      (3L, v(0, 1, 0, 0, 0, 0, 0, 0)),
+      (4L, v(0, 0, 0, 0, 0, 0, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((100L, v(1, 0, 0, 0, 0, 0, 0, 0))).toDF("vec_id", "embedding")
+    val qc = Ann.quantize(corpus, "vec_id", "embedding")
+    val qb = Ann.quantize(bench, "vec_id", "embedding")
+    val flags = Ann.contaminatedSemantic(qc, "vec_id", "qvec",
+        qb, "vec_id", "qvec", tauNum = 9, tauDen = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // exact copy and near copy flag; the orthogonal and zero vectors never
+    // do (zero excluded by the positive-norm guard, not by luck)
+    assert(flags == Set(1L, 2L))
+    // the integer-exactness contract rejects a too-fine denominator
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.contaminatedSemantic(qc, "vec_id", "qvec", qb, "vec_id", "qvec",
+        tauNum = 99, tauDen = 100)
+    }
+    assert(e1.getMessage.contains("2^53"), e1.getMessage)
+    // the broadcast contract is probed up front, contaminated-style
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.contaminatedSemantic(qc, "vec_id", "qvec", qc, "vec_id", "qvec",
+        maxBenchRows = 2)
+    }
+    assert(e2.getMessage.contains("cannot broadcast"), e2.getMessage)
+  }
+
   test("embedding near-dup: LSH buckets find planted near-duplicates, none invented") {
     // synthetic corpus: 40 random vectors + 3 planted near-dups of vector 0
     val rng = new scala.util.Random(5)
