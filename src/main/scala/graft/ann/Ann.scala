@@ -459,6 +459,61 @@ object Ann {
       .drop("__nv")
   }
 
+  /** One Lloyd assignment's sufficient statistics over int8-quantized
+    * vectors: every vector goes to its nearest centroid by cosine
+    * ([[withNearestCentroids]]' tie-break), and the output is the
+    * per-(cluster, component) count and INTEGER component sum —
+    * (cid, pos, n, s) — from which the refined centroid is s/n.
+    *
+    * Why sufficient statistics instead of the mean: float sums are
+    * order-dependent under Spark's unordered aggregation, but int8
+    * component sums are exact longs — invariant under partitioning,
+    * retries, and engine choice — so the Lloyd step stays bit-exact
+    * end-to-end and the division to a mean happens ONCE, driver-side.
+    * This is also the right distributed shape: the corpus never
+    * shuffles (assignment is a projection against the literal centroid
+    * matrix); only nPartitions × nCentroids × dim partial-sum rows move
+    * (map-side combined), and the result is nCentroids × dim rows. */
+  def lloydStats(qz: DataFrame, idCol: String, qvecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    withNearestCentroids(
+        qz.select(col(idCol), col(qvecCol).cast("array<double>").as("__qv")),
+        "__qv", centroids, 1, "__near")
+      .select(element_at(col("__near"), 1).as("cid"),
+        posexplode(col("__qv")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast("long")).as("s"))
+
+  /** Deterministic k-means refinement: `iters` Lloyd steps over the
+    * int8-quantized corpus, starting from `init` (typically
+    * [[sampleCentroids]]' seeded sample). Each step collects
+    * [[lloydStats]]' nCentroids × dim integer rows (bounded driver
+    * action, like [[sampleCentroids]]' own collect) and divides once;
+    * an empty cluster keeps its previous centroid (the standard Lloyd
+    * convention — re-seeding would break retry determinism). Cosine
+    * assignment is scale-invariant, so the refined centroids can feed
+    * [[withNearestCentroids]] / [[ivfTopK]] / [[semanticDedupPairs]]
+    * unchanged — a better-balanced coarse quantizer than the raw
+    * sample, at one corpus scan per step. */
+  def kmeansRefine(qz: DataFrame, idCol: String, qvecCol: String,
+      init: Array[Array[Double]], iters: Int = 1): Array[Array[Double]] = {
+    require(iters >= 1, s"kmeansRefine: iters must be >= 1, got $iters")
+    require(init.nonEmpty, "kmeansRefine: empty initial centroid set")
+    val dim = init.head.length
+    var cents = init
+    for (_ <- 0 until iters) {
+      val rows = lloydStats(qz, idCol, qvecCol, cents).collect()
+      val next = Array.tabulate(cents.length)(i => cents(i).clone())
+      rows.groupBy(_.getInt(0)).foreach { case (cid, rs) =>
+        val c = new Array[Double](dim)
+        rs.foreach(r => c(r.getInt(1)) = r.getLong(3).toDouble / r.getLong(2).toDouble)
+        next(cid) = c
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** SemDeDup-style semantic deduplication pairs (the published curation
     * stage — Abbas et al. 2023, "SemDeDup": cluster the embeddings, then
     * compare only WITHIN a cluster): assign every vector to its nearest

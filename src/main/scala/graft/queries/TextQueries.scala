@@ -264,6 +264,23 @@ object TextQueries {
         "vec_id", "qvec", tauNum = 9, tauDen = 10)
     }),
 
+    // Deterministic k-means refinement ([[graft.ann.Ann.kmeansRefine]]):
+    // one Lloyd step over the int8-quantized embeddings from q39/q55's
+    // seeded 16-centroid sample, then the refined quantizer's assignment
+    // statistics — (cid, pos, n, s) per cluster component, all integers.
+    // The refinement is bit-exact (integer sufficient statistics, one
+    // division driver-side), so the oracle replays both assignment
+    // rounds and matches every count and component sum.
+    "q89_kmeans_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qz = Ann.quantize(emb, "vec_id", "embedding")
+      val init = Ann.sampleCentroids(emb, "vec_id", "embedding", 42, 16)
+      val refined = Ann.kmeansRefine(qz, "vec_id", "qvec", init, iters = 1)
+      Ann.lloydStats(qz, "vec_id", "qvec", refined)
+        .select(col("cid").cast("bigint").as("cid"),
+          col("pos").cast("bigint").as("pos"), col("n"), col("s"))
+    }),
+
     // Bloom-filter decontamination
     // ([[graft.dedup.Dedup.contaminatedBloom]]): q57's benchmark
     // compressed to a 2^17-bit Bloom set (4 family hashes), so the
@@ -2184,6 +2201,50 @@ object TextQueries {
          |         FROM sh s JOIN bsh USING (sh) GROUP BY s.doc_id)
          |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM hits
          |WHERE n_hits >= 2""".stripMargin,
+
+    // q89: q62's quantization CTEs + q55's seeded centroid sample, then
+    // BOTH Lloyd rounds replayed — round-1 assignment (the q39/q55
+    // rn=1 pattern), integer component sums/counts, refined centroid
+    // s/n (one double division, empty clusters keep the sampled
+    // centroid), round-2 assignment against the refined quantizer, and
+    // the final integer statistics. Everything that crosses engines is
+    // an integer or a single-division rational — hash-exact.
+    "q89_kmeans_refine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+         |q AS (SELECT vec_id,
+         |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+         |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+         |  FROM sc),
+         |h AS (SELECT vec_id, v, ${Stable.duckSeededHash(42, "vec_id")} AS hh FROM e),
+         |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY hh) - 1 AS cid
+         |         FROM (SELECT * FROM h ORDER BY hh LIMIT 16)),
+         |sims1 AS (SELECT q.vec_id, q.qv, c.cid, ${duckCosine("q.qv", "c.cv")} AS sim
+         |          FROM q, cent c),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, cid ASC) AS rn FROM sims1)
+         |  WHERE rn = 1),
+         |st1 AS (SELECT cid, i - 1 AS pos, count(*) AS n, sum(qv[i]) AS s
+         |        FROM (SELECT cid, qv, unnest(generate_series(1, len(qv))) AS i FROM a1)
+         |        GROUP BY cid, i),
+         |c2 AS (SELECT cid, list(s / CAST(n AS DOUBLE) ORDER BY pos) AS cv2
+         |       FROM st1 GROUP BY cid),
+         |c2f AS (SELECT cid, cv2 FROM c2
+         |        UNION ALL
+         |        SELECT cid, cv AS cv2 FROM cent
+         |        WHERE cid NOT IN (SELECT cid FROM c2)),
+         |sims2 AS (SELECT q.vec_id, q.qv, c.cid, ${duckCosine("q.qv", "c.cv2")} AS sim
+         |          FROM q, c2f c),
+         |a2 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, cid ASC) AS rn FROM sims2)
+         |  WHERE rn = 1)
+         |SELECT CAST(cid AS BIGINT) AS cid, CAST(i - 1 AS BIGINT) AS pos,
+         |  count(*) AS n, CAST(sum(qv[i]) AS BIGINT) AS s
+         |FROM (SELECT cid, qv, unnest(generate_series(1, len(qv))) AS i FROM a2)
+         |GROUP BY cid, i""".stripMargin,
 
     // q88: q62's quantization CTEs over the planted union, then the
     // broadcast-threshold semantics as the same integer compare —

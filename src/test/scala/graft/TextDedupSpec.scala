@@ -311,6 +311,26 @@ class TextDedupSpec extends SparkSpec {
     assert(e2.getMessage.contains("cannot broadcast"), e2.getMessage)
   }
 
+  test("kmeansRefine: one Lloyd step lands on cluster means; empty clusters persist") {
+    // two tight direction-groups in 4-d; init centroids are exact group
+    // members so the assignment is unambiguous
+    val corpus = Seq(
+      (1L, Array(100d, 0d, 0d, 0d)), (2L, Array(100d, 20d, 0d, 0d)),
+      (3L, Array(0d, 0d, 100d, 0d)), (4L, Array(0d, 0d, 100d, 20d))
+    ).toDF("vec_id", "embedding")
+    val qz = Ann.quantize(corpus, "vec_id", "embedding")
+    val init = Array(
+      Array(100d, 0d, 0d, 0d),   // cluster 0: vectors 1, 2
+      Array(0d, 0d, 100d, 0d),   // cluster 1: vectors 3, 4
+      Array(0d, 100d, 0d, 0d))   // cluster 2: empty
+    val out = Ann.kmeansRefine(qz, "vec_id", "qvec", init, iters = 1)
+    // quantized members: (127,0,0,0)+(127,25,0,0) → mean (127, 12.5, 0, 0)
+    assert(out(0).toSeq == Seq(127d, 12.5d, 0d, 0d))
+    assert(out(1).toSeq == Seq(0d, 0d, 127d, 12.5d))
+    // the empty cluster keeps its previous centroid — no reseeding
+    assert(out(2).toSeq == Seq(0d, 100d, 0d, 0d))
+  }
+
   test("embedding near-dup: LSH buckets find planted near-duplicates, none invented") {
     // synthetic corpus: 40 random vectors + 3 planted near-dups of vector 0
     val rng = new scala.util.Random(5)
