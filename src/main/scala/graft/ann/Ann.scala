@@ -362,9 +362,18 @@ object Ann {
     * artifact costs the corpus's own vector bytes, not 2x. */
   def writeIvfIndex(corpus: DataFrame, table: String, path: String,
       idCol: String, vecCol: String, seed: Long = 42, nCentroids: Int = 16,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16, refineIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    val centroids = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    val sampled = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    // refineIters > 0: balance the inverted lists with [[kmeansRefine]]'s
+    // Lloyd steps over the int8-quantized corpus before assignment — a
+    // data-adapted quantizer costs one extra corpus scan per step at
+    // train time (the ONE place that cost amortizes) and stays bit-exact,
+    // so the artifact is as reproducible as the raw sample.
+    val centroids =
+      if (refineIters == 0) sampled
+      else kmeansRefine(quantize(corpus, idCol, vecCol), idCol, "qvec",
+        sampled, refineIters)
     import spark.implicits._
     centroids.toSeq.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }

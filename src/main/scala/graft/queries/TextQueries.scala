@@ -644,6 +644,23 @@ object TextQueries {
         "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
+    // The persisted IVF index with a REFINED quantizer
+    // ([[graft.ann.Ann.writeIvfIndex]] refineIters=1): q89's Lloyd step
+    // composed into q78's train-once artifact — the sampled centroids
+    // refine over the int8-quantized corpus before assignment, the
+    // inverted lists build against the refined quantizer, and a fresh
+    // batch probes the reloaded artifact. The whole chain is bit-exact,
+    // so the oracle rebuilds refinement AND probe from raw.
+    "q90_ann_index_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q90_index"
+      Ann.writeIvfIndex(emb, "graft_q90_index", path, "vec_id", "embedding",
+        seed = 42, nCentroids = 16, refineIters = 1)
+      val (index, cents) = Ann.readIvfIndex(s, "graft_q90_index", path)
+      Ann.ivfProbe(index, cents, emb.filter(col("vec_id") % 20 === 7),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+
     // The CCNet order end-to-end ([[graft.text.Curation.curateCCNet]]):
     // line dedup → language ID (every language kept, tagged) → the
     // bigram-LM perplexity tier trained on the separately-scrubbed
@@ -1976,6 +1993,52 @@ object TextQueries {
        |  FROM scored)
        |WHERE rn <= 5""".stripMargin
 
+  /** q90 oracle: q89's refinement CTEs (quantization → seeded sample →
+    * round-1 assignment → integer stats → s/n refined centroids, empty
+    * clusters keeping the sampled vector) feeding q78's probe chain —
+    * the float corpus assigned and probed against the REFINED quantizer. */
+  private def duckIvfRefinedOracle(queryPred: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+       |q AS (SELECT vec_id,
+       |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+       |  FROM sc),
+       |h AS (SELECT vec_id, v, ${Stable.duckSeededHash(42, "vec_id")} AS hh FROM e),
+       |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY hh) - 1 AS cid
+       |         FROM (SELECT * FROM h ORDER BY hh LIMIT 16)),
+       |sims1 AS (SELECT q.vec_id, q.qv, c.cid, ${duckCosine("q.qv", "c.cv")} AS sim
+       |          FROM q, cent c),
+       |a1 AS (SELECT vec_id, qv, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim DESC, cid ASC) AS rn FROM sims1)
+       |  WHERE rn = 1),
+       |st1 AS (SELECT cid, i - 1 AS pos, count(*) AS n, sum(qv[i]) AS s
+       |        FROM (SELECT cid, qv, unnest(generate_series(1, len(qv))) AS i FROM a1)
+       |        GROUP BY cid, i),
+       |c2 AS (SELECT cid, list(s / CAST(n AS DOUBLE) ORDER BY pos) AS cv2
+       |       FROM st1 GROUP BY cid),
+       |c2f AS (SELECT cid, cv2 FROM c2
+       |        UNION ALL
+       |        SELECT cid, cv AS cv2 FROM cent
+       |        WHERE cid NOT IN (SELECT cid FROM c2)),
+       |sims AS (SELECT e.vec_id, e.v, c.cid, ${duckCosine("e.v", "c.cv2")} AS sim
+       |         FROM e, c2f c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                       ORDER BY sim DESC, cid ASC) AS rn FROM sims),
+       |corp AS (SELECT vec_id AS neighbor_id, v AS cvv, cid FROM ranked WHERE rn = 1),
+       |qry AS (SELECT vec_id AS query_id, v AS qv2, cid FROM ranked
+       |        WHERE rn <= 4 AND ($queryPred)),
+       |cand AS (SELECT query_id, neighbor_id, qv2, cvv FROM corp JOIN qry USING (cid)
+       |         WHERE neighbor_id <> query_id),
+       |scored AS (SELECT query_id, neighbor_id, ${duckCosine("qv2", "cvv")} AS sim FROM cand)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5""".stripMargin
+
   /** DuckDB CTE chain reproducing [[Dedup.shingleHashes]] (k=3) over a
     * tokens CTE `src(doc_id, ts)`: md5 per token, folded 30-bit form,
     * window lead combination with the same family constants, mod 2^61-1.
@@ -2348,6 +2411,7 @@ object TextQueries {
     "q76_perplexity_buckets" -> duckPerplexityBucketsOracle,
     "q77_jaccard_join" -> duckJaccardJoinOracle,
     "q78_ann_index" -> duckIvfOracle("vec_id % 20 = 3"),
+    "q90_ann_index_refined" -> duckIvfRefinedOracle("vec_id % 20 = 7"),
     "q79_ccnet_curation" -> duckCCNetOracle,
     "q80_ccnet_report" -> duckCCNetReportOracle,
     "q82_embedding_admit" -> duckEmbeddingAdmitOracle,

@@ -95,6 +95,36 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeIvfIndex refineIters: refined quantizer lands on cluster means, plan unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_r").toString
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        (pmod(col("id") * (d + 3), lit(11)) - lit(5)).cast("float")): _*).as("vec"))
+    Ann.writeIvfIndex(emb, "ivf_index_refined_spec", s"$dir/index", "vec_id",
+      "vec", seed = 42, nCentroids = 8, buckets = 32, refineIters = 1)
+    val (index, cents) = Ann.readIvfIndex(spark, "ivf_index_refined_spec",
+      s"$dir/index")
+    // the persisted quantizer IS the refined one: recompute it from raw
+    val sampled = Ann.sampleCentroids(emb, "vec_id", "vec", 42, 8)
+    val refined = Ann.kmeansRefine(Ann.quantize(emb, "vec_id", "vec"),
+      "vec_id", "qvec", sampled, iters = 1)
+    assert(cents.map(_.toSeq).toSeq == refined.map(_.toSeq).toSeq)
+    assert(cents.map(_.toSeq).toSeq != sampled.map(_.toSeq).toSeq,
+      "refinement should move at least one centroid on this lattice")
+    // probe plan shape is identical to the unrefined index's: bucketed
+    // in-place lists, one cid exchange for the batch
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ann.ivfProbe(index, cents, queries, "vec_id", "vec", k = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"bucket spec lost:\n$plan")
+      assert("Exchange hashpartitioning\\(cid".r.findAllIn(plan).length == 1,
+        s"exactly ONE cid exchange (the query batch) expected:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("readStore keeps the bucket spec a bare path read would lose") {
     val store = Dedup.readStore(spark, "admit_store_spec")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
