@@ -468,6 +468,52 @@ object Ann {
       .drop("__nv")
   }
 
+  /** kNN label propagation (weak supervision / label transfer): each
+    * corpus row takes the majority label among its `k` nearest LABELED
+    * vectors by cosine — how a small hand-labeled seed set (quality
+    * tiers, domains, toxicity flags) extends to a whole corpus without
+    * training a model.
+    *
+    * Scale shape: the labeled side is bounded (a seed set — probed,
+    * [[contaminatedSemantic]]'s enforced contract) and broadcasts; the
+    * corpus streams past it once (BroadcastNestedLoopJoin — the q30
+    * pattern), [[graft.functions.TopK]] bounds every group to k rows
+    * BEFORE the shuffle (map-side partial aggregation), and the vote is
+    * a per-id count + argmax over ≤ k rows. The corpus itself never
+    * shuffles — only (id, label, sim) triples already reduced to k per
+    * id.
+    *
+    * Determinism: neighbors rank by (sim DESC, label ASC) — TopK's
+    * tie-break key IS the label, so equal-similarity neighbors resolve
+    * by label, not by row order — and the vote breaks count ties to the
+    * smaller label. Output: (idCol, label_pred, n_votes). */
+  def knnPropagate(corpus: DataFrame, idCol: String, vecCol: String,
+      labeled: DataFrame, labeledIdCol: String, labeledVecCol: String,
+      labelCol: String, k: Int = 5, maxLabeledRows: Int = 100000): DataFrame = {
+    val probed = labeled.select(col(labeledIdCol)).limit(maxLabeledRows + 1).count()
+    require(probed <= maxLabeledRows,
+      s"knnPropagate: labeled set exceeds $maxLabeledRows rows — a " +
+        "corpus-sized 'seed set' cannot broadcast; label propagation " +
+        "wants a bounded hand-labeled side, or raise maxLabeledRows if " +
+        "it genuinely fits the broadcast budget")
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+    val l = labeled.select(col(labeledIdCol).as("__lid"),
+      col(labeledVecCol).cast("array<double>").as("__lv"),
+      col(labelCol).cast("long").as("__lab"))
+    val votes = c.join(broadcast(l), col(idCol) =!= col("__lid"))
+      .select(col(idCol), col("__lab"), cosine(col("__cv"), col("__lv")).as("sim"))
+      .groupBy(idCol).agg(TopK.topK(k)(col("sim"), col("__lab")).as("top"))
+      .select(col(idCol), explode(col("top")).as("e"))
+      .select(col(idCol), col("e._2").as("lab"))
+      .groupBy(col(idCol), col("lab")).agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("n_votes").desc, col("lab").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lab").as("label_pred"), col("n_votes"))
+  }
+
   /** One Lloyd assignment's sufficient statistics over int8-quantized
     * vectors: every vector goes to its nearest centroid by cosine
     * ([[withNearestCentroids]]' tie-break), and the output is the

@@ -661,6 +661,20 @@ object TextQueries {
         "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
+    // kNN label propagation ([[graft.ann.Ann.knnPropagate]]): the
+    // embeddings table's every-10th row is the labeled seed set; each
+    // remaining row takes the majority label among its 5 nearest seeds
+    // by cosine, ties to the smaller label. The float cosine is the
+    // q30-proven bit-stable formula, so the whole transfer is
+    // hash-exact.
+    "q91_knn_propagate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      Ann.knnPropagate(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        "label", k = 5)
+    }),
+
     // The CCNet order end-to-end ([[graft.text.Curation.curateCCNet]]):
     // line dedup → language ID (every language kept, tagged) → the
     // bigram-LM perplexity tier trained on the separately-scrubbed
@@ -2412,6 +2426,26 @@ object TextQueries {
     "q77_jaccard_join" -> duckJaccardJoinOracle,
     "q78_ann_index" -> duckIvfOracle("vec_id % 20 = 3"),
     "q90_ann_index_refined" -> duckIvfRefinedOracle("vec_id % 20 = 7"),
+
+    // q91: neighbors rank by (sim DESC, label ASC) — the TopK tie-break
+    // key is the label — and the vote breaks count ties to the smaller
+    // label; both row_number chains replay that exactly.
+    "q91_knn_propagate" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+         |lab AS (SELECT vec_id AS lid, v AS lv, CAST(label AS BIGINT) AS lab
+         |        FROM e WHERE vec_id % 10 = 0),
+         |unl AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+         |scored AS (SELECT u.vec_id, l.lab, ${duckCosine("u.v", "l.lv")} AS sim
+         |           FROM unl u, lab l WHERE u.vec_id <> l.lid),
+         |top AS (SELECT vec_id, lab FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, lab ASC) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         |votes AS (SELECT vec_id, lab, count(*) AS n_votes FROM top GROUP BY 1, 2)
+         |SELECT vec_id, lab AS label_pred, n_votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY n_votes DESC, lab ASC) AS rn FROM votes)
+         |WHERE rn = 1""".stripMargin,
     "q79_ccnet_curation" -> duckCCNetOracle,
     "q80_ccnet_report" -> duckCCNetReportOracle,
     "q82_embedding_admit" -> duckEmbeddingAdmitOracle,

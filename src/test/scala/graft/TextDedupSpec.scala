@@ -311,6 +311,40 @@ class TextDedupSpec extends SparkSpec {
     assert(e2.getMessage.contains("cannot broadcast"), e2.getMessage)
   }
 
+  test("knnPropagate: majority of nearest seeds wins; ties break to the smaller label") {
+    // seeds: three label-7 vectors near +x, two label-3 vectors near +y
+    val seeds = Seq(
+      (100L, Array(10d, 0d, 0d, 0d), 7), (101L, Array(10d, 1d, 0d, 0d), 7),
+      (102L, Array(10d, -1d, 0d, 0d), 7),
+      (103L, Array(0d, 10d, 0d, 0d), 3), (104L, Array(1d, 10d, 0d, 0d), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, Array(9d, 0.5d, 0d, 0d)),  // deep in the +x group → 7
+      (2L, Array(0.5d, 9d, 0d, 0d))   // deep in the +y group → 3
+    ).toDF("vec_id", "embedding")
+    val out = Ann.knnPropagate(corpus, "vec_id", "embedding",
+        seeds, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // k=3 around vector 1: all three 7-seeds; around vector 2: both
+    // 3-seeds + one 7-seed → majority 3 with 2 votes
+    assert(out(1L) == (7L, 3L))
+    assert(out(2L) == (3L, 2L))
+    // count tie (k=2: one 7-seed, one 3-seed each with 1 vote) → the
+    // smaller label wins deterministically
+    val tied = Ann.knnPropagate(corpus.filter(col("vec_id") === 1L),
+        "vec_id", "embedding",
+        seeds.filter(col("vec_id").isin(100L, 103L)), "vec_id", "embedding",
+        "label", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tied(1L) == 3L)
+    // the seed-set bound is probed up front
+    val e = intercept[IllegalArgumentException] {
+      Ann.knnPropagate(corpus, "vec_id", "embedding", seeds, "vec_id",
+        "embedding", "label", k = 2, maxLabeledRows = 2)
+    }
+    assert(e.getMessage.contains("cannot broadcast"), e.getMessage)
+  }
+
   test("kmeansRefine: one Lloyd step lands on cluster means; empty clusters persist") {
     // two tight direction-groups in 4-d; init centroids are exact group
     // members so the assignment is unambiguous
