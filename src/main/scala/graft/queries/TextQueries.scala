@@ -661,6 +661,13 @@ object TextQueries {
         "vec_id", "embedding", k = 5, nProbe = 4)
     }),
 
+    // TF-IDF top terms ([[graft.text.TextOps.tfidfTopTerms]]): the top-3
+    // keywords per document under integer-bit idf quantization (the
+    // Perplexity/DSIR rule — libm log never enters), ties to the
+    // lexicographically smaller term.
+    "q92_tfidf_terms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(docsWithTokens(s, dir), "doc_id", "ts", k = 3)),
+
     // kNN label propagation ([[graft.ann.Ann.knnPropagate]]): the
     // embeddings table's every-10th row is the labeled seed set; each
     // remaining row takes the majority label among its 5 nearest seeds
@@ -2426,6 +2433,25 @@ object TextQueries {
     "q77_jaccard_join" -> duckJaccardJoinOracle,
     "q78_ann_index" -> duckIvfOracle("vec_id % 20 = 3"),
     "q90_ann_index_refined" -> duckIvfRefinedOracle("vec_id % 20 = 7"),
+
+    // q92: tf per (doc, term), df over the collapsed pairs, N = docs
+    // with >= 1 token, score = tf * (ilog2(N) - ilog2(df)) — every
+    // value an exact integer, the rank window replayed verbatim.
+    "q92_tfidf_terms" ->
+      s"""WITH $DuckToks,
+         |tf AS (SELECT doc_id, w AS term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(ts) AS w FROM toks) GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT doc_id FROM tf)),
+         |sc AS (SELECT t.doc_id, t.term, t.tf,
+         |         t.tf * ((length(bin(nn.n)) - 1) - (length(bin(d.df)) - 1)) AS score_q
+         |       FROM tf t JOIN dfx d USING (term), nn)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf,
+         |  CAST(score_q AS BIGINT) AS score_q
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                  ORDER BY score_q DESC, term ASC) AS rn
+         |      FROM sc)
+         |WHERE rn <= 3""".stripMargin,
 
     // q91: neighbors rank by (sim DESC, label ASC) — the TopK tie-break
     // key is the label — and the vote breaks count ties to the smaller

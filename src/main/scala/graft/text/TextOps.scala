@@ -227,6 +227,41 @@ object TextOps {
         (col("__dup3").cast("double") / col("__t3").cast("double")).as("dup_3gram_frac"))
   }
 
+  /** TF-IDF top terms per document (keyword extraction / sparse document
+    * representation): score_q = tf · idf_bits with idf QUANTIZED to
+    * integer bits — idf_bits = ilog2(N) − ilog2(df), ilog2(x) =
+    * length(bin(x)) − 1 — the [[Perplexity]]/[[Dsir]] rule: libm `log`
+    * never enters, so every score is an exact integer on any engine.
+    * N counts docs with ≥ 1 token (the tf frame's own universe — empty
+    * docs can't shift every other doc's scores). Ties (quantization
+    * makes them common) rank by (score_q DESC, term ASC). Output:
+    * (idCol, rank, term, tf, score_q), rank ≤ k.
+    *
+    * Scale shape: tf is one (doc, term)-keyed agg over the exploded
+    * token stream (map-side combined); df aggregates the ALREADY
+    * COLLAPSED tf pairs term-keyed; the tf⋈df join shuffles (doc, term)
+    * pairs keyed by term — the vocabulary can be corpus-scale, so no
+    * broadcast is assumed (AQE converts the join when df fits); the doc
+    * count rides in as a broadcast one-row frame (no separate driver
+    * action); the final ranking is a per-doc window over the doc's own
+    * distinct terms. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, toksCol: String,
+      k: Int = 5): DataFrame = {
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("bigint")
+    val tf = docs.select(col(idCol), explode(col(toksCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = tf.select(col(idCol)).distinct().agg(count(lit(1)).as("__n"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_q", col("tf") * (ilog2(col("__n")) - ilog2(col("__df"))))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("score_q").desc, col("term").asc)).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score_q"))
+  }
+
   /** CCNet-style line-level dedup — the boilerplate scrubber: drop every
     * line whose exact text occurs more than `maxOccurrences` times across
     * the WHOLE corpus (nav menus, footers, cookie banners — the lines

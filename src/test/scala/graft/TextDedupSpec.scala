@@ -311,6 +311,25 @@ class TextDedupSpec extends SparkSpec {
     assert(e2.getMessage.contains("cannot broadcast"), e2.getMessage)
   }
 
+  test("tfidfTopTerms: rare terms outrank ubiquitous ones, integer scores exact") {
+    // N=4 docs → ilog2(4)=2 idf bits max; "the" appears in all 4 docs
+    // (idf bits 0 → score 0), "rare" only in doc 1 (idf bits 2)
+    val docs = Seq(
+      (1L, "the rare rare word"), (2L, "the word again"),
+      (3L, "the word maybe"), (4L, "the other word")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "ts", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(4))).toMap
+    // doc 1: "rare" tf=2, df=1 → 2*(2-0)=4 bits; "word" tf=1, df=4 →
+    // 1*(2-2)=0, ties with "the" at 0 → lexicographic "the" second
+    assert(out((1L, 1L)) == ("rare", 4L))
+    assert(out((1L, 2L)) == ("the", 0L))
+    // doc 4: "other" df=1 → 2 bits beats the zero-scored ubiquitous terms
+    assert(out((4L, 1L)) == ("other", 2L))
+  }
+
   test("knnPropagate: majority of nearest seeds wins; ties break to the smaller label") {
     // seeds: three label-7 vectors near +x, two label-3 vectors near +y
     val seeds = Seq(
