@@ -15,13 +15,27 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-      // rejects; read the raw int64 nanos and truncate to microseconds —
-      // exactly what DuckDB's reader does (epoch_us truncates, not rounds).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) — which the
+      // vectorized reader rejects, so it surfaces as int64 nanos under
+      // nanosAsLong and needs truncation to microseconds (exactly what
+      // DuckDB's reader does: epoch_us truncates, not rounds) — and as
+      // plain TIMESTAMP(MICROS), which needs nothing. Dispatch on the type
+      // actually read so either vintage of the generator works.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Surface the same TIMESTAMP type every consumer was written
+          // against; the session zone is pinned to UTC in every entry
+          // point, so the conversion is value-preserving (and matches
+          // DuckDB, whose naive TIMESTAMP read is the same instant).
+          df.withColumn("ts",
+            df.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so `spark.sql` works on the dir. */
