@@ -118,4 +118,33 @@ object Components {
     labels.join(sizes, Seq("cluster_id"))
       .select("doc_id", "cluster_id", "cluster_size")
   }
+
+  /** The dedup ACTION the cluster tier exists for: keep exactly ONE doc
+    * per near-dup family — the member with the minimum id (the
+    * `cluster_id` label itself under [[connectedComponents]]' min-label
+    * convention) — and every doc that appears in no verified pair.
+    * Output: one row per SURVIVOR, (idCol, cluster_id, cluster_size),
+    * where an untouched doc is its own singleton family. Pairwise
+    * drop-the-larger (q28's consumer shape) under-drops drift chains —
+    * A~B~C keeps A and C when A,C never collide in a band; the closure
+    * keeps only A (see the object scaladoc).
+    *
+    * Scale shape: the label frame is bounded by the near-dup GRAPH
+    * (docs in ≥ 1 verified pair — sketch-sized, orders of magnitude
+    * under the corpus), so the corpus-side left join is
+    * broadcast-shaped; AQE picks broadcast when the label frame fits
+    * and falls back to a shuffle join keyed on the id when a
+    * pathological corpus makes the graph corpus-sized — both correct,
+    * neither all-pairs. */
+  def keepCanonical(corpus: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String = "id1", bCol: String = "id2",
+      maxRounds: Int = 25): DataFrame = {
+    val labeled = clusterSizes(edges, aCol, bCol, maxRounds)
+      .withColumnRenamed("doc_id", idCol)
+    corpus.select(col(idCol)).join(labeled, Seq(idCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+  }
 }

@@ -368,6 +368,42 @@ object Dedup {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** GRADED benchmark contamination — the per-doc overlap SCORE where
+    * [[contaminated]] is the boolean gate: for every doc with ≥ 1
+    * k-gram, the fraction of its DISTINCT k-gram shingles that appear
+    * anywhere in the benchmark. The published contamination studies
+    * report exactly this distribution (how much of each doc is eval
+    * text) and threshold it per-release; `overlap = 1.0` is a verbatim
+    * inclusion, small positive values are shared boilerplate.
+    *
+    * Scale shape: identical to [[contaminated]] — the benchmark's
+    * distinct gram set broadcasts under the same ENFORCED `maxBenchRows`
+    * probe, the corpus gram stream is a pure projection
+    * (minhashFeatures' per-doc-distinct shingles) that never shuffles to
+    * find its matches, and the only shuffle is the per-doc count agg,
+    * map-side combined to ~one row per doc. The fraction is a long/long
+    * double division — IEEE-exact cross-engine. */
+  def benchmarkOverlap(corpus: DataFrame, idCol: String, toksCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchToksCol: String,
+      k: Int = 3, maxBenchRows: Int = 1000000): DataFrame = {
+    val probed = benchmark.select(col(benchIdCol)).limit(maxBenchRows + 1).count()
+    require(probed <= maxBenchRows,
+      s"benchmarkOverlap: benchmark exceeds $maxBenchRows rows — a " +
+        "corpus-sized 'benchmark' cannot broadcast; use Dedup.lshCandidates' " +
+        "near-dup machinery for corpus-vs-corpus overlap, or raise " +
+        "maxBenchRows if the eval side genuinely fits the broadcast budget")
+    val benchGrams = benchmark
+      .select(explode(minhashFeatures(col(benchToksCol), k, 1)("shingles")).as("sh"))
+      .distinct().withColumn("__hit", lit(1L))
+    corpus.select(col(idCol),
+        explode(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+      .join(broadcast(benchGrams), Seq("sh"), "left")
+      .groupBy(idCol).agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .withColumn("overlap",
+        col("n_hits").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Family indices reserved for the Bloom decontamination hashes —
     * disjoint from the MinHash signature members (0..numHashes-1) and the
     * shingle-combination constants (100..102), so the Bloom positions are

@@ -905,7 +905,65 @@ object TextQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
       TextOps.dedupSpans(docs, "doc_id", "ts", k = 20)
-    })
+    }),
+
+    // Vocabulary coverage curve ([[graft.text.TextOps.vocabCoverage]]):
+    // top-50 tokens with rank, cumulative count, and cumulative
+    // coverage fraction of all occurrences — the curve that sizes
+    // buildDictionary's topK. Running totals via the distributed prefix
+    // sum (never an unpartitioned window, even over 50 rows).
+    "q93_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(docsWithTokens(s, dir), "ts", topK = 50)),
+
+    // Graded benchmark contamination ([[graft.dedup.Dedup
+    // .benchmarkOverlap]]): q57's broadcast machinery reporting the
+    // per-doc overlap FRACTION instead of the boolean gate — the
+    // contamination distribution the published studies threshold. Same
+    // doc_id % 41 bench slice as q57, so bench members score 1.0 and
+    // organic docs sit at the shared-boilerplate floor.
+    "q94_benchmark_overlap" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      Dedup.benchmarkOverlap(d, "doc_id", "ts",
+        d.filter(col("doc_id") % 41 === 0), "doc_id", "ts", k = 3)
+    }),
+
+    // Cluster-canonical dedup ([[graft.dedup.Components.keepCanonical]])
+    // — the ACTION tier over q74's closure: q74's planted drift chains
+    // (a path in the similarity graph) collapse to their minimum id,
+    // every organic doc survives as its own singleton family. Pairwise
+    // drop-the-larger would keep two members of each planted family
+    // (the chain ends never share a band); the closure keeps exactly
+    // one — that difference is what this query pins.
+    "q95_cluster_keep" -> ((s, dir) => {
+      val base = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val chains = base.filter(col("doc_id") % 29 === 3 && size(col("ts")) >= 64)
+      val planted = (0 until 4).map { i =>
+        chains.select((col("doc_id") * 10 + lit(1000000 + i)).as("doc_id"),
+          slice(col("ts"), 1 + 8 * i, 40).as("ts"))
+      }.reduce(_ union _)
+      val corpus = base.union(planted)
+      val feat = corpus
+        .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
+        .filter(col("mf").isNotNull)
+      val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
+      val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
+      val pairs = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+        .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+        .select("id1", "id2")
+      graft.dedup.Components.keepCanonical(corpus, "doc_id", pairs)
+    }),
+
+    // BPE merge training ([[graft.text.TextOps.bpeMerges]]): the first
+    // 6 byte-pair merges learned from the corpus word-frequency table —
+    // the tokenizer-induction step upstream of every token pipeline.
+    // The oracle unrolls all six rounds in SQL; `replace`'s
+    // left-to-right non-overlapping scan is the greedy BPE application
+    // order in both engines, so every intermediate vocabulary — and
+    // therefore every argmax — is bit-identical.
+    "q96_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(docsWithTokens(s, dir), "ts", nMerges = 6))
   )
 
   /** The q67/q68 plant: q59's PII tail + q66's boilerplate footer lines
@@ -1672,7 +1730,10 @@ object TextQueries {
     * holds "root candidate r reaches id"; min(r) per id is the
     * component label, exactly [[graft.dedup.Components]]' keep-min
     * canonical. */
-  private def duckClusterDedupOracle: String = {
+  /** Shared CTE chain of q74/q95: the planted drift-chain corpus, LSH
+    * verified pairs, and the recursive closure → `corpus(doc_id, ts)`
+    * and `comp(doc_id, cluster_id)`. */
+  private def duckClusterCtes: String = {
     val mins = (0 until 8).map(j =>
       s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
     val bands = (0 until 4).map { bnd =>
@@ -1704,11 +1765,28 @@ object TextQueries {
        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
        |  UNION
        |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
-       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+  }
+
+  private def duckClusterDedupOracle: String =
+    s"""$duckClusterCtes
        |SELECT doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp""".stripMargin
-  }
+
+  /** q95: the closure's survivors — corpus left-joined to comp, keep
+    * label-is-self (or unlabeled singleton) rows, family sizes from the
+    * collapsed comp frame. */
+  private def duckClusterKeepOracle: String =
+    s"""$duckClusterCtes,
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cs
+       |          FROM comp GROUP BY cluster_id)
+       |SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id,
+       |  coalesce(s.cs, 1) AS cluster_size
+       |FROM corpus c
+       |LEFT JOIN comp k USING (doc_id)
+       |LEFT JOIN sizes s ON s.cluster_id = k.cluster_id
+       |WHERE k.cluster_id IS NULL OR k.cluster_id = c.doc_id""".stripMargin
 
   /** q75 oracle: the quantized bigram LM in SQL — same reference slice,
     * same integer bit costs. `length(bin(x)) - 1` is floor(log2 x) in
@@ -2085,7 +2163,69 @@ object TextQueries {
        |  FROM ${p}led WHERE l2 IS NOT NULL OR pos = 0)""".stripMargin
   }
 
+  /** q96: the BPE rounds unrolled — one (pairs → argmax → replace) CTE
+    * triple per merge. `replace`'s left-to-right non-overlapping scan is
+    * the greedy merge application in both engines, and every pair count
+    * is an integer, so each round's argmax — and therefore the whole
+    * merge table — is bit-identical. chr(1) is [[TextOps.BpeSep]]. */
+  private def duckBpeOracle(nMerges: Int): String = {
+    val init =
+      s"""w0 AS (SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(1), 'g'), chr(1)) AS seq, cnt
+         |  FROM (SELECT w, count(*) AS cnt
+         |        FROM (SELECT unnest(ts) AS w FROM toks)
+         |        WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+         |        GROUP BY w))""".stripMargin
+    val iters = (1 to nMerges).map { i =>
+      s"""s$i AS (SELECT string_split(seq, chr(1)) AS s, cnt FROM w${i - 1}),
+         |p$i AS (SELECT s[j] AS l, s[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |        FROM (SELECT s, cnt, unnest(generate_series(1, len(s)-1)) AS j FROM s$i)
+         |        GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS (SELECT replace(seq, b.l || chr(1) || b.r, b.l || b.r) AS seq, cnt
+         |        FROM w${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map(i =>
+      s"SELECT $i AS step, l AS l_sym, r AS r_sym, c AS pair_count FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $DuckToks,
+       |$init,
+       |$iters
+       |SELECT CAST(step AS BIGINT) AS step, l_sym, r_sym, pair_count FROM (
+       |  $out)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // q93: the same top-50 + running totals via window SQL; coverage is
+    // the identical long/long double division.
+    "q93_vocab_coverage" ->
+      s"""WITH $DuckToks,
+         |counts AS (SELECT w AS word, count(*) AS cnt
+         |           FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+         |total AS (SELECT CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS t FROM toks),
+         |top AS (SELECT word, cnt FROM counts ORDER BY cnt DESC, word ASC LIMIT 50),
+         |cum AS (SELECT word, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank,
+         |  sum(cnt) OVER (ORDER BY cnt DESC, word ASC ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM top)
+         |SELECT CAST(rank AS BIGINT) AS rank, word, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(cum AS BIGINT) AS cum_cnt,
+         |  CAST(cum AS DOUBLE) / CAST(total.t AS DOUBLE) AS coverage
+         |FROM cum, total""".stripMargin,
+
+    // q94: q57's shingle stream, per-doc distinct, left join the bench
+    // set — counts and the int/int fraction replayed exactly.
+    "q94_benchmark_overlap" ->
+      s"""WITH $DuckToks,
+         |${duckShingleHashes()},
+         |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 41 = 0)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(b.sh) AS BIGINT) AS n_hits,
+         |  CAST(count(b.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overlap
+         |FROM dsh d LEFT JOIN bsh b USING (sh) GROUP BY d.doc_id""".stripMargin,
+
+    "q95_cluster_keep" -> duckClusterKeepOracle,
+    "q96_bpe_merges" -> duckBpeOracle(6),
     "q21_tokenize" ->
       s"""WITH $DuckToks,
          |counted AS (

@@ -262,6 +262,103 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score_q"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design companion to
+    * [[buildDictionary]] (reference: fuel/datasets/text.py:34-44, whose
+    * fixed `dictionary` the caller must size): the top-`topK` tokens by
+    * (count DESC, word ASC) with their rank, cumulative occurrence
+    * count, and cumulative coverage fraction of ALL token occurrences.
+    * "What vocab size covers 95% of the corpus" reads straight off the
+    * curve.
+    *
+    * Scale shape: one map-side-combined vocab-keyed count agg, then a
+    * TakeOrdered top-k (never a full vocab sort); the running totals
+    * over the k survivors use [[graft.sources.PrefixSum]] — the
+    * engine's "no unpartitioned window" rule holds even here, where the
+    * frame is only `topK` rows — and the corpus-wide occurrence total
+    * rides in as a broadcast one-row frame (the [[tfidfTopTerms]]
+    * pattern, no driver action). Coverage is a long/long double
+    * division — IEEE-exact cross-engine. */
+  def vocabCoverage(docs: DataFrame, toksCol: String, topK: Int): DataFrame = {
+    val total = docs.agg(
+      coalesce(sum(size(col(toksCol)).cast("bigint")), lit(0L)).as("__total"))
+    val order = Seq(col("cnt").desc, col("word").asc)
+    val top = docs.select(explode(col(toksCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(order: _*).limit(topK)
+      .withColumn("__one", lit(1L))
+    val cum = graft.sources.PrefixSum.withPrefixSum(
+      graft.sources.PrefixSum.withPrefixSum(top, order, "cnt", "__cum_before"),
+      order, "__one", "__rank_before")
+    cum.crossJoin(broadcast(total))
+      .select((col("__rank_before") + 1L).as("rank"), col("word"), col("cnt"),
+        (col("__cum_before") + col("cnt")).as("cum_cnt"),
+        ((col("__cum_before") + col("cnt")).cast("double") /
+          col("__total").cast("double")).as("coverage"))
+  }
+
+  /** Separator between symbols in [[bpeMerges]]' working sequences: a
+    * control char no `^[a-z]+$` training word can contain. */
+  val BpeSep = "\u0001"
+
+  /** BPE merge training — the tokenizer-induction operator itself (the
+    * step upstream of every token-count column in this engine): learn
+    * the first `nMerges` byte-pair-encoding merges from the corpus, the
+    * Sennrich et al. 2016 procedure. Words are whitespace tokens
+    * restricted to `^[a-z]+$` (≥ 2 chars) — BPE trains on a normalized
+    * word-frequency table, and the ASCII restriction keeps
+    * character-splitting semantics identical across engines. Each round:
+    * count adjacent symbol-pair occurrences weighted by word frequency
+    * (overlapping occurrences count, the standard rule), pick the
+    * (count DESC, left ASC, right ASC) argmax, fuse that pair everywhere
+    * leftmost-first — exactly `replace`'s left-to-right non-overlapping
+    * scan in BOTH engines, which IS the BPE greedy application order.
+    * Output: (step, l_sym, r_sym, pair_count), one row per learned merge.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD frequency
+    * table up front (one map-side-combined agg — how industrial BPE
+    * trainers scale; the corpus itself is never rescanned), and that
+    * frame persists across rounds. Each round is one vocab-keyed pair
+    * agg + a TakeOrdered(1) whose single argmax row collects to the
+    * driver (bounded, the [[graft.ann.Ann]] sampleCentroids precedent),
+    * and merge application is a narrow per-row `replace` projection.
+    * Driver-side state after n rounds: n rows. */
+  def bpeMerges(docs: DataFrame, toksCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(explode(col(toksCol)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + BpeSep), BpeSep)
+        .as("seq"), col("cnt"))
+      .persist()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var cur: DataFrame = words
+    for (step <- 1 to nMerges) {
+      val s = split(col("seq"), BpeSep)
+      // The `when` guard: a fully-merged word has one symbol, and
+      // Spark's sequence(1, 0) DESCENDS (the ngramOccurrences trap)
+      // into an element_at(s, 0) error instead of yielding empty.
+      val pairs = cur.select(explode(when(size(s) >= 2,
+            transform(sequence(lit(1), size(s) - 1),
+              i => struct(element_at(s, i).as("l"), element_at(s, i + 1).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("__p"),
+          col("cnt"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"bpeMerges: no adjacent symbol pairs left at step $step — " +
+          "every training word is fully merged; lower nMerges")
+      val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((step.toLong, l, r, c))
+      cur = cur.withColumn("seq",
+        replace(col("seq"), lit(l + BpeSep + r), lit(l + r)))
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.result().toDF("step", "l_sym", "r_sym", "pair_count")
+  }
+
   /** CCNet-style line-level dedup — the boilerplate scrubber: drop every
     * line whose exact text occurs more than `maxOccurrences` times across
     * the WHOLE corpus (nav menus, footers, cookie banners — the lines

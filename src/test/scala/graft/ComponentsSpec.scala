@@ -49,6 +49,16 @@ class ComponentsSpec extends SparkSpec {
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
+  test("keepCanonical: one survivor per family, singletons untouched") {
+    // Corpus 1..8; families {1,2,3} (path) and {5,7}; 4,6,8 untouched.
+    val corpus = (1L to 8L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
+    val out = Components.keepCanonical(corpus, "doc_id", edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 2L),
+      (6L, 6L, 1L), (8L, 8L, 1L)))
+  }
+
   test("labels are invariant under input repartitioning") {
     val edges = Seq((5L, 3L), (3L, 9L), (9L, 1L), (1L, 7L), (20L, 40L))
       .toDF("id1", "id2")

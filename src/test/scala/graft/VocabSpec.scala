@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** Tokenizer-induction and contamination-scoring semantics:
+  * [[TextOps.bpeMerges]] against a hand-computed merge sequence,
+  * [[TextOps.vocabCoverage]]'s curve laws, and
+  * [[Dedup.benchmarkOverlap]]'s score semantics + enforced broadcast
+  * probe. */
+class VocabSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("bpeMerges: hand-computed merges on a known word-frequency table") {
+    // Corpus: "low" x4, "lowest" x2, "newer" x3 (one doc per occurrence
+    // keeps the word-count table obvious). Pair counts, round 1:
+    //   (l,o) 6, (o,w) 6, (w,e) 5, (e,r) 3, (n,e) 3, (e,s) 2, ...
+    // argmax ties (l,o)=(o,w)=6 break to the lexicographically smaller
+    // (l,o). Round 2: after fusing, (lo,w) 6 wins. Round 3: "low" is
+    // one symbol; (w,e) is gone (the w of lowest fused); (e,r)=(n,e)=3
+    // tie breaks to (e,r).
+    val docs = (Seq.fill(4)("low") ++ Seq.fill(2)("lowest") ++ Seq.fill(3)("newer"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, Seq(w)) }.toDF("doc_id", "ts")
+    val out = TextOps.bpeMerges(docs, "ts", nMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "l", "o", 6L), (2L, "lo", "w", 6L), (3L, "e", "r", 3L)))
+  }
+
+  test("bpeMerges: greedy-left fusion on runs (aaaa -> aa aa, not a aa a)") {
+    // "aaaa" x2: round-1 pairs (a,a)=6 (overlapping count: 3 per word).
+    // Fusing leftmost-first leaves [aa, aa], so round 2 must see
+    // (aa,aa)=2 — the run semantics `replace` guarantees.
+    val docs = Seq((0L, Seq("aaaa")), (1L, Seq("aaaa"))).toDF("doc_id", "ts")
+    val out = TextOps.bpeMerges(docs, "ts", nMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)))
+  }
+
+  test("bpeMerges: non-[a-z]+ and single-char words never train") {
+    val docs = Seq((0L, Seq("ab", "C3", "x", "ab-cd"))).toDF("doc_id", "ts")
+    val out = TextOps.bpeMerges(docs, "ts", nMerges = 1).collect()
+    assert(out.map(r => (r.getString(1), r.getString(2))).toSeq == Seq(("a", "b")))
+    // Only "ab" qualifies; a second merge has no pair left to learn.
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.bpeMerges(docs, "ts", nMerges = 2).collect()
+    }
+    assert(ex.getMessage.contains("fully merged"))
+  }
+
+  test("vocabCoverage: ranks dense, cum_cnt telescopes, full curve covers 1.0") {
+    val docs = Seq((0L, Seq("a", "b", "a", "c")), (1L, Seq("a", "b", "d")))
+      .toDF("doc_id", "ts")
+    val rows = TextOps.vocabCoverage(docs, "ts", topK = 10)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 4L))
+    assert(rows.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", 3L), ("b", 2L), ("c", 1L), ("d", 1L)))
+    // cum_cnt is the running sum of cnt; the last row covers everything.
+    assert(rows.map(_.getLong(3)).toSeq == Seq(3L, 5L, 6L, 7L))
+    assert(rows.last.getDouble(4) == 1.0)
+    // Truncation keeps the same prefix.
+    val top2 = TextOps.vocabCoverage(docs, "ts", topK = 2).orderBy("rank").collect()
+    assert(top2.map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("benchmarkOverlap: verbatim inclusion scores 1.0, disjoint scores 0.0") {
+    val bench = Seq((100L, Seq("w1", "w2", "w3", "w4"))).toDF("doc_id", "ts")
+    val corpus = Seq(
+      (1L, Seq("w1", "w2", "w3", "w4")),         // verbatim: overlap 1.0
+      (2L, Seq("z1", "z2", "z3", "z4", "z5")),   // disjoint: 0.0
+      (3L, Seq("w1", "w2", "w3", "z9", "z8"))).toDF("doc_id", "ts")
+    val out = Dedup.benchmarkOverlap(corpus, "doc_id", "ts", bench, "doc_id", "ts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    // Doc 3 shares exactly its (w1,w2,w3) shingle out of 3 distinct.
+    assert(out(3L)._3 == out(3L)._2.toDouble / out(3L)._1.toDouble)
+  }
+
+  test("benchmarkOverlap: the broadcast probe trips on a corpus-sized benchmark") {
+    val big = (0L until 40L).map(i => (i, Seq("a", "b", "c"))).toDF("doc_id", "ts")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.benchmarkOverlap(big, "doc_id", "ts", big, "doc_id", "ts",
+        maxBenchRows = 10)
+    }
+    assert(ex.getMessage.contains("cannot broadcast"))
+  }
+}
