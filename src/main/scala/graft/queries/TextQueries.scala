@@ -963,7 +963,22 @@ object TextQueries {
     // order in both engines, so every intermediate vocabulary — and
     // therefore every argmax — is bit-identical.
     "q96_bpe_merges" -> ((s, dir) =>
-      TextOps.bpeMerges(docsWithTokens(s, dir), "ts", nMerges = 6))
+      TextOps.bpeMerges(docsWithTokens(s, dir), "ts", nMerges = 6)),
+
+    // BPE segmentation + fertility ([[graft.text.TextOps.bpeSegment]]):
+    // q96's learned merges applied back to the corpus — the
+    // train-then-use composition (the q69/q78 loop-closure move for the
+    // tokenizer family). The 6-row merge table collects to the driver
+    // (tokenizer-sized by contract) and becomes six codegen'd replaces
+    // in one exploded corpus pass; the oracle re-derives the merges AND
+    // the segmentation in SQL.
+    "q97_bpe_fertility" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      val merges = TextOps.bpeMerges(d, "ts", nMerges = 6)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.bpeSegment(d, "doc_id", "ts", merges)
+    })
   )
 
   /** The q67/q68 plant: q59's PII tail + q66's boilerplate footer lines
@@ -2168,7 +2183,11 @@ object TextQueries {
     * the greedy merge application in both engines, and every pair count
     * is an integer, so each round's argmax — and therefore the whole
     * merge table — is bit-identical. chr(1) is [[TextOps.BpeSep]]. */
-  private def duckBpeOracle(nMerges: Int): String = {
+  /** The BPE training rounds as a CTE chain (`w0` + one
+    * s/p/b/w quadruple per round): `b$i(l, r, c)` is round i's learned
+    * merge, `w$i` the vocabulary after applying it. Shared by q96 (the
+    * merge table) and q97 (segmentation with the learned merges). */
+  private def duckBpeCtes(nMerges: Int): String = {
     val init =
       s"""w0 AS (SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(1), 'g'), chr(1)) AS seq, cnt
          |  FROM (SELECT w, count(*) AS cnt
@@ -2184,14 +2203,41 @@ object TextQueries {
          |w$i AS (SELECT replace(seq, b.l || chr(1) || b.r, b.l || b.r) AS seq, cnt
          |        FROM w${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n")
+    s"$init,\n$iters"
+  }
+
+  private def duckBpeOracle(nMerges: Int): String = {
     val out = (1 to nMerges).map(i =>
       s"SELECT $i AS step, l AS l_sym, r AS r_sym, c AS pair_count FROM b$i")
       .mkString("\n  UNION ALL ")
     s"""WITH $DuckToks,
-       |$init,
-       |$iters
+       |${duckBpeCtes(nMerges)}
        |SELECT CAST(step AS BIGINT) AS step, l_sym, r_sym, pair_count FROM (
        |  $out)""".stripMargin
+  }
+
+  /** q97: re-derive the merge table (b1..bN), then segment every corpus
+    * token — chars joined by chr(1), the N merges applied in learned
+    * order via nested `replace` (scalar subqueries against b$i), symbol
+    * count = split length; non-[a-z]+ words count 1 (unsegmented). */
+  private def duckBpeSegmentOracle(nMerges: Int): String = {
+    val applied = (1 to nMerges).foldLeft(
+      s"rtrim(regexp_replace(w, '(.)', '\\1' || chr(1), 'g'), chr(1))") {
+      (acc, i) =>
+        s"""replace($acc,
+           |  (SELECT l || chr(1) || r FROM b$i), (SELECT l || r FROM b$i))""".stripMargin
+    }
+    s"""WITH $DuckToks,
+       |${duckBpeCtes(nMerges)},
+       |seg AS (SELECT doc_id,
+       |  CASE WHEN regexp_matches(w, '^[a-z]+$$')
+       |       THEN len(string_split($applied, chr(1)))
+       |       ELSE 1 END AS nsym
+       |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nsym) AS BIGINT) AS n_subwords,
+       |  CAST(sum(nsym) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+       |FROM seg GROUP BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -2226,6 +2272,7 @@ object TextQueries {
 
     "q95_cluster_keep" -> duckClusterKeepOracle,
     "q96_bpe_merges" -> duckBpeOracle(6),
+    "q97_bpe_fertility" -> duckBpeSegmentOracle(6),
     "q21_tokenize" ->
       s"""WITH $DuckToks,
          |counted AS (

@@ -359,6 +359,37 @@ object TextOps {
     merges.result().toDF("step", "l_sym", "r_sym", "pair_count")
   }
 
+  /** Segment the corpus with LEARNED BPE merges and report per-doc
+    * fertility — the tokenizer-evaluation metric (subwords per word)
+    * that decides whether [[bpeMerges]]' vocabulary is worth shipping.
+    * Each token: characters joined by [[BpeSep]], the merges applied in
+    * learned order (each a leftmost-first `replace`, the greedy BPE
+    * application), symbol count = fragments; words outside `^[a-z]+$`
+    * count 1 (unsegmented fallback, the training filter's complement).
+    * Output: (idCol, n_words, n_subwords, fertility), docs with ≥ 1
+    * token.
+    *
+    * `merges` is the learned table — driver-resident BY CONTRACT (a
+    * merge list is tokenizer-sized: thousands, not corpus-sized), each
+    * merge becoming one codegen'd `replace` in a single projection.
+    * Scale shape: one exploded corpus pass into a map-side-combined
+    * per-doc agg; no join, no window. */
+  def bpeSegment(docs: DataFrame, idCol: String, toksCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val init = rtrim(regexp_replace(col("w"), "(.)", "$1" + BpeSep), BpeSep)
+    val fused = merges.foldLeft(init) { case (s, (l, r)) =>
+      replace(s, lit(l + BpeSep + r), lit(l + r))
+    }
+    val nsym = when(col("w").rlike("^[a-z]+$"),
+      size(split(fused, BpeSep))).otherwise(lit(1))
+    docs.select(col(idCol), explode(col(toksCol)).as("w"))
+      .select(col(idCol), nsym.cast("bigint").as("__nsym"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_words"),
+        sum(col("__nsym")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+  }
+
   /** CCNet-style line-level dedup — the boilerplate scrubber: drop every
     * line whose exact text occurs more than `maxOccurrences` times across
     * the WHOLE corpus (nav menus, footers, cookie banners — the lines

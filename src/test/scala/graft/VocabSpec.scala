@@ -49,6 +49,17 @@ class VocabSpec extends SparkSpec {
     assert(ex.getMessage.contains("fully merged"))
   }
 
+  test("bpeSegment: learned merges fuse in order; OOV words count 1") {
+    // Merges (l,o) then (lo,w): "low" -> [low? no] — after (l,o): lo|w,
+    // after (lo,w): low = 1 symbol. "lowest" -> low|e|s|t = 4. "slow"
+    // -> s|low = 2. "C3" fails ^[a-z]+$ -> 1 unsegmented.
+    val docs = Seq((0L, Seq("low", "lowest", "slow", "C3"))).toDF("doc_id", "ts")
+    val out = TextOps.bpeSegment(docs, "doc_id", "ts",
+        Seq(("l", "o"), ("lo", "w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 4L, 1L + 4L + 2L + 1L, 8.0 / 4.0)))
+  }
+
   test("vocabCoverage: ranks dense, cum_cnt telescopes, full curve covers 1.0") {
     val docs = Seq((0L, Seq("a", "b", "a", "c")), (1L, Seq("a", "b", "d")))
       .toDF("doc_id", "ts")
