@@ -978,7 +978,18 @@ object TextQueries {
         .orderBy("step").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextOps.bpeSegment(d, "doc_id", "ts", merges)
-    })
+    }),
+
+    // Fingerprint-overlap near-dup pairs ([[graft.text.TextOps
+    // .fingerprintPairs]]): the MOSS tier — q25's winnowing fingerprints
+    // composed into the q28 bucket-join shape. Winnowing's positional
+    // guarantee (any ≥ w+k-1-token verbatim match shares a fingerprint)
+    // makes this the deterministic-recall sibling of MinHash banding;
+    // at minShared=5 the survivors are the long-passage sharers (the
+    // corpus's repeated footer passages).
+    "q98_fingerprint_pairs" -> ((s, dir) =>
+      TextOps.fingerprintPairs(docsWithTokens(s, dir), "doc_id", "ts",
+        k = 3, w = 4, minShared = 5))
   )
 
   /** The q67/q68 plant: q59's PII tail + q66's boilerplate footer lines
@@ -2273,6 +2284,25 @@ object TextQueries {
     "q95_cluster_keep" -> duckClusterKeepOracle,
     "q96_bpe_merges" -> duckBpeOracle(6),
     "q97_bpe_fertility" -> duckBpeSegmentOracle(6),
+
+    // q98: q25's gram/winnow CTEs verbatim, then the distinct per-doc
+    // fingerprint rows self-join (id1 < id2) with the shared-count
+    // threshold.
+    "q98_fingerprint_pairs" ->
+      s"""WITH $DuckToks,
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+         |      i -> ${H("array_to_string(ts[i:i+2], ' ')")}) AS gs
+         |  FROM toks),
+         |mins AS (
+         |  SELECT doc_id, gs, unnest(generate_series(1, greatest(len(gs) - 3, 1))) AS i
+         |  FROM grams),
+         |fp AS (SELECT DISTINCT doc_id, m AS fp
+         |       FROM (SELECT doc_id, list_min(gs[i:i+3]) AS m FROM mins))
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
     "q21_tokenize" ->
       s"""WITH $DuckToks,
          |counted AS (

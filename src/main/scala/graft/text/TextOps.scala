@@ -359,6 +359,45 @@ object TextOps {
     merges.result().toDF("step", "l_sym", "r_sym", "pair_count")
   }
 
+  /** Fingerprint-overlap near-dup pairs — the MOSS tier of the near-dup
+    * family: doc pairs sharing ≥ `minShared` winnowing fingerprints,
+    * with the shared count. Winnowing guarantees any match of ≥ w+k-1
+    * consecutive tokens is CAUGHT by a shared fingerprint (the
+    * Schleimer et al. 2003 bound), so unlike MinHash banding the recall
+    * floor is positional, not probabilistic — the tier to reach for
+    * when "shares a long verbatim passage" is the duplication predicate
+    * but exact-window dedup ([[dedupSpans]]) is too rigid.
+    *
+    * Scale shape: the q28 bucket-join shape keyed on fingerprint — the
+    * only joins are fp-partitioned, pair blow-up is bounded by bucket
+    * occupancy, and the occupancy guard (the [[graft.dedup.Dedup]]
+    * banding rule, enforced as a runtime raise_error on the SAME
+    * fp-partitioned window the join shuffles on — no new exchange)
+    * fails loudly when a boilerplate fingerprint would go quadratic.
+    * Run [[graft.dedup.Dedup.exact]] first: clone families are the
+    * classic hot-bucket cause here exactly as in LSH banding. */
+  def fingerprintPairs(df: DataFrame, idCol: String, toksCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxOccupancy: Int = 100000): DataFrame = {
+    val fps = fingerprint(df, toksCol, k, w)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val guarded = fps.withColumn("__occ", count(lit(1)).over(win))
+      .withColumn("fp", when(col("__occ") <= maxOccupancy, col("fp"))
+        .otherwise(raise_error(concat(
+          lit("fingerprintPairs: fingerprint occupancy "), col("__occ"),
+          lit(s" exceeds maxOccupancy=$maxOccupancy — a fingerprint " +
+            "shared by m docs yields m^2 candidate pairs. Run Dedup.exact " +
+            "BEFORE fingerprint pairing (clone families are the classic " +
+            "cause), or raise maxOccupancy")))))
+      .drop("__occ")
+    guarded.select(col(idCol).as("id1"), col("fp"))
+      .join(guarded.select(col(idCol).as("id2"), col("fp")), Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Segment the corpus with LEARNED BPE merges and report per-doc
     * fertility — the tokenizer-evaluation metric (subwords per word)
     * that decides whether [[bpeMerges]]' vocabulary is worth shipping.

@@ -756,4 +756,32 @@ class TextDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == rescued, "rescue is a pure row property — identical re-run")
   }
+
+  test("fingerprintPairs: winnowing recall — a shared >= w+k-1 token run always pairs") {
+    // Docs 1 and 2 share a 6-token run (= w+k-1 at k=3, w=4): Schleimer's
+    // bound says some window of the run has its minimum inside the run
+    // in BOTH docs, so the pair must surface at minShared=1. Doc 3 is
+    // disjoint vocabulary: no pair with anyone.
+    val run = Seq("p", "q", "r", "s", "t", "u")
+    val docs = Seq(
+      (1L, Seq("a1", "a2", "a3") ++ run ++ Seq("a4", "a5")),
+      (2L, Seq("b1", "b2") ++ run ++ Seq("b3", "b4", "b5", "b6")),
+      (3L, Seq("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8"))
+    ).toDF("doc_id", "ts")
+    val pairs = TextOps.fingerprintPairs(docs, "doc_id", "ts",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("fingerprintPairs: the occupancy guard trips on a hot fingerprint") {
+    // 5 identical docs: every fingerprint has occupancy 5 > maxOccupancy.
+    val clones = (0L until 5L).map(i =>
+      (i, Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7"))).toDF("doc_id", "ts")
+    val ex = intercept[Exception] {
+      TextOps.fingerprintPairs(clones, "doc_id", "ts",
+        k = 3, w = 4, minShared = 1, maxOccupancy = 3).collect()
+    }
+    assert(ex.getMessage.contains("occupancy"))
+  }
 }
