@@ -989,7 +989,17 @@ object TextQueries {
     // corpus's repeated footer passages).
     "q98_fingerprint_pairs" -> ((s, dir) =>
       TextOps.fingerprintPairs(docsWithTokens(s, dir), "doc_id", "ts",
-        k = 3, w = 4, minShared = 5))
+        k = 3, w = 4, minShared = 5)),
+
+    // Content-defined chunking ([[graft.text.TextOps.cdcChunks]]): the
+    // insertion-robust repeated-passage inventory — boundaries are a
+    // pure function of token content (hash % 16 == 0), so both engines
+    // cut identical variable-length chunks and the duplicate report
+    // (chunks occurring ≥ 2 times corpus-wide) is hash-exact. The
+    // corpus's planted footer passages surface here as high-n_occ
+    // chunks.
+    "q99_cdc_chunks" -> ((s, dir) =>
+      TextOps.cdcChunks(docsWithTokens(s, dir), "doc_id", "ts", modulus = 16))
   )
 
   /** The q67/q68 plant: q59's PII tail + q66's boilerplate footer lines
@@ -2303,6 +2313,27 @@ object TextQueries {
          |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    // q99: the same content-cut — boundary flag per token, running sum
+    // per doc, ordered string_agg per chunk, then the corpus-wide
+    // duplicate report.
+    "q99_cdc_chunks" ->
+      s"""WITH $DuckToks,
+         |tok AS (SELECT doc_id, i - 1 AS pos, ts[i] AS t FROM (
+         |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks)),
+         |fl AS (SELECT doc_id, pos, t,
+         |  CASE WHEN ${H("t")} % 16 = 0 THEN 1 ELSE 0 END AS b FROM tok),
+         |ch AS (SELECT doc_id, pos, t,
+         |  sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |               ROWS UNBOUNDED PRECEDING) AS chunk FROM fl),
+         |asm AS (SELECT doc_id, chunk,
+         |  ${H("string_agg(t, ' ' ORDER BY pos)")} AS chunk_hash,
+         |  count(*) AS n_toks FROM ch GROUP BY doc_id, chunk)
+         |SELECT chunk_hash, CAST(min(n_toks) AS BIGINT) AS n_toks,
+         |  CAST(count(*) AS BIGINT) AS n_occ,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM asm GROUP BY chunk_hash HAVING count(*) >= 2""".stripMargin,
     "q21_tokenize" ->
       s"""WITH $DuckToks,
          |counted AS (

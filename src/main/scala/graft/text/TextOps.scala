@@ -398,6 +398,51 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Content-defined chunking + duplicate-chunk report — the
+    * insertion-robust passage-dedup preprocessing (the rsync/CDC idea
+    * applied to token streams): a chunk boundary opens BEFORE every
+    * token whose hash lands in the boundary class (`hash % modulus ==
+    * 0`), so chunk edges are decided by CONTENT, and inserting a
+    * sentence into a document shifts only the chunks it touches —
+    * fixed-stride windows ([[dedupSpans]]' k-grams) would shift every
+    * window after the edit. Output: one row per chunk content that
+    * occurs ≥ 2 times corpus-wide — (chunk_hash, n_toks, n_occ,
+    * n_docs, first_doc) — the repeated-passage inventory an
+    * ExactSubstr-style cutter or a boilerplate review reads.
+    *
+    * Expected chunk length is `modulus` tokens (geometric); boundary
+    * membership is a pure function of the token, so both engines cut
+    * identically.
+    *
+    * Scale shape: one posexplode into a PER-DOC window (the q35 rule —
+    * partitioned by doc, never global) for the running boundary count,
+    * then per-(doc, chunk) assembly bounded by document length, then
+    * one map-side-combined chunk-hash agg. No join anywhere. */
+  def cdcChunks(df: DataFrame, idCol: String, toksCol: String,
+      modulus: Int = 16): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    val chunks = df
+      .select(col(idCol), posexplode(col(toksCol)).as(Seq("__pos", "__tok")))
+      .withColumn("__b",
+        when(pmod(Stable.hash64(col("__tok")), lit(modulus)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("__chunk", sum(col("__b")).over(win))
+      .groupBy(col(idCol), col("__chunk"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__tok"))))
+        .as("__toks"))
+      .select(col(idCol),
+        Stable.hash64(array_join(transform(col("__toks"), t => t("__tok")), " "))
+          .as("chunk_hash"),
+        size(col("__toks")).cast("bigint").as("n_toks"))
+    chunks.groupBy("chunk_hash")
+      .agg(min(col("n_toks")).as("n_toks"),
+        count(lit(1)).as("n_occ"),
+        count_distinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_occ") >= 2)
+  }
+
   /** Segment the corpus with LEARNED BPE merges and report per-doc
     * fertility — the tokenizer-evaluation metric (subwords per word)
     * that decides whether [[bpeMerges]]' vocabulary is worth shipping.

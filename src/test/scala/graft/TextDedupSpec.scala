@@ -757,6 +757,33 @@ class TextDedupSpec extends SparkSpec {
     assert(again == rescued, "rescue is a pure row property — identical re-run")
   }
 
+  test("cdcChunks: clone family fully shared; insertion shifts only the prefix chunk") {
+    import graft.functions.Stable
+    val toks = (0 until 40).map(i => s"w$i")
+    // First boundary position: the first token whose hash lands in the
+    // boundary class — chunks at-and-after it are content-anchored.
+    val p = toks.indexWhere { t =>
+      Seq(t).toDF("t").select(pmod(Stable.hash64(col("t")), lit(16)))
+        .head().getLong(0) == 0L
+    }
+    assert(p > 0, "fixture must have an interior boundary token")
+
+    // Two clones: every chunk shared, token counts cover the doc.
+    val clones = Seq((1L, toks), (2L, toks)).toDF("doc_id", "ts")
+    val shared = TextOps.cdcChunks(clones, "doc_id", "ts", modulus = 16).collect()
+    assert(shared.forall(r => r.getLong(2) == 2L && r.getLong(3) == 2L &&
+      r.getLong(4) == 1L))
+    assert(shared.map(_.getLong(1)).sum == 40L)
+
+    // Insert one token at the front: every chunk from the first
+    // boundary on is unchanged (content-defined cut), so the shared
+    // token mass is exactly the suffix after the differing prefix.
+    val edited = Seq((1L, toks), (3L, "inserted" +: toks)).toDF("doc_id", "ts")
+    val stillShared = TextOps.cdcChunks(edited, "doc_id", "ts", modulus = 16)
+      .collect()
+    assert(stillShared.map(_.getLong(1)).sum == (40L - p))
+  }
+
   test("fingerprintPairs: winnowing recall — a shared >= w+k-1 token run always pairs") {
     // Docs 1 and 2 share a 6-token run (= w+k-1 at k=3, w=4): Schleimer's
     // bound says some window of the run has its minimum inside the run
