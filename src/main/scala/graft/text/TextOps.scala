@@ -368,32 +368,45 @@ object TextOps {
     * when "shares a long verbatim passage" is the duplication predicate
     * but exact-window dedup ([[dedupSpans]]) is too rigid.
     *
-    * Scale shape: the q28 bucket-join shape keyed on fingerprint — the
-    * only joins are fp-partitioned, pair blow-up is bounded by bucket
-    * occupancy, and the occupancy guard (the [[graft.dedup.Dedup]]
-    * banding rule, enforced as a runtime raise_error on the SAME
-    * fp-partitioned window the join shuffles on — no new exchange)
-    * fails loudly when a boilerplate fingerprint would go quadratic.
-    * Run [[graft.dedup.Dedup.exact]] first: clone families are the
-    * classic hot-bucket cause here exactly as in LSH banding. */
+    * Scale shape: bucket-list, not self-join — the fingerprint stream
+    * (ids only) shuffles ONCE into per-fp id lists, each list bounded
+    * by the occupancy guard (raise_error past `maxOccupancy` with the
+    * exact-dedup-first rule in the message), and the id1 < id2 pairs
+    * explode from the bounded list in-row before one map-side-combined
+    * pair-keyed count. The md5-heavy fingerprint projection is
+    * evaluated exactly once per doc. Run [[graft.dedup.Dedup.exact]]
+    * first: clone families are the classic hot-bucket cause here
+    * exactly as in LSH banding.
+    *
+    * explode_OUTER + isNotNull, deliberately: a plain `explode` lets
+    * InferFiltersFromGenerate add `size(fps) > 0` below the Generate,
+    * and PushDownPredicates then substitutes the ENTIRE winnow+gram
+    * expression into a non-codegen Filter at the scan — every md5
+    * re-evaluated interpreted, per doc (the q59 scrub-cache trap in
+    * Generate form; 5.5 s → 0.4 s for this stage at sf0.1). The outer
+    * generate is exempt from that inference, and the null filter runs
+    * on the generator OUTPUT attribute, which nothing can push past
+    * the Generate. */
   def fingerprintPairs(df: DataFrame, idCol: String, toksCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
       maxOccupancy: Int = 100000): DataFrame = {
-    val fps = fingerprint(df, toksCol, k, w)
-      .select(col(idCol), explode(col("fps")).as("fp"))
-    val win = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val guarded = fps.withColumn("__occ", count(lit(1)).over(win))
-      .withColumn("fp", when(col("__occ") <= maxOccupancy, col("fp"))
-        .otherwise(raise_error(concat(
-          lit("fingerprintPairs: fingerprint occupancy "), col("__occ"),
-          lit(s" exceeds maxOccupancy=$maxOccupancy — a fingerprint " +
-            "shared by m docs yields m^2 candidate pairs. Run Dedup.exact " +
-            "BEFORE fingerprint pairing (clone families are the classic " +
-            "cause), or raise maxOccupancy")))))
-      .drop("__occ")
-    guarded.select(col(idCol).as("id1"), col("fp"))
-      .join(guarded.select(col(idCol).as("id2"), col("fp")), Seq("fp"))
-      .filter(col("id1") < col("id2"))
+    val buckets = fingerprint(df, toksCol, k, w)
+      .select(col(idCol), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .groupBy("fp").agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .withColumn("__ids",
+        when(size(col("__ids")) <= maxOccupancy, col("__ids"))
+          .otherwise(raise_error(concat(
+            lit("fingerprintPairs: fingerprint occupancy "), size(col("__ids")),
+            lit(s" exceeds maxOccupancy=$maxOccupancy — a fingerprint " +
+              "shared by m docs yields m^2 candidate pairs. Run Dedup.exact " +
+              "BEFORE fingerprint pairing (clone families are the classic " +
+              "cause), or raise maxOccupancy")))))
+    buckets
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y => y > x),
+          y => struct(x.as("id1"), y.as("id2")))))).as("__p"))
+      .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
