@@ -358,10 +358,12 @@ object Dedup {
     // pure projection — the old shingleHashes form paid a per-doc window
     // shuffle of the exploded token stream before the broadcast join
     corpus.select(col(idCol),
-        explode(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+        explode_outer(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
       .join(broadcast(
           benchmark.select(
-              explode(minhashFeatures(col(benchToksCol), k, 1)("shingles")).as("sh"))
+              explode_outer(minhashFeatures(col(benchToksCol), k, 1)("shingles")).as("sh"))
+            .filter(col("sh").isNotNull)
             .distinct()),
         Seq("sh"))
       .groupBy(idCol).agg(count_distinct(col("sh")).as("n_hits"))
@@ -393,10 +395,12 @@ object Dedup {
         "near-dup machinery for corpus-vs-corpus overlap, or raise " +
         "maxBenchRows if the eval side genuinely fits the broadcast budget")
     val benchGrams = benchmark
-      .select(explode(minhashFeatures(col(benchToksCol), k, 1)("shingles")).as("sh"))
+      .select(explode_outer(minhashFeatures(col(benchToksCol), k, 1)("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
       .distinct().withColumn("__hit", lit(1L))
     corpus.select(col(idCol),
-        explode(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+        explode_outer(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
       .join(broadcast(benchGrams), Seq("sh"), "left")
       .groupBy(idCol).agg(count(lit(1)).as("n_grams"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
@@ -447,7 +451,8 @@ object Dedup {
         "'benchmark' is not a decontamination list; raise maxBenchRows " +
         "only if the eval side is genuinely bounded")
     val positions = benchmark
-      .select(explode(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+      .select(explode_outer(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
       .distinct()
       .select(explode(array((0 until numHashes).map(j =>
         pmod(Stable.familyHash(col("sh"), BloomFamilyBase + j),
@@ -479,7 +484,8 @@ object Dedup {
         pmod(p, lit(64L)).cast("int")) === 1
     }.reduce(_ && _)
     corpus.select(col(idCol),
-        explode(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+        explode_outer(minhashFeatures(col(toksCol), k, 1)("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
       .filter(hit)
       .groupBy(idCol).agg(count_distinct(col("sh")).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)

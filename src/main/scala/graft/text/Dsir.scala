@@ -66,7 +66,8 @@ object Dsir {
   private def gramRows(docs: DataFrame, idCol: String, toksCol: String,
       buckets: Int): DataFrame =
     docs.select(col(idCol),
-        explode(gramBuckets(col(toksCol), buckets)).as("__b"))
+        explode_outer(gramBuckets(col(toksCol), buckets)).as("__b"))
+      .filter(col("__b").isNotNull)
 
   /** The hashed bag-of-ngrams model: (__b, __c) bucket counts over a
     * frame — ≤ `buckets` rows by construction. */

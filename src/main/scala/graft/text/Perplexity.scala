@@ -61,7 +61,8 @@ object Perplexity {
   def bigramCounts(ref: DataFrame, idCol: String = "doc_id",
       toksCol: String = "ts"): DataFrame =
     ref.filter(size(col(toksCol)) >= 2)
-      .select(explode(bigramPairs(col(toksCol))).as("bg"))
+      .select(explode_outer(bigramPairs(col(toksCol))).as("bg"))
+      .filter(col("bg").isNotNull)
       .groupBy(col("bg.h1").as("h1"), col("bg.h2").as("h2"))
       .agg(count(lit(1)).as("c12"))
 
@@ -82,7 +83,8 @@ object Perplexity {
         "model genuinely fits the broadcast budget")
     val c1 = model.groupBy("h1").agg(sum(col("c12")).as("c1"))
     val bgr = docs.filter(size(col(toksCol)) >= 2)
-      .select(col(idCol), explode(bigramPairs(col(toksCol))).as("bg"))
+      .select(col(idCol), explode_outer(bigramPairs(col(toksCol))).as("bg"))
+      .filter(col("bg").isNotNull)
       .select(col(idCol), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
     val bits = when(col("c12").isNotNull, ilog2(col("c1")) - ilog2(col("c12")))
       .when(col("c1").isNotNull, ilog2(col("c1")) + lit(1L))

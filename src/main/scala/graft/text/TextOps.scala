@@ -38,7 +38,8 @@ object TextOps {
     * no single-partition WindowExec anywhere in the dictionary build. */
   def buildDictionary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     val counted = df
-      .select(explode(tokens(col(textCol))).as("word"))
+      .select(explode_outer(tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(topK)
