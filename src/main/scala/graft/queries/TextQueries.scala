@@ -999,7 +999,39 @@ object TextQueries {
     // corpus's planted footer passages surface here as high-n_occ
     // chunks.
     "q99_cdc_chunks" -> ((s, dir) =>
-      TextOps.cdcChunks(docsWithTokens(s, dir), "doc_id", "ts", modulus = 16))
+      TextOps.cdcChunks(docsWithTokens(s, dir), "doc_id", "ts", modulus = 16)),
+
+    // Count-min heavy hitters ([[graft.sketch.Sketch.countMin]]): the
+    // fixed-memory frequency tier — 4×1024 counters regardless of
+    // vocabulary size, estimates = min over rows, always ≥ exact
+    // (collisions only add). Probing the exact top-20 makes the
+    // over-count measurable: (word, cnt, cnt_cms, over_count), every
+    // value an integer, the whole sketch replayed in SQL.
+    "q100_count_min" -> ((s, dir) => {
+      val words = docsWithTokens(s, dir).select(explode(col("ts")).as("word"))
+      val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(20)
+      val sketch = graft.sketch.Sketch.countMin(words, "word")
+      top.join(graft.sketch.Sketch.cmsEstimate(sketch, top.select("word"), "word"),
+          Seq("word"))
+        .select(col("word"), col("cnt"), col("cnt_cms"),
+          (col("cnt_cms") - col("cnt")).as("over_count"))
+    }),
+
+    // Deterministic HyperLogLog ([[graft.sketch.Sketch.hyperLogLog]]):
+    // the fixed-memory cardinality tier over the corpus's 3-gram
+    // shingle stream (duplicates galore — exactly what HLL ignores).
+    // The harmonic sum is an exact integer (s_int) divided once at the
+    // output edge, so even the ESTIMATE double is bit-identical in
+    // DuckDB; n_exact rides alongside for the error read.
+    "q101_hll_distinct" -> ((s, dir) => {
+      val sh = docsWithTokens(s, dir)
+        .select(explode_outer(Dedup.minhashFeatures(col("ts"), 3, 1)("shingles"))
+          .as("sh"))
+        .filter(col("sh").isNotNull)
+      graft.sketch.Sketch.hyperLogLog(sh, "sh", b = 8)
+        .crossJoin(broadcast(sh.agg(count_distinct(col("sh")).as("n_exact"))))
+    })
   )
 
   /** The q67/q68 plant: q59's PII tail + q66's boilerplate footer lines
@@ -2313,6 +2345,62 @@ object TextQueries {
          |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    // q100: the counter build and the probe replayed with the same
+    // family constants (one UNION ALL branch per row — the constants
+    // are baked per j at SQL-gen time, the q28 band pattern).
+    "q100_count_min" -> {
+      val cellRows = (0 until 4).map(j =>
+        s"SELECT CAST($j AS BIGINT) AS row_j, (${Stable.duckFamilyHash("b", 300 + j)}) % 1024 AS cell, cnt FROM base")
+        .mkString("\n  UNION ALL ")
+      val probeRows = (0 until 4).map(j =>
+        s"SELECT word, cnt, CAST($j AS BIGINT) AS row_j, (${Stable.duckFamilyHash("b", 300 + j)}) % 1024 AS cell FROM topb")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $DuckToks,
+         |wrd AS (SELECT unnest(ts) AS word FROM toks),
+         |counts AS (SELECT word, count(*) AS cnt FROM wrd GROUP BY 1),
+         |base AS (SELECT ${H("word")} AS b, cnt FROM counts),
+         |cellocc AS (
+         |  $cellRows),
+         |cells AS (SELECT row_j, cell, CAST(sum(cnt) AS BIGINT) AS ccnt
+         |          FROM cellocc GROUP BY 1, 2),
+         |top AS (SELECT word, cnt FROM counts ORDER BY cnt DESC, word ASC LIMIT 20),
+         |topb AS (SELECT word, cnt, ${H("word")} AS b FROM top),
+         |probe AS (
+         |  $probeRows),
+         |est AS (SELECT word, min(coalesce(c.ccnt, 0)) AS cnt_cms
+         |        FROM probe LEFT JOIN cells c USING (row_j, cell) GROUP BY word)
+         |SELECT t.word, CAST(t.cnt AS BIGINT) AS cnt,
+         |  CAST(e.cnt_cms AS BIGINT) AS cnt_cms,
+         |  CAST(e.cnt_cms - t.cnt AS BIGINT) AS over_count
+         |FROM top t JOIN est e USING (word)""".stripMargin
+    },
+
+    // q101: registers, the integer harmonic sum, and the one
+    // output-edge division replayed; alpha embedded as the identical
+    // decimal literal (Double.toString round-trips).
+    "q101_hll_distinct" -> {
+      val alpha = graft.sketch.Sketch.hllAlpha(8)
+      s"""WITH $DuckToks,
+         |${duckShingleHashes()},
+         |hv AS (SELECT ${H("CAST(sh AS VARCHAR)")} AS h FROM sh),
+         |hb AS (SELECT h % 256 AS bucket,
+         |  CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8))
+         |       ELSE 53 END AS rho
+         |  FROM hv),
+         |regs AS (SELECT bucket, max(rho) AS M FROM hb GROUP BY 1),
+         |agg AS (SELECT count(*) AS occ,
+         |  CAST(sum(CAST(1 AS BIGINT) << (53 - M)) AS BIGINT) AS s_occ FROM regs),
+         |ex AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_exact FROM sh)
+         |SELECT CAST(256 AS BIGINT) AS m,
+         |  CAST(256 - occ AS BIGINT) AS v_empty,
+         |  CAST(s_occ + (256 - occ) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS s_int,
+         |  CAST($alpha AS DOUBLE) * CAST(65536 AS DOUBLE) *
+         |    (CAST(9007199254740992 AS DOUBLE) /
+         |     CAST(s_occ + (256 - occ) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)) AS estimate,
+         |  n_exact
+         |FROM agg, ex""".stripMargin
+    },
 
     // q99: the same content-cut — boundary flag per token, running sum
     // per doc, ordered string_agg per chunk, then the corpus-wide
