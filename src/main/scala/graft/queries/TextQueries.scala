@@ -1031,6 +1031,18 @@ object TextQueries {
         .filter(col("sh").isNotNull)
       graft.sketch.Sketch.hyperLogLog(sh, "sh", b = 8)
         .crossJoin(broadcast(sh.agg(count_distinct(col("sh")).as("n_exact"))))
+    }),
+
+    // Per-domain document cap ([[graft.text.Curation.capPerGroup]]):
+    // the C4/FineWeb-style per-domain frequency discipline — at most 10
+    // docs per source, chosen by seeded-hash order. The selection is the
+    // bounded TopK aggregator (map-side reduced to ≤ cap rows per group
+    // before any shuffle), NOT a window sort over the hot domain; the
+    // oracle is the row_number form over the same hash, so the kept
+    // sets must agree exactly.
+    "q102_domain_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars"))
+      graft.text.Curation.capPerGroup(d, "source", "doc_id", cap = 10, seed = 17)
     })
   )
 
@@ -2401,6 +2413,17 @@ object TextQueries {
          |  n_exact
          |FROM agg, ex""".stripMargin
     },
+
+    // q102: the row_number form over the same seeded hash — the kept
+    // set must equal the TopK aggregator's cap-smallest-hashes per
+    // group exactly (md5 injectivity makes the order total).
+    "q102_domain_cap" ->
+      s"""SELECT source, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${Stable.duckSeededHash(17, "source", "doc_id")}) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10""".stripMargin,
 
     // q99: the same content-cut — boundary flag per token, running sum
     // per doc, ordered string_agg per chunk, then the corpus-wide

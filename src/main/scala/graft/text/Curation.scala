@@ -959,4 +959,35 @@ object Curation {
         "re-key the colliding source before mixing")
     writeTokenArtifact(mixed, path, seqLen, topK, splitSeed, weights)
   }
+
+  /** Per-group document cap — the per-domain frequency discipline web
+    * pipelines apply before mixing (C4 kept one page per URL; later
+    * corpora cap documents per registered domain so no single site
+    * dominates the mixture): keep at most `cap` docs per `groupCol`
+    * value, chosen by seeded-hash order — a deterministic uniform
+    * sample of each over-represented group, reproducible bit-for-bit
+    * under retries and by the oracle.
+    *
+    * Scale shape: the selection is the bounded [[graft.functions.TopK]]
+    * aggregator keyed on the group (value constant, tie-break = the
+    * seeded hash → the `cap` SMALLEST hashes per group), so every map
+    * task reduces its input to ≤ cap rows per group before the shuffle
+    * — a `row_number() OVER (PARTITION BY domain ORDER BY hash)` window
+    * would instead sort each domain's entire row set in one task, and
+    * the hot domain IS the over-represented one this operator exists to
+    * cap. The join-back keys on (group, hash), so even the hot group's
+    * probe rows spread across partitions; the kept side is
+    * groups·cap rows — bounded per group but NOT globally (millions of
+    * domains at 100 TB), hence a plain shuffled join and no forced
+    * broadcast (AQE converts when it fits). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int,
+      seed: Long = 17): DataFrame = {
+    require(cap >= 1, s"capPerGroup: cap must be >= 1, got $cap")
+    val keyed = df.withColumn("__h",
+      graft.functions.Stable.seededHash(seed, col(groupCol), col(idCol)))
+    val kept = keyed.groupBy(groupCol)
+      .agg(graft.functions.TopK.topK(cap)(lit(0.0), col("__h")).as("__keep"))
+      .select(col(groupCol), explode(col("__keep._2")).as("__h"))
+    keyed.join(kept, Seq(groupCol, "__h")).drop("__h")
+  }
 }

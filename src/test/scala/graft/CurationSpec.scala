@@ -404,4 +404,23 @@ class CurationSpec extends SparkSpec {
     // redaction ran LAST, on still-structured text
     assert(out(1L).contains("<email>") && !out(1L).contains("bob@example.com"))
   }
+
+  test("capPerGroup: keeps the cap-smallest seeded hashes per group, small groups ride") {
+    import SparkSpec.spark.implicits._
+    val rows = ((1L to 20L).map(i => ("big", i)) ++ Seq(("small", 100L), ("small", 101L)))
+      .toDF("dom", "doc_id")
+    val out = Curation.capPerGroup(rows, "dom", "doc_id", cap = 5, seed = 17)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts == Map("big" -> 5, "small" -> 2), s"got $counts")
+    // kept set == the 5 smallest hashes, independently recomputed
+    val expect = rows.filter($"dom" === "big")
+      .withColumn("h", graft.functions.Stable.seededHash(17, $"dom", $"doc_id"))
+      .orderBy("h").limit(5).select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._1 == "big").map(_._2).toSet == expect)
+    // determinism under repartitioning (retry/speculation shape)
+    val re = Curation.capPerGroup(rows.repartition(7), "dom", "doc_id", cap = 5, seed = 17)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(re == out.toSet)
+  }
 }
