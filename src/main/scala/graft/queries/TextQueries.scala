@@ -1043,6 +1043,19 @@ object TextQueries {
     "q102_domain_cap" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars"))
       graft.text.Curation.capPerGroup(d, "source", "doc_id", cap = 10, seed = 17)
+    }),
+
+    // Corpus-derived length-percentile gate
+    // ([[TextOps.lengthPercentileGate]]): the Gopher/C4 length rule with
+    // cuts MEASURED from the corpus's own bounded length histogram
+    // (smallest length whose cumulative count reaches ceil(total·p/100),
+    // compared as the integer cross-product 100·cum >= total·p), keeping
+    // the [10, 90] percentile band. Both engines derive the same two
+    // integer cuts, so the kept set is hash-exact.
+    "q103_length_gate" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+        .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      TextOps.lengthPercentileGate(d, "n_tokens", pLo = 10, pHi = 90)
     })
   )
 
@@ -2424,6 +2437,20 @@ object TextQueries {
          |      ORDER BY ${Stable.duckSeededHash(17, "source", "doc_id")}) AS rn
          |  FROM documents)
          |WHERE rn <= 10""".stripMargin,
+
+    // q103: the same histogram → cumulative count → integer-cross-
+    // product cuts, via window SQL over the bounded histogram.
+    "q103_length_gate" ->
+      s"""WITH $DuckToks,
+         |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+         |hist AS (SELECT n_tokens AS L, count(*) AS c FROM n GROUP BY 1),
+         |cum AS (SELECT L, sum(c) OVER (ORDER BY L ROWS UNBOUNDED PRECEDING) AS cm FROM hist),
+         |tot AS (SELECT sum(c) AS t FROM hist),
+         |cuts AS (SELECT min(CASE WHEN cm * 100 >= t * 10 THEN L END) AS lo,
+         |                min(CASE WHEN cm * 100 >= t * 90 THEN L END) AS hi
+         |         FROM cum, tot)
+         |SELECT doc_id, n_tokens FROM n, cuts
+         |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin,
 
     // q99: the same content-cut — boundary flag per token, running sum
     // per doc, ordered string_agg per chunk, then the corpus-wide

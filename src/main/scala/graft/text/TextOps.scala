@@ -297,6 +297,41 @@ object TextOps {
           col("__total").cast("double")).as("coverage"))
   }
 
+  /** Corpus-derived length-percentile gate — the Gopher/C4 document-
+    * length rule with the thresholds measured from the corpus ITSELF
+    * rather than hand-picked constants: keep docs whose `nTokCol` lies
+    * in the [pLo, pHi] percentile band. The cut at percentile p is the
+    * smallest length whose cumulative doc count reaches ⌈total·p/100⌉
+    * (compared as the overflow-free integer cross-product
+    * `100·cum ≥ total·p` — no division, no float, so both cuts are
+    * bit-identical in any engine).
+    *
+    * Scale shape: the corpus collapses to a bounded LENGTH HISTOGRAM
+    * (one map-side-combined agg; distinct doc lengths ≪ corpus — the
+    * [[graft.text.Perplexity.buckets]] argument), the running totals
+    * over that bounded frame use [[graft.sources.PrefixSum]] (the
+    * engine's no-unpartitioned-window rule), the two cuts reduce to ONE
+    * row, and the gate itself is a broadcast one-row join + filter —
+    * the corpus is scanned twice (histogram, filter) and never
+    * shuffled. */
+  def lengthPercentileGate(df: DataFrame, nTokCol: String,
+      pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100,
+      s"lengthPercentileGate: need 0 <= pLo < pHi <= 100, got [$pLo, $pHi]")
+    val hist = df.groupBy(col(nTokCol)).agg(count(lit(1)).as("__c"))
+    val cum = graft.sources.PrefixSum.withPrefixSum(
+        hist, Seq(col(nTokCol).asc), "__c", "__cum_before")
+      .withColumn("__cum", col("__cum_before") + col("__c"))
+    val cuts = cum
+      .crossJoin(broadcast(hist.agg(coalesce(sum(col("__c")), lit(0L)).as("__t"))))
+      .agg(
+        min(when(col("__cum") * 100 >= col("__t") * pLo, col(nTokCol))).as("__lo"),
+        min(when(col("__cum") * 100 >= col("__t") * pHi, col(nTokCol))).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .filter(col(nTokCol) >= col("__lo") && col(nTokCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Separator between symbols in [[bpeMerges]]' working sequences: a
     * control char no `^[a-z]+$` training word can contain. */
   val BpeSep = "\u0001"

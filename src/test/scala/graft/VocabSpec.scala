@@ -99,4 +99,23 @@ class VocabSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("cannot broadcast"))
   }
+
+  test("lengthPercentileGate: hand-computed cuts, ties share a side, degenerate bands") {
+    // Lengths 1..10, one doc each: total 10; p20 cut = smallest L with
+    // 100·cum >= 10·20·10? — cum(L)=L here, so lo = smallest L with
+    // 100·L >= 200 → 2; hi: 100·L >= 800 → 8. Band = [2, 8].
+    val docs = (1L to 10L).map(i => (i, i)).toDF("doc_id", "n")
+    val kept = TextOps.lengthPercentileGate(docs, "n", pLo = 20, pHi = 80)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (2L to 8L).toSet, s"got $kept")
+    // Ties: every doc the same length → both cuts land on it, all keep.
+    val same = (1L to 5L).map(i => (i, 7L)).toDF("doc_id", "n")
+    assert(TextOps.lengthPercentileGate(same, "n", 10, 90).count() == 5)
+    // pLo = 0 keeps the left tail entirely.
+    assert(TextOps.lengthPercentileGate(docs, "n", 0, 100).count() == 10)
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.lengthPercentileGate(docs, "n", 50, 50)
+    }
+    assert(ex.getMessage.contains("pLo < pHi"))
+  }
 }
