@@ -1056,6 +1056,24 @@ object TextQueries {
       val d = docsWithTokens(s, dir)
         .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
       TextOps.lengthPercentileGate(d, "n_tokens", pLo = 10, pHi = 90)
+    }),
+
+    // Mixture with epoch repeats ([[graft.text.Curation.mixWithRepeats]]):
+    // the UP-sampling half of domain mixing — the small "wiki" slice
+    // (doc_id % 10) at a 50% token share of a 30k budget runs ~5.5
+    // epochs (5 full copies + a 47.8% Bernoulli sixth), while "web" is
+    // down-sampled at 61.4% exactly as [[Curation.mix]] would. The
+    // oracle replays the epoch expansion with generate_series and the
+    // same double/floor sequence, so every (doc, epoch) row is
+    // hash-exact.
+    "q104_mix_epochs" -> ((s, dir) => {
+      val n = docsWithTokens(s, dir)
+        .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      graft.text.Curation.mixWithRepeats(
+        Seq(("wiki", n.filter(col("doc_id") % 10 === 0), 0.5),
+            ("web", n.filter(col("doc_id") % 10 =!= 0), 0.5)),
+        "doc_id", "n_tokens", budgetTokens = 30000, seed = 13)
+        .select("source", "epoch", "doc_id", "n_tokens")
     })
   )
 
@@ -2451,6 +2469,31 @@ object TextQueries {
          |         FROM cum, tot)
          |SELECT doc_id, n_tokens FROM n, cuts
          |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin,
+
+    // q104: q64's acceptance arithmetic with the clamp replaced by the
+    // epoch expansion — generate_series(0, floor(rate)) per source,
+    // full epochs unconditional, the last epoch admitted by the same
+    // integer-threshold Bernoulli, every double op in the same order.
+    "q104_mix_epochs" -> {
+      def side(name: String, pred: String, share: String): String = {
+        val rate = s"(30000.0 * $share) / t"
+        s"""SELECT '$name' AS source, e.epoch, doc_id, n_tokens
+           |FROM (SELECT * FROM n WHERE $pred) d,
+           |     t_$name,
+           |     (SELECT unnest(generate_series(0, CAST(floor($rate) AS BIGINT))) AS epoch
+           |      FROM t_$name) e
+           |WHERE e.epoch < CAST(floor($rate) AS BIGINT)
+           |   OR ${Stable.duckSeededHash(13, s"'$name'", "doc_id")} % 1000000 <
+           |     CAST(floor(($rate - floor($rate)) * 1000000) AS BIGINT)""".stripMargin
+      }
+      s"""WITH $DuckToks,
+         |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+         |t_wiki AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 10 = 0),
+         |t_web AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 10 <> 0)
+         |${side("wiki", "doc_id % 10 = 0", "0.5")}
+         |UNION ALL
+         |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
+    },
 
     // q99: the same content-cut — boundary flag per token, running sum
     // per doc, ordered string_agg per chunk, then the corpus-wide

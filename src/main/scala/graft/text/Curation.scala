@@ -851,6 +851,48 @@ object Curation {
     }, idCol, budgetTokens, seed)
   }
 
+  /** [[mix]] with EPOCH REPEATS — the up-sampling half of domain
+    * mixing that [[mix]]'s rate clamp deliberately forgoes: published
+    * recipes run small high-quality sources for MULTIPLE epochs
+    * (LLaMA's Wikipedia ~2.4, books ~2.2; Gopher repeats its curated
+    * sets) rather than under-delivering them. A source with acceptance
+    * rate r = budget·share_s / tokens_s emits ⌊r⌋ FULL copies of every
+    * doc (epoch = 0..⌊r⌋-1) plus a fractional epoch ⌊r⌋ admitted by the
+    * same integer-threshold Bernoulli as [[mix]] keyed on (seed, source,
+    * id) — so for r < 1 the output is exactly [[mix]]'s at epoch 0, and
+    * an external engine replays the whole expansion bit-for-bit.
+    *
+    * Scale shape: one bounded agg per source for tokens_s; the epoch
+    * expansion is a per-row `explode(sequence(0, ⌊r⌋))` — a pure
+    * projection whose fan-out is the PER-SOURCE scalar ⌊r⌋, guarded by
+    * `maxEpochs` (a mis-specified share would otherwise silently
+    * multiply a 100 TB source) — and the fractional admission is a
+    * filter: no shuffle anywhere. Output: (source, epoch, original
+    * columns), one row per (doc, epoch) — downstream packing treats
+    * (source, epoch, id) as the sequence key. */
+  def mixWithRepeats(sources: Seq[(String, DataFrame, Double)], idCol: String,
+      nTokCol: String, budgetTokens: Long, seed: Long = 13,
+      maxEpochs: Int = 100): DataFrame = {
+    require(sources.nonEmpty, "mixWithRepeats needs at least one source")
+    require(math.abs(sources.map(_._3).sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${sources.map(_._3).sum}")
+    sources.map { case (name, df, share) =>
+      val total = sourceTokens(name, df, nTokCol, "mixWithRepeats")
+      val rate = budgetTokens.toDouble * share / total.toDouble
+      val full = math.floor(rate).toLong
+      require(full <= maxEpochs,
+        s"mixWithRepeats: source '$name' would repeat for $full full epochs " +
+          s"(rate $rate > maxEpochs $maxEpochs) — a mis-sized share or budget; " +
+          "raise maxEpochs only if the repetition is intended")
+      val threshold = math.floor((rate - math.floor(rate)) * 1000000).toLong
+      df.withColumn("epoch", explode(sequence(lit(0L), lit(full))))
+        .filter(col("epoch") < full ||
+          pmod(graft.functions.Stable.seededHash(seed, lit(name), col(idCol)),
+            lit(1000000L)) < threshold)
+        .withColumn("source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
   /** One bounded agg: a source's token total (the driver-side scalar
     * both mixers consume). coalesce: sum() over zero rows (or all-null
     * tokens) is null, and a bare getLong would NPE before the require

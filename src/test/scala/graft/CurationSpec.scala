@@ -405,6 +405,35 @@ class CurationSpec extends SparkSpec {
     assert(out(1L).contains("<email>") && !out(1L).contains("bob@example.com"))
   }
 
+  test("mixWithRepeats: full epochs unconditional, fractional epoch Bernoulli, r<1 == mix") {
+    import SparkSpec.spark.implicits._
+    // One source, 5 docs x 2 tokens = 10 total; budget 25 -> rate 2.5:
+    // epochs 0,1 keep all 5 docs; epoch 2 admits by hash % 1e6 < 500000.
+    val src = (1L to 5L).map(i => (i, 2L)).toDF("doc_id", "n_tokens")
+    val out = Curation.mixWithRepeats(Seq(("a", src, 1.0)), "doc_id", "n_tokens",
+        budgetTokens = 25, seed = 13)
+      .select("epoch", "doc_id").as[(Long, Long)].collect()
+    assert(out.count(_._1 == 0L) == 5 && out.count(_._1 == 1L) == 5)
+    val fracIds = out.filter(_._1 == 2L).map(_._2).toSet
+    val expect = src.withColumn("h",
+        pmod(graft.functions.Stable.seededHash(13, lit("a"), $"doc_id"), lit(1000000L)))
+      .filter($"h" < 500000L).select("doc_id").as[Long].collect().toSet
+    assert(fracIds == expect, s"fractional epoch $fracIds vs $expect")
+    // r < 1: identical doc set to mix, all at epoch 0
+    val down = Curation.mixWithRepeats(Seq(("a", src, 1.0)), "doc_id", "n_tokens",
+      budgetTokens = 6, seed = 13)
+    assert(down.select("epoch").distinct().as[Long].collect().toSeq == Seq(0L))
+    val mixIds = Curation.mix(Seq(("a", src, 1.0)), "doc_id", "n_tokens",
+      budgetTokens = 6, seed = 13).select("doc_id").as[Long].collect().toSet
+    assert(down.select("doc_id").as[Long].collect().toSet == mixIds)
+    // the epoch-explosion guard
+    val ex = intercept[IllegalArgumentException] {
+      Curation.mixWithRepeats(Seq(("a", src, 1.0)), "doc_id", "n_tokens",
+        budgetTokens = 10000, seed = 13, maxEpochs = 10)
+    }
+    assert(ex.getMessage.contains("full epochs"))
+  }
+
   test("capPerGroup: keeps the cap-smallest seeded hashes per group, small groups ride") {
     import SparkSpec.spark.implicits._
     val rows = ((1L to 20L).map(i => ("big", i)) ++ Seq(("small", 100L), ("small", 101L)))
