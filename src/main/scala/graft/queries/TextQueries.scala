@@ -1074,6 +1074,20 @@ object TextQueries {
             ("web", n.filter(col("doc_id") % 10 =!= 0), 0.5)),
         "doc_id", "n_tokens", budgetTokens = 30000, seed = 13)
         .select("source", "epoch", "doc_id", "n_tokens")
+    }),
+
+    // Johnson–Lindenstrauss candidate tier ([[Ann.jlTopK]]): embeddings
+    // int8-quantized and sign-projected 64 → 32 dims (one codegen
+    // matDots per row; quantize-then-project makes every reduced
+    // component an exact integer), top-100 candidates per query in the
+    // cheap reduced space, exact full-dimension rerank to the final
+    // top-5. Approximate, yet ORACLE-EXACT — both tiers' arithmetic is
+    // bit-stable, so the oracle replays candidates AND rerank. Recall
+    // vs brute force is asserted in TextDedupSpec.
+    "q105_ann_jl" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Ann.jlTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, outDim = 32, oversample = 20, seed = 77)
     })
   )
 
@@ -2469,6 +2483,45 @@ object TextQueries {
          |         FROM cum, tot)
          |SELECT doc_id, n_tokens FROM n, cuts
          |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin,
+
+    // q105: q62's quantization CTEs, the reduced vector as 32 literal
+    // ±1 dot products (the signMatrix constants inlined — the same
+    // embed-the-derivation contract as the LSH hyperplane oracles),
+    // reduced-space candidate rank ≤ 100, then the q30 exact-rerank
+    // tail over the full-dimension doubles.
+    "q105_ann_jl" -> {
+      val m = Ann.signMatrix(77, 32, 64)
+      val rvExpr = m.map(row =>
+        s"list_dot_product(qv, [${row.map(_.toString).mkString(", ")}])")
+        .mkString("[\n  ", ",\n  ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+         |q AS (SELECT vec_id,
+         |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+         |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+         |  FROM sc),
+         |rv AS (SELECT vec_id, $rvExpr AS r FROM q),
+         |cscored AS (SELECT qry.vec_id AS query_id, corp.vec_id AS neighbor_id,
+         |    ${duckCosine("qry.r", "corp.r")} AS sim
+         |  FROM rv corp, (SELECT * FROM rv WHERE vec_id < 50) qry
+         |  WHERE corp.vec_id <> qry.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |    FROM cscored)
+         |  WHERE rn <= 100),
+         |rescored AS (SELECT cand.query_id, cand.neighbor_id,
+         |    ${duckCosine("qe.v", "ce.v")} AS sim
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.query_id
+         |  JOIN e ce ON ce.vec_id = cand.neighbor_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |  FROM rescored)
+         |WHERE rn <= 5""".stripMargin
+    },
 
     // q104: q64's acceptance arithmetic with the clamp replaced by the
     // epoch expansion — generate_series(0, floor(rate)) per source,

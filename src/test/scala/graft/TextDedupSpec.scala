@@ -502,6 +502,47 @@ class TextDedupSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("signProject: integer-exact reduced components, JL recall, degenerate outDim") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val qz = Ann.quantize(emb, "vec_id", "embedding")
+    val red = Ann.signProject(qz, "vec_id", "qvec", outDim = 16, seed = 77)
+    // every reduced component is an exact integer (sum of int8s)
+    val rows = red.limit(20).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length == 16)
+      v.foreach(x => assert(x == math.rint(x) && math.abs(x) <= 64 * 127,
+        s"non-integer or out-of-range reduced component $x"))
+    }
+    // hand-check component 0 of one vector against the sign matrix
+    val m = Ann.signMatrix(77, 16, 64)
+    val q0 = qz.filter(col("vec_id") === 0).select("qvec")
+      .collect()(0).getSeq[Byte](0)
+    val r0 = red.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1)
+    assert(r0(0) == q0.zip(m(0)).map { case (q, s) => q * s }.sum)
+    // JL as a CANDIDATE tier (the jlTopK contract): reduced-space
+    // shortlist + exact rerank recalls most true neighbors even on
+    // this worst-case (near-orthogonal uniform) data — measured 0.76
+    // at outDim 32, oversample 20; ranking directly in reduced space
+    // recalls ~0.06, which is WHY the operator reranks.
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.jlTopK(emb, queries, "vec_id", "embedding", 5,
+        outDim = 32, oversample = 20, seed = 77)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"JL candidates+rerank recall too low: $recall")
+    val ex = intercept[IllegalArgumentException] {
+      Ann.signProject(qz, "vec_id", "qvec", outDim = 65, seed = 77)
+    }
+    assert(ex.getMessage.contains("outDim"))
+    val probe = intercept[IllegalArgumentException] {
+      Ann.jlTopK(emb, emb, "vec_id", "embedding", 5, maxQueryRows = 10)
+    }
+    assert(probe.getMessage.contains("jlTopK"))
+  }
+
   test("ANN broadcast contract: a corpus-sized query set fails at the call site") {
     // The forced broadcast would otherwise OOM the driver with a stack
     // trace pointing at an executor; the probe names the fix instead.
