@@ -220,6 +220,35 @@ object Ann {
     topKPerQuery(rerank, k)
   }
 
+  /** ANN recall evaluation — the "measure, don't guess" harness for the
+    * approximate tiers: given the EXACT top-k frame and any number of
+    * approximate results over the same query set (all in the
+    * (query_id, rank, neighbor_id) contract), one row per method with
+    * the matched-pair count and recall@k. Tuning (tables, planes) /
+    * (nCentroids, nProbe) / (outDim, oversample) against a sampled
+    * query set with this report is how the knobs get set BEFORE
+    * committing a 100 TB pass — recall targets belong in a measured
+    * table, not a guess.
+    *
+    * Scale shape: every frame here is nQueries·k rows by construction
+    * (the top-k contract), so the hit join broadcasts and each method
+    * reduces to one row map-side; recall is a long/long double division
+    * — exact cross-engine. */
+  def recallReport(exact: DataFrame, tiers: Seq[(String, DataFrame)]): DataFrame = {
+    require(tiers.nonEmpty, "recallReport needs at least one tier")
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    tiers.map { case (name, ap) =>
+      ex.join(broadcast(ap.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("__hit"))),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_expected"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_expected"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_expected").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Semantic (embedding-space) benchmark decontamination: flags every
     * corpus row whose int8-quantized embedding ([[quantize]]'s `qvec`)
     * has cosine ≥ tauNum/tauDen with ANY benchmark embedding — the

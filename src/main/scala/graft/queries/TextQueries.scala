@@ -1088,6 +1088,26 @@ object TextQueries {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       Ann.jlTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 5, outDim = 32, oversample = 20, seed = 77)
+    }),
+
+    // ANN recall evaluation ([[Ann.recallReport]]): every approximate
+    // tier (q31 LSH, q39 IVF, q105 JL) measured against the exact
+    // top-5 over the SAME 50-query set — one row per method with
+    // matched pairs and recall@5. The tuning loop every published ANN
+    // deployment runs before committing cluster hours, and oracle-
+    // exact because every tier is (the oracle composes the three
+    // tiers' own SQL as subqueries).
+    "q106_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val ex = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      Ann.recallReport(ex, Seq(
+        "lsh" -> Ann.lshTopK(emb, q, "vec_id", "embedding", k = 5,
+          seed = 42, tables = 6, planes = 6, dim = 64),
+        "ivf" -> Ann.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+          seed = 42, nCentroids = 16, nProbe = 4),
+        "jl" -> Ann.jlTopK(emb, q, "vec_id", "embedding", k = 5,
+          outDim = 32, oversample = 20, seed = 77)))
     })
   )
 
@@ -1152,6 +1172,44 @@ object TextQueries {
     * ([[Ann.hyperplanes]](42, 6, 6, 64) — same params as the query), so
     * the oracle embeds them and rebuilds the buckets, candidate join, and
     * exact rerank entirely in SQL. */
+  /** q105 oracle: q62's quantization CTEs, the reduced vector as 32
+    * literal ±1 dot products (signMatrix constants inlined), candidate
+    * rank ≤ 100 in reduced space, exact full-dimension rerank to 5.
+    * Shared by q105 and the q106 recall report. */
+  private def duckJlOracle: String = {
+    val m = Ann.signMatrix(77, 32, 64)
+    val rvExpr = m.map(row =>
+      s"list_dot_product(qv, [${row.map(_.toString).mkString(", ")}])")
+      .mkString("[\n  ", ",\n  ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+       |q AS (SELECT vec_id,
+       |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+       |  FROM sc),
+       |rv AS (SELECT vec_id, $rvExpr AS r FROM q),
+       |cscored AS (SELECT qry.vec_id AS query_id, corp.vec_id AS neighbor_id,
+       |    ${duckCosine("qry.r", "corp.r")} AS sim
+       |  FROM rv corp, (SELECT * FROM rv WHERE vec_id < 50) qry
+       |  WHERE corp.vec_id <> qry.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |    FROM cscored)
+       |  WHERE rn <= 100),
+       |rescored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    ${duckCosine("qe.v", "ce.v")} AS sim
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = cand.query_id
+       |  JOIN e ce ON ce.vec_id = cand.neighbor_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM rescored)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   private def duckLshOracle: String = {
     val buckets = duckBucketUnion(Ann.hyperplanes(42, tables = 6, planes = 6, dim = 64))
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -2489,38 +2547,36 @@ object TextQueries {
     // embed-the-derivation contract as the LSH hyperplane oracles),
     // reduced-space candidate rank ≤ 100, then the q30 exact-rerank
     // tail over the full-dimension doubles.
-    "q105_ann_jl" -> {
-      val m = Ann.signMatrix(77, 32, 64)
-      val rvExpr = m.map(row =>
-        s"list_dot_product(qv, [${row.map(_.toString).mkString(", ")}])")
-        .mkString("[\n  ", ",\n  ", "]")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |sc AS (SELECT vec_id, v,
-         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
-         |q AS (SELECT vec_id,
-         |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
-         |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
-         |  FROM sc),
-         |rv AS (SELECT vec_id, $rvExpr AS r FROM q),
-         |cscored AS (SELECT qry.vec_id AS query_id, corp.vec_id AS neighbor_id,
-         |    ${duckCosine("qry.r", "corp.r")} AS sim
-         |  FROM rv corp, (SELECT * FROM rv WHERE vec_id < 50) qry
-         |  WHERE corp.vec_id <> qry.vec_id),
-         |cand AS (SELECT query_id, neighbor_id FROM (
+    "q105_ann_jl" -> duckJlOracle,
+
+    // q106: the exact top-5 (q30's form at 50 queries) joined against
+    // each tier's own oracle SQL nested as a subquery — matched-pair
+    // counts and the long/long recall division, one row per method.
+    "q106_ann_recall" -> {
+      def tier(name: String, sql: String): String =
+        s"""SELECT '$name' AS method,
+           |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_expected,
+           |  CAST(count(*) AS BIGINT) AS n_hits,
+           |  CAST(count(*) AS DOUBLE) /
+           |    CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall
+           |FROM ex JOIN (
+           |$sql
+           |) ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id""".stripMargin
+      s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |exs AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         |    ${duckCosine("qq.v", "cc.v")} AS sim
+         |  FROM eb cc, (SELECT * FROM eb WHERE vec_id < 50) qq
+         |  WHERE cc.vec_id <> qq.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |                                ORDER BY sim DESC, neighbor_id ASC) AS rn
-         |    FROM cscored)
-         |  WHERE rn <= 100),
-         |rescored AS (SELECT cand.query_id, cand.neighbor_id,
-         |    ${duckCosine("qe.v", "ce.v")} AS sim
-         |  FROM cand
-         |  JOIN e qe ON qe.vec_id = cand.query_id
-         |  JOIN e ce ON ce.vec_id = cand.neighbor_id)
-         |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
-         |  FROM rescored)
-         |WHERE rn <= 5""".stripMargin
+         |    FROM exs)
+         |  WHERE rn <= 5)
+         |${tier("lsh", duckLshOracle)}
+         |UNION ALL
+         |${tier("ivf", duckIvfOracle)}
+         |UNION ALL
+         |${tier("jl", duckJlOracle)}""".stripMargin
     },
 
     // q104: q64's acceptance arithmetic with the clamp replaced by the

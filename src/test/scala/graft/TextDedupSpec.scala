@@ -543,6 +543,21 @@ class TextDedupSpec extends SparkSpec {
     assert(probe.getMessage.contains("jlTopK"))
   }
 
+  test("recallReport: self-recall 1.0, disjoint tier 0.0, partial counts exact") {
+    import SparkSpec.spark.implicits._
+    val ex = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 10L), (2L, 2L, 12L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val half = Seq((1L, 1L, 10L), (2L, 1L, 13L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val out = Ann.recallReport(ex, Seq("self" -> ex, "half" -> half,
+        "none" -> half.filter($"query_id" < 0)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("self") == ((4L, 4L, 1.0)))
+    assert(out("half") == ((4L, 1L, 0.25)))
+    assert(out("none") == ((4L, 0L, 0.0)))
+  }
+
   test("ANN broadcast contract: a corpus-sized query set fails at the call site") {
     // The forced broadcast would otherwise OOM the driver with a stack
     // trace pointing at an executor; the probe names the fix instead.
