@@ -1108,6 +1108,24 @@ object TextQueries {
           seed = 42, nCentroids = 16, nProbe = 4),
         "jl" -> Ann.jlTopK(emb, q, "vec_id", "embedding", k = 5,
           outDim = 32, oversample = 20, seed = 77)))
+    }),
+
+    // Per-group HLL ([[graft.sketch.Sketch.hyperLogLogByGroup]]): one
+    // fixed-memory cardinality sketch per SOURCE over the 3-gram
+    // shingle stream — the per-domain distinct-content report that an
+    // exact count_distinct GROUP BY would pay a corpus-sized shuffle
+    // for. Registers key on (source, bucket); the integer harmonic sum
+    // makes even the estimate double bit-identical. n_exact rides per
+    // group for the error read.
+    "q107_hll_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        TextOps.tokens(col("text")).as("ts"))
+      val sh = d.select(col("source"),
+          explode_outer(Dedup.minhashFeatures(col("ts"), 3, 1)("shingles")).as("sh"))
+        .filter(col("sh").isNotNull)
+      graft.sketch.Sketch.hyperLogLogByGroup(sh, "source", "sh", b = 8)
+        .join(sh.groupBy("source").agg(count_distinct(col("sh")).as("n_exact")),
+          Seq("source"))
     })
   )
 
@@ -2602,6 +2620,35 @@ object TextQueries {
          |${side("wiki", "doc_id % 10 = 0", "0.5")}
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
+    },
+
+    // q107: q101's register/harmonic-sum replay with every stage keyed
+    // by source (the shingle CTE keys by doc_id; documents supplies the
+    // source tag).
+    "q107_hll_by_source" -> {
+      val alpha = graft.sketch.Sketch.hllAlpha(8)
+      s"""WITH $DuckToks,
+         |${duckShingleHashes()},
+         |ss AS (SELECT d.source, sh FROM sh JOIN documents d USING (doc_id)),
+         |hv AS (SELECT source, ${H("CAST(sh AS VARCHAR)")} AS h FROM ss),
+         |hb AS (SELECT source, h % 256 AS bucket,
+         |  CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8))
+         |       ELSE 53 END AS rho
+         |  FROM hv),
+         |regs AS (SELECT source, bucket, max(rho) AS M FROM hb GROUP BY 1, 2),
+         |agg AS (SELECT source, count(*) AS occ,
+         |  CAST(sum(CAST(1 AS BIGINT) << (53 - M)) AS BIGINT) AS s_occ
+         |  FROM regs GROUP BY source),
+         |ex AS (SELECT source, CAST(count(DISTINCT sh) AS BIGINT) AS n_exact
+         |       FROM ss GROUP BY source)
+         |SELECT agg.source, CAST(256 AS BIGINT) AS m,
+         |  CAST(256 - occ AS BIGINT) AS v_empty,
+         |  CAST(s_occ + (256 - occ) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS s_int,
+         |  CAST($alpha AS DOUBLE) * CAST(65536 AS DOUBLE) *
+         |    (CAST(9007199254740992 AS DOUBLE) /
+         |     CAST(s_occ + (256 - occ) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)) AS estimate,
+         |  n_exact
+         |FROM agg JOIN ex USING (source)""".stripMargin
     },
 
     // q99: the same content-cut — boundary flag per token, running sum

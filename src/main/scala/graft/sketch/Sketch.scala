@@ -125,4 +125,41 @@ object Sketch {
     * round-trips; DuckDB parses the decimal literal to the same IEEE
     * value). */
   def hllAlpha(b: Int): Double = { val m = 1 << b; 0.7213 / (1.0 + 1.079 / m) }
+
+  /** [[hyperLogLog]] keyed by a group column — one sketch row PER GROUP
+    * (per-domain distinct URLs, per-source distinct shingles, per-
+    * language vocabulary size): registers keyed by (group, bucket), so
+    * the whole report is two map-side-combinable aggs over at most
+    * groups·2^b keys — the exact `count_distinct(... ) GROUP BY g`
+    * alternative shuffles every distinct (group, value) pair, corpus-
+    * sized for shingles at 100 TB. Same integer-harmonic-sum
+    * determinism as the global sketch; groups absent from the input
+    * simply have no row. */
+  def hyperLogLogByGroup(values: DataFrame, groupCol: String, valCol: String,
+      b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"hyperLogLogByGroup: b=$b outside [4,16]")
+    val m = 1 << b
+    val w = fieldWidth(b)
+    val alpha = hllAlpha(b)
+    val h = Stable.hash64(col(valCol))
+    val rem = shiftright(h, b)
+    val rho = (lit(w + 1) -
+      when(rem > 0, length(bin(rem))).otherwise(lit(0))).cast("int")
+    val regs = values
+      .select(col(groupCol), pmod(h, lit(m.toLong)).as("__bucket"), rho.as("__rho"))
+      .groupBy(col(groupCol), col("__bucket")).agg(max(col("__rho")).as("__M"))
+    regs
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__occ"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - __M)")),
+          lit(0L)).as("__s_occ"))
+      .select(col(groupCol),
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("__occ")).as("v_empty"),
+        (col("__s_occ") +
+          (lit(m.toLong) - col("__occ")) * lit(1L << (w + 1))).as("s_int"))
+      .withColumn("estimate",
+        lit(alpha) * lit(m.toDouble * m.toDouble) *
+          (lit(Math.pow(2.0, (w + 1).toDouble)) / col("s_int").cast("double")))
+  }
 }

@@ -66,4 +66,17 @@ class SketchSpec extends SparkSpec {
     // 255 empty buckets at 2^53 plus one occupied register in [2^0, 2^52].
     assert(sInt > 255L * (1L << 53) && sInt <= 256L * (1L << 53))
   }
+
+  test("hyperLogLogByGroup: each group's row equals the global sketch of its slice") {
+    val a = (0 until 500).map(i => ("a", s"x$i"))
+    val b = (0 until 80).map(i => ("b", s"y$i"))
+    val grouped = Sketch.hyperLogLogByGroup((a ++ b).toDF("g", "x"), "g", "x")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    for ((g, rows) <- Seq("a" -> a, "b" -> b)) {
+      val solo = Sketch.hyperLogLog(rows.map(_._2).toDF("x"), "x").collect()(0)
+      assert(grouped(g) == ((solo.getLong(1), solo.getLong(2), solo.getDouble(3))),
+        s"group $g disagrees with its standalone sketch")
+    }
+  }
 }
