@@ -1126,6 +1126,24 @@ object TextQueries {
       graft.sketch.Sketch.hyperLogLogByGroup(sh, "source", "sh", b = 8)
         .join(sh.groupBy("source").agg(count_distinct(col("sh")).as("n_exact")),
           Seq("source"))
+    }),
+
+    // PII incidence report ([[TextOps.piiIncidence]]): per-source doc
+    // counts matching each detection pattern (email / phone-ish / IPv4)
+    // — the audit run before [[TextOps.redact]] scrubs, with plants
+    // that vary by doc parity (every doc an email tail, %3 a phone, %5
+    // an IP) so each pattern column is load-bearing. RE2-compatible
+    // regexes make every flag reproducible in DuckDB.
+    "q108_pii_report" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("source"), concat(col("text"),
+        lit(" user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +1 555-01"), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0.0."), (col("doc_id") % 256).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      TextOps.piiIncidence(planted, "source", "text")
     })
   )
 
@@ -2621,6 +2639,26 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q108: the same plants and the same RE2 patterns — regexp_matches
+    // is RE2's unanchored find, Spark rlike is Java's; the pattern
+    // subset keeps their semantics identical.
+    "q108_pii_report" ->
+      s"""WITH d AS (SELECT source,
+         |  text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' call +1 555-01' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS text
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+         |  CAST(sum(CASE WHEN regexp_matches(text, '\\+?[0-9][0-9\\- ]{7,}[0-9]')
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+         |  CAST(sum(CASE WHEN regexp_matches(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_ipv4
+         |FROM d GROUP BY source""".stripMargin,
 
     // q107: q101's register/harmonic-sum replay with every stage keyed
     // by source (the shingle CTE keys by doc_id; documents supplies the

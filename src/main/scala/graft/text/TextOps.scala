@@ -601,6 +601,33 @@ object TextOps {
   def redact(text: Column, rules: Seq[(String, String)] = DefaultRedactions): Column =
     rules.foldLeft(text) { case (acc, (p, t)) => regexp_replace(acc, p, t) }
 
+  /** Default PII DETECTION patterns for [[piiIncidence]] — finer-grained
+    * than [[DefaultRedactions]] (which collapses everything numeric):
+    * emails, phone-ish digit runs (≥ 9 chars allowing separators), and
+    * IPv4 literals. RE2-compatible by the same contract as [[redact]]. */
+  val DefaultPiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone" -> "\\+?[0-9][0-9\\- ]{7,}[0-9]",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** PII incidence report — the measurement companion to [[redact]]
+    * (audit BEFORE scrubbing, verify AFTER: a post-redaction run of the
+    * same report must read zero): per `groupCol`, the doc count and how
+    * many docs match each detection pattern. One map-side-combined agg
+    * over a pure projection of codegen rlike flags — the corpus never
+    * shuffles, the report is groups × (2 + patterns) values. Patterns
+    * stay RE2-compatible ([[redact]]'s contract) so external engines
+    * reproduce every flag. */
+  def piiIncidence(df: DataFrame, groupCol: String, textCol: String,
+      patterns: Seq[(String, String)] = DefaultPiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "piiIncidence: no detection patterns")
+    val aggs = count(lit(1)).as("n_docs") +: patterns.map { case (name, re) =>
+      coalesce(sum(when(col(textCol).rlike(re), 1L).otherwise(0L)), lit(0L))
+        .as(s"n_$name")
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Compression-ratio quality signal: deflate-compressed size over raw
     * size (low ratio = repetitive/templated text, a standard LLM-corpus
     * junk detector). JDK Deflater at a fixed level — deterministic for a

@@ -100,6 +100,25 @@ class VocabSpec extends SparkSpec {
     assert(ex.getMessage.contains("cannot broadcast"))
   }
 
+  test("piiIncidence: per-pattern flags, and a post-redaction run reads zero") {
+    val rows = Seq(
+      ("a", "reach me at bob@example.com today"),
+      ("a", "call +1 555-0123 44 now"),
+      ("a", "server at 10.0.0.7 responded"),
+      ("b", "nothing sensitive here")).toDF("src", "text")
+    val out = TextOps.piiIncidence(rows, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((3L, 1L, 1L, 1L)), s"got ${out("a")}")
+    assert(out("b") == ((1L, 0L, 0L, 0L)))
+    // the audit loop closes: redact with matching rules, then re-audit
+    val scrubbed = rows.select(col("src"), TextOps.redact(col("text"),
+      TextOps.DefaultPiiPatterns.map(_._2 -> "<x>")).as("text"))
+    val after = TextOps.piiIncidence(scrubbed, "src", "text")
+      .agg(sum(col("n_email") + col("n_phone") + col("n_ipv4"))).collect()(0).getLong(0)
+    assert(after == 0L, s"redaction left $after detections")
+  }
+
   test("lengthPercentileGate: hand-computed cuts, ties share a side, degenerate bands") {
     // Lengths 1..10, one doc each: total 10; p20 cut = smallest L with
     // 100·cum >= 10·20·10? — cum(L)=L here, so lo = smallest L with
