@@ -1144,6 +1144,19 @@ object TextQueries {
           concat(lit(" from 10.0.0."), (col("doc_id") % 256).cast("string")))
           .otherwise(lit(""))).as("text"))
       TextOps.piiIncidence(planted, "source", "text")
+    }),
+
+    // Exact stratified split assignment
+    // ([[graft.sources.SplitSource.assignSplitStratified]]): within
+    // each source, docs rank by seeded hash and the 80/10/10 boundaries
+    // cut the RANKS — every 25-doc stratum lands exactly 20/2/3 where
+    // the Bernoulli assignment is exact only in expectation. The oracle
+    // is the row_number + floor form over the same hash.
+    "q109_stratified_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("source", "doc_id")
+      graft.sources.SplitSource.assignSplitStratified(d, "source", col("doc_id"),
+        seed = 19,
+        weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
     })
   )
 
@@ -2639,6 +2652,21 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q109: rank-cut stratified assignment over the same seeded hash;
+    // floor of the IEEE double product gives identical boundaries.
+    "q109_stratified_split" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |  ${Stable.duckSeededHash(19, "source", "doc_id")} AS h FROM documents),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) - 1 AS r,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM h)
+         |SELECT source, doc_id,
+         |  CASE WHEN r < floor(CAST(n AS DOUBLE) * 0.8) THEN 'train'
+         |       WHEN r < floor(CAST(n AS DOUBLE) * 0.9) THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM r""".stripMargin,
 
     // q108: the same plants and the same RE2 patterns — regexp_matches
     // is RE2's unanchored find, Spark rlike is Java's; the pattern

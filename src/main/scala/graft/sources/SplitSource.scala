@@ -32,6 +32,37 @@ object SplitSource {
     df.withColumn("split", expr)
   }
 
+  /** EXACT stratified split assignment: within each `groupCol` stratum,
+    * rows rank by seeded hash and the cumulative-weight boundaries cut
+    * the RANKS — so every stratum's split counts are exact to ±1 doc
+    * (boundary k = floor(n_g · cumw_k), computed once in IEEE double),
+    * where [[assignSplit]]'s per-row Bernoulli is exact only in
+    * expectation. The difference matters precisely when strata are
+    * small (a 40-doc language at 80/10/10 can land 0 valid docs under
+    * Bernoulli); stratified evaluation sets are the standard fix.
+    *
+    * Scale bound, stated honestly: the rank is a window partitioned by
+    * the stratum — each stratum's rows sort in one task, so this is a
+    * SMALL-STRATA tool by construction (the regime where exactness
+    * matters). For few huge strata, per-stratum exactness is
+    * statistically irrelevant and [[assignSplit]]'s pure projection is
+    * the right plan; the scaladoc IS the decision rule. */
+  def assignSplitStratified(df: DataFrame, groupCol: String, key: Column,
+      seed: Long, weights: Seq[(String, Double)]): DataFrame = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__h", Stable.seededHash(seed, col(groupCol), key))
+      .withColumn("__r", row_number().over(w.orderBy(col("__h"))).cast("bigint") - 1L)
+      .withColumn("__n", count(lit(1)).over(w))
+    val cum = weights.scanLeft(0.0) { case (acc, (_, wt)) => acc + wt }.tail
+    val expr = weights.zip(cum).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), c), acc) =>
+        when(col("__r") < floor(col("__n").cast("double") * c), name).otherwise(acc)
+    }
+    ranked.withColumn("split", expr).drop("__h", "__r", "__n")
+  }
+
   /** Split assignment from explicit [[Subset]]s — fuel's indices-ref
     * splits (hdf5.py:234-300: a split defined by an arbitrary index list
     * or range, not a proportion). Rows in no subset get `restName`;

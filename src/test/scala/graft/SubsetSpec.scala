@@ -104,6 +104,28 @@ class SubsetSpec extends SparkSpec {
     assert(Subset.empty(10L)(df).count() == 0)
   }
 
+  test("assignSplitStratified: exact per-stratum counts, tiny strata covered, determinism") {
+    import SparkSpec.spark.implicits._
+    val w = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    // 40-doc stratum at 80/10/10 -> exactly 32/4/4; a 3-doc stratum
+    // still lands floor(2.4)=2 train, floor(2.7)-2=0 valid, 1 test.
+    val rows = ((1L to 40L).map(i => ("big", i)) ++ Seq(("tiny", 100L), ("tiny", 101L), ("tiny", 102L)))
+      .toDF("src", "doc_id")
+    val out = graft.sources.SplitSource
+      .assignSplitStratified(rows, "src", $"doc_id", seed = 19, weights = w)
+    val counts = out.groupBy("src", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("big", "train")) == 32 && counts(("big", "valid")) == 4 &&
+      counts(("big", "test")) == 4, s"got $counts")
+    assert(counts(("tiny", "train")) == 2 && counts(("tiny", "test")) == 1 &&
+      !counts.contains(("tiny", "valid")))
+    // determinism under repartitioning
+    val re = graft.sources.SplitSource
+      .assignSplitStratified(rows.repartition(7), "src", $"doc_id", seed = 19, weights = w)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(re == out.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet)
+  }
+
   test("assignSplitFromSubsets: indices-ref splits land in partitioned storage") {
     import graft.sources.SplitSource
     val df = indexedSupplier // 10 rows, __idx 0..9
