@@ -1157,6 +1157,24 @@ object TextQueries {
       graft.sources.SplitSource.assignSplitStratified(d, "source", col("doc_id"),
         seed = 19,
         weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    }),
+
+    // Corpus datasheet ([[TextOps.corpusDatasheet]]): the per-source
+    // dataset-card table — doc/token/char counts, deci-integer mean and
+    // histogram median lengths, exact-duplicate incidence, email-doc
+    // counts. Plants make the interesting columns load-bearing: the
+    // %17 slice unions back in (exact dups → dup_frac > 0) and %4 docs
+    // get an email tail. Every column integer or long/long division.
+    "q110_corpus_datasheet" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com")))
+            .otherwise(lit(""))).as("text"))
+      val planted = base.unionByName(base.filter(col("doc_id") % 17 === 0))
+        .select("source", "text")
+      TextOps.corpusDatasheet(planted, "source", "text")
     })
   )
 
@@ -2652,6 +2670,36 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q110: the same plants; md5 hex strings agree across engines so
+    // the distinct-text count does; `//` is DuckDB's integer div.
+    "q110_corpus_datasheet" ->
+      s"""WITH d0 AS (SELECT source, doc_id,
+         |  text || CASE WHEN doc_id % 4 = 0
+         |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |u AS (SELECT source, text FROM d0
+         |      UNION ALL SELECT source, text FROM d0 WHERE doc_id % 17 = 0),
+         |b AS (SELECT source, text,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS nt,
+         |  CAST(length(text) AS BIGINT) AS nc FROM u),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+         |  CAST(sum(CASE WHEN regexp_matches(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs
+         |  FROM b GROUP BY source),
+         |h AS (SELECT source, nt, count(*) AS c FROM b GROUP BY 1, 2),
+         |hc AS (SELECT source, nt,
+         |  sum(c) OVER (PARTITION BY source ORDER BY nt ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(c) OVER (PARTITION BY source) AS n FROM h),
+         |md AS (SELECT source, CAST(min(CASE WHEN cum * 2 >= n THEN nt END) AS BIGINT)
+         |         AS median_tokens FROM hc GROUP BY source)
+         |SELECT m.source, n_docs, n_tokens, n_chars, n_distinct_texts, n_email_docs,
+         |  median_tokens, (n_tokens * 10) // n_docs AS mean_tokens_x10,
+         |  CAST(n_docs - n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac
+         |FROM m JOIN md USING (source)""".stripMargin,
 
     // q109: rank-cut stratified assignment over the same seeded hash;
     // floor of the IEEE double product gives identical boundaries.

@@ -628,6 +628,46 @@ object TextOps {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Corpus datasheet — the per-source summary table a dataset card
+    * publishes (Gebru et al.'s datasheets; what HF dataset cards
+    * tabulate): doc/token/char counts, mean (deci-integer) and median
+    * token length, exact-duplicate incidence (distinct-text count via
+    * md5 — the [[graft.dedup.Dedup]] exact key), and email-bearing doc
+    * counts — one row per source, every column either an integer or a
+    * long/long division, so the whole card is reproducible bit-for-bit.
+    *
+    * Scale shape: one map-side-combined agg per group for the counts
+    * (count_distinct shuffles (group, md5) pairs — the exact-dedup
+    * key shuffle the duplicate column inherently costs); the median
+    * comes from the bounded per-group LENGTH HISTOGRAM (the
+    * [[lengthPercentileGate]] argument) with the cumulative window
+    * partitioned by group — never a corpus sort. */
+  def corpusDatasheet(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(textCol).as("__t"),
+      size(tokens(col(textCol))).cast("bigint").as("__nt"),
+      length(col(textCol)).cast("bigint").as("__nc"))
+    val main = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("__nt")), lit(0L)).as("n_tokens"),
+      coalesce(sum(col("__nc")), lit(0L)).as("n_chars"),
+      count_distinct(md5(col("__t"))).as("n_distinct_texts"),
+      coalesce(sum(when(col("__t").rlike(DefaultPiiPatterns.head._2), 1L)
+        .otherwise(0L)), lit(0L)).as("n_email_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val med = base.groupBy(col(groupCol), col("__nt")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w.orderBy(col("__nt"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(w))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("__cum") * 2 >= col("__n"), col("__nt"))).as("median_tokens"))
+    main.join(med, Seq(groupCol))
+      .withColumn("mean_tokens_x10", expr("(n_tokens * 10) div n_docs"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs").cast("double"))
+  }
+
   /** Compression-ratio quality signal: deflate-compressed size over raw
     * size (low ratio = repetitive/templated text, a standard LLM-corpus
     * junk detector). JDK Deflater at a fixed level — deterministic for a

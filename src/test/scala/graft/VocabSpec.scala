@@ -119,6 +119,23 @@ class VocabSpec extends SparkSpec {
     assert(after == 0L, s"redaction left $after detections")
   }
 
+  test("corpusDatasheet: hand-computed card — counts, median, dup_frac, email flags") {
+    val rows = Seq(
+      ("a", "x y z"), ("a", "x y z"), ("a", "p q"),
+      ("b", "reach bob@example.com now")).toDF("src", "text")
+    val out = TextOps.corpusDatasheet(rows, "src", "text").collect()
+      .map(r => r.getAs[String]("src") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_tokens") == 8)
+    assert(a.getAs[Long]("n_distinct_texts") == 2)
+    assert(a.getAs[Double]("dup_frac") == 1.0 / 3.0)
+    assert(a.getAs[Long]("median_tokens") == 3)        // lengths {2,3,3}
+    assert(a.getAs[Long]("mean_tokens_x10") == 26)     // 80 div 3
+    assert(a.getAs[Long]("n_email_docs") == 0)
+    val b = out("b")
+    assert(b.getAs[Long]("n_email_docs") == 1 && b.getAs[Double]("dup_frac") == 0.0)
+  }
+
   test("lengthPercentileGate: hand-computed cuts, ties share a side, degenerate bands") {
     // Lengths 1..10, one doc each: total 10; p20 cut = smallest L with
     // 100·cum >= 10·20·10? — cum(L)=L here, so lo = smallest L with
