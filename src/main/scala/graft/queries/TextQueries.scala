@@ -1175,6 +1175,24 @@ object TextQueries {
       val planted = base.unionByName(base.filter(col("doc_id") % 17 === 0))
         .select("source", "text")
       TextOps.corpusDatasheet(planted, "source", "text")
+    }),
+
+    // C4 line-and-page rules ([[TextOps.c4LineFilter]]): one plant per
+    // rule — the organic line gains terminal punctuation (kept), a
+    // punctuation-free CTA line drops (terminal-punct rule), a
+    // two-word line with punctuation drops (min-words rule), a
+    // "javascript" notice drops (banned-term rule), and the %31 docs
+    // gain "lorem ipsum" so the whole page drops (page rule).
+    "q111_c4_line_filter" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("."),
+          lit("\nclick here to subscribe"),
+          lit("\nread more."),
+          when(col("doc_id") % 7 === 0, lit("\nenable javascript to continue."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 31 === 0, lit("\nfiller lorem ipsum text here."))
+            .otherwise(lit(""))).as("text"))
+      TextOps.c4LineFilter(planted, "doc_id", "text")
     })
   )
 
@@ -2670,6 +2688,30 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q111: the same plants, the same RE2-safe terminal-punctuation
+    // regex, word counts via the shared token rule, reassembly by
+    // ordered string_agg.
+    "q111_c4_line_filter" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  text || '.' || chr(10) || 'click here to subscribe' ||
+         |  chr(10) || 'read more.' ||
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN chr(10) || 'enable javascript to continue.' ELSE '' END ||
+         |  CASE WHEN doc_id % 31 = 0
+         |       THEN chr(10) || 'filler lorem ipsum text here.' ELSE '' END AS text
+         |  FROM documents),
+         |pg AS (SELECT * FROM d
+         |       WHERE NOT contains(text, 'lorem ipsum') AND NOT contains(text, '{')),
+         |l AS (SELECT doc_id, i - 1 AS li, ls[i] AS ln FROM (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         |         unnest(generate_series(1, len(ls))) AS i FROM pg)),
+         |k AS (SELECT doc_id, li, ln FROM l
+         |      WHERE regexp_matches(ln, '[.!?"]$$')
+         |        AND len(list_filter(string_split(ln, ' '), t -> len(t) > 0)) >= 3
+         |        AND NOT contains(ln, 'javascript'))
+         |SELECT doc_id, string_agg(ln, chr(10) ORDER BY li) AS clean_text
+         |FROM k GROUP BY doc_id""".stripMargin,
 
     // q110: the same plants; md5 hex strings agree across engines so
     // the distinct-text count does; `//` is DuckDB's integer div.

@@ -578,6 +578,43 @@ object TextOps {
           e => e.getField("__line"))).as(out))
   }
 
+  /** C4's published line-and-page rules (Raffel et al. 2020 §2.2) — the
+    * structural-quality scrub that runs on STILL-STRUCTURED text (before
+    * [[normalize]] collapses newlines, the [[dedupLines]] ordering
+    * rule): keep only lines that end in terminal punctuation AND hold at
+    * least `minLineTokens` words AND mention no `banned` term (C4's
+    * "javascript" rule); drop the whole page when it contains any
+    * `pageBanned` marker (C4 dropped "lorem ipsum" and curly-brace
+    * pages). Survivor lines reassemble in original order; pages whose
+    * every line fails drop entirely. Complements [[dedupLines]]: that
+    * rule is corpus-RELATIVE (what repeats), this one is structural
+    * (what never was prose).
+    *
+    * Scale shape: strictly cheaper than [[dedupLines]] — every rule is a
+    * per-line codegen predicate (no corpus-wide count, no broadcast),
+    * so the whole operator is explode → filter → the same bounded
+    * per-doc reassembly; nothing ever shuffles keyed by line text. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minLineTokens: Int = 3, banned: Seq[String] = Seq("javascript"),
+      pageBanned: Seq[String] = Seq("lorem ipsum", "{"),
+      out: String = "clean_text"): DataFrame = {
+    val pageOk = pageBanned.foldLeft(lit(true)) { (acc, b) =>
+      acc && !col(textCol).contains(b)
+    }
+    val lines = df.filter(pageOk).select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__li", "__line")))
+    val lineOk = banned.foldLeft(
+      col("__line").rlike("[.!?\"]$") &&
+        size(tokens(col("__line"))) >= minLineTokens) { (acc, b) =>
+      acc && !col("__line").contains(b)
+    }
+    lines.filter(lineOk)
+      .groupBy(idCol)
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__li"), col("__line")))),
+          e => e.getField("__line"))).as(out))
+  }
+
   /** Training-data text normalization: lowercase, strip to alphanumerics
     * and spaces, collapse whitespace runs, trim. All Catalyst built-ins
     * (codegen); character classes chosen to behave identically in Java

@@ -119,6 +119,20 @@ class VocabSpec extends SparkSpec {
     assert(after == 0L, s"redaction left $after detections")
   }
 
+  test("c4LineFilter: one assert per published rule") {
+    val rows = Seq(
+      (1L, "the quick brown fox runs far.\nclick here\nshort.\nuses javascript today.\nanother good long line!"),
+      (2L, "this page has lorem ipsum somewhere.\na perfectly good line."),
+      (3L, "no line here survives")).toDF("doc_id", "text")
+    val out = TextOps.c4LineFilter(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: CTA (no punct), "short." (< 3 words), javascript line all drop
+    assert(out(1L) == "the quick brown fox runs far.\nanother good long line!")
+    // doc 2: page rule removes the WHOLE page despite its good line
+    // doc 3: no terminal punctuation -> no surviving lines -> no row
+    assert(out.keySet == Set(1L))
+  }
+
   test("corpusDatasheet: hand-computed card — counts, median, dup_frac, email flags") {
     val rows = Seq(
       ("a", "x y z"), ("a", "x y z"), ("a", "p q"),
