@@ -1193,6 +1193,23 @@ object TextQueries {
           when(col("doc_id") % 31 === 0, lit("\nfiller lorem ipsum text here."))
             .otherwise(lit(""))).as("text"))
       TextOps.c4LineFilter(planted, "doc_id", "text")
+    }),
+
+    // Deterministic global shuffle layout
+    // ([[TextOps.packSequencesOrdered]] keyed by seeded hash): trainers
+    // need documents concatenated in SHUFFLED order (id-order packing
+    // correlates adjacent batches); ORDER BY random() is irreproducible
+    // under retries, so the shuffle key is the engine's seeded hash —
+    // the same two-phase distributed prefix sum, a different total
+    // order, bit-identical on any engine and any rerun.
+    "q112_shuffled_pack" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+        .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+        .withColumn("shuffle_key", Stable.seededHash(23, col("doc_id")))
+      TextOps.packSequencesOrdered(d, "doc_id", "n_tokens", seqLen = 512,
+          orderBy = Seq(col("shuffle_key")))
+        .select("doc_id", "shuffle_key", "n_tokens", "tok_offset",
+          "first_seq", "last_seq")
     })
   )
 
@@ -2688,6 +2705,23 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q112: exclusive prefix sum over (hash, doc_id) — the window form
+    // of the distributed two-phase scan, same integer div sequence cuts.
+    "q112_shuffled_pack" ->
+      s"""WITH $DuckToks,
+         |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+         |h AS (SELECT doc_id, n_tokens,
+         |        ${Stable.duckSeededHash(23, "doc_id")} AS shuffle_key FROM n),
+         |p AS (SELECT doc_id, shuffle_key, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         |  FROM h)
+         |SELECT doc_id, shuffle_key, n_tokens, tok_offset,
+         |  tok_offset // 512 AS first_seq,
+         |  CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
+         |       ELSE tok_offset // 512 END AS last_seq
+         |FROM p""".stripMargin,
 
     // q111: the same plants, the same RE2-safe terminal-punctuation
     // regex, word counts via the shared token rule, reassembly by
