@@ -1210,6 +1210,23 @@ object TextQueries {
           orderBy = Seq(col("shuffle_key")))
         .select("doc_id", "shuffle_key", "n_tokens", "tok_offset",
           "first_seq", "last_seq")
+    }),
+
+    // Quality-WEIGHTED sampling ([[graft.text.Classify.sampleByQuality]]):
+    // the DCLM/FineWeb-Edu soft gate — keep probability ramps linearly
+    // with the q72 classifier's mean micro-score across [-150, +150]
+    // mean-units, the Bernoulli threshold cross-multiplied away so the
+    // whole decision is exact integer arithmetic in DECIMAL(38,0) /
+    // HUGEINT. Contrast with q72's hard cut + rescue over the same
+    // scores.
+    "q113_quality_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      graft.text.Classify.score(
+          graft.text.Classify.sampleByQuality(docs, "doc_id", "ts", q72Weights,
+            loMicros = -150000000L, hiMicros = 150000000L, seed = 11),
+          "ts", q72Weights)
+        .select("doc_id", "score_sum", "n_tokens", "mean_score")
     })
   )
 
@@ -2705,6 +2722,24 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q113: q72's score CTE + the cross-multiplied ramp compare in
+    // HUGEINT — no division anywhere, so the kept set is bit-exact.
+    "q113_quality_sample" ->
+      s"""WITH $DuckToks,
+         |th AS (SELECT doc_id, ${H("w")} AS h
+         |       FROM (SELECT doc_id, unnest(ts) AS w FROM toks)),
+         |sc AS (SELECT doc_id,
+         |    sum((${H("concat('w', CAST(h % 4096 AS VARCHAR))")} % 2001) - 1000) AS score_sum,
+         |    count(*) AS n FROM th GROUP BY doc_id)
+         |SELECT doc_id, score_sum, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(score_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score
+         |FROM sc
+         |WHERE n > 0 AND
+         |  CAST(${Stable.duckSeededHash(11, "doc_id")} % 1000000 AS HUGEINT) *
+         |    CAST(300000000 * n AS HUGEINT)
+         |  < CAST(score_sum * 1000000 - (-150000000) * n AS HUGEINT) *
+         |    CAST(1000000 AS HUGEINT)""".stripMargin,
 
     // q112: exclusive prefix sum over (hash, doc_id) — the window form
     // of the distributed two-phase scan, same integer div sequence cuts.

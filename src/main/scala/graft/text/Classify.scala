@@ -73,4 +73,36 @@ object Classify {
         pmod(Stable.seededHash(seed, col(idCol)),
           lit(graft.sources.SplitSource.Buckets.toLong)) < lit(rescueThreshold)))
   }
+
+  /** Quality-WEIGHTED sampling — the soft alternative to [[gate]]'s
+    * hard cut (the DCLM/FineWeb-Edu move: sample by classifier score
+    * instead of thresholding, so the kept distribution degrades
+    * gracefully instead of cliff-ing at the boundary): a doc with mean
+    * micro-score s keeps with probability clamp((s − lo)/(hi − lo), 0, 1)
+    * — never below `loMicros`, always at or above `hiMicros`, linear
+    * ramp between.
+    *
+    * Determinism without division: keep iff
+    * `hash·den < num·10^6` with num = score_sum·10^6 − lo·n and
+    * den = (hi − lo)·n — the Bernoulli threshold CROSS-MULTIPLIED away
+    * (the [[graft.ann.Ann.contaminatedSemantic]] trick), every factor
+    * cast to DECIMAL(38,0) BEFORE multiplying (the products pass 2^63
+    * at realistic doc lengths; a silent long wrap would flip keeps) —
+    * HUGEINT in the oracle, bit-identical. The clamp falls out of the
+    * compare: num ≤ 0 never keeps, num ≥ den always does. Pure filter
+    * — pushes to the scan, no shuffle. */
+  def sampleByQuality(docs: DataFrame, idCol: String, toksCol: String,
+      weights: Array[Long], loMicros: Long, hiMicros: Long,
+      seed: Long = 42): DataFrame = {
+    require(hiMicros > loMicros,
+      s"sampleByQuality: need loMicros < hiMicros, got [$loMicros, $hiMicros]")
+    val dec = "decimal(38,0)"
+    val scoreSum = HashScoreExpr.hashScore(col(toksCol), weights)
+    val n = size(col(toksCol)).cast("bigint")
+    val hash = pmod(Stable.seededHash(seed, col(idCol)), lit(1000000L))
+    val num = (scoreSum * lit(1000000L)).cast(dec) - (lit(loMicros) * n).cast(dec)
+    val den = (lit(hiMicros - loMicros) * n).cast(dec)
+    docs.filter(n > 0 &&
+      hash.cast(dec) * den < num * lit(1000000L).cast(dec))
+  }
 }

@@ -813,6 +813,39 @@ class TextDedupSpec extends SparkSpec {
     assert(again == rescued, "rescue is a pure row property — identical re-run")
   }
 
+  test("sampleByQuality: ramp endpoints clamp, interior matches the cross-multiplied check") {
+    import SparkSpec.spark.implicits._
+    import graft.text.Classify
+    val corpus = graft.sources.Tables.load(SparkSpec.spark, sf, "documents")
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("ts"))
+    val bigW = Classify.seededWeights(4096, "w")
+    // lo above every mean: nothing keeps; hi below every mean: all keep
+    assert(Classify.sampleByQuality(corpus, "doc_id", "ts", bigW,
+      loMicros = 2000000000L, hiMicros = 3000000000L).count() == 0)
+    assert(Classify.sampleByQuality(corpus, "doc_id", "ts", bigW,
+      loMicros = -3000000000L, hiMicros = -2000000000L).count() == corpus.count())
+    // interior ramp: recompute the cross-multiplied keep set independently
+    val (lo, hi, seed) = (-150000000L, 150000000L, 11L)
+    val kept = Classify.sampleByQuality(corpus, "doc_id", "ts", bigW, lo, hi, seed)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = Classify.score(corpus, "ts", bigW)
+      .withColumn("h", pmod(graft.functions.Stable.seededHash(seed, col("doc_id")),
+        lit(1000000L)))
+      .filter(col("n_tokens") > 0 &&
+        col("h").cast("decimal(38,0)") *
+          (lit(hi - lo) * col("n_tokens")).cast("decimal(38,0)") <
+        (col("score_sum") * 1000000L).cast("decimal(38,0)") * lit(1000000L) -
+          (lit(lo) * col("n_tokens")).cast("decimal(38,0)") * lit(1000000L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < corpus.count().toInt,
+      s"the ramp must bisect this corpus, kept ${kept.size}")
+    val ex = intercept[IllegalArgumentException] {
+      Classify.sampleByQuality(corpus, "doc_id", "ts", bigW, 5L, 5L)
+    }
+    assert(ex.getMessage.contains("loMicros < hiMicros"))
+  }
+
   test("cdcChunks: clone family fully shared; insertion shifts only the prefix chunk") {
     import graft.functions.Stable
     val toks = (0 until 40).map(i => s"w$i")
