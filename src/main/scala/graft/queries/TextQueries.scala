@@ -1227,6 +1227,22 @@ object TextQueries {
             loMicros = -150000000L, hiMicros = 150000000L, seed = 11),
           "ts", q72Weights)
         .select("doc_id", "score_sum", "n_tokens", "mean_score")
+    }),
+
+    // Line-level language segmentation ([[TextOps.langSegments]]): the
+    // mixed-language-document report — %6 docs gain a Spanish stopword
+    // line and %9 docs a French one, so mix_frac flags exactly the
+    // planted interleavings while pure docs read 0. Per-line argmax and
+    // per-doc dominant-language tie-breaks are both integer + lex —
+    // fully replayable.
+    "q114_lang_segments" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit("\nel la de y que el la que"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit("\nle la de et un le et un"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.langSegments(planted, "doc_id", "text")
     })
   )
 
@@ -2722,6 +2738,49 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q114: q23's per-profile stopword scores applied per LINE, line
+    // argmax by (score DESC, lang ASC), doc argmax by (count DESC,
+    // lang ASC), long/long mix fraction.
+    "q114_lang_segments" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  text ||
+         |  CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'el la de y que el la que' ELSE '' END ||
+         |  CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'le la de et un le et un' ELSE '' END AS text
+         |  FROM documents),
+         |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+         |l AS (SELECT doc_id, i AS li,
+         |        list_filter(string_split(ls[i], ' '), t -> len(t) > 0) AS ts
+         |      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM sp)),
+         |lf AS (SELECT * FROM l WHERE len(ts) > 0),
+         |scores AS (
+         |  SELECT doc_id, li,
+         |    len(list_filter(ts, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |    len(list_filter(ts, t -> t IN ('the','a','of','and','to'))) AS s_en,
+         |    len(list_filter(ts, t -> t IN ('el','la','de','y','que'))) AS s_es,
+         |    len(list_filter(ts, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+         |    len(list_filter(ts, t -> t IN ('de','le','shi','bu','wo'))) AS s_zh
+         |  FROM lf),
+         |u AS (
+         |  SELECT doc_id, li, 'de' AS lang, s_de AS score FROM scores
+         |  UNION ALL SELECT doc_id, li, 'en', s_en FROM scores
+         |  UNION ALL SELECT doc_id, li, 'es', s_es FROM scores
+         |  UNION ALL SELECT doc_id, li, 'fr', s_fr FROM scores
+         |  UNION ALL SELECT doc_id, li, 'zh', s_zh FROM scores),
+         |pl AS (SELECT doc_id, li, lang FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id, li
+         |                              ORDER BY score DESC, lang ASC) AS rn FROM u)
+         |  WHERE rn = 1),
+         |c AS (SELECT doc_id, lang, count(*) AS n FROM pl GROUP BY 1, 2),
+         |best AS (SELECT doc_id, lang, n FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY n DESC, lang ASC) AS rn FROM c)
+         |  WHERE rn = 1),
+         |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines FROM c GROUP BY doc_id)
+         |SELECT t.doc_id, n_lines, b.lang AS main_lang,
+         |  CAST(b.n AS BIGINT) AS n_main_lines,
+         |  CAST(n_lines - b.n AS DOUBLE) / CAST(n_lines AS DOUBLE) AS mix_frac
+         |FROM tot t JOIN best b USING (doc_id)""".stripMargin,
 
     // q113: q72's score CTE + the cross-multiplied ramp compare in
     // HUGEINT — no division anywhere, so the kept set is bit-exact.

@@ -578,6 +578,39 @@ object TextOps {
           e => e.getField("__line"))).as(out))
   }
 
+  /** Line-level language segmentation — the mixed-language-document
+    * report (CCNet classifies at paragraph granularity for exactly this
+    * reason: web pages interleave languages, and a doc-level label
+    * mis-routes the minority lines): every non-empty line gets the
+    * [[langId]] argmax, and each doc reports its line count, dominant
+    * line-language (count DESC, lang ASC tie-break), dominant-line
+    * count, and `mix_frac` = the fraction of lines NOT in the dominant
+    * language — the split-or-route signal for a per-language pipeline.
+    *
+    * Scale shape: explode → the fused TokenStats codegen projection per
+    * line → one (doc, lang)-keyed count agg (map-side combined) → one
+    * doc-keyed argmax agg over ≤ |profiles| rows per doc (min over a
+    * (-count, lang) struct — no window). Docs with no non-empty line
+    * emit no row. */
+  def langSegments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .withColumn("__ts", tokens(col("__line")))
+      .filter(size(col("__ts")) > 0)
+    val counts = lines
+      .select(col(idCol), langId(col("__ts")).head.as("__lang"))
+      .groupBy(col(idCol), col("__lang")).agg(count(lit(1)).as("__n"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_lines"),
+        min(struct((-col("__n")).as("neg"), col("__lang").as("lang"),
+          col("__n").as("n"))).as("__best"))
+      .select(col(idCol), col("n_lines"),
+        col("__best.lang").as("main_lang"), col("__best.n").as("n_main_lines"))
+      .withColumn("mix_frac",
+        (col("n_lines") - col("n_main_lines")).cast("double") /
+          col("n_lines").cast("double"))
+  }
+
   /** C4's published line-and-page rules (Raffel et al. 2020 §2.2) — the
     * structural-quality scrub that runs on STILL-STRUCTURED text (before
     * [[normalize]] collapses newlines, the [[dedupLines]] ordering

@@ -119,6 +119,21 @@ class VocabSpec extends SparkSpec {
     assert(after == 0L, s"redaction left $after detections")
   }
 
+  test("langSegments: per-line argmax, dominant-language tie-breaks, empty docs vanish") {
+    val rows = Seq(
+      (1L, "the of and\nel la que\nel la y"),   // 1 en + 2 es -> main es
+      (2L, "the of and\nel la que"),            // 1-1 tie -> 'en' (lex)
+      (3L, "\n\n"),                             // no non-empty line -> no row
+      (4L, "the of and to a")).toDF("doc_id", "text")
+    val out = TextOps.langSegments(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, "es", 2L, 1.0 / 3.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, "en", 1L, 0.5)))
+    assert(out(4L) == ((1L, "en", 1L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
   test("c4LineFilter: one assert per published rule") {
     val rows = Seq(
       (1L, "the quick brown fox runs far.\nclick here\nshort.\nuses javascript today.\nanother good long line!"),
