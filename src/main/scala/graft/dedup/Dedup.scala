@@ -41,6 +41,32 @@ object Dedup {
     df.groupBy(md5(key.cast("string")).as("key_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Cross-source overlap matrix — the corpus-overlap study every
+    * multi-source recipe publishes (how much of source A's content
+    * recurs verbatim in source B — double-counted tokens inflate a
+    * mixture's effective diversity): one row per ORDERED source pair
+    * (a, b) with `n_docs_overlap` = a's docs whose exact text also
+    * appears in b, and `n_shared_texts` = distinct texts present in
+    * both. Pairs with zero overlap emit no row.
+    *
+    * Scale shape: texts collapse to md5 keys immediately (the [[exact]]
+    * key — no full text ever shuffles); the doc side joins the
+    * DISTINCT (source, key) presence frame keyed by the uniform hash,
+    * and per-key fan-out is bounded by (docs-with-key × sources-with-
+    * key), the latter ≤ |sources|; the matrix itself is ≤ |sources|²
+    * rows. The same hot-text caveat as [[exact]] applies to a text
+    * duplicated across MANY docs — its key carries docs×sources rows;
+    * dedup within source first ([[exact]]) when that is the corpus. */
+  def overlapMatrix(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(groupCol).as("a"), md5(col(textCol)).as("__k"))
+    val presence = keyed.select(col("a").as("b"), col("__k")).distinct()
+    keyed.join(presence, Seq("__k"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_docs_overlap"),
+        count_distinct(col("__k")).as("n_shared_texts"))
+  }
+
   /** Word k-shingles of a token array: contiguous k-grams joined by a
     * space. Docs shorter than k shingle to the whole sequence. */
   def shingles(toks: Column, k: Int): Column =

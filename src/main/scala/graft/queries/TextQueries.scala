@@ -1243,6 +1243,19 @@ object TextQueries {
           when(col("doc_id") % 9 === 0, lit("\nle la de et un le et un"))
             .otherwise(lit(""))).as("text"))
       TextOps.langSegments(planted, "doc_id", "text")
+    }),
+
+    // Cross-source overlap matrix ([[Dedup.overlapMatrix]]): every %11
+    // doc's text is cloned into src0, so each source overlaps src0 by
+    // exactly its planted clones (and src0 overlaps back) — the
+    // corpus-overlap table multi-source recipes publish. Zero-overlap
+    // pairs emit no row; both counts integer-exact.
+    "q115_overlap_matrix" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("source", "doc_id", "text")
+      val planted = base.unionByName(
+        base.filter(col("doc_id") % 11 === 0).withColumn("source", lit("src0")))
+        .select("source", "text")
+      Dedup.overlapMatrix(planted, "source", "text")
     })
   )
 
@@ -2738,6 +2751,18 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q115: the same md5 keys — doc rows joined to the distinct
+    // (source, key) presence frame, counts per ordered pair.
+    "q115_overlap_matrix" ->
+      s"""WITH u AS (SELECT source, text FROM documents
+         |           UNION ALL
+         |           SELECT 'src0' AS source, text FROM documents WHERE doc_id % 11 = 0),
+         |kd AS (SELECT source AS a, md5(text) AS kk FROM u),
+         |p AS (SELECT DISTINCT source AS b, md5(text) AS kk FROM u)
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_docs_overlap,
+         |  CAST(count(DISTINCT kd.kk) AS BIGINT) AS n_shared_texts
+         |FROM kd JOIN p USING (kk) WHERE a <> b GROUP BY a, b""".stripMargin,
 
     // q114: q23's per-profile stopword scores applied per LINE, line
     // argmax by (score DESC, lang ASC), doc argmax by (count DESC,

@@ -846,6 +846,23 @@ class TextDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("loMicros < hiMicros"))
   }
 
+  test("overlapMatrix: ordered pairs, doc-vs-distinct counts, disjoint pairs absent") {
+    import SparkSpec.spark.implicits._
+    val rows = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"),  // two docs of text x, one y
+      ("b", "x"), ("b", "z"),
+      ("c", "w")).toDF("src", "text")
+    val out = Dedup.overlapMatrix(rows, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // a->b: both of a's x-docs overlap, one distinct shared text
+    assert(out(("a", "b")) == ((2L, 1L)))
+    // b->a: only b's single x-doc
+    assert(out(("b", "a")) == ((1L, 1L)))
+    // c overlaps nothing; no (a,a) self rows
+    assert(out.keySet == Set(("a", "b"), ("b", "a")))
+  }
+
   test("cdcChunks: clone family fully shared; insertion shifts only the prefix chunk") {
     import graft.functions.Stable
     val toks = (0 until 40).map(i => s"w$i")
