@@ -1256,6 +1256,29 @@ object TextQueries {
         base.filter(col("doc_id") % 11 === 0).withColumn("source", lit("src0")))
         .select("source", "text")
       Dedup.overlapMatrix(planted, "source", "text")
+    }),
+
+    // C4's published order composed ([[graft.text.Curation.curateC4]]):
+    // one plant per stage — a punctuation-free CTA line (line rule), a
+    // "badword" line that kills its whole page (word rule), %19 pages
+    // replaced with Spanish stopwords (language rule), %31 lorem-ipsum
+    // pages (page rule), and a shared three-line footer on %13 whose
+    // every occurrence except the corpus-wide first is cut by the
+    // line-granularity span dedup. Hash-exact end-to-end.
+    "q116_c4_curation" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 19 === 0, lit("el la de y que la el y va."))
+            .otherwise(concat(col("text"), lit("."))),
+          lit("\nclick here to subscribe"),
+          when(col("doc_id") % 13 === 0,
+            lit("\nvisit our store today.\nthanks for reading along.\nsee you next time."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, lit("\nthis content has badword inside."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 31 === 0, lit("\nfiller lorem ipsum text here."))
+            .otherwise(lit(""))).as("text"))
+      graft.text.Curation.curateC4(planted, bannedWords = Seq("badword"))
     })
   )
 
@@ -2750,6 +2773,86 @@ object TextQueries {
          |${side("wiki", "doc_id % 10 = 0", "0.5")}
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
+    },
+
+    // q116: q111's page/line CTEs with q116's plants, the word and
+    // language filters on the reassembled text, then q71's span-dedup
+    // chain at LINE granularity (k=3, windows hashed over the
+    // space-joined 3-line gram — ngramHashes' joining rule — and
+    // reassembled with chr(10)).
+    "q116_c4_curation" -> {
+      val k = 3
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 19 = 0 THEN 'el la de y que la el y va.'
+         |       ELSE text || '.' END ||
+         |  chr(10) || 'click here to subscribe' ||
+         |  CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'visit our store today.' ||
+         |    chr(10) || 'thanks for reading along.' || chr(10) || 'see you next time.'
+         |    ELSE '' END ||
+         |  CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'this content has badword inside.'
+         |       ELSE '' END ||
+         |  CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'filler lorem ipsum text here.'
+         |       ELSE '' END AS text
+         |  FROM documents),
+         |pg AS (SELECT * FROM d
+         |       WHERE NOT contains(text, 'lorem ipsum') AND NOT contains(text, '{')),
+         |l0 AS (SELECT doc_id, i - 1 AS li, ls[i] AS ln FROM (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         |         unnest(generate_series(1, len(ls))) AS i FROM pg)),
+         |lk AS (SELECT doc_id, li, ln FROM l0
+         |      WHERE regexp_matches(ln, '[.!?"]$$')
+         |        AND len(list_filter(string_split(ln, ' '), t -> len(t) > 0)) >= 3
+         |        AND NOT contains(ln, 'javascript')),
+         |ct AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY li) AS ctext FROM lk
+         |       GROUP BY doc_id),
+         |safe AS (SELECT * FROM ct WHERE NOT contains(ctext, 'badword')),
+         |lg AS (SELECT doc_id, ctext,
+         |    list_filter(string_split(ctext, ' '), t -> len(t) > 0) AS ws FROM safe),
+         |sc AS (SELECT doc_id, ctext,
+         |    len(list_filter(ws, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+         |    len(list_filter(ws, t -> t IN ('the','a','of','and','to'))) AS s_en,
+         |    len(list_filter(ws, t -> t IN ('el','la','de','y','que'))) AS s_es,
+         |    len(list_filter(ws, t -> t IN ('le','la','de','et','un'))) AS s_fr,
+         |    len(list_filter(ws, t -> t IN ('de','le','shi','bu','wo'))) AS s_zh
+         |  FROM lg),
+         |uu AS (
+         |  SELECT doc_id, 'de' AS lang, s_de AS score FROM sc
+         |  UNION ALL SELECT doc_id, 'en', s_en FROM sc
+         |  UNION ALL SELECT doc_id, 'es', s_es FROM sc
+         |  UNION ALL SELECT doc_id, 'fr', s_fr FROM sc
+         |  UNION ALL SELECT doc_id, 'zh', s_zh FROM sc),
+         |en AS (SELECT c.doc_id, c.ctext FROM ct c JOIN (
+         |  SELECT doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY score DESC, lang ASC) AS rn FROM uu)
+         |  WHERE rn = 1 AND lang = 'en') e ON e.doc_id = c.doc_id
+         |  WHERE c.doc_id IN (SELECT doc_id FROM safe)),
+         |ls AS (SELECT doc_id, string_split(ctext, chr(10)) AS ar FROM en),
+         |grams AS (
+         |  SELECT doc_id, i AS p, ${H(s"array_to_string(ar[i+1:i+$k], ' ')")} AS h
+         |  FROM (SELECT doc_id, ar, unnest(generate_series(0, greatest(len(ar) - $k, 0))) AS i
+         |        FROM ls WHERE len(ar) > 0)),
+         |dict AS (SELECT h, min(doc_id * 2097152 + p) AS own
+         |         FROM grams GROUP BY h HAVING count(*) > 1),
+         |cut AS (SELECT g.doc_id, g.p FROM grams g JOIN dict dd USING (h)
+         |        WHERE g.doc_id * 2097152 + g.p <> dd.own),
+         |brk AS (SELECT doc_id, p,
+         |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > $k THEN 1 ELSE 0 END AS b
+         |  FROM cut WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |isl AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk),
+         |spans AS (SELECT i.doc_id, min(i.p) AS s, least(max(i.p) + $k, len(t.ar)) AS e
+         |          FROM isl i JOIN ls t USING (doc_id) GROUP BY i.doc_id, len(t.ar), i.g),
+         |st AS (SELECT doc_id, count(*) AS ns, sum(e - s) AS nr FROM spans GROUP BY doc_id),
+         |pos AS (SELECT doc_id, i - 1 AS q, ar[i] AS w
+         |        FROM (SELECT doc_id, ar, unnest(generate_series(1, len(ar))) AS i FROM ls)),
+         |kept AS (SELECT p.* FROM pos p WHERE NOT EXISTS (
+         |  SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id AND p.q >= s.s AND p.q < s.e)),
+         |clean AS (SELECT doc_id, string_agg(w, chr(10) ORDER BY q) AS ctx FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(c.ctx, '') AS clean_text,
+         |  CAST(len(t.ar) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(st.nr, 0) AS BIGINT) AS n_lines_removed,
+         |  CAST(coalesce(st.ns, 0) AS BIGINT) AS n_spans
+         |FROM ls t LEFT JOIN clean c USING (doc_id) LEFT JOIN st USING (doc_id)""".stripMargin
     },
 
     // q115: the same md5 keys — doc rows joined to the distinct

@@ -481,6 +481,44 @@ object Curation {
       .withColumn("n_tokens", size(TextOps.tokens(col("clean"))).cast("bigint"))
   }
 
+  /** C4's published pipeline composed end-to-end (Raffel et al. 2020
+    * §2.2) — the fourth published-order chain (q67 CCNet-ish, q73
+    * RefinedWeb, q79 CCNet, q86 FineWeb), and the order C4 actually ran:
+    *
+    *   1. page + line structural rules ([[TextOps.c4LineFilter]]:
+    *      terminal punctuation, ≥ 3 words, banned line terms,
+    *      lorem-ipsum/brace pages);
+    *   2. bad-WORD page filter (`bannedWords` — C4's blocklist drops the
+    *      whole page, and it runs on the line-cleaned text, so a junk
+    *      line already removed cannot kill a good page);
+    *   3. language filter ([[TextOps.langId]], keep `lang` — C4 kept
+    *      only English);
+    *   4. three-SPAN dedup at line granularity: C4 removed every
+    *      repeated three-sentence span except one occurrence corpus-wide
+    *      — exactly [[TextOps.dedupSpans]] over the doc's LINE array
+    *      (k = 3, newline reassembly), lines standing in for sentences.
+    *
+    * Output: (idCol, clean_text, n_lines, n_lines_removed, n_spans).
+    * Scale shape: stages 1–3 are pure projections/filters; stage 4 is
+    * dedupSpans' two-scan dictionary chain over LINE windows — strictly
+    * cheaper than the token-granularity q71 (windows per doc = lines,
+    * not tokens). */
+  def curateC4(raw: DataFrame, bannedWords: Seq[String] = Nil,
+      lang: String = "en", idCol: String = "doc_id"): DataFrame = {
+    val lineClean = TextOps.c4LineFilter(raw, idCol, "text")
+    val safe = bannedWords.foldLeft(lineClean) { (df, w) =>
+      df.filter(!col("clean_text").contains(w))
+    }
+    val kept = safe
+      .select(col(idCol) +: col("clean_text") +:
+        TextOps.langId(TextOps.tokens(col("clean_text"))): _*)
+      .filter(col("lang_pred") === lang)
+      .select(col(idCol), split(col("clean_text"), "\n").as("__lines"))
+    TextOps.dedupSpans(kept, idCol, "__lines", k = 3, sep = "\n")
+      .withColumnRenamed("n_tokens", "n_lines")
+      .withColumnRenamed("n_removed", "n_lines_removed")
+  }
+
   /** [[curateCCNet]]'s shared interior: every doc that cleared the line
     * scrub and token floor, scored and bucketed — (doc_id, lang_pred,
     * n_tokens, n_bigrams, total_bits, score_q, bucket). */

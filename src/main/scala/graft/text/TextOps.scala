@@ -802,7 +802,8 @@ object TextOps {
     * the corpus), so neither side can broadcast and caching the stream
     * would cache a corpus-sized frame. */
   def dedupSpans(df: DataFrame, idCol: String, toksCol: String, k: Int = 20,
-      out: String = "clean_text", posCap: Int = 1 << 21): DataFrame = {
+      out: String = "clean_text", posCap: Int = 1 << 21,
+      sep: String = " "): DataFrame = {
     require(k >= 2, s"dedupSpans needs k >= 2 token windows, got $k")
     val base = df.select(col(idCol), col(toksCol).as("__ts"))
     // The owner reduction must stay a PRIMITIVE min: min(struct(id, pos))
@@ -845,7 +846,7 @@ object TextOps {
     base.join(islands, Seq(idCol), "left")
       .select(col(idCol), col("__ts"), coalesce(col("__spans"), empty).as("__sp"))
       .select(col(idCol),
-        concat_ws(" ", filter(col("__ts"), (_, i) =>
+        concat_ws(sep, filter(col("__ts"), (_, i) =>
           !exists(col("__sp"), sp => i >= sp("s") && i < sp("e")))).as(out),
         size(col("__ts")).cast("bigint").as("n_tokens"),
         // last span of a short doc (n < k) overhangs the end — clip there

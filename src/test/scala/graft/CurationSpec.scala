@@ -405,6 +405,31 @@ class CurationSpec extends SparkSpec {
     assert(out(1L).contains("<email>") && !out(1L).contains("bob@example.com"))
   }
 
+  test("curateC4: line rule, word rule, language rule, and line-span dedup, one plant each") {
+    import SparkSpec.spark.implicits._
+    val footer = "visit our store today.\nthanks for reading along.\nsee you next time."
+    val rows = Seq(
+      (1L, s"the quick brown fox of the town runs far.\nclick here\n$footer"),
+      (2L, s"a second page of the quiet river and morning sun.\n$footer"),
+      (3L, "the good page of the day has badword inside."),
+      (4L, "el la de y que la el y va."),
+      (5L, "the last page of all to read today.")).toDF("doc_id", "text")
+    val out = Curation.curateC4(rows, bannedWords = Seq("badword"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_lines_removed"), r.getAs[Long]("n_spans")))).toMap
+    // doc 3 (word rule) and doc 4 (language rule) vanish
+    assert(out.keySet == Set(1L, 2L, 5L))
+    // doc 1: CTA line dropped by the line rule; canonical footer KEEPS
+    assert(out(1L)._1 == s"the quick brown fox of the town runs far.\n$footer")
+    assert(out(1L)._3 == 0L)
+    // doc 2: its footer window duplicates doc 1's -> all three lines cut
+    assert(out(2L)._1 == "a second page of the quiet river and morning sun.")
+    assert(out(2L) == (("a second page of the quiet river and morning sun.", 4L, 3L, 1L)))
+    // doc 5: untouched single line
+    assert(out(5L) == (("the last page of all to read today.", 1L, 0L, 0L)))
+  }
+
   test("mixWithRepeats: full epochs unconditional, fractional epoch Bernoulli, r<1 == mix") {
     import SparkSpec.spark.implicits._
     // One source, 5 docs x 2 tokens = 10 total; budget 25 -> rate 2.5:
