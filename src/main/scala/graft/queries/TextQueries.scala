@@ -1279,6 +1279,26 @@ object TextQueries {
           when(col("doc_id") % 31 === 0, lit("\nfiller lorem ipsum text here."))
             .otherwise(lit(""))).as("text"))
       graft.text.Curation.curateC4(planted, bannedWords = Seq("badword"))
+    }),
+
+    // Trigram LM with quantized stupid backoff
+    // ([[graft.text.Perplexity.scoreTrigram]]): the tier between q75's
+    // bigram model and a full KenLM — highest SEEN order wins, one
+    // integer bit per backoff level, so every cost is exact. Same
+    // planted OOV streams as q75 ('~'-suffixed tokens cost unseenBits
+    // per triple and fail the keep flag); organic docs back off
+    // gracefully through the bigram table.
+    "q117_trigram_lm" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val planted = docs.filter(col("doc_id") % 23 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          transform(col("ts"), t => concat(t, lit("~"))).as("ts"))
+      val ref = docs.filter(col("doc_id") % 5 < 2)
+      graft.text.Perplexity.scoreTrigram(docs.union(planted),
+          graft.text.Perplexity.trigramCounts(ref),
+          graft.text.Perplexity.bigramCounts(ref))
+        .withColumn("keep",
+          when(col("total_bits") <= col("n_trigrams") * 9, 1).otherwise(0).cast("int"))
     })
   )
 
@@ -2774,6 +2794,49 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q117: trigram + bigram count tables over the reference slice,
+    // context totals, and the cascading highest-seen-order CASE — every
+    // cost an ilog2 integer, the keep flag cross-multiplied.
+    "q117_trigram_lm" ->
+      s"""WITH $DuckToks,
+         |u AS (SELECT doc_id, ts FROM toks
+         |      UNION ALL
+         |      SELECT doc_id + 2000000 AS doc_id,
+         |             list_transform(ts, t -> t || '~') AS ts
+         |      FROM toks WHERE doc_id % 23 = 7),
+         |tg AS (SELECT doc_id, ${H("ts[i]")} AS h1, ${H("ts[i+1]")} AS h2,
+         |         ${H("ts[i+2]")} AS h3
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |             FROM u WHERE len(ts) >= 3)),
+         |bgr AS (SELECT doc_id, ${H("ts[i]")} AS h2, ${H("ts[i+1]")} AS h3
+         |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |              FROM u WHERE len(ts) >= 2)),
+         |tri AS (SELECT h1, h2, h3, count(*) AS c123 FROM tg
+         |        WHERE doc_id % 5 < 2 AND doc_id < 2000000 GROUP BY 1, 2, 3),
+         |cx12 AS (SELECT h1, h2, CAST(sum(c123) AS BIGINT) AS c12ctx FROM tri GROUP BY 1, 2),
+         |bi AS (SELECT h2, h3, count(*) AS c23 FROM bgr
+         |       WHERE doc_id % 5 < 2 AND doc_id < 2000000 GROUP BY 1, 2),
+         |cx2 AS (SELECT h2, CAST(sum(c23) AS BIGINT) AS c2ctx FROM bi GROUP BY 1),
+         |sc AS (SELECT t.doc_id,
+         |    CASE WHEN m.c123 IS NOT NULL
+         |           THEN (length(bin(x.c12ctx)) - 1) - (length(bin(m.c123)) - 1)
+         |         WHEN b.c23 IS NOT NULL
+         |           THEN (length(bin(y.c2ctx)) - 1) - (length(bin(b.c23)) - 1) + 1
+         |         WHEN y.c2ctx IS NOT NULL THEN (length(bin(y.c2ctx)) - 1) + 2
+         |         ELSE 20 END AS bits
+         |  FROM tg t
+         |  LEFT JOIN tri m ON m.h1 = t.h1 AND m.h2 = t.h2 AND m.h3 = t.h3
+         |  LEFT JOIN cx12 x ON x.h1 = t.h1 AND x.h2 = t.h2
+         |  LEFT JOIN bi b ON b.h2 = t.h2 AND b.h3 = t.h3
+         |  LEFT JOIN cx2 y ON y.h2 = t.h2),
+         |agg AS (SELECT doc_id, count(*) AS n, sum(bits) AS tb FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(a.tb, 0) AS BIGINT) AS total_bits,
+         |  CAST(CASE WHEN coalesce(a.tb, 0) <= coalesce(a.n, 0) * 9
+         |            THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM (SELECT doc_id FROM u) d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // q116: q111's page/line CTEs with q116's plants, the word and
     // language filters on the reassembled text, then q71's span-dedup

@@ -100,6 +100,80 @@ object Perplexity {
       .withColumn("total_bits", coalesce(col("total_bits"), lit(0L)))
   }
 
+  /** Hashed adjacent token TRIPLES, the [[bigramPairs]] shape one order
+    * up; docs with < 3 tokens contribute nothing. */
+  private def trigramTriples(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 2), i => struct(
+      Stable.hash64(element_at(toks, i)).as("h1"),
+      Stable.hash64(element_at(toks, i + 1)).as("h2"),
+      Stable.hash64(element_at(toks, i + 2)).as("h3")))
+
+  /** Train the trigram table (h1, h2, h3, c123) over a reference frame
+    * — the higher-order half of [[scoreTrigram]]'s model (the bigram
+    * half is [[bigramCounts]] over the SAME reference). */
+  def trigramCounts(ref: DataFrame, idCol: String = "doc_id",
+      toksCol: String = "ts"): DataFrame =
+    ref.filter(size(col(toksCol)) >= 3)
+      .select(explode_outer(trigramTriples(col(toksCol))).as("tg"))
+      .filter(col("tg").isNotNull)
+      .groupBy(col("tg.h1").as("h1"), col("tg.h2").as("h2"), col("tg.h3").as("h3"))
+      .agg(count(lit(1)).as("c123"))
+
+  /** Trigram scoring with quantized stupid backoff — the tier between
+    * [[score]]'s bigram model and a full KenLM (Brants et al. 2007's
+    * rule: use the highest-order n-gram that was SEEN, pay a fixed
+    * penalty per backoff level; the penalty is 1 bit here so every cost
+    * stays an exact integer):
+    *
+    *   bits(w1 w2 w3) = ilog2(c12)  - ilog2(c123)      seen trigram
+    *                  = ilog2(c2)   - ilog2(c23) + 1   backoff to bigram
+    *                  = ilog2(c2)   + 2                seen unigram ctx only
+    *                  = unseenBits                     unknown context
+    *
+    * with c12 = Σ_w3 c123 (the trigram-context total, derived from the
+    * trigram table) and c2 = Σ_w3 c23 (the bigram-context total). Both
+    * models are bounded by the SAME enforced broadcast contract as
+    * [[score]]; the corpus side stays a pure projection + four
+    * broadcast joins + one doc-keyed map-side-combined agg. Output:
+    * the input frame minus `toksCol`, plus (n_trigrams, total_bits);
+    * docs with < 3 tokens score (0, 0) — the length gate's
+    * jurisdiction, as in [[score]]. */
+  def scoreTrigram(docs: DataFrame, triModel: DataFrame, biModel: DataFrame,
+      idCol: String = "doc_id", toksCol: String = "ts", unseenBits: Int = 20,
+      maxModelRows: Long = 2000000L): DataFrame = {
+    Seq("trigram" -> triModel, "bigram" -> biModel).foreach { case (name, m) =>
+      val probed = m.limit((maxModelRows + 1).toInt).count()
+      require(probed <= maxModelRows,
+        s"Perplexity.scoreTrigram: $name model exceeds $maxModelRows rows — " +
+          "a corpus-sized 'reference' cannot broadcast; train on a bounded " +
+          "curated slice (the KenLM contract), or raise maxModelRows")
+    }
+    val c12 = triModel.groupBy("h1", "h2").agg(sum(col("c123")).as("c12ctx"))
+    val bi = biModel.select(col("h1").as("h2"), col("h2").as("h3"),
+      col("c12").as("c23"))
+    val c2 = bi.groupBy("h2").agg(sum(col("c23")).as("c2ctx"))
+    val tgr = docs.filter(size(col(toksCol)) >= 3)
+      .select(col(idCol), explode_outer(trigramTriples(col(toksCol))).as("tg"))
+      .filter(col("tg").isNotNull)
+      .select(col(idCol), col("tg.h1").as("h1"), col("tg.h2").as("h2"),
+        col("tg.h3").as("h3"))
+    val bits = when(col("c123").isNotNull, ilog2(col("c12ctx")) - ilog2(col("c123")))
+      .when(col("c23").isNotNull, ilog2(col("c2ctx")) - ilog2(col("c23")) + lit(1L))
+      .when(col("c2ctx").isNotNull, ilog2(col("c2ctx")) + lit(2L))
+      .otherwise(lit(unseenBits.toLong))
+    val scores = tgr
+      .join(broadcast(triModel), Seq("h1", "h2", "h3"), "left")
+      .join(broadcast(c12), Seq("h1", "h2"), "left")
+      .join(broadcast(bi), Seq("h2", "h3"), "left")
+      .join(broadcast(c2), Seq("h2"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum(bits).as("total_bits"))
+    docs.drop(toksCol)
+      .join(scores, Seq(idCol), "left")
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
+      .withColumn("total_bits", coalesce(col("total_bits"), lit(0L)))
+  }
+
   /** The gate: keep documents at mean bit cost <= `maxBitsPerBigram`
     * (cross-multiplied — no division). Returns the scored frame plus
     * the `keep` flag so callers can gate (`filter(col("keep") === 1)`)

@@ -98,4 +98,34 @@ class PerplexitySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b)
   }
+
+  test("scoreTrigram: hand-computed costs at every backoff tier") {
+    // Reference "a b c a b d": trigrams abc/bca/cab/abd once each, so
+    // c12ctx(a,b)=2, others 1; bigrams ab(x2)/bc/ca/bd, c2ctx(a)=2,
+    // c2ctx(b)=2, c2ctx(c)=1.
+    val ref = Seq((100L, Seq("a", "b", "c", "a", "b", "d"))).toDF("doc_id", "ts")
+    val tri = Perplexity.trigramCounts(ref)
+    val bi = Perplexity.bigramCounts(ref)
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),   // seen trigram: ilog2(2)-ilog2(1) = 1
+      (2L, Seq("c", "a", "b")),   // seen trigram: ilog2(1)-ilog2(1) = 0
+      (3L, Seq("x", "b", "c")),   // backoff to bigram bc: ilog2(2)-ilog2(1)+1 = 2
+      (4L, Seq("x", "b", "x")),   // unigram ctx b only: ilog2(2)+2 = 3
+      (5L, Seq("x", "y", "z")),   // unknown context: 20
+      (6L, Seq("a", "b"))         // < 3 tokens: (0, 0)
+    ).toDF("doc_id", "ts")
+    val out = Perplexity.scoreTrigram(docs, tri, bi).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)), s"seen trigram: ${out(1L)}")
+    assert(out(2L) == ((1L, 0L)))
+    assert(out(3L) == ((1L, 2L)), s"bigram backoff: ${out(3L)}")
+    assert(out(4L) == ((1L, 3L)), s"unigram backoff: ${out(4L)}")
+    assert(out(5L) == ((1L, 20L)))
+    assert(out(6L) == ((0L, 0L)))
+    // the broadcast contract holds for both model halves
+    val ex = intercept[IllegalArgumentException] {
+      Perplexity.scoreTrigram(docs, tri, bi, maxModelRows = 1L)
+    }
+    assert(ex.getMessage.contains("model exceeds"))
+  }
 }
