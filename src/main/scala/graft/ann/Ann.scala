@@ -502,6 +502,62 @@ object Ann {
       .saveAsTable(table)
   }
 
+  /** [[writeIvfIndex]] with BATCH-PARTITIONED inverted lists — the
+    * growing-index analog of
+    * [[graft.dedup.Dedup.writeStorePartitioned]]: the initial corpus
+    * seeds partition `__batch_id = -1`, and each later vector batch
+    * lands via [[appendIvfBatch]]'s INSERT OVERWRITE of its own
+    * partition (idempotent under foreachBatch replay — the same
+    * at-least-once argument as the signature stores). The bucket spec
+    * (cid) is shared by every partition, so [[ivfProbe]]'s list-side
+    * join stays exchange-free as the index grows. */
+  def writeIvfIndexPartitioned(corpus: DataFrame, table: String, path: String,
+      idCol: String, vecCol: String, seed: Long = 42, nCentroids: Int = 16,
+      buckets: Int = 16, refineIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val sampled = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    val centroids =
+      if (refineIters == 0) sampled
+      else kmeansRefine(quantize(corpus, idCol, vecCol), idCol, "qvec",
+        sampled, refineIters)
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${path}_centroids")
+    withNearestCentroids(corpus, vecCol, centroids, 1, "__near")
+      .select(element_at(col("__near"), 1).as("cid"), col(idCol), col(vecCol))
+      .withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").option("path", path)
+      .partitionBy("__batch_id")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+  }
+
+  /** Land one batch of NEW vectors in a [[writeIvfIndexPartitioned]]
+    * index: assignment uses the FROZEN quantizer (an IVF index's
+    * centroids are a contract — retraining them would re-bucket every
+    * stored list, which is a rebuild, not an append), and the landing
+    * is an INSERT OVERWRITE of the batch's own partition, so a replayed
+    * batch overwrites rather than duplicates. Spark buckets the insert
+    * by the table's (cid) spec — one batch-sized shuffle, the stored
+    * lists never move. */
+  def appendIvfBatch(batch: DataFrame, table: String,
+      centroids: Array[Array[Double]], batchId: Long,
+      idCol: String, vecCol: String): Unit = {
+    require(batchId >= 0, s"appendIvfBatch: batchId $batchId is reserved " +
+      "(-1 is the seed corpus partition)")
+    val view = s"graft_ivf_batch_$batchId"
+    withNearestCentroids(batch, vecCol, centroids, 1, "__near")
+      .select(element_at(col("__near"), 1).as("cid"), col(idCol), col(vecCol))
+      .createOrReplaceTempView(view)
+    try batch.sparkSession.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (__batch_id = $batchId) " +
+        s"SELECT cid, $idCol, $vecCol FROM $view")
+    finally { batch.sparkSession.catalog.dropTempView(view); () }
+  }
+
   /** Reload a [[writeIvfIndex]] artifact: the inverted lists with their
     * bucket spec intact, plus the quantizer as the driver-side array
     * every probe helper takes (nCentroids rows by contract). */

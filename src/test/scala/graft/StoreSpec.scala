@@ -95,6 +95,61 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeIvfIndexPartitioned + appendIvfBatch: frozen quantizer, idempotent landings, buckets intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_p").toString
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        (pmod(col("id") * (d + 3), lit(11)) - lit(5)).cast("float")): _*).as("vec"))
+    val seedHalf = emb.filter(col("vec_id") < 100)
+    val batch = emb.filter(col("vec_id") >= 100)
+    Ann.writeIvfIndexPartitioned(seedHalf, "ivf_index_part_spec", s"$dir/index",
+      "vec_id", "vec", seed = 42, nCentroids = 8, buckets = 32)
+    val (_, cents) = Ann.readIvfIndex(spark, "ivf_index_part_spec", s"$dir/index")
+    assert(spark.table("ivf_index_part_spec").count() == 100)
+
+    Ann.appendIvfBatch(batch, "ivf_index_part_spec", cents, batchId = 0,
+      "vec_id", "vec")
+    val index = spark.table("ivf_index_part_spec")
+    assert(index.count() == 200, "append lands the batch")
+    // a query's exact clone lives in the APPENDED half: vec(150) == the
+    // lattice value of id 150; probing with vec 150's own vector from a
+    // fresh id must surface 150 at rank 1 (cosine 1 with itself-clone)
+    val q = batch.filter(col("vec_id") === 150)
+      .select((col("vec_id") + 10000).as("vec_id"), col("vec"))
+    val top = Ann.ivfProbe(index, cents, q, "vec_id", "vec", k = 1, nProbe = 8)
+      .collect()
+    // lattice vectors repeat mod 11 — accept any exact-clone id, but the
+    // appended half must be reachable
+    assert(top.nonEmpty && top(0).getLong(1) == 1L)
+    val hit = top(0).getLong(2)
+    val sameVec = emb.filter(col("vec_id") === hit).select("vec").collect()(0)
+      .getSeq[Float](0)
+    val qv = batch.filter(col("vec_id") === 150).select("vec").collect()(0)
+      .getSeq[Float](0)
+    assert(sameVec == qv, s"rank-1 neighbor $hit must be an exact clone")
+    // replaying the SAME batch overwrites its partition — no duplicates
+    Ann.appendIvfBatch(batch, "ivf_index_part_spec", cents, batchId = 0,
+      "vec_id", "vec")
+    assert(spark.table("ivf_index_part_spec").count() == 200,
+      "replayed batch must overwrite, not append")
+    // the grown index still reads buckets in place
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ann.ivfProbe(index, cents, q, "vec_id", "vec", k = 1)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"grown index scan must keep its bucket spec:\n$plan")
+      assert("Exchange hashpartitioning\\(cid".r.findAllIn(plan).length == 1,
+        s"exactly ONE cid exchange (the query batch) expected:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val ex = intercept[IllegalArgumentException] {
+      Ann.appendIvfBatch(batch, "ivf_index_part_spec", cents, batchId = -1,
+        "vec_id", "vec")
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+
   test("writeIvfIndex refineIters: refined quantizer lands on cluster means, plan unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_r").toString
     val emb = spark.range(200).select(col("id").as("vec_id"),
