@@ -222,6 +222,26 @@ object Streaming {
       }
       .start()
 
+  /** Maintain a [[graft.ann.Ann.writeIvfIndexPartitioned]] ANN index
+    * from a vector stream: each micro-batch is assigned by the FROZEN
+    * quantizer (`centroids` — retraining per batch would re-bucket the
+    * stored lists, a rebuild, not maintenance) and lands via
+    * [[graft.ann.Ann.appendIvfBatch]]'s INSERT OVERWRITE of its own
+    * batch partition, so foreachBatch's at-least-once replay overwrites
+    * instead of duplicating — the admission streams' idempotency
+    * discipline applied to the ANN index artifact. */
+  def ivfIndexStream(vecs: DataFrame, indexTable: String,
+      centroids: Array[Array[Double]], checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ann.Ann.appendIvfBatch(batch, indexTable, centroids, batchId,
+          idCol, vecCol)
+        ()
+      }
+      .start()
+
   /** ServerDataStream analog: drive a streaming DataFrame into a bounded
     * in-process queue via foreachBatch — producer/consumer with HWM-style
     * backpressure (`capacity` plays fuel's hwm=10). Returns the queue and

@@ -190,6 +190,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ivfIndexStream: frozen-quantizer appends across micro-batches, probe reaches new vectors") {
+    def vec(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(8)(0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_stream_idx")
+    val seed = Seq(1L -> vec(0 -> 1.0), 2L -> vec(1 -> 1.0), 3L -> vec(2 -> 1.0))
+      .toDF("vec_id", "embedding")
+    graft.ann.Ann.writeIvfIndexPartitioned(seed, "graft_ivf_stream_idx",
+      s"$tmp/index", "vec_id", "embedding", nCentroids = 3, buckets = 8)
+    val (_, cents) = graft.ann.Ann.readIvfIndex(spark, "graft_ivf_stream_idx",
+      s"$tmp/index")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.ivfIndexStream(input.toDF().toDF("vec_id", "embedding"),
+      "graft_ivf_stream_idx", cents, s"$tmp/ckpt")
+    try {
+      input.addData((10L, vec(0 -> 1.0, 1 -> 0.2)))
+      q.processAllAvailable()
+      input.addData((20L, vec(2 -> 1.0, 0 -> 0.1)))
+      q.processAllAvailable()
+      val index = spark.table("graft_ivf_stream_idx")
+      assert(index.count() == 5, "both batches landed")
+      // probing with vector 20's direction must surface 20 itself
+      val probe = graft.ann.Ann.ivfProbe(index, cents,
+        Seq(99L -> vec(2 -> 1.0, 0 -> 0.1)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, nProbe = 3).collect()
+      assert(probe.nonEmpty && probe(0).getLong(2) == 20L,
+        s"probe must reach the streamed vector, got ${probe.toSeq}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_stream_idx")
+    }
+  }
+
   test("store batch landing is idempotent: a replayed batch overwrites its own partition") {
     def txt(tag: String) = (1 to 40).map(i => s"$tag$i").mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("graft_store_replay")
