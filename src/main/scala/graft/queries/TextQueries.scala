@@ -1299,6 +1299,20 @@ object TextQueries {
           graft.text.Perplexity.bigramCounts(ref))
         .withColumn("keep",
           when(col("total_bits") <= col("n_trigrams") * 9, 1).otherwise(0).cast("int"))
+    }),
+
+    // The data-mixture table ([[graft.text.Curation.mixReport]]):
+    // q104's two-source mixture as the LLaMA-table-1 report — derived
+    // rate/epoch scalars AND realized acceptance counts side by side,
+    // so intent-vs-realized disagreement is one table read. The rate
+    // double is the same IEEE product/quotient both engines compute.
+    "q118_mix_report" -> ((s, dir) => {
+      val n = docsWithTokens(s, dir)
+        .select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      graft.text.Curation.mixReport(
+        Seq(("wiki", n.filter(col("doc_id") % 10 === 0), 0.5),
+            ("web", n.filter(col("doc_id") % 10 =!= 0), 0.5)),
+        "doc_id", "n_tokens", budgetTokens = 30000, seed = 13)
     })
   )
 
@@ -2790,6 +2804,46 @@ object TextQueries {
          |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
          |t_wiki AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 10 = 0),
          |t_web AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 10 <> 0)
+         |${side("wiki", "doc_id % 10 = 0", "0.5")}
+         |UNION ALL
+         |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
+    },
+
+    // q118: q104's acceptance CTEs aggregated per source, plus the
+    // scalar derivations (rate, floor epochs, fractional threshold)
+    // with the identical double/floor sequence.
+    "q118_mix_report" -> {
+      def side(name: String, pred: String, share: String): String = {
+        val rate = s"(30000.0 * $share) / t"
+        s"""SELECT '$name' AS source,
+           |  CAST(t AS BIGINT) AS available_tokens,
+           |  CAST($share AS DOUBLE) AS share,
+           |  $rate AS rate,
+           |  CAST(floor($rate) AS BIGINT) AS full_epochs,
+           |  CAST(floor(($rate - floor($rate)) * 1000000) AS BIGINT) AS frac_threshold,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM acc WHERE source = '$name') AS accepted_rows,
+           |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM acc WHERE source = '$name') AS accepted_tokens
+           |FROM t_$name""".stripMargin
+      }
+      def accSide(name: String, pred: String, share: String): String = {
+        val rate = s"(30000.0 * $share) / t"
+        s"""SELECT '$name' AS source, e.epoch, doc_id, n_tokens
+           |FROM (SELECT * FROM n WHERE $pred) d,
+           |     t_$name,
+           |     (SELECT unnest(generate_series(0, CAST(floor($rate) AS BIGINT))) AS epoch
+           |      FROM t_$name) e
+           |WHERE e.epoch < CAST(floor($rate) AS BIGINT)
+           |   OR ${Stable.duckSeededHash(13, s"'$name'", "doc_id")} % 1000000 <
+           |     CAST(floor(($rate - floor($rate)) * 1000000) AS BIGINT)""".stripMargin
+      }
+      s"""WITH $DuckToks,
+         |n AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks),
+         |t_wiki AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 10 = 0),
+         |t_web AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM n WHERE doc_id % 10 <> 0),
+         |acc AS (
+         |${accSide("wiki", "doc_id % 10 = 0", "0.5")}
+         |UNION ALL
+         |${accSide("web", "doc_id % 10 <> 0", "0.5")})
          |${side("wiki", "doc_id % 10 = 0", "0.5")}
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin

@@ -931,6 +931,41 @@ object Curation {
     }.reduce(_ unionByName _)
   }
 
+  /** The published data-mixture table (LLaMA table 1's shape: per
+    * source — available tokens, target share, sampling proportion,
+    * epochs) measured from the ACTUAL mixture rather than transcribed
+    * from intent: one row per source with the derived rate/epoch
+    * scalars AND the realized acceptance counts from
+    * [[mixWithRepeats]]' output, so a share typo or a skewed Bernoulli
+    * shows up as intent-vs-realized disagreement in one table.
+    *
+    * Scale shape: the scalar half is [[mixWithRepeats]]' own bounded
+    * per-source aggs; the realized half is ONE source-keyed agg over
+    * the mixture (map-side combined, ≤ |sources| rows); the join is a
+    * broadcast of the |sources|-row scalar frame. */
+  def mixReport(sources: Seq[(String, DataFrame, Double)], idCol: String,
+      nTokCol: String, budgetTokens: Long, seed: Long = 13,
+      maxEpochs: Int = 100): DataFrame = {
+    require(sources.nonEmpty, "mixReport needs at least one source")
+    val spark = sources.head._2.sparkSession
+    import spark.implicits._
+    val scalars = sources.map { case (name, df, share) =>
+      val total = sourceTokens(name, df, nTokCol, "mixReport")
+      val rate = budgetTokens.toDouble * share / total.toDouble
+      (name, total, share, rate, math.floor(rate).toLong,
+        math.floor((rate - math.floor(rate)) * 1000000).toLong)
+    }.toDF("source", "available_tokens", "share", "rate", "full_epochs",
+      "frac_threshold")
+    val realized = mixWithRepeats(sources, idCol, nTokCol, budgetTokens,
+        seed, maxEpochs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("accepted_rows"),
+        coalesce(sum(col(nTokCol)), lit(0L)).as("accepted_tokens"))
+    broadcast(scalars).join(realized, Seq("source"), "left")
+      .withColumn("accepted_rows", coalesce(col("accepted_rows"), lit(0L)))
+      .withColumn("accepted_tokens", coalesce(col("accepted_tokens"), lit(0L)))
+  }
+
   /** One bounded agg: a source's token total (the driver-side scalar
     * both mixers consume). coalesce: sum() over zero rows (or all-null
     * tokens) is null, and a bare getLong would NPE before the require

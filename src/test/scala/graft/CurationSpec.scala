@@ -459,6 +459,22 @@ class CurationSpec extends SparkSpec {
     assert(ex.getMessage.contains("full epochs"))
   }
 
+  test("mixReport: derived scalars hand-checked, realized counts match the mixture") {
+    import SparkSpec.spark.implicits._
+    val src = (1L to 5L).map(i => (i, 2L)).toDF("doc_id", "n_tokens")
+    val out = Curation.mixReport(Seq(("a", src, 1.0)), "doc_id", "n_tokens",
+      budgetTokens = 25, seed = 13).collect()(0)
+    assert(out.getAs[Long]("available_tokens") == 10L)
+    assert(out.getAs[Double]("rate") == 2.5)
+    assert(out.getAs[Long]("full_epochs") == 2L)
+    assert(out.getAs[Long]("frac_threshold") == 500000L)
+    val mixed = Curation.mixWithRepeats(Seq(("a", src, 1.0)), "doc_id",
+      "n_tokens", budgetTokens = 25, seed = 13)
+    assert(out.getAs[Long]("accepted_rows") == mixed.count())
+    assert(out.getAs[Long]("accepted_tokens") ==
+      mixed.agg(sum(col("n_tokens"))).collect()(0).getLong(0))
+  }
+
   test("capPerGroup: keeps the cap-smallest seeded hashes per group, small groups ride") {
     import SparkSpec.spark.implicits._
     val rows = ((1L to 20L).map(i => ("big", i)) ++ Seq(("small", 100L), ("small", 101L)))
