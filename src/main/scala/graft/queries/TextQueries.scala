@@ -1313,6 +1313,27 @@ object TextQueries {
         Seq(("wiki", n.filter(col("doc_id") % 10 === 0), 0.5),
             ("web", n.filter(col("doc_id") % 10 =!= 0), 0.5)),
         "doc_id", "n_tokens", budgetTokens = 30000, seed = 13)
+    }),
+
+    // Split-leakage audit (q109's splits × q94's overlap machinery):
+    // after train/test assignment, every TRAIN doc sharing shingles
+    // with the TEST split — the train-test contamination check run
+    // before any benchmark number is trusted. The %37 clones (same
+    // text, new id, independent split coin) plant cross-split verbatim
+    // leaks that surface at overlap 1.0; organic rows surface the
+    // shared-phrase background. Composition of two oracled operators,
+    // itself oracled end-to-end.
+    "q119_split_leakage" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val planted = d.unionByName(d.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("ts")))
+      val split = graft.sources.SplitSource.assignSplit(planted, col("doc_id"),
+        seed = 42, weights = Seq("train" -> 0.9, "test" -> 0.1))
+      Dedup.benchmarkOverlap(
+          split.filter(col("split") === "train").select("doc_id", "ts"), "doc_id", "ts",
+          split.filter(col("split") === "test").select("doc_id", "ts"), "doc_id", "ts",
+          k = 3)
+        .filter(col("n_hits") > 0)
     })
   )
 
@@ -2807,6 +2828,28 @@ object TextQueries {
          |${side("wiki", "doc_id % 10 = 0", "0.5")}
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
+    },
+
+    // q119: the planted union, q32's split CASE on the same hash, and
+    // q94's distinct-shingle overlap restricted to each side.
+    "q119_split_leakage" -> {
+      s"""WITH $DuckToks,
+         |u AS (SELECT doc_id, ts FROM toks
+         |      UNION ALL
+         |      SELECT doc_id + 3000000 AS doc_id, ts FROM toks WHERE doc_id % 37 = 0),
+         |${duckShingleHashes("u")},
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${Stable.duckSeededHash(42, "doc_id")} % 1000 < 900
+         |       THEN 'train' ELSE 'test' END AS split FROM u),
+         |dsh AS (SELECT DISTINCT s.doc_id, sh FROM sh s
+         |        JOIN sp ON sp.doc_id = s.doc_id AND sp.split = 'train'),
+         |bsh AS (SELECT DISTINCT sh FROM sh s
+         |        JOIN sp ON sp.doc_id = s.doc_id AND sp.split = 'test')
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(b.sh) AS BIGINT) AS n_hits,
+         |  CAST(count(b.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS overlap
+         |FROM dsh d LEFT JOIN bsh b USING (sh) GROUP BY d.doc_id
+         |HAVING count(b.sh) > 0""".stripMargin
     },
 
     // q118: q104's acceptance CTEs aggregated per source, plus the
