@@ -558,6 +558,26 @@ object Ann {
     finally { batch.sparkSession.catalog.dropTempView(view); () }
   }
 
+  /** IVF cluster-balance report — the index health check run before
+    * trusting an IVF deployment: per centroid, its inverted-list size
+    * and share of the corpus. A skewed quantizer (one giant list)
+    * makes nProbe recall collapse onto scan cost — this table is how
+    * `refineIters`' Lloyd steps get justified with a measurement
+    * instead of a guess (the [[recallReport]] discipline applied to
+    * the index layout). One map-side-combined cid-keyed count agg over
+    * the assignment projection + a broadcast one-row total; share is a
+    * long/long division — exact. */
+  def ivfBalance(corpus: DataFrame, idCol: String, vecCol: String,
+      seed: Long = 42, nCentroids: Int = 16): DataFrame = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    val counts = withNearestCentroids(corpus, vecCol, centroids, 1, "__near")
+      .select(element_at(col("__near"), 1).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n_vecs")).as("__t"))))
+      .select(col("cid").cast("bigint").as("cid"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("__t").cast("double")).as("share"))
+  }
+
   /** Reload a [[writeIvfIndex]] artifact: the inverted lists with their
     * bucket spec intact, plus the quantizer as the driver-side array
     * every probe helper takes (nCentroids rows by contract). */

@@ -1334,6 +1334,26 @@ object TextQueries {
           split.filter(col("split") === "test").select("doc_id", "ts"), "doc_id", "ts",
           k = 3)
         .filter(col("n_hits") > 0)
+    }),
+
+    // IVF cluster-balance report ([[Ann.ivfBalance]]): per-centroid
+    // inverted-list sizes and corpus shares for q39's quantizer — the
+    // index health table that justifies (or indicts) the refineIters
+    // knob with a measurement. Same centroid sample and assignment
+    // tie-breaks as the IVF oracles, so every count is hash-exact.
+    "q120_ivf_balance" -> ((s, dir) =>
+      Ann.ivfBalance(t(s, dir, "embeddings"), "vec_id", "embedding",
+        seed = 42, nCentroids = 16)),
+
+    // Vocabulary drift ([[TextOps.vocabDrift]]): the top-50 combined
+    // tokens of the even/odd doc halves with per-side counts, shares,
+    // and the share delta — the distribution-shift monitor for a
+    // refreshed training corpus. Counts integer, shares long/long
+    // divisions.
+    "q121_vocab_drift" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      TextOps.vocabDrift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 =!= 0), "ts", topK = 50)
     })
   )
 
@@ -2829,6 +2849,46 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q120: q39's centroid-sample and assignment CTEs + the per-cid
+    // count and long/long share.
+    "q120_ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |h AS (SELECT vec_id, v, ${Stable.duckSeededHash(42, "vec_id")} AS hh FROM e),
+         |cent AS (SELECT v AS cv, row_number() OVER (ORDER BY hh) - 1 AS cid
+         |         FROM (SELECT * FROM h ORDER BY hh LIMIT 16)),
+         |sims AS (SELECT e.vec_id, c.cid, ${duckCosine("e.v", "c.cv")} AS sim
+         |         FROM e, cent c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, cid ASC) AS rn FROM sims)
+         |  WHERE rn = 1),
+         |cnt AS (SELECT cid, count(*) AS n FROM asg GROUP BY cid),
+         |tot AS (SELECT sum(n) AS t FROM cnt)
+         |SELECT CAST(cid AS BIGINT) AS cid, CAST(n AS BIGINT) AS n_vecs,
+         |  CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+         |FROM cnt, tot""".stripMargin,
+
+    // q121: per-side vocab counts, full outer join, TakeOrdered top-50,
+    // and the same long/long share arithmetic.
+    "q121_vocab_drift" ->
+      s"""WITH $DuckToks,
+         |wa AS (SELECT unnest(ts) AS word FROM toks WHERE doc_id % 2 = 0),
+         |wb AS (SELECT unnest(ts) AS word FROM toks WHERE doc_id % 2 <> 0),
+         |ca AS (SELECT word, count(*) AS cnt_a FROM wa GROUP BY word),
+         |cb AS (SELECT word, count(*) AS cnt_b FROM wb GROUP BY word),
+         |j AS (SELECT coalesce(ca.word, cb.word) AS word,
+         |        coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+         |      FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+         |top AS (SELECT * FROM j ORDER BY cnt_a + cnt_b DESC, word ASC LIMIT 50),
+         |tot AS (SELECT (SELECT sum(cnt_a) FROM ca) AS ta,
+         |               (SELECT sum(cnt_b) FROM cb) AS tb)
+         |SELECT word, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+         |  CAST(cnt_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+         |  CAST(cnt_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+         |  CAST(cnt_a AS DOUBLE) / CAST(ta AS DOUBLE) -
+         |    CAST(cnt_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_delta
+         |FROM top, tot""".stripMargin,
 
     // q119: the planted union, q32's split CASE on the same hash, and
     // q94's distinct-shingle overlap restricted to each side.

@@ -332,6 +332,43 @@ object TextOps {
       .drop("__lo", "__hi")
   }
 
+  /** Vocabulary drift between two corpora — the distribution-shift
+    * monitor a refreshed training set gets checked with (did the new
+    * crawl change what the model will read?): the top-`topK` tokens of
+    * the COMBINED stream by (total count DESC, word ASC), each with its
+    * count and occurrence share on both sides and the share delta.
+    * Counts are integers; shares and delta are long/long double
+    * divisions — the whole table is bit-reproducible.
+    *
+    * Scale shape: one map-side-combined vocab-keyed count agg per side,
+    * a vocab-bounded full-outer join (the WORD vocabulary — for n-gram
+    * drift at corpus scale use the [[graft.sketch.Sketch.countMin]]
+    * tier instead; the scaladoc is the decision rule), a TakeOrdered
+    * top-k (never a vocab sort), and the two totals ride as a broadcast
+    * one-row frame. */
+  def vocabDrift(docsA: DataFrame, docsB: DataFrame, toksCol: String,
+      topK: Int = 50): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode_outer(col(toksCol)).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as(out))
+    val ca = counts(docsA, "cnt_a")
+    val cb = counts(docsB, "cnt_b")
+    val totals = broadcast(
+      ca.agg(coalesce(sum(col("cnt_a")), lit(0L)).as("__ta"))
+        .crossJoin(cb.agg(coalesce(sum(col("cnt_b")), lit(0L)).as("__tb"))))
+    ca.join(cb, Seq("word"), "full_outer")
+      .withColumn("cnt_a", coalesce(col("cnt_a"), lit(0L)))
+      .withColumn("cnt_b", coalesce(col("cnt_b"), lit(0L)))
+      .orderBy((col("cnt_a") + col("cnt_b")).desc, col("word").asc)
+      .limit(topK)
+      .crossJoin(totals)
+      .select(col("word"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast("double") / col("__ta").cast("double")).as("share_a"),
+        (col("cnt_b").cast("double") / col("__tb").cast("double")).as("share_b"))
+      .withColumn("share_delta", col("share_a") - col("share_b"))
+  }
+
   /** Separator between symbols in [[bpeMerges]]' working sequences: a
     * control char no `^[a-z]+$` training word can contain. */
   val BpeSep = "\u0001"

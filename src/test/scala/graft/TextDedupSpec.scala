@@ -846,6 +846,30 @@ class TextDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("loMicros < hiMicros"))
   }
 
+  test("ivfBalance: counts cover the corpus, shares telescope to 1") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val bal = Ann.ivfBalance(emb, "vec_id", "embedding", seed = 42, nCentroids = 8)
+      .collect()
+    assert(bal.map(_.getLong(1)).sum == emb.count())
+    assert(math.abs(bal.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(bal.length <= 8 && bal.length > 1, "a degenerate one-list index")
+  }
+
+  test("vocabDrift: hand-computed counts, shares, and one-sided words") {
+    import SparkSpec.spark.implicits._
+    val a = Seq((1L, Seq("x", "x", "y"))).toDF("doc_id", "ts")
+    val b = Seq((2L, Seq("x", "z"))).toDF("doc_id", "ts")
+    val out = TextOps.vocabDrift(a, b, "ts", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("x") == ((2L, 1L, 2.0 / 3.0, 0.5)))
+    assert(out("y") == ((1L, 0L, 1.0 / 3.0, 0.0)))
+    assert(out("z") == ((0L, 1L, 0.0, 0.5)))
+    // top-k truncation keeps the combined-count order
+    val top1 = TextOps.vocabDrift(a, b, "ts", topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "x")
+  }
+
   test("overlapMatrix: ordered pairs, doc-vs-distinct counts, disjoint pairs absent") {
     import SparkSpec.spark.implicits._
     val rows = Seq(
