@@ -217,6 +217,40 @@ class PlanSpec extends SparkSpec {
     p +: inner
   }
 
+  test("q102 domain cap: the bounded-aggregator form — no Window anywhere") {
+    // The claim is stronger than the global audit's no-UNPARTITIONED-window
+    // rule: capPerGroup must not plan ANY window (a per-domain row_number
+    // would sort the hot domain in one task — the domain being capped IS
+    // the hot one), only the TopK partial aggregation + the (group, hash)
+    // join-back.
+    val p = plan("q102_domain_cap")
+    assert(!p.contains("Window"), s"capPerGroup must not window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"the bounded TopK aggregator must appear:\n$p")
+  }
+
+  test("q104/q113: the mixing and soft-gate tiers plan ZERO exchanges") {
+    // mixWithRepeats is explode+filter+union and sampleByQuality a pure
+    // filter — any Exchange in either plan means a shuffle crept into a
+    // tier whose scale story is 'no shuffle at any scale'.
+    for (q <- Seq("q104_mix_epochs", "q113_quality_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("q103 length gate: the corpus never shuffles — only histogram-sized exchanges") {
+    // The histogram agg exchanges (bounded: distinct lengths), the cuts
+    // reduce to one row, and the gate side is scan+broadcast+filter. Any
+    // exchange carrying the doc id would mean the corpus itself shuffled.
+    val p = plan("q103_length_gate")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(doc_id")),
+      s"the corpus side of the length gate must not shuffle by doc:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row cuts frame must broadcast:\n$p")
+  }
+
   test("global audit: no unpartitioned Window, no CartesianProduct, in any query") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec
