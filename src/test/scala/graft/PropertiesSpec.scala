@@ -307,4 +307,71 @@ class PropertiesSpec extends SparkSpec {
       } && (total == 0 || spans.keySet == (0L to lastSeq).toSet)
     }, trials = 20)
   }
+
+  test("property: capPerGroup keeps exactly min(cap, |group|) rows per group, output ⊆ input") {
+    val gen = for {
+      sizes <- Gen.listOfN(3, Gen.choose(0, 12))
+      cap <- Gen.choose(1, 8)
+      seed <- Gen.choose(1L, 1000L)
+    } yield (sizes, cap, seed)
+    check(Prop.forAll(gen) { case (sizes, cap, seed) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (s"g$g", g * 100L + i))
+      }
+      if (rows.isEmpty) true
+      else {
+        val df = rows.toDF("grp", "id")
+        val out = graft.text.Curation.capPerGroup(df, "grp", "id", cap, seed)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val byGroup = out.groupBy(_._1).view.mapValues(_.length).toMap
+        sizes.zipWithIndex.forall { case (n, g) =>
+          byGroup.getOrElse(s"g$g", 0) == math.min(cap, n)
+        } && out.toSet.subsetOf(rows.toSet)
+      }
+    }, trials = 10)
+  }
+
+  test("property: lengthPercentileGate bands are monotone — a wider band keeps a superset") {
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      lo <- Gen.choose(0, 40)
+      hi <- Gen.choose(60, 100)
+      w <- Gen.choose(1, 20)
+    } yield (n, lo, hi, w)
+    check(Prop.forAll(gen) { case (n, lo, hi, w) =>
+      val docs = (1 to n).map(i => (i.toLong, (i * w % 29 + 1).toLong))
+        .toDF("doc_id", "len")
+      def kept(l: Int, h: Int) = graft.text.TextOps
+        .lengthPercentileGate(docs, "len", l, h)
+        .select("doc_id").as[Long].collect().toSet
+      val inner = kept(lo, hi)
+      val outer = kept(math.max(0, lo - 10), math.min(100, hi + 10))
+      inner.subsetOf(outer) && kept(0, 100).size == n
+    }, trials = 10)
+  }
+
+  test("property: mixWithRepeats row count = fullEpochs·|docs| + |fractional admits|") {
+    val gen = for {
+      n <- Gen.choose(1, 10)
+      budgetMult <- Gen.choose(1, 30) // rate = budgetMult / 10
+      seed <- Gen.choose(1L, 500L)
+    } yield (n, budgetMult, seed)
+    check(Prop.forAll(gen) { case (n, budgetMult, seed) =>
+      val docs = (1L to n.toLong).map(i => (i, 10L)).toDF("doc_id", "n_tokens")
+      val total = 10L * n
+      val budget = total * budgetMult / 10
+      if (budget == 0) true
+      else {
+        val rate = budget.toDouble / total.toDouble
+        val full = math.floor(rate).toLong
+        val threshold = math.floor((rate - math.floor(rate)) * 1000000).toLong
+        val fracN = docs.filter(
+          pmod(graft.functions.Stable.seededHash(seed, lit("s"), col("doc_id")),
+            lit(1000000L)) < threshold).count()
+        val out = graft.text.Curation.mixWithRepeats(
+          Seq(("s", docs, 1.0)), "doc_id", "n_tokens", budget, seed)
+        out.count() == full * n + fracN
+      }
+    }, trials = 10)
+  }
 }
