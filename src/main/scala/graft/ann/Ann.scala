@@ -558,6 +558,35 @@ object Ann {
     finally { batch.sparkSession.catalog.dropTempView(view); () }
   }
 
+  /** Embedding hygiene report — the one-row health check before any
+    * ANN tier runs: zero-norm vectors make cosine undefined (every
+    * kernel here guards them, but the CORPUS should know it has them),
+    * dimension mismatches break dot kernels at runtime, and a
+    * degenerate quantization scale flags vectors that arrived already
+    * broken. Built over [[quantize]]'s output so every column is
+    * bit-exact: qscale = maxAbs/127 (a max and one division — no float
+    * SUM anywhere), qnorm² = Σ q_i² an exact integer (≤ dim·127²), the
+    * mean a deci-integer. One map-side-combined agg over a projection
+    * — the corpus never shuffles. */
+  def embeddingHealth(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64): DataFrame =
+    quantize(df, idCol, vecCol)
+      .select(col("qscale"), size(col("qvec")).as("__d"),
+        aggregate(col("qvec").cast("array<long>"), lit(0L),
+          (a, x) => a + x * x).as("__qn2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("qscale") === 0d, 1L).otherwise(0L)), lit(0L))
+          .as("n_zero"),
+        coalesce(sum(when(col("__d") =!= dim, 1L).otherwise(0L)), lit(0L))
+          .as("n_wrong_dim"),
+        min(when(col("qscale") > 0d, col("qscale"))).as("min_qscale"),
+        max(col("qscale")).as("max_qscale"),
+        min(col("__qn2")).as("min_qnorm2"),
+        max(col("__qn2")).as("max_qnorm2"),
+        coalesce(sum(col("__qn2")), lit(0L)).as("__sq"))
+      .withColumn("mean_qnorm2_x10", expr("(__sq * 10) div n_vecs"))
+      .drop("__sq")
+
   /** IVF cluster-balance report — the index health check run before
     * trusting an IVF deployment: per centroid, its inverted-list size
     * and share of the corpus. A skewed quantizer (one giant list)

@@ -1354,6 +1354,33 @@ object TextQueries {
       val d = docsWithTokens(s, dir)
       TextOps.vocabDrift(d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 =!= 0), "ts", topK = 50)
+    }),
+
+    // Context-window chunking ([[TextOps.splitLongDocs]]): every doc
+    // split into 40-token windows at 10-token overlap (stride 30) —
+    // the preprocessor for docs longer than the model's context. The
+    // chunk count is an integer formula, the slices are pure
+    // projections, and the oracle replays the identical geometry.
+    "q122_doc_chunks" -> ((s, dir) =>
+      TextOps.splitLongDocs(docsWithTokens(s, dir), "doc_id", "ts",
+        maxTokens = 40, overlap = 10)),
+
+    // Embedding hygiene ([[Ann.embeddingHealth]]): the one-row corpus
+    // health check before any ANN tier — zero-norm counts, dimension
+    // mismatches, quantization-scale extrema, integer qnorm² extrema
+    // and deci-mean. A planted zero vector and a planted 32-dim vector
+    // make the counting columns load-bearing.
+    "q123_embedding_health" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.unionByName(
+        emb.filter(col("vec_id") === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), _ => lit(0f)).as("embedding")))
+        .unionByName(
+          emb.filter(col("vec_id") === 1)
+            .select((col("vec_id") + 2000000L).as("vec_id"),
+              slice(col("embedding"), 1, 32).as("embedding")))
+      Ann.embeddingHealth(planted, "vec_id", "embedding", dim = 64)
     })
   )
 
@@ -2849,6 +2876,49 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q122: the same integer chunk-count formula and 1-based inclusive
+    // slices (DuckDB ls[a:b] truncates at the end like Spark slice).
+    "q122_doc_chunks" ->
+      s"""WITH $DuckToks,
+         |nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+         |ch AS (SELECT doc_id, ts, n,
+         |  CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 29) // 30 END AS nc FROM nz),
+         |ex AS (SELECT doc_id, ts, n, unnest(generate_series(0, nc - 1)) AS k FROM ch)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  ts[k * 30 + 1 : k * 30 + 40] AS chunk_toks,
+         |  CAST(len(ts[k * 30 + 1 : k * 30 + 40]) AS BIGINT) AS n_chunk_tokens
+         |FROM ex""".stripMargin,
+
+    // q123: q62's quantization CTEs over the planted union; qnorm² via
+    // list_sum of exact integer-valued doubles, cast once.
+    "q123_embedding_health" ->
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(0 AS REAL))
+         |  FROM embeddings WHERE vec_id = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, embedding[1:32]
+         |  FROM embeddings WHERE vec_id = 1),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM u),
+         |sc AS (SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+         |q AS (SELECT vec_id, qscale,
+         |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+         |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+         |  FROM sc),
+         |h AS (SELECT qscale, len(qv) AS d,
+         |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qn2
+         |      FROM q)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN qscale = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(sum(CASE WHEN d <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+         |  min(CASE WHEN qscale > 0 THEN qscale END) AS min_qscale,
+         |  max(qscale) AS max_qscale,
+         |  CAST(min(qn2) AS BIGINT) AS min_qnorm2,
+         |  CAST(max(qn2) AS BIGINT) AS max_qnorm2,
+         |  (CAST(sum(qn2) AS BIGINT) * 10) // count(*) AS mean_qnorm2_x10
+         |FROM h""".stripMargin,
 
     // q120: q39's centroid-sample and assignment CTEs + the per-cid
     // count and long/long share.

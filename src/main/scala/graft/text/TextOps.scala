@@ -332,6 +332,42 @@ object TextOps {
       .drop("__lo", "__hi")
   }
 
+  /** Sliding-window chunking of over-length documents — the
+    * context-length preprocessor (a doc longer than the model's window
+    * must split BEFORE packing, and retrieval corpora chunk with
+    * overlap so no passage straddles a boundary unseen): doc → chunks
+    * of `maxTokens` at stride `maxTokens - overlap`, last chunk the
+    * remainder, docs within the budget pass through as chunk 0. Chunk
+    * count is the integer form `1 + ceil((n - max) / stride)` — no
+    * float anywhere, so the layout is bit-identical in any engine.
+    * Empty docs emit no row. Output: (idCol, chunk_id, chunk_toks,
+    * n_chunk_tokens).
+    *
+    * Scale shape: one bounded posexplode (fan-out = the doc's own
+    * chunk count) over a pure projection; no shuffle, no join —
+    * [[cdcChunks]]' content-defined cousin with fixed geometry. */
+  def splitLongDocs(df: DataFrame, idCol: String, toksCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"splitLongDocs: maxTokens must be >= 1, got $maxTokens")
+    require(0 <= overlap && overlap < maxTokens,
+      s"splitLongDocs: overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val n = size(col("__ts"))
+    // integer div (`div`, not `/` — Column `/` is double division)
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(lit(1) +
+        expr(s"(size(__ts) - $maxTokens + ${step - 1}) div $step"))
+    df.filter(size(col(toksCol)) > 0)
+      .select(col(idCol), col(toksCol).as("__ts"))
+      .select(col(idCol), col("__ts"),
+        posexplode(sequence(lit(0L), nChunks.cast("bigint") - 1))
+          .as(Seq("chunk_id", "__k")))
+      .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
+        slice(col("__ts"), col("chunk_id") * step + 1, lit(maxTokens))
+          .as("chunk_toks"))
+      .withColumn("n_chunk_tokens", size(col("chunk_toks")).cast("bigint"))
+  }
+
   /** Vocabulary drift between two corpora — the distribution-shift
     * monitor a refreshed training set gets checked with (did the new
     * crawl change what the model will read?): the top-`topK` tokens of

@@ -846,6 +846,23 @@ class TextDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("loMicros < hiMicros"))
   }
 
+  test("embeddingHealth: hand-computed card over planted zero and short vectors") {
+    import SparkSpec.spark.implicits._
+    val rows = Seq(
+      (1L, Seq(127f, 0f, 0f, 0f)),       // qscale 1.0, qvec [127,0,0,0], qn2 16129
+      (2L, Seq(0f, 0f, 0f, 0f)),         // zero vector
+      (3L, Seq(2f, -2f))                 // wrong dim; qscale 2/127, qvec [127,-127]
+    ).toDF("vec_id", "embedding")
+    val h = Ann.embeddingHealth(rows, "vec_id", "embedding", dim = 4).collect()(0)
+    assert(h.getAs[Long]("n_vecs") == 3 && h.getAs[Long]("n_zero") == 1)
+    assert(h.getAs[Long]("n_wrong_dim") == 1)
+    assert(h.getAs[Double]("min_qscale") == 2.0 / 127.0)
+    assert(h.getAs[Double]("max_qscale") == 1.0)
+    assert(h.getAs[Long]("min_qnorm2") == 0L)
+    assert(h.getAs[Long]("max_qnorm2") == 2 * 127L * 127L)
+    assert(h.getAs[Long]("mean_qnorm2_x10") == (16129L + 0L + 32258L) * 10 / 3)
+  }
+
   test("ivfBalance: counts cover the corpus, shares telescope to 1") {
     val emb = Tables.load(spark, sf, "embeddings")
     val bal = Ann.ivfBalance(emb, "vec_id", "embedding", seed = 42, nCentroids = 8)

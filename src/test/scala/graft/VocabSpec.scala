@@ -119,6 +119,26 @@ class VocabSpec extends SparkSpec {
     assert(after == 0L, s"redaction left $after detections")
   }
 
+  test("splitLongDocs: hand-checked geometry, short docs pass through, guards") {
+    val toks = (1 to 100).map(i => s"w$i")
+    val rows = Seq((1L, toks), (2L, toks.take(40)), (3L, toks.take(5)),
+      (4L, Seq.empty[String])).toDF("doc_id", "ts")
+    val out = TextOps.splitLongDocs(rows, "doc_id", "ts", maxTokens = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getSeq[String](2), r.getLong(3)))).toMap
+    // n=100, stride 30: chunks [0,40) [30,70) [60,100) — count 3
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (3L, 0L)))
+    assert(out((1L, 0L))._1 == toks.slice(0, 40) && out((1L, 1L))._1 == toks.slice(30, 70))
+    assert(out((1L, 2L))._1 == toks.slice(60, 100) && out((1L, 2L))._2 == 40L)
+    assert(out((2L, 0L))._2 == 40L && out((3L, 0L))._2 == 5L)
+    // overlapping windows tile: consecutive chunks share exactly `overlap`
+    assert(out((1L, 0L))._1.takeRight(10) == out((1L, 1L))._1.take(10))
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.splitLongDocs(rows, "doc_id", "ts", maxTokens = 10, overlap = 10)
+    }
+    assert(ex.getMessage.contains("overlap"))
+  }
+
   test("langSegments: per-line argmax, dominant-language tie-breaks, empty docs vanish") {
     val rows = Seq(
       (1L, "the of and\nel la que\nel la y"),   // 1 en + 2 es -> main es
