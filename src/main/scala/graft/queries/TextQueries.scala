@@ -1381,6 +1381,22 @@ object TextQueries {
             .select((col("vec_id") + 2000000L).as("vec_id"),
               slice(col("embedding"), 1, 32).as("embedding")))
       Ann.embeddingHealth(planted, "vec_id", "embedding", dim = 64)
+    }),
+
+    // Asymmetric containment ([[TextOps.containmentPairs]]): %43 docs
+    // spawn an EXCERPT (their first 30 tokens, new id) — the excerpt
+    // is near-fully contained in its source (containment ≈ 1 in the
+    // excerpt→source direction) while the source is not in the
+    // excerpt; the 1/2 threshold keeps exactly the directed rows a
+    // symmetric Jaccard would blur. Winnowing recall is positional,
+    // so both engines find the identical pair set.
+    "q124_containment" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val planted = d.unionByName(d.filter(col("doc_id") % 43 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          slice(col("ts"), 1, 30).as("ts")))
+      TextOps.containmentPairs(planted, "doc_id", "ts",
+        k = 3, w = 4, tauNum = 1, tauDen = 2)
     })
   )
 
@@ -2876,6 +2892,37 @@ object TextQueries {
          |UNION ALL
          |${side("web", "doc_id % 10 <> 0", "0.5")}""".stripMargin
     },
+
+    // q124: q98's winnow CTEs over the planted union, both pair
+    // directions, per-src fingerprint counts, the cross-multiplied
+    // threshold and the one edge division.
+    "q124_containment" ->
+      s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM documents),
+         |u AS (SELECT doc_id, ts FROM toks0
+         |      UNION ALL
+         |      SELECT doc_id + 4000000 AS doc_id, ts[1:30] AS ts
+         |      FROM toks0 WHERE doc_id % 43 = 0),
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+         |      i -> ${H("array_to_string(ts[i:i+2], ' ')")}) AS gs
+         |  FROM u),
+         |mins AS (
+         |  SELECT doc_id, gs, unnest(generate_series(1, greatest(len(gs) - 3, 1))) AS i
+         |  FROM grams),
+         |fp AS (SELECT DISTINCT doc_id, m AS fp
+         |       FROM (SELECT doc_id, list_min(gs[i:i+3]) AS m FROM mins)),
+         |nfp AS (SELECT doc_id AS src, CAST(count(*) AS BIGINT) AS n_src_fps
+         |        FROM fp GROUP BY doc_id),
+         |sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |dir AS (SELECT id1 AS src, id2 AS dst, n_shared FROM sh
+         |        UNION ALL SELECT id2, id1, n_shared FROM sh)
+         |SELECT d.src, d.dst, d.n_shared, n.n_src_fps,
+         |  CAST(d.n_shared AS DOUBLE) / CAST(n.n_src_fps AS DOUBLE) AS containment
+         |FROM dir d JOIN nfp n ON n.src = d.src
+         |WHERE d.n_shared * 2 >= n.n_src_fps * 1""".stripMargin,
 
     // q122: the same integer chunk-count formula and 1-based inclusive
     // slices (DuckDB ls[a:b] truncates at the end like Spark slice).

@@ -520,6 +520,43 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Asymmetric containment pairs — the MOSS-style DIRECTED score
+    * [[fingerprintPairs]]' symmetric count cannot express: (src, dst)
+    * with containment = |fp(src) ∩ fp(dst)| / |fp(src)| ≥ tauNum/tauDen
+    * flags documents MOSTLY CONTAINED in another (excerpt farms,
+    * scraped aggregates, quote-stuffed spam) even when the containing
+    * doc is far larger — a Jaccard or shared-count threshold misses
+    * exactly that asymmetry. Both directions of a sharing pair are
+    * scored; the threshold is cross-multiplied (no division in the
+    * cut), the reported score one long/long division at the edge.
+    *
+    * Scale shape: [[fingerprintPairs]]' bucket machinery builds the
+    * shared counts (same occupancy guard); per-doc fingerprint counts
+    * are one map-side-combined agg; the pair↔count join keys on the
+    * UNIFORM doc id. Winnowing's positional guarantee makes recall
+    * deterministic: an excerpt of ≥ w+k−1 tokens always shares its
+    * windows' minima with the source. */
+  def containmentPairs(df: DataFrame, idCol: String, toksCol: String,
+      k: Int = 3, w: Int = 4, tauNum: Int = 1, tauDen: Int = 2,
+      maxOccupancy: Int = 100000): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0 && tauNum <= tauDen,
+      s"containmentPairs: threshold $tauNum/$tauDen is not in [0, 1]")
+    val nfp = fingerprint(df, toksCol, k, w)
+      .select(col(idCol), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .groupBy(idCol).agg(count(lit(1)).as("n_src_fps"))
+      .withColumnRenamed(idCol, "src")
+    val pairs = fingerprintPairs(df, idCol, toksCol, k, w,
+      minShared = 1, maxOccupancy = maxOccupancy)
+    pairs.select(col("id1").as("src"), col("id2").as("dst"), col("n_shared"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"),
+        col("n_shared")))
+      .join(nfp, Seq("src"))
+      .filter(col("n_shared") * tauDen >= col("n_src_fps") * tauNum)
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_src_fps").cast("double"))
+  }
+
   /** Content-defined chunking + duplicate-chunk report — the
     * insertion-robust passage-dedup preprocessing (the rsync/CDC idea
     * applied to token streams): a chunk boundary opens BEFORE every

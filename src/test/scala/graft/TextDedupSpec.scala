@@ -846,6 +846,26 @@ class TextDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("loMicros < hiMicros"))
   }
 
+  test("containmentPairs: an excerpt is contained in its source, not vice versa") {
+    import SparkSpec.spark.implicits._
+    val full = (1 to 40).map(i => s"t$i")
+    val rows = Seq(
+      (1L, full),                       // the source
+      (2L, full.take(15)),              // its excerpt: contained in 1
+      (3L, (1 to 40).map(i => s"z$i"))  // unrelated
+    ).toDF("doc_id", "ts")
+    val out = TextOps.containmentPairs(rows, "doc_id", "ts",
+        k = 3, w = 4, tauNum = 1, tauDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // excerpt -> source is full containment (its windows are a prefix of
+    // the source's, so every winnow minimum recurs)
+    assert(out((2L, 1L)) == 1.0, s"got $out")
+    // source -> excerpt is below the 1/2 cut (15 of 40 tokens)
+    assert(!out.contains((1L, 2L)))
+    // the unrelated doc pairs with nothing
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("embeddingHealth: hand-computed card over planted zero and short vectors") {
     import SparkSpec.spark.implicits._
     val rows = Seq(
