@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence event analytics — the funnel and cohort tables every
+  * event-log deployment reports (the analytics layer over the engine's
+  * event machinery: q34 windows, q35 sessionize, q44 as-of, q54 dedup).
+  * Both operators are exact integer/timestamp computations, so the DuckDB
+  * oracle replays them bit-for-bit.
+  */
+object Events {
+
+  /** Ordered funnel: for each step k, the users whose FIRST qualifying
+    * occurrence of step k happens strictly AFTER their first qualifying
+    * occurrence of step k-1 (the strict-order funnel — a purchase
+    * before signup does not convert). One row per step: (step,
+    * event_type, n_users, conversion), conversion = n_k / n_1 as a
+    * long/long division.
+    *
+    * Scale shape: step k is one filtered (small: a single event type)
+    * user-keyed min-agg joined to step k-1's user frame — k-1 joins
+    * keyed by the uniform user id, each side already collapsed to one
+    * row per user; no window ever sees the full event stream. The
+    * per-user "first occurrence after t" is the conditional min, so
+    * repeated events cost nothing. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val frames = steps.foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, step) =>
+        val hits = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        val reached = acc match {
+          case Nil =>
+            hits.groupBy("__u").agg(min(col("__ts")).as("__t"))
+          case (_, prev) :: _ =>
+            hits.join(prev.select(col("__u"), col("__t").as("__pt")), Seq("__u"))
+              .filter(col("__ts") > col("__pt"))
+              .groupBy("__u").agg(min(col("__ts")).as("__t"))
+        }
+        (step, reached) :: acc
+    }.reverse
+    val counts = frames.zipWithIndex.map { case ((step, df), i) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(i + 1L).as("step"), lit(step).as("event_type"),
+          col("n").as("n_users"))
+    }.reduce(_ unionByName _)
+    val first = counts.filter(col("step") === 1L)
+      .select(col("n_users").as("__n1"))
+    counts.crossJoin(broadcast(first))
+      .withColumn("conversion",
+        when(col("__n1") > 0,
+          col("n_users").cast("double") / col("__n1").cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__n1")
+  }
+
+  /** Weekly retention cohorts — the activity matrix (cohort week ×
+    * weeks-since-cohort × distinct active users) behind every retention
+    * curve: a user's cohort is the ISO week (`date_trunc('week')`,
+    * Monday start in Spark AND DuckDB) of their first event; a cell
+    * counts the cohort's users active in that offset week. Offsets are
+    * integer day-differences div 7 — exact cross-engine.
+    *
+    * Scale shape: one user-keyed min-agg for cohorts, one distinct over
+    * (user, week) — both map-side combined — a user-keyed join (both
+    * sides one-or-few rows per user), and the final bounded
+    * (cohort, offset)-keyed distinct count. The event stream shuffles
+    * only user-keyed; the matrix is weeks² rows. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("__u"),
+      date_trunc("week", col(tsCol)).as("__w"))
+    val cohorts = weeks.groupBy("__u").agg(min(col("__w")).as("__cohort"))
+    weeks.distinct()
+      .join(cohorts, Seq("__u"))
+      .select(col("__u"),
+        // week-start as TIMESTAMP, not DATE — parquet DATE and the
+        // oracle's datetime64 compare as unequal python types
+        col("__cohort").as("cohort_week"),
+        // both sides are week-truncated Mondays, so the day difference is
+        // an exact multiple of 7; integer div keeps it integer throughout
+        expr("CAST(datediff(__w, __cohort) div 7 AS BIGINT)").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("__u")).as("n_active"))
+  }
+}

@@ -133,7 +133,25 @@ object EventQueries {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
-    })
+    }),
+
+    // Strict-order funnel ([[graft.operators.Events.funnel]]): users
+    // whose first view follows their first signup, and whose first
+    // purchase follows THAT view — per-step user counts and the
+    // conversion fraction (long/long). Step k is one filtered user-
+    // keyed min-agg joined to step k-1's per-user frame; the event
+    // stream never sees a window.
+    "q125_funnel" -> ((s, dir) =>
+      graft.operators.Events.funnel(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("signup", "view", "purchase"))),
+
+    // Weekly retention cohorts ([[graft.operators.Events.retentionCohorts]]):
+    // cohort = ISO week of the user's first event (Monday-start in both
+    // engines), cells = distinct cohort users active at each week
+    // offset — the retention-curve matrix, exact integers throughout.
+    "q126_retention" -> ((s, dir) =>
+      graft.operators.Events.retentionCohorts(t(s, dir, "events"),
+        "user_id", "ts"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -213,6 +231,41 @@ object EventQueries {
         |  FROM f)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, min(ts) AS session_start
-        |FROM s GROUP BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // q125: one conditional-min CTE per step, each anchored to the
+    // previous step's per-user first time; counts + long/long
+    // conversion.
+    "q125_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |n AS (SELECT 1 AS step, 'signup' AS event_type,
+        |             (SELECT count(*) FROM s1) AS n_users
+        |      UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, event_type,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CASE WHEN (SELECT count(*) FROM s1) > 0
+        |       THEN CAST(n_users AS DOUBLE) /
+        |            CAST((SELECT count(*) FROM s1) AS DOUBLE)
+        |       ELSE 0.0 END AS conversion
+        |FROM n""".stripMargin,
+
+    // q126: week-truncated firsts and activity, day-difference div 7.
+    "q126_retention" ->
+      """WITH w AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM w)
+        |SELECT c.cohort AS cohort_week,
+        |  CAST(date_diff('day', c.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM a JOIN c ON c.user_id = a.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -31,4 +31,46 @@ class OperatorsSpec extends SparkSpec {
       s"as-of must not be a range/cross join:\n$plan")
     assert(plan.contains("Window"), "as-of should compile to a per-key window")
   }
+
+  test("funnel: strict order converts, out-of-order does not, counts cascade") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: signup -> view -> purchase in order: full conversion
+      (1L, "signup", ts(1)), (1L, "view", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE view: reaches step 2 only
+      (2L, "signup", ts(1)), (2L, "purchase", ts(2)), (2L, "view", ts(3)),
+      // user 3: view without signup: reaches no step
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)),
+      // user 4: signup only
+      (4L, "signup", ts(5))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Events.funnel(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == (("signup", 3L, 1.0)))
+    assert(out(2L) == (("view", 2L, 2.0 / 3.0)))
+    assert(out(3L) == (("purchase", 1L, 1.0 / 3.0)))
+  }
+
+  test("retentionCohorts: hand-computed weekly matrix") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 2024-01-01 is a Monday. User 1 cohort = week of Jan 1, active
+    // weeks 0 and 2; user 2 same cohort, week 0 only; user 3 cohort =
+    // week of Jan 8, active weeks 0 and 1.
+    val ev = Seq(
+      (1L, ts(2)), (1L, ts(16)),
+      (2L, ts(3)), (2L, ts(4)),
+      (3L, ts(9)), (3L, ts(15))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Events.retentionCohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L), s"got $out")
+  }
 }
