@@ -56,6 +56,41 @@ object Events {
       .drop("__n1")
   }
 
+  /** Top session journeys — the most common event-type PATHS through a
+    * session (the "user flow" report): sessions cut at `gapSeconds` of
+    * inactivity (q35's sessionization rule verbatim), each session's
+    * path the '>'-joined event types in (ts, event id) order, ranked by
+    * frequency. Output: (path, n_sessions), top `topK` by
+    * (count DESC, path ASC).
+    *
+    * Scale shape: the per-user session window (partitioned — the q35
+    * rule), per-session assembly bounded by the session's own length
+    * (array_sort over a collect_list, never a sort shuffle), one
+    * map-side-combined path-keyed count, and a TakeOrdered top-k —
+    * never a full path-table sort. */
+  def topJourneys(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, eventIdCol: String, gapSeconds: Int = 1800,
+      topK: Int = 20): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(eventIdCol))
+    val paths = events
+      .withColumn("__gap",
+        col(tsCol).cast("double") - lag(col(tsCol).cast("double"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col(tsCol).as("t"),
+          col(eventIdCol).as("e"), col(typeCol).as("y")))),
+        s => s.getField("y"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Weekly retention cohorts — the activity matrix (cohort week ×
     * weeks-since-cohort × distinct active users) behind every retention
     * curve: a user's cohort is the ISO week (`date_trunc('week')`,

@@ -151,7 +151,16 @@ object EventQueries {
     // offset — the retention-curve matrix, exact integers throughout.
     "q126_retention" -> ((s, dir) =>
       graft.operators.Events.retentionCohorts(t(s, dir, "events"),
-        "user_id", "ts"))
+        "user_id", "ts")),
+
+    // Top session journeys ([[graft.operators.Events.topJourneys]]):
+    // q35's sessions, each reduced to its ordered event-type path,
+    // ranked by frequency — the user-flow table. TakeOrdered top-20 by
+    // (count DESC, path ASC); deterministic assembly order via
+    // (ts, event_id).
+    "q127_top_journeys" -> ((s, dir) =>
+      graft.operators.Events.topJourneys(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +275,31 @@ object EventQueries {
         |  CAST(date_diff('day', c.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
         |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
         |FROM a JOIN c ON c.user_id = a.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q127: q35's session CTEs + ordered string_agg paths + the
+    // (count DESC, path ASC) rank limit.
+    "q127_top_journeys" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, session_id),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM p GROUP BY path)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
   )
 }

@@ -54,6 +54,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == (("purchase", 1L, 1.0 / 3.0)))
   }
 
+  test("topJourneys: gap-cut paths in event order, ranked with lexicographic ties") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      // user 1, session A: view > click; 2h gap; session B: view > click
+      (1L, 1L, "view", ts(1, 0)), (2L, 1L, "click", ts(1, 5)),
+      (3L, 1L, "view", ts(4, 0)), (4L, 1L, "click", ts(4, 2)),
+      // user 2, one session: signup alone
+      (5L, 2L, "signup", ts(2, 0))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.Events.topJourneys(ev, "user_id", "event_type",
+        "ts", "event_id", gapSeconds = 1800, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("view>click", 2L), ("signup", 1L)), s"got ${out.toSeq}")
+  }
+
   test("retentionCohorts: hand-computed weekly matrix") {
     import java.sql.Timestamp
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
