@@ -160,7 +160,21 @@ object EventQueries {
     // (ts, event_id).
     "q127_top_journeys" -> ((s, dir) =>
       graft.operators.Events.topJourneys(t(s, dir, "events"),
-        "user_id", "event_type", "ts", "event_id"))
+        "user_id", "event_type", "ts", "event_id")),
+
+    // Semi-structured JSON property analytics: the events table's
+    // `props` column parsed in-flight (codegen get_json_object — no
+    // UDF, no pre-flattening ETL) and aggregated per event type —
+    // Spark's semi-structured tier against DuckDB's JSON extension.
+    // All integer outputs.
+    "q128_json_props" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("k")), lit(0L)).as("sum_k"),
+          count_distinct(col("k")).as("n_distinct_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -300,6 +314,16 @@ object EventQueries {
         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |      FROM p GROUP BY path)
         |SELECT path, n_sessions FROM c
-        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    // q128: the same extraction through DuckDB's JSON extension.
+    "q128_json_props" ->
+      """WITH k AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM k GROUP BY event_type""".stripMargin
   )
 }
