@@ -91,6 +91,41 @@ object Events {
       .limit(topK)
   }
 
+  /** Interval self-join: all ordered event pairs of the same user
+    * within `deltaSeconds` — the time-window correlation every
+    * event-log investigation runs (errors within a minute of a
+    * purchase, click trains, fraud bursts). A naive range self-join
+    * plans as a per-user cartesian; the scale-safe form here is the
+    * LSH shape applied to TIME: bucket by ⌊t/Δ⌋, probe buckets b and
+    * b+1 (a later event within Δ lands in one of the two), verify the
+    * exact microsecond gap on the joined row. Each qualifying pair
+    * meets in EXACTLY one bucket branch — no distinct needed. Output:
+    * (userCol, e1, e2, gap_us), microsecond-exact integers.
+    *
+    * Scale shape: explode ×2 on the probe side, joins keyed by
+    * (user, bucket) — uniform unless one user floods one Δ-window,
+    * which is the self-join's inherent quadratic (cap upstream with
+    * [[funnel]]-style firsts or dedup if a user can flood). */
+  def withinWindowPairs(events: DataFrame, userCol: String, tsCol: String,
+      eventIdCol: String, deltaSeconds: Int): DataFrame = {
+    require(deltaSeconds >= 1, s"withinWindowPairs: delta $deltaSeconds < 1s")
+    val deltaUs = deltaSeconds * 1000000L
+    val base = events.select(col(userCol), col(eventIdCol).as("__e"),
+      unix_micros(col(tsCol)).as("__t"))
+      .withColumn("__b", expr(s"__t div $deltaUs"))
+    val probe = base
+      .withColumn("__pb", explode(array(col("__b"), col("__b") + 1)))
+      .select(col(userCol), col("__e").as("e1"), col("__t").as("__t1"),
+        col("__pb").as("__b"))
+    probe.join(base.select(col(userCol), col("__e").as("e2"),
+        col("__t").as("__t2"), col("__b")), Seq(userCol, "__b"))
+      .filter((col("__t2") > col("__t1") ||
+          (col("__t2") === col("__t1") && col("e2") > col("e1"))) &&
+        col("__t2") - col("__t1") <= deltaUs)
+      .select(col(userCol), col("e1"), col("e2"),
+        (col("__t2") - col("__t1")).as("gap_us"))
+  }
+
   /** Weekly retention cohorts — the activity matrix (cohort week ×
     * weeks-since-cohort × distinct active users) behind every retention
     * curve: a user's cohort is the ISO week (`date_trunc('week')`,

@@ -174,7 +174,17 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           coalesce(sum(col("k")), lit(0L)).as("sum_k"),
           count_distinct(col("k")).as("n_distinct_k"),
-          min(col("k")).as("min_k"), max(col("k")).as("max_k")))
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    // Interval self-join ([[graft.operators.Events.withinWindowPairs]]):
+    // same-user event pairs within 60 s — the engine runs the bucketed
+    // candidate+verify form (the LSH shape applied to time; a plain
+    // range self-join plans per-user cartesians), the oracle the naive
+    // quadratic join; identical microsecond-exact pair sets certify
+    // the rewrite.
+    "q129_window_pairs" -> ((s, dir) =>
+      graft.operators.Events.withinWindowPairs(t(s, dir, "events"),
+        "user_id", "ts", "event_id", deltaSeconds = 60))
   )
 
   val oracles: Map[String, String] = Map(
@@ -315,6 +325,16 @@ object EventQueries {
         |      FROM p GROUP BY path)
         |SELECT path, n_sessions FROM c
         |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    // q129: the NAIVE quadratic self-join — the point of the oracle is
+    // that the engine's bucketed rewrite emits the identical pair set.
+    "q129_window_pairs" ->
+      """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE (epoch_us(b.ts) > epoch_us(a.ts)
+        |       OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000""".stripMargin,
 
     // q128: the same extraction through DuckDB's JSON extension.
     "q128_json_props" ->

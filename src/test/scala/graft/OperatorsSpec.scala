@@ -70,6 +70,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("view>click", 2L), ("signup", 1L)), s"got ${out.toSeq}")
   }
 
+  test("withinWindowPairs: bucket-straddling pairs caught once, boundary inclusive") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    val ev = Seq(
+      (1L, 1L, ts(5)),    // pairs with e2 (same bucket) and e3 (straddles)
+      (2L, 1L, ts(20)),
+      (3L, 1L, ts(65)),   // 60s after e1: boundary inclusive; 45 after e2
+      (4L, 1L, ts(200)),  // isolated
+      (5L, 2L, ts(6))     // other user: never pairs with user 1
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.operators.Events.withinWindowPairs(ev, "user_id", "ts",
+        "event_id", deltaSeconds = 60)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out == Map(
+      (1L, 2L) -> 15000000L,
+      (1L, 3L) -> 60000000L,   // exactly delta: inclusive
+      (2L, 3L) -> 45000000L), s"got $out")
+  }
+
   test("retentionCohorts: hand-computed weekly matrix") {
     import java.sql.Timestamp
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
