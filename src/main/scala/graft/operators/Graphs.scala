@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over an edge list — the link-centrality tier
+  * of a web-scale curation pipeline (Common Crawl orders its fetch
+  * frontier and weighs page quality by link centrality; a corpus engine
+  * that ranks documents needs the same primitive). Companion to
+  * [[graft.dedup.Components]] (connected components — the dedup-cluster
+  * side of the same edge-list machinery).
+  */
+object Graphs {
+
+  /** Fixed-iteration PageRank, all-integer: ranks live on a fixed-point
+    * `scale` grid, the damping factor is the rational dampNum/dampDen,
+    * and every per-iteration update is integer `div` arithmetic —
+    *
+    *   r_0(v)    = scale div N
+    *   r_{i+1}(v) = (scale·(dampDen−dampNum)) div (dampDen·N)
+    *              + (dampNum · Σ_{u→v} (r_i(u) div outdeg(u))) div dampDen
+    *
+    * so the contribution sum is a LONG sum (order-independent — the
+    * engine's cross-engine-exactness discipline: no float accumulation
+    * whose ordering Spark does not guarantee), and an external engine
+    * replays every iteration bit-for-bit. The `div` truncation loses
+    * ≤ outdeg(u) units of mass per node per iteration — at the default
+    * scale (10^12) a relative error of ~10^-9, far below any ranking
+    * use, and identically reproduced by the oracle. Dangling nodes
+    * (outdeg 0) leak their damped mass rather than redistributing it —
+    * the documented variant; rankings are unaffected for graphs whose
+    * dangling fraction is small, and the teleport base term keeps every
+    * node's rank positive. Nodes = src ∪ dst of the edge list.
+    *
+    * Scale shape: the edge list (joined once with its outdegree — an
+    * edge-keyed map-side-combined count agg) is repartitioned by src
+    * and PERSISTED, so every iteration's rank join reuses one cached,
+    * correctly-partitioned edge frame — per iteration the only moving
+    * data is the rank table (N rows, shuffled once into the join and
+    * once by the dst-keyed contribution agg, which map-side combines).
+    * The node frame is persisted for the same reason (it is the left
+    * side of every iteration's base-term join). Rank lineage is kept
+    * LINEAR in iterations — each iteration references the previous
+    * ranks exactly once (the base term joins against the invariant
+    * node frame, never against ranks a second time) — so the plan for
+    * iteration i is O(i), not O(2^i), and no per-iteration checkpoint
+    * is needed at small fixed iteration counts. N rides in as a
+    * broadcast one-row frame (no driver action). Output: (node, rank).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(0 < dampNum && dampNum < dampDen,
+      s"pageRank: need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val ewd = e.join(outdeg, Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    val base = s"${scale * (dampDen - dampNum)} div ($dampDen * __n)"
+    var ranks = nodes.crossJoin(broadcast(n))
+      .selectExpr("node", s"$scale div __n AS rank")
+    for (_ <- 1 to iters) {
+      val contribs = ewd.join(ranks, ewd("src") === ranks("node"))
+        .selectExpr("dst AS node", "rank div __deg AS __c")
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .selectExpr("node",
+          s"($base) + ($dampNum * coalesce(__in, 0L)) div $dampDen AS rank")
+    }
+    ranks
+  }
+}

@@ -1397,6 +1397,34 @@ object TextQueries {
           slice(col("ts"), 1, 30).as("ts")))
       TextOps.containmentPairs(planted, "doc_id", "ts",
         k = 3, w = 4, tauNum = 1, tauDen = 2)
+    }),
+
+    // BM25 keyword retrieval ([[TextOps.bm25TopK]]): three literal
+    // queries over the corpus vocabulary (query 3 carries a term absent
+    // from every document — its ranking must come from `spark` alone).
+    // All-integer scoring (quantized idf bits, integer avgdl, cleared
+    // k1/b denominators) so both engines sum longs, never floats.
+    "q130_bm25_search" -> ((s, dir) =>
+      TextOps.bm25TopK(docsWithTokens(s, dir), "doc_id", "ts",
+        Seq(1L -> Seq("hash", "join", "table"),
+          2L -> Seq("window", "stream", "batch"),
+          3L -> Seq("spark", "nosuchterm")), k = 10)),
+
+    // PageRank over a seeded synthetic link graph
+    // ([[graft.operators.Graphs.pageRank]]): doc i emits 1 + (i mod 3)
+    // links whose targets are md5-derived (uniform over the corpus) —
+    // the deterministic stand-in for a crawl's link column, exercising
+    // the operator end-to-end: multigraph outdegrees, teleport base,
+    // dangling leak, five exact integer iterations.
+    "q131_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__nd"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), col("doc_id") % 3)).as("j"), col("__nd"))
+        .select(col("src"),
+          pmod(Stable.seededHash(19, col("src"), col("j")), col("__nd")).as("dst"))
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 5)
     })
   )
 
@@ -2966,6 +2994,65 @@ object TextQueries {
          |  CAST(max(qn2) AS BIGINT) AS max_qnorm2,
          |  (CAST(sum(qn2) AS BIGINT) * 10) // count(*) AS mean_qnorm2_x10
          |FROM h""".stripMargin,
+
+    // q130: the same all-integer BM25 — quantized idf bits, integer
+    // avgdl (t // n), cleared k1=6/5 b=3/4 denominators — so the score
+    // sum is exact on both engines; DuckDB's `//` floor division equals
+    // Spark's `div` (all operands positive). The IN-subquery replays
+    // the literal isin probe.
+    "q130_bm25_search" ->
+      s"""WITH $DuckToks,
+         |q(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'table'),
+         |  (2, 'window'), (2, 'stream'), (2, 'batch'),
+         |  (3, 'spark'), (3, 'nosuchterm')),
+         |sc AS (SELECT count(*) FILTER (WHERE len(ts) > 0) AS n,
+         |       coalesce(sum(len(ts)), 0) AS t FROM toks),
+         |tf AS (SELECT doc_id, dl, w AS term, count(*) AS tf
+         |       FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+         |             unnest(ts) AS w FROM toks)
+         |       WHERE w IN (SELECT term FROM q)
+         |       GROUP BY 1, 2, 3),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scd AS (SELECT qq.query_id, t1.doc_id,
+         |    (((length(bin(sc.n)) - 1) - (length(bin(d.df)) - 1))
+         |      * 22 * t1.tf * (sc.t // sc.n) * 10000)
+         |    // (10 * t1.tf * (sc.t // sc.n) + 3 * (sc.t // sc.n) + 9 * t1.dl) AS s
+         |  FROM tf t1 JOIN dfx d USING (term) JOIN q qq USING (term), sc),
+         |agg AS (SELECT query_id, doc_id, sum(s) AS s FROM scd GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+         |  doc_id, CAST(s AS BIGINT) AS score_q
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                  ORDER BY s DESC, doc_id ASC) AS rn
+         |      FROM agg)
+         |WHERE rn <= 10""".stripMargin,
+
+    // q131: the same edge generator and five UNROLLED iterations of
+    // the all-integer update — `//` replays `div` exactly (every rank
+    // and contribution is non-negative), so r5 matches bit-for-bit.
+    "q131_pagerank" -> {
+      val scale = 1000000000000L
+      val iterCtes = (1 to 5).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS cin
+           |        FROM ed e JOIN deg d USING (src) JOIN $prev r ON r.node = e.src
+           |        GROUP BY 1),
+           |r$i AS (SELECT n0.node,
+           |          (${scale * 15} // (100 * nn.n))
+           |          + (85 * coalesce(c.cin, 0)) // 100 AS rank
+           |        FROM nodes n0 LEFT JOIN c$i c USING (node), nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |ej AS (SELECT doc_id AS src,
+         |        unnest(generate_series(0, doc_id % 3)) AS j FROM documents),
+         |ed AS (SELECT src, ${Stable.duckSeededHash(19, "src", "j")} % nn.n AS dst
+         |       FROM ej, nn),
+         |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |r0 AS (SELECT node, $scale // nn.n AS rank FROM nodes, nn),
+         |$iterCtes
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
+    },
 
     // q120: q39's centroid-sample and assignment CTEs + the per-cid
     // count and long/long share.

@@ -263,6 +263,79 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("score_q"))
   }
 
+  /** BM25 top-k retrieval — the keyword-search tier the curation loop
+    * needs for query-driven decontamination and audit ("show me the
+    * corpus documents matching this benchmark prompt"): for each query
+    * (a small set of terms), the k best documents under BM25 with
+    * k1 = 1.2, b = 0.75.
+    *
+    * Every score is an exact integer on any engine — the
+    * [[tfidfTopTerms]]/[[Perplexity]] quantization discipline, extended
+    * to BM25's length normalization:
+    *   - idf quantizes to integer bits: idf = ilog2(N) − ilog2(df);
+    *   - avgdl quantizes to the integer average doc length
+    *     adl = T div N (T = total tokens, N = docs with ≥ 1 token —
+    *     the tf frame's own universe, as in [[tfidfTopTerms]]);
+    *   - the saturated-tf factor tf·(k1+1) / (tf + k1·(1−b+b·dl/adl))
+    *     clears denominators at k1 = 6/5, b = 3/4: multiplying through
+    *     by 10·adl gives the all-integer ratio
+    *       22·tf·adl / (10·tf·adl + 3·adl + 9·dl);
+    *   - the per-term score is one integer `div`:
+    *       (idf · 22 · tf · adl · scale) div (10·tf·adl + 3·adl + 9·dl)
+    *     so the per-(query, doc) total is a LONG sum — no float ever
+    *     enters and summation order cannot matter.
+    *     Overflow bound: idf ≤ 63, and adl/dl are per-doc token counts,
+    *     so the numerator stays < 2^63 for any corpus whose documents
+    *     (not the corpus itself) are < ~10^9 tokens at the default
+    *     scale — corpus size N, T never appear in a product.
+    *
+    * Scale shape (the inverted-index probe): the exploded token stream
+    * is filtered by a LITERAL `isin` over the bounded query vocabulary
+    * INSIDE the explode's codegen stage — only postings of query terms
+    * ever reach the (doc, term) agg (map-side combined), so the shuffle
+    * is the candidate posting lists, never the corpus. df aggregates
+    * the collapsed postings term-keyed; N/T ride in as one broadcast
+    * one-row frame; the query list itself is a broadcast join; and the
+    * per-query ranking is the bounded [[graft.functions.TopK]] UDAF
+    * (map tasks reduce to ≤ k rows per query before the tiny shuffle) —
+    * never a corpus-sized window partition. Ties rank (score_q DESC,
+    * doc ASC). Output: (query_id, rank, idCol, score_q). */
+  def bm25TopK(docs: DataFrame, idCol: String, toksCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int = 10,
+      scale: Long = 10000L): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK: empty query set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(tm => (qid, tm)) }.toDF("query_id", "term")
+    val termSet = queries.flatMap(_._2).distinct
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("bigint")
+    val scalars = docs.agg(
+      coalesce(sum(when(size(col(toksCol)) > 0, 1L).otherwise(0L)), lit(0L)).as("__n"),
+      coalesce(sum(size(col(toksCol)).cast("bigint")), lit(0L)).as("__t"))
+    val tf = docs
+      .select(col(idCol), size(col(toksCol)).cast("bigint").as("__dl"),
+        explode(col(toksCol)).as("term"))
+      .filter(col("term").isin(termSet: _*))
+      .groupBy(col(idCol), col("__dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    tf.join(dfreq, Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("__adl", expr("__t div __n"))
+      .withColumn("__idf", ilog2(col("__n")) - ilog2(col("__df")))
+      .withColumn("__sc", expr(
+        s"(__idf * 22 * tf * __adl * $scale) div (10 * tf * __adl + 3 * __adl + 9 * __dl)"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__sc")).as("__s"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(k)(
+        col("__s").cast("double"), col(idCol).cast("bigint")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("e._2").as(idCol), col("e._1").cast("bigint").as("score_q"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-design companion to
     * [[buildDictionary]] (reference: fuel/datasets/text.py:34-44, whose
     * fixed `dictionary` the caller must size): the top-`topK` tokens by

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOf
+import graft.operators.{AsOf, Graphs}
 
 /** Whole-operator semantics with exact small expected values. */
 class OperatorsSpec extends SparkSpec {
@@ -107,5 +107,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(
       ("2024-01-01", 0L) -> 2L, ("2024-01-01", 2L) -> 1L,
       ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L), s"got $out")
+  }
+
+  test("pageRank: symmetric 2-cycle is stationary at uniform rank") {
+    // A<->B, scale 10^6: r0 = 500000 each; every iteration
+    // base = 15e6//200 = 75000, contrib = (85*500000)//100 = 425000 —
+    // the uniform distribution reproduces itself exactly.
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, "src", "dst", iters = 3,
+        scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 500000L, 1L -> 500000L), s"got $got")
+  }
+
+  test("pageRank: dangling node leaks mass, teleport keeps ranks positive") {
+    // A->B only. iter1: A = base = 75000, B = 75000 + 425000 = 500000.
+    // iter2: B's inflow is A's r1 (75000): B = 75000 + (85*75000)//100
+    // = 138750; A stays at base — hand-computed, truncation included.
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, "src", "dst", iters = 2,
+        scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 75000L, 1L -> 138750L), s"got $got")
+  }
+
+  test("pageRank: parallel edges weight the target, outdeg counts the multigraph") {
+    // A->B, A->B, A->C: outdeg(A) = 3, B receives two shares, C one.
+    // iter1 (scale 10^6, N=3): r0 = 333333 each, share = 333333//3 =
+    // 111111; base = 15e6//300 = 50000.
+    // B = 50000 + (85*222222)//100 = 50000 + 188888 = 238888.
+    // C = 50000 + (85*111111)//100 = 50000 + 94444 = 144444. A = 50000.
+    val edges = Seq((0L, 1L), (0L, 1L), (0L, 2L)).toDF("src", "dst")
+    val got = Graphs.pageRank(edges, "src", "dst", iters = 1,
+        scale = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 50000L, 1L -> 238888L, 2L -> 144444L), s"got $got")
   }
 }

@@ -203,4 +203,31 @@ class VocabSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("pLo < pHi"))
   }
+
+  test("bm25TopK: rare term outranks common term, dl normalization, absent term") {
+    // 4 docs. "rare" appears only in doc 0 (df=1); "common" in all
+    // (df=4 → idf_bits = ilog2(4) - ilog2(4) = 0, so common-only docs
+    // score 0 — still ranked, by doc_id, behind any positive score).
+    // Docs 2 and 3 differ only in length: both contain "mid" once
+    // (df=2), doc 3 is longer → smaller score (length normalization).
+    val docs = Seq(
+      (0L, Seq("rare", "common")),
+      (1L, Seq("common", "x")),
+      (2L, Seq("mid", "common")),
+      (3L, Seq("mid", "common", "pad", "pad", "pad", "pad"))
+    ).toDF("doc_id", "ts")
+    val out = TextOps.bm25TopK(docs, "doc_id", "ts",
+        Seq(1L -> Seq("rare", "common"), 2L -> Seq("mid"), 3L -> Seq("absent")),
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // doc 0 holds the only positive idf term → rank 1; 1..3 tie at 0.
+    assert(q1.map(_._3).toSeq == Seq(0L, 1L, 2L, 3L), s"q1: ${q1.toSeq}")
+    assert(q1.head._4 > 0 && q1.tail.forall(_._4 == 0L))
+    val q2 = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(q2.map(_._3).toSeq == Seq(2L, 3L), s"q2: ${q2.toSeq}")
+    assert(q2(0)._4 > q2(1)._4, "longer doc must score lower on equal tf")
+    // A query of absent terms matches nothing: no rows, not zero rows.
+    assert(!out.exists(_._1 == 3L))
+  }
 }
