@@ -1425,7 +1425,15 @@ object TextQueries {
         .select(col("src"),
           pmod(Stable.seededHash(19, col("src"), col("j")), col("__nd")).as("dst"))
       graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 5)
-    })
+    }),
+
+    // Robust per-source outlier card ([[TextOps.robustOutlierReport]]):
+    // median/MAD of n_chars per source and the count of docs beyond
+    // 1 MAD — the distribution-free QA signal a stddev-based z-score
+    // gets wrong on heavy-tailed length distributions. All integer.
+    "q132_outlier_report" -> ((s, dir) =>
+      TextOps.robustOutlierReport(t(s, dir, "documents"),
+        "source", "n_chars", madNum = 1, madDen = 1))
   )
 
   /** The q67/q68 plant: q59's PII tail + q66's boilerplate footer lines
@@ -3053,6 +3061,31 @@ object TextQueries {
          |$iterCtes
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
     },
+
+    // q132: identical histogram → median → deviation-histogram → MAD →
+    // outlier-count chain; the lower-median rule (min v with 2·cum ≥
+    // tot) and the cross-multiplied outlier test are division-free.
+    "q132_outlier_report" ->
+      """WITH hist AS (SELECT source AS g, n_chars AS v, count(*) AS c
+        |             FROM documents GROUP BY 1, 2),
+        |cumv AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |                sum(c) OVER (PARTITION BY g) AS tot FROM hist),
+        |med AS (SELECT g, min(CASE WHEN cum * 2 >= tot THEN v END) AS med,
+        |               max(tot) AS n_docs FROM cumv GROUP BY 1),
+        |dev AS (SELECT h.g, abs(h.v - m.med) AS d, sum(h.c) AS c
+        |        FROM hist h JOIN med m USING (g) GROUP BY 1, 2),
+        |cumd AS (SELECT g, d, c, sum(c) OVER (PARTITION BY g ORDER BY d) AS cum,
+        |                sum(c) OVER (PARTITION BY g) AS tot FROM dev),
+        |mad AS (SELECT g, min(CASE WHEN cum * 2 >= tot THEN d END) AS mad
+        |        FROM cumd GROUP BY 1),
+        |outc AS (SELECT dv.g,
+        |           coalesce(sum(CASE WHEN dv.d * 1 > md.mad * 1 THEN dv.c END), 0)
+        |             AS n_outliers
+        |         FROM dev dv JOIN mad md USING (g) GROUP BY 1)
+        |SELECT m.g AS source, CAST(m.n_docs AS BIGINT) AS n_docs,
+        |  CAST(m.med AS BIGINT) AS median, CAST(md.mad AS BIGINT) AS mad,
+        |  CAST(o.n_outliers AS BIGINT) AS n_outliers
+        |FROM med m JOIN mad md USING (g) JOIN outc o USING (g)""".stripMargin,
 
     // q120: q39's centroid-sample and assignment CTEs + the per-cid
     // count and long/long share.

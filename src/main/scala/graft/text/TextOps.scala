@@ -336,6 +336,57 @@ object TextOps {
         col("e._2").as(idCol), col("e._1").cast("bigint").as("score_q"))
   }
 
+  /** Robust per-group outlier report — the corpus-QA card that flags
+    * anomalous documents per source without assuming normality: for
+    * each group, the (lower) MEDIAN of `valCol`, the MAD (median
+    * absolute deviation — the robust spread no single pathological doc
+    * can drag, unlike a stddev), and the count of docs whose deviation
+    * exceeds madNum/madDen MADs. All integer: median = smallest v with
+    * 2·cum ≥ total (the [[lengthPercentileGate]] cross-product rule —
+    * no division), the outlier test is `|v−med|·madDen > mad·madNum`,
+    * so every column is bit-exact cross-engine.
+    *
+    * Scale shape: the corpus is scanned ONCE, into a bounded per-group
+    * VALUE HISTOGRAM (map-side-combined (group, v)-keyed agg; distinct
+    * values ≪ corpus — the [[lengthPercentileGate]] argument); the
+    * median, the DEVIATION histogram (derived from the value histogram
+    * by |v−med| re-keying — never from the docs), the MAD, and the
+    * outlier count are all computed on that bounded frame. The two
+    * cumulative windows partition by group over histogram rows —
+    * bounded partitions, never the corpus. Output: (groupCol, n_docs,
+    * median, mad, n_outliers). */
+  def robustOutlierReport(df: DataFrame, groupCol: String, valCol: String,
+      madNum: Long = 3, madDen: Long = 1): DataFrame = {
+    require(madNum > 0 && madDen > 0,
+      s"robustOutlierReport: need positive madNum/madDen, got $madNum/$madDen")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol).as("__g"), col(valCol).cast("bigint").as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy("__g").orderBy("__v")
+    val med = hist
+      .withColumn("__cum", sum(col("__c")).over(wv))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy("__g")))
+      .groupBy("__g").agg(
+        min(when(col("__cum") * 2 >= col("__tot"), col("__v"))).as("__med"),
+        max(col("__tot")).as("n_docs"))
+    val devHist = hist.join(med, Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__d"), col("__c"))
+      .groupBy("__g", "__d").agg(sum(col("__c")).as("__c"))
+    val wd = Window.partitionBy("__g").orderBy("__d")
+    val mad = devHist
+      .withColumn("__cum", sum(col("__c")).over(wd))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy("__g")))
+      .groupBy("__g").agg(
+        min(when(col("__cum") * 2 >= col("__tot"), col("__d"))).as("__mad"))
+    devHist.join(mad, Seq("__g")).groupBy("__g")
+      .agg(coalesce(sum(when(
+        col("__d") * madDen > col("__mad") * madNum, col("__c"))), lit(0L))
+        .as("n_outliers"), max(col("__mad")).as("__m2"))
+      .join(med, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("__med").as("median"),
+        col("__m2").as("mad"), col("n_outliers"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-design companion to
     * [[buildDictionary]] (reference: fuel/datasets/text.py:34-44, whose
     * fixed `dictionary` the caller must size): the top-`topK` tokens by

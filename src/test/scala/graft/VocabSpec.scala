@@ -230,4 +230,22 @@ class VocabSpec extends SparkSpec {
     // A query of absent terms matches nothing: no rows, not zero rows.
     assert(!out.exists(_._1 == 3L))
   }
+
+  test("robustOutlierReport: hand-computed median/MAD, even-count lower median") {
+    // Group a: 1..9 → median 5 (first cum*2 >= 9 at v=5), devs
+    // {0:1, 1:2, 2:2, 3:2, 4:2} → MAD 2 (cum 1,3,5 → 5*2 >= 9 at d=2);
+    // at 1 MAD, outliers are d in {3,4} → 4 docs. At 3 MADs (d > 6): 0.
+    // Group b: 1,2,3,4 → LOWER median 2, devs {0:1,1:2,2:1} → MAD 1,
+    // outliers d=2 → 1 doc.
+    val docs = ((1L to 9L).map(("a", _)) ++ Seq(1L, 2L, 3L, 4L).map(("b", _)))
+      .toDF("src", "v")
+    val got = TextOps.robustOutlierReport(docs, "src", "v", madNum = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((9L, 5L, 2L, 4L)), s"a: ${got("a")}")
+    assert(got("b") == ((4L, 2L, 1L, 1L)), s"b: ${got("b")}")
+    val strict = TextOps.robustOutlierReport(docs, "src", "v", madNum = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(strict == Map("a" -> 0L, "b" -> 0L), s"strict: $strict")
+  }
 }
