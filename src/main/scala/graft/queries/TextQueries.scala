@@ -1427,6 +1427,25 @@ object TextQueries {
       graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 5)
     }),
 
+    // Trained-classifier loop closure ([[graft.text.Classify
+    // .trainNaiveBayes]] → [[graft.text.Classify.packWeights]] →
+    // [[graft.text.Classify.score]]): Naive Bayes log-odds LEARNED from
+    // two seed slices of the corpus itself (lang 'en' positives vs 'zh'
+    // negatives — the GPT-3/CCNet "curated vs crawl" setup), quantized
+    // to integer bits, hashed into the dim-256 scorer, then the whole
+    // corpus scored — q72's scorer with REAL weights instead of seeded
+    // stand-ins. mean_score is the one output-edge int/int division.
+    "q133_trained_classifier" -> ((s, dir) => {
+      val dl = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("ts"))
+      val w = graft.text.Classify.packWeights(
+        graft.text.Classify.trainNaiveBayes(
+          dl.filter(col("lang") === "en"), dl.filter(col("lang") === "zh"),
+          "ts"), dim = 256)
+      graft.text.Classify.score(dl, "ts", w)
+        .select("doc_id", "score_sum", "n_tokens", "mean_score")
+    }),
+
     // Robust per-source outlier card ([[TextOps.robustOutlierReport]]):
     // median/MAD of n_chars per source and the count of docs beyond
     // 1 MAD — the distribution-free QA signal a stddev-based z-score
@@ -3061,6 +3080,42 @@ object TextQueries {
          |$iterCtes
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
     },
+
+    // q133: the full train → pack → score chain replayed — add-one
+    // counts, bit-quantized log-odds, hash64 % 256 bucket packing with
+    // colliding-token sums, then the per-doc bucket-weight sum; the
+    // mean is the one output-edge division (int/int, IEEE-exact).
+    "q133_trained_classifier" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |      list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+         |    FROM documents),
+         |cp AS (SELECT w AS token, count(*) AS cp
+         |       FROM (SELECT unnest(ts) AS w FROM tk WHERE lang = 'en') GROUP BY 1),
+         |cn AS (SELECT w AS token, count(*) AS cn
+         |       FROM (SELECT unnest(ts) AS w FROM tk WHERE lang = 'zh') GROUP BY 1),
+         |j AS (SELECT token, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+         |      FROM cp FULL JOIN cn USING (token)),
+         |tot AS (SELECT count(*) AS v, sum(cp) AS tp, sum(cn) AS tn FROM j),
+         |wt AS (SELECT token,
+         |         (length(bin(cp + 1)) - 1) - (length(bin(cn + 1)) - 1)
+         |         + (length(bin(CAST(tn + v AS BIGINT))) - 1)
+         |         - (length(bin(CAST(tp + v AS BIGINT))) - 1) AS w
+         |       FROM j, tot),
+         |pk AS (SELECT ${Stable.duckHash64("token")} % 256 AS b, sum(w) AS hw
+         |       FROM wt GROUP BY 1),
+         |ex AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |         unnest(ts) AS tok FROM tk),
+         |eb AS (SELECT doc_id, n_tokens, ${Stable.duckHash64("tok")} % 256 AS b
+         |       FROM ex),
+         |ds AS (SELECT e.doc_id, any_value(e.n_tokens) AS n_tokens,
+         |         coalesce(sum(p.hw), 0) AS score_sum
+         |       FROM eb e LEFT JOIN pk p USING (b) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(s.score_sum, 0) AS BIGINT) AS score_sum,
+         |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CASE WHEN coalesce(s.n_tokens, 0) > 0
+         |    THEN CAST(s.score_sum AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+         |  END AS mean_score
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN ds s USING (doc_id)""".stripMargin,
 
     // q132: identical histogram → median → deviation-histogram → MAD →
     // outlier-count chain; the lower-median rule (min v with 2·cum ≥

@@ -38,6 +38,67 @@ object Classify {
       Hash64Expr.hash(UTF8String.fromString(s"$tag$i")) % 2001 - 1000
     }
 
+  /** TRAIN the quality classifier in-engine — the half of the published
+    * recipe [[seededWeights]] stands in for: multinomial Naive Bayes
+    * log-odds from two labeled seed corpora (the GPT-3/CCNet setup:
+    * positives = a curated reference like Wikipedia, negatives = raw
+    * crawl), with the log quantized to integer BITS (ilog2 — the
+    * [[graft.text.TextOps.tfidfTopTerms]]/[[Perplexity]] rule: libm
+    * never enters, every weight is an exact cross-engine integer):
+    *
+    *   w(t) = [ilog2(cpos(t)+1) − ilog2(cneg(t)+1)]
+    *        + [ilog2(Tneg+V) − ilog2(Tpos+V)]
+    *
+    * — the add-one-smoothed class log-likelihood ratio, the second
+    * bracket the (token-independent) normalizer that keeps scores
+    * comparable when the seed corpora differ in size. Output: (token,
+    * weight) — the model AS A TABLE, inspectable and joinable (the
+    * most-positive / most-negative tokens are one ORDER BY away).
+    *
+    * Scale shape: one map-side-combined token-keyed count agg per seed
+    * corpus, a vocab-keyed full-outer join of the two ALREADY-collapsed
+    * count frames, and the three corpus scalars (V, Tpos, Tneg) ride in
+    * as one broadcast one-row frame aggregated from the joined vocab
+    * frame itself — the seed corpora are each scanned exactly once. */
+  def trainNaiveBayes(pos: DataFrame, neg: DataFrame,
+      toksCol: String): DataFrame = {
+    val ilog2 = (c: org.apache.spark.sql.Column) =>
+      (length(bin(c)) - 1).cast("bigint")
+    val cp = pos.select(explode(col(toksCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__cp"))
+    val cn = neg.select(explode(col(toksCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__cn"))
+    val vocab = cp.join(cn, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("__cp"), lit(0L)).as("__cp"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    val tot = vocab.agg(count(lit(1)).as("__v"),
+      coalesce(sum(col("__cp")), lit(0L)).as("__tp"),
+      coalesce(sum(col("__cn")), lit(0L)).as("__tn"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("token"),
+        (ilog2(col("__cp") + 1) - ilog2(col("__cn") + 1)
+          + ilog2(col("__tn") + col("__v"))
+          - ilog2(col("__tp") + col("__v"))).as("weight"))
+  }
+
+  /** Pack a trained (token, weight) table into the fixed-point array
+    * [[graft.functions.HashScoreExpr]] scores with — colliding tokens
+    * SUM (the hashing trick's documented semantics, Weinberger et al.
+    * 2009), empty buckets are 0. The collect is bounded by `dim` rows
+    * (the [[graft.ann.Ann]] sampleCentroids rule: a model's parameter
+    * vector is driver-sized by design; the vocab itself never leaves
+    * the cluster — the bucket agg collapses it map-side). */
+  def packWeights(weights: DataFrame, dim: Int,
+      tokenCol: String = "token", wCol: String = "weight"): Array[Long] = {
+    require(dim > 0, s"packWeights: dim must be positive, got $dim")
+    val arr = Array.fill(dim)(0L)
+    weights
+      .groupBy(pmod(Stable.hash64(col(tokenCol)), lit(dim.toLong)).as("__b"))
+      .agg(sum(col(wCol)).as("__w"))
+      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
   /** Score every doc: adds `score_sum` (exact integer dot product),
     * `n_tokens`, and `mean_score` (int/int double division at the output
     * edge — the only float, and an exactly-reproducible one; null for a

@@ -231,6 +231,40 @@ class VocabSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("trainNaiveBayes: hand-computed bit log-odds; packWeights sums collisions") {
+    // pos tokens: good good ok (Tpos=3); neg: bad ok (Tneg=2); V=3.
+    // w(good) = (bits(3)-bits(1)) + (bits(5)-bits(6)) = 1 + (2-2) = 1
+    // w(bad)  = (bits(1)-bits(2)) + 0 = -1;  w(ok) = (bits(2)-bits(2)) = 0.
+    val pos = Seq((1L, Seq("good", "good", "ok"))).toDF("doc_id", "ts")
+    val neg = Seq((2L, Seq("bad", "ok"))).toDF("doc_id", "ts")
+    val w = graft.text.Classify.trainNaiveBayes(pos, neg, "ts")
+    val got = w.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("good" -> 1L, "bad" -> -1L, "ok" -> 0L), s"got $got")
+    // Packing must land each token at hash64(token) % dim — the exact
+    // bucket HashScoreExpr reads — with colliding tokens summed.
+    val dim = 8
+    val arr = graft.text.Classify.packWeights(w, dim)
+    val expected = Array.fill(dim)(0L)
+    got.foreach { case (tok, wt) =>
+      val b = (graft.functions.Hash64Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tok)) % dim).toInt
+      expected(b) += wt
+    }
+    assert(arr.toSeq == expected.toSeq, s"got ${arr.toSeq}")
+    // The packed scorer reproduces the table scores when no collision
+    // crosses a doc's tokens: score("good","bad","ok") = 1 - 1 + 0 = 0
+    // only if those tokens occupy distinct buckets — score via the
+    // expected array either way, so the assertion is collision-proof.
+    val doc = Seq((9L, Seq("good", "bad", "ok"))).toDF("doc_id", "ts")
+    val s = graft.text.Classify.score(doc, "ts", arr)
+      .select("score_sum").collect().head.getLong(0)
+    val want = Seq("good", "bad", "ok").map { tok =>
+      expected((graft.functions.Hash64Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tok)) % dim).toInt)
+    }.sum
+    assert(s == want, s"packed score $s != $want")
+  }
+
   test("robustOutlierReport: hand-computed median/MAD, even-count lower median") {
     // Group a: 1..9 → median 5 (first cum*2 >= 9 at v=5), devs
     // {0:1, 1:2, 2:2, 3:2, 4:2} → MAD 2 (cum 1,3,5 → 5*2 >= 9 at d=2);
