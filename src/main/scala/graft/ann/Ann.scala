@@ -134,6 +134,73 @@ object Ann {
     bruteForceTopK(cast(corpus), cast(queries), idCol, "__qv", k)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019's ratio margin,
+    * the CCMatrix/LASER parallel-corpus criterion): for each source-side
+    * vector, its best target-side neighbor is ACCEPTED iff the
+    * similarity stands out against both vectors' neighborhoods —
+    *
+    *   margin(x,y) = cos(x,y) / ((Σ_{z∈NNk(x)} cos(x,z)
+    *                            + Σ_{z∈NNk(y)} cos(y,z)) / 2k) > τ
+    *
+    * — which kills the hubness failure (a "central" vector that is
+    * everyone's nearest neighbor scores a LOW margin because its own
+    * neighborhood sum is high). Determinism: each pairwise cosine is an
+    * exactly-reproducible double ([[cosine]]'s sequential array-order
+    * accumulation, the q91 contract), but a FLOAT SUM of k of them
+    * would be agg-order-dependent — so each cosine is floored to
+    * integer MICRO-units first and the neighborhood sums are LONG sums;
+    * the margin test is the cross-multiplied integer compare
+    * `cos_micro·2k·tauDen > (Σx + Σy)·tauNum`. Zero-norm vectors
+    * (cosine null) are dropped — [[embeddingHealth]] is the audit that
+    * counts them. Ties rank (cos DESC, id ASC) on both engines.
+    *
+    * Scale shape: this is the EXACT tier — the pair generator is the
+    * [[bruteForceTopK]] broadcast shape (source side broadcasts by
+    * contract, enforced by the bounded probe), and the pair frame is
+    * deliberately NOT persisted: it is a projection off a broadcast
+    * join, and at |A|·|B| rows recomputing its three consumers (x-sums,
+    * y-sums, forward-best) is strictly cheaper than materializing the
+    * quadratic frame. At corpus×corpus scale, swap the generator for
+    * [[lshTopK]]/[[ivfTopK]] candidates and feed the same margin
+    * filter. The per-side neighborhood sums use the bounded [[TopK]]
+    * aggregator (map-side ≤ k rows per key), the final accept is two
+    * uniform-id-keyed joins of already-collapsed one-row-per-id frames.
+    * Output: (src_id, dst_id, cos_micro, knn_sum_src, knn_sum_dst) for
+    * accepted pairs. */
+  def marginMine(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, tauNum: Long = 105, tauDen: Long = 100,
+      maxQueryRows: Int = 1000000): DataFrame = {
+    require(k >= 1, s"marginMine: k must be >= 1, got $k")
+    probeQueries(a, idCol, "marginMine", maxQueryRows,
+      "generate candidates with lshTopK(broadcastQueries = false) and " +
+        "apply the margin filter to that bounded pair frame")
+    val av = broadcast(a.select(col(idCol).as("src_id"),
+      col(vecCol).cast("array<double>").as("__av")))
+    val pairs = b
+      .select(col(idCol).as("dst_id"), col(vecCol).cast("array<double>").as("__bv"))
+      .crossJoin(av)
+      .select(col("src_id"), col("dst_id"),
+        floor(cosine(col("__av"), col("__bv")) * 1000000).cast("bigint").as("__cq"))
+      .filter(col("__cq").isNotNull)
+    def topSum(key: String, other: String): DataFrame =
+      pairs.groupBy(col(key))
+        .agg(TopK.topK(k)(col("__cq").cast("double"), col(other)).as("__top"))
+        .select(col(key),
+          aggregate(col("__top"), lit(0L),
+            (acc, e) => acc + e.getField("_1").cast("bigint")).as("__s"))
+    val sx = topSum("src_id", "dst_id").withColumnRenamed("__s", "__sx")
+    val sy = topSum("dst_id", "src_id").withColumnRenamed("__s", "__sy")
+    val best = pairs.groupBy("src_id")
+      .agg(TopK.topK(1)(col("__cq").cast("double"), col("dst_id")).as("__t"))
+      .select(col("src_id"), col("__t")(0).getField("_2").as("dst_id"),
+        col("__t")(0).getField("_1").cast("bigint").as("cos_micro"))
+    best.join(sx, Seq("src_id")).join(sy, Seq("dst_id"))
+      .filter(col("cos_micro") * lit(2L * k) * lit(tauDen) >
+        (col("__sx") + col("__sy")) * lit(tauNum))
+      .select(col("src_id"), col("dst_id"), col("cos_micro"),
+        col("__sx").as("knn_sum_src"), col("__sy").as("knn_sum_dst"))
+  }
+
   /** Deterministic ±1 sign matrix for [[signProject]]: outDim × dim
     * entries from the sign bit of splitmix(seed, j, i) — pure Scala, so
     * an external engine inlines the same constants. */

@@ -1446,6 +1446,18 @@ object TextQueries {
         .select("doc_id", "score_sum", "n_tokens", "mean_score")
     }),
 
+    // Margin-based bitext mining ([[Ann.marginMine]]): the CCMatrix
+    // ratio-margin criterion between the even- and odd-label halves of
+    // the embedding table (the two-languages stand-in) — forward-best
+    // pairs whose cosine stands out 1.05× against both 4-NN
+    // neighborhoods, every quantity integer micro-units.
+    "q134_bitext_margin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.marginMine(
+        e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, tauNum = 105, tauDen = 100)
+    }),
+
     // Robust per-source outlier card ([[TextOps.robustOutlierReport]]):
     // median/MAD of n_chars per source and the count of docs beyond
     // 1 MAD — the distribution-free QA signal a stddev-based z-score
@@ -3080,6 +3092,34 @@ object TextQueries {
          |$iterCtes
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
     },
+
+    // q134: all pairs between the halves, micro-floored cosines, two
+    // rank-bounded neighborhood sums, forward best, and the
+    // cross-multiplied margin test — every compare on integers.
+    "q134_bitext_margin" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+         |sa AS (SELECT vec_id AS src_id, v AS av FROM e WHERE label % 2 = 0),
+         |sb AS (SELECT vec_id AS dst_id, v AS bv FROM e WHERE label % 2 = 1),
+         |p AS (SELECT src_id, dst_id,
+         |        CAST(floor(${duckCosine("av", "bv")} * 1000000) AS BIGINT) AS cq
+         |      FROM sa, sb),
+         |sx AS (SELECT src_id, sum(cq) AS sxs FROM (
+         |         SELECT src_id, cq, row_number() OVER (PARTITION BY src_id
+         |           ORDER BY cq DESC, dst_id ASC) AS rn FROM p)
+         |       WHERE rn <= 4 GROUP BY 1),
+         |sy AS (SELECT dst_id, sum(cq) AS sys FROM (
+         |         SELECT dst_id, cq, row_number() OVER (PARTITION BY dst_id
+         |           ORDER BY cq DESC, src_id ASC) AS rn FROM p)
+         |       WHERE rn <= 4 GROUP BY 1),
+         |bst AS (SELECT src_id, dst_id, cq FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY src_id
+         |           ORDER BY cq DESC, dst_id ASC) AS rn FROM p)
+         |        WHERE rn = 1)
+         |SELECT b.src_id, b.dst_id, b.cq AS cos_micro,
+         |  CAST(x.sxs AS BIGINT) AS knn_sum_src,
+         |  CAST(y.sys AS BIGINT) AS knn_sum_dst
+         |FROM bst b JOIN sx x USING (src_id) JOIN sy y USING (dst_id)
+         |WHERE b.cq * 8 * 100 > (x.sxs + y.sys) * 105""".stripMargin,
 
     // q133: the full train → pack → score chain replayed — add-one
     // counts, bit-quantized log-odds, hash64 % 256 bucket packing with

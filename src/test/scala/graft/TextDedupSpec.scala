@@ -978,4 +978,28 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("occupancy"))
   }
+
+  test("marginMine: hand-computed margins on axis vectors, tau cuts, ties by id") {
+    // Axis-aligned vectors make every cosine exactly 1.0 or 0.0.
+    // a: x1=(1,0), x2=(0,1); b: y1=(2,0), y2=(0,3), y3=(4,0). k=2:
+    //   sx(x1) = top2{y1:1e6, y3:1e6, y2:0} = 2e6 (tie → y1 first)
+    //   sx(x2) = 1e6; sy(y1) = sy(y2) = 1e6.
+    //   best(x1) = y1 (tie with y3 breaks to smaller id);
+    //   best(x2) = y2.
+    // margin x1: 1e6·4·tauDen vs (2e6+1e6)·tauNum → accepts at 105,
+    // rejects at 135; x2 (3e6 → 2e6 sums) accepts at both.
+    val a = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val b = Seq((11L, Seq(2.0, 0.0)), (12L, Seq(0.0, 3.0)), (13L, Seq(4.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val loose = Ann.marginMine(a, b, "vec_id", "embedding", k = 2,
+        tauNum = 105, tauDen = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(loose == Set((1L, 11L, 1000000L, 2000000L, 1000000L),
+      (2L, 12L, 1000000L, 1000000L, 1000000L)), s"got $loose")
+    val strict = Ann.marginMine(a, b, "vec_id", "embedding", k = 2,
+        tauNum = 135, tauDen = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((2L, 12L)), s"got $strict")
+  }
 }
