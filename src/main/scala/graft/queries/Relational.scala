@@ -163,6 +163,32 @@ object Relational {
         .filter(col("n_lines") >= 100)
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .select("s_name", "n_lines", "total_qty")
+    }),
+
+    // Analytic-window suite over the SCALE-SAFE partition key (per
+    // customer — bounded rows per partition; the category-keyed analog
+    // of these functions is the q103 histogram-cut path): order
+    // sequence (row_number), days since the previous order (lag +
+    // exact integer epoch div), and the customer-relative price
+    // position (percent_rank / ntile(4) / cume_dist — each an int/int
+    // ratio or integer bucket, IEEE-exact cross-engine because every
+    // ordering is made total by the orderkey tiebreak).
+    "q135_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(byDate).cast("bigint").as("order_seq"),
+          expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) - " +
+            "unix_micros(CAST(lag(o_orderdate) OVER " +
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+            "AS TIMESTAMP))) div 86400000000").as("gap_days"),
+          percent_rank().over(byPrice).as("price_pct"),
+          ntile(4).over(byPrice).cast("bigint").as("price_quartile"),
+          cume_dist().over(byPrice).as("price_cume"))
     })
   )
 
@@ -249,6 +275,21 @@ object Relational {
         |  SELECT l_suppkey, count(*) AS n_lines,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |  FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 100
-        |) JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+        |) JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    // q135: identical windows — total orderings via the orderkey
+    // tiebreak, epoch-microsecond floor division for the day gap,
+    // percent_rank/ntile/cume_dist standard-SQL on both engines.
+    "q135_window_suite" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w_date AS BIGINT) AS order_seq,
+        |  (epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER w_date))
+        |    // 86400000000 AS gap_days,
+        |  percent_rank() OVER w_price AS price_pct,
+        |  CAST(ntile(4) OVER w_price AS BIGINT) AS price_quartile,
+        |  cume_dist() OVER w_price AS price_cume
+        |FROM orders
+        |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin
   )
 }
