@@ -189,7 +189,16 @@ object Relational {
           percent_rank().over(byPrice).as("price_pct"),
           ntile(4).over(byPrice).cast("bigint").as("price_quartile"),
           cume_dist().over(byPrice).as("price_cume"))
-    })
+    }),
+
+    // Record linkage ([[graft.operators.Linkage.fuzzyPairs]]): distinct
+    // part names within 2 edits, blocked on the first token — the
+    // catalog-dedup tier (candidate+verify over a blocking key, the
+    // LSH shape applied to edit distance). Levenshtein is exact.
+    "q136_fuzzy_pairs" -> ((s, dir) =>
+      graft.operators.Linkage.fuzzyPairs(
+        t(s, dir, "part"), "p_partkey", "p_name",
+        sc => element_at(split(sc, " "), 1), maxDist = 3))
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,6 +299,16 @@ object Relational {
         |  cume_dist() OVER w_price AS price_cume
         |FROM orders
         |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-        |  w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin
+        |  w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    // q136: same collapse → block → candidate+verify chain; DuckDB's
+    // levenshtein is the same unit-cost edit distance as Spark's.
+    "q136_fuzzy_pairs" ->
+      """WITH names AS (SELECT p_name AS s, min(p_partkey) AS id FROM part GROUP BY 1),
+        |b AS (SELECT s, id, string_split(s, ' ')[1] AS bk FROM names)
+        |SELECT a.id AS id1, c.id AS id2, a.s AS s1, c.s AS s2,
+        |  CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.bk = c.bk AND a.id < c.id
+        |WHERE levenshtein(a.s, c.s) <= 3""".stripMargin
   )
 }

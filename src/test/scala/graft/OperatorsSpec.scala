@@ -143,4 +143,26 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 50000L, 1L -> 238888L, 2L -> 144444L), s"got $got")
   }
+
+  test("fuzzyPairs: blocking bounds comparisons, exact dupes collapse, guard trips") {
+    import graft.operators.Linkage
+    // "acme corp"~"acme corp." (dist 1) share block "acme"; "acme corp"
+    // appears twice (ids 1,9) and must collapse to min-id 1; "zeta corp"
+    // is 4 edits from both acme rows but in block "zeta" — never compared.
+    val df = Seq((1L, "acme corp"), (9L, "acme corp"), (2L, "acme corp."),
+        (3L, "zeta corp")).toDF("id", "name")
+    val got = Linkage.fuzzyPairs(df, "id", "name",
+        c => element_at(split(c, " "), 1), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, 1L)), s"got $got")
+    // maxDist 0 on distinct strings: nothing to pair.
+    assert(Linkage.fuzzyPairs(df, "id", "name",
+      c => element_at(split(c, " "), 1), maxDist = 0).count() == 0)
+    // A degenerate block key sends everything to one block → guard.
+    val ex = intercept[Exception] {
+      Linkage.fuzzyPairs(df, "id", "name", _ => lit("all"),
+        maxDist = 1, maxBlock = 2).collect()
+    }
+    assert(ex.getMessage.contains("occupancy"), ex.getMessage)
+  }
 }
