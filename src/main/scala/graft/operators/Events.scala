@@ -155,4 +155,62 @@ object Events {
       .groupBy("cohort_week", "week_offset")
       .agg(count_distinct(col("__u")).as("n_active"))
   }
+
+  /** Regular-grid resampling with forward fill — the time-series
+    * normalizer (pandas' `resample().ffill()`, Timescale's
+    * `time_bucket_gapfill` + `locf`) that turns an irregular event
+    * stream into one row per (key, bucket) with the
+    * last-observation-carried-forward value: the preprocessor for any
+    * model that consumes fixed-rate sequences.
+    *
+    * Per (key, bucket) the OBSERVED value is the bucket's last event's
+    * value, "last" made total by (ts, tieCol) — a struct-max agg, so
+    * picking it is map-side combined and no float is ever summed (the
+    * value is carried, not aggregated — bit-exact trivially). The grid
+    * is each key's [min, max] bucket span, generated bounded (the
+    * span guard raises past `maxBuckets` — a sensor that went quiet
+    * for a year would otherwise explode the grid silently); the fill
+    * is `last(value, ignoreNulls)` over the per-key bucket order —
+    * a key-partitioned running window, never corpus-wide. Leading
+    * buckets are always observed (the span starts at an event).
+    * Output: (keyCol, bucket_start_s, value, observed 0|1).
+    *
+    * Scale shape: one (key, bucket)-keyed struct-max agg (map-side
+    * combined), one key-keyed span agg, a bounded per-key explode, a
+    * (key, bucket)-keyed left join of two already-collapsed frames,
+    * and one key-partitioned window — every shuffle keyed by the
+    * uniform key, grid size bounded by span·keys. */
+  def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, bucketSeconds: Long,
+      maxBuckets: Long = 1000000): DataFrame = {
+    require(bucketSeconds > 0,
+      s"resampleFfill: bucketSeconds must be positive, got $bucketSeconds")
+    val bucket = expr(
+      s"unix_micros(CAST($tsCol AS TIMESTAMP)) div ${bucketSeconds * 1000000}")
+    val obs = events
+      .select(col(keyCol).as("__k"), bucket.as("__b"),
+        struct(col(tsCol), col(tieCol), col(valCol)).as("__s"))
+      .groupBy("__k", "__b").agg(max(col("__s")).as("__s"))
+      .select(col("__k"), col("__b"), col("__s").getField(valCol).as("__v"))
+    val span = obs.groupBy("__k")
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .withColumn("__hi",
+        when(col("__hi") - col("__lo") < maxBuckets, col("__hi"))
+          .otherwise(raise_error(concat(
+            lit("resampleFfill: key "), col("__k").cast("string"),
+            lit(s" spans more than maxBuckets=$maxBuckets buckets — the "),
+            lit("grid would explode. Widen bucketSeconds, split the time " +
+              "range, or raise maxBuckets")))))
+    val grid = span.select(col("__k"),
+      explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+      .orderBy("__b").rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(obs, Seq("__k", "__b"), "left")
+      .select(col("__k").as(keyCol),
+        (col("__b") * bucketSeconds).as("bucket_start_s"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value"),
+        when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
+  }
 }

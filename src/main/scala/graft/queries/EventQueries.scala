@@ -184,7 +184,16 @@ object EventQueries {
     // the rewrite.
     "q129_window_pairs" -> ((s, dir) =>
       graft.operators.Events.withinWindowPairs(t(s, dir, "events"),
-        "user_id", "ts", "event_id", deltaSeconds = 60))
+        "user_id", "ts", "event_id", deltaSeconds = 60)),
+
+    // Regular-grid resample + forward fill ([[graft.operators.Events
+    // .resampleFfill]]): each user's event stream on a hourly grid,
+    // gaps carried forward from the bucket's last observation ((ts,
+    // event_id)-total order) — the fixed-rate sequence preprocessor.
+    // Values are carried, never summed, so doubles stay bit-exact.
+    "q138_resample_ffill" -> ((s, dir) =>
+      graft.operators.Events.resampleFfill(t(s, dir, "events"),
+        "user_id", "ts", "value", "event_id", bucketSeconds = 3600))
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,6 +353,26 @@ object EventQueries {
         |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
         |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
         |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
-        |FROM k GROUP BY event_type""".stripMargin
+        |FROM k GROUP BY event_type""".stripMargin,
+
+    // q138: per-bucket last observation via DESC row_number (the struct
+    // max's twin), per-key generate_series grid, IGNORE NULLS running
+    // last_value — values carried verbatim, bit-exact doubles.
+    "q138_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b, ts,
+        |              event_id, value FROM events),
+        |obs AS (SELECT user_id, b, value FROM (
+        |          SELECT user_id, b, value, row_number() OVER (
+        |            PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+        |          FROM ev) WHERE rn = 1),
+        |sp AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b FROM sp),
+        |j AS (SELECT g.user_id, g.b, o.value AS v
+        |      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b)
+        |SELECT user_id, b * 3600 AS bucket_start_s,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
+        |FROM j""".stripMargin
   )
 }

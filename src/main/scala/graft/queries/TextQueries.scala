@@ -1458,6 +1458,23 @@ object TextQueries {
         "vec_id", "embedding", k = 4, tauNum = 105, tauDen = 100)
     }),
 
+    // Snapshot churn audit ([[graft.operators.Snapshot.diffSummary]]):
+    // one planted row per status class — doc_id%17=3 removed, %17=5
+    // text-edited (changed), %17=7 re-added under a new id (added) —
+    // per-source counts over the churn-bounded diff.
+    "q137_snapshot_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select("doc_id", "text", "source")
+      val nw = old.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+        .unionByName(old.filter(col("doc_id") % 17 === 7)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+            col("source")))
+      graft.operators.Snapshot.diffSummary(old, nw, "doc_id", "text", "source")
+    }),
+
     // Robust per-source outlier card ([[TextOps.robustOutlierReport]]):
     // median/MAD of n_chars per source and the count of docs beyond
     // 1 MAD — the distribution-free QA signal a stddev-based z-score
@@ -3092,6 +3109,24 @@ object TextQueries {
          |$iterCtes
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
     },
+
+    // q137: the same plants + full join on doc_id with md5 content
+    // compare; unchanged rows drop before the per-source count.
+    "q137_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text, source FROM documents),
+        |nw AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END AS text,
+        |         source
+        |       FROM old WHERE doc_id % 17 <> 3
+        |       UNION ALL
+        |       SELECT doc_id + 5000000, text, source FROM old WHERE doc_id % 17 = 7),
+        |d AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |               WHEN n.doc_id IS NULL THEN 'removed'
+        |               WHEN md5(o.text) <> md5(n.text) THEN 'changed' END AS status,
+        |        coalesce(n.source, o.source) AS source
+        |      FROM old o FULL JOIN nw n ON o.doc_id = n.doc_id)
+        |SELECT source, status, count(*) AS n FROM d
+        |WHERE status IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // q134: all pairs between the halves, micro-floored cosines, two
     // rank-bounded neighborhood sums, forward best, and the

@@ -165,4 +165,41 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("occupancy"), ex.getMessage)
   }
+
+  test("snapshot diff: added/removed/changed classified, unchanged dropped") {
+    import graft.operators.Snapshot
+    val old = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+      .toDF("id", "txt", "src")
+    val nw = Seq((1L, "a", "s1"), (2L, "B", "s1"), (4L, "d", "s2"))
+      .toDF("id", "txt", "src")
+    val got = Snapshot.diff(old, nw, "id", "txt", carry = Seq("src"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "changed", "s1"), (3L, "removed", "s2"),
+      (4L, "added", "s2")), s"got $got")
+    val sum = Snapshot.diffSummary(old, nw, "id", "txt", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sum == Map(("s1", "changed") -> 1L, ("s2", "removed") -> 1L,
+      ("s2", "added") -> 1L), s"got $sum")
+  }
+
+  test("resampleFfill: grid tiles the span, gaps carry forward, guard trips") {
+    import graft.operators.Events
+    // User u: values at buckets 0 (v=1.5) and 3 (v=2.5); bucket 0 has
+    // two events — the later (ts 50, id 9) wins. Grid = 0..3, buckets
+    // 1-2 filled with 1.5.
+    val ev = Seq(
+      ("u", 10L, 1L, 0.5), ("u", 50L, 9L, 1.5), ("u", 190L, 2L, 2.5))
+      .toDF("user_id", "sec", "event_id", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.resampleFfill(ev, "user_id", "ts", "value", "event_id",
+        bucketSeconds = 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 1.5, 1L), (60L, 1.5, 0L), (120L, 1.5, 0L),
+      (180L, 2.5, 1L)), s"got $got")
+    val ex = intercept[Exception] {
+      Events.resampleFfill(ev, "user_id", "ts", "value", "event_id",
+        bucketSeconds = 1, maxBuckets = 10).collect()
+    }
+    assert(ex.getMessage.contains("maxBuckets"), ex.getMessage)
+  }
 }
