@@ -1458,6 +1458,21 @@ object TextQueries {
         "vec_id", "embedding", k = 4, tauNum = 105, tauDen = 100)
     }),
 
+    // Served retrieval ([[TextOps.writePostings]] →
+    // [[TextOps.bm25TopKFromIndex]]): q130's queries answered from the
+    // MATERIALIZED term-bucketed posting index (the q78 loop-closure
+    // pattern applied to search) — probe-sized work per batch, results
+    // bit-identical to the live path, so the oracle is q130's verbatim.
+    "q139_bm25_indexed" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q139_postings"
+      TextOps.writePostings(docsWithTokens(s, dir), "doc_id", "ts",
+        "graft_q139_postings", path)
+      TextOps.bm25TopKFromIndex(s, "graft_q139_postings",
+        Seq(1L -> Seq("hash", "join", "table"),
+          2L -> Seq("window", "stream", "batch"),
+          3L -> Seq("spark", "nosuchterm")), k = 10)
+    }),
+
     // Snapshot churn audit ([[graft.operators.Snapshot.diffSummary]]):
     // one planted row per status class — doc_id%17=3 removed, %17=5
     // text-edited (changed), %17=7 re-added under a new id (added) —
@@ -1526,6 +1541,34 @@ object TextQueries {
 
   /** Shared oracle fragment: cosine via sequential dot products — the
     * same formula and association as [[Ann.cosine]]. */
+  /** Shared by q130 (live) and q139 (indexed): the index changes the
+    * plan, not the answer — one oracle checks both. */
+  private lazy val duckBm25Oracle: String =
+    s"""WITH $DuckToks,
+       |q(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'table'),
+       |  (2, 'window'), (2, 'stream'), (2, 'batch'),
+       |  (3, 'spark'), (3, 'nosuchterm')),
+       |sc AS (SELECT count(*) FILTER (WHERE len(ts) > 0) AS n,
+       |       coalesce(sum(len(ts)), 0) AS t FROM toks),
+       |tf AS (SELECT doc_id, dl, w AS term, count(*) AS tf
+       |       FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       |             unnest(ts) AS w FROM toks)
+       |       WHERE w IN (SELECT term FROM q)
+       |       GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scd AS (SELECT qq.query_id, t1.doc_id,
+       |    (((length(bin(sc.n)) - 1) - (length(bin(d.df)) - 1))
+       |      * 22 * t1.tf * (sc.t // sc.n) * 10000)
+       |    // (10 * t1.tf * (sc.t // sc.n) + 3 * (sc.t // sc.n) + 9 * t1.dl) AS s
+       |  FROM tf t1 JOIN dfx d USING (term) JOIN q qq USING (term), sc),
+       |agg AS (SELECT query_id, doc_id, sum(s) AS s FROM scd GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+       |  doc_id, CAST(s AS BIGINT) AS score_q
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY s DESC, doc_id ASC) AS rn
+       |      FROM agg)
+       |WHERE rn <= 10""".stripMargin
+
   private def duckCosine(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -3055,32 +3098,10 @@ object TextQueries {
     // avgdl (t // n), cleared k1=6/5 b=3/4 denominators — so the score
     // sum is exact on both engines; DuckDB's `//` floor division equals
     // Spark's `div` (all operands positive). The IN-subquery replays
-    // the literal isin probe.
-    "q130_bm25_search" ->
-      s"""WITH $DuckToks,
-         |q(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'table'),
-         |  (2, 'window'), (2, 'stream'), (2, 'batch'),
-         |  (3, 'spark'), (3, 'nosuchterm')),
-         |sc AS (SELECT count(*) FILTER (WHERE len(ts) > 0) AS n,
-         |       coalesce(sum(len(ts)), 0) AS t FROM toks),
-         |tf AS (SELECT doc_id, dl, w AS term, count(*) AS tf
-         |       FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
-         |             unnest(ts) AS w FROM toks)
-         |       WHERE w IN (SELECT term FROM q)
-         |       GROUP BY 1, 2, 3),
-         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scd AS (SELECT qq.query_id, t1.doc_id,
-         |    (((length(bin(sc.n)) - 1) - (length(bin(d.df)) - 1))
-         |      * 22 * t1.tf * (sc.t // sc.n) * 10000)
-         |    // (10 * t1.tf * (sc.t // sc.n) + 3 * (sc.t // sc.n) + 9 * t1.dl) AS s
-         |  FROM tf t1 JOIN dfx d USING (term) JOIN q qq USING (term), sc),
-         |agg AS (SELECT query_id, doc_id, sum(s) AS s FROM scd GROUP BY 1, 2)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
-         |  doc_id, CAST(s AS BIGINT) AS score_q
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                  ORDER BY s DESC, doc_id ASC) AS rn
-         |      FROM agg)
-         |WHERE rn <= 10""".stripMargin,
+    // the literal isin probe. q139 (the indexed path) shares this
+    // oracle verbatim — the index changes the PLAN, not the answer.
+    "q130_bm25_search" -> duckBm25Oracle,
+    "q139_bm25_indexed" -> duckBm25Oracle,
 
     // q131: the same edge generator and five UNROLLED iterations of
     // the all-integer update — `//` replays `div` exactly (every rank

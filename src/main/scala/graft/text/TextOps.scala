@@ -303,13 +303,7 @@ object TextOps {
   def bm25TopK(docs: DataFrame, idCol: String, toksCol: String,
       queries: Seq[(Long, Seq[String])], k: Int = 10,
       scale: Long = 10000L): DataFrame = {
-    require(queries.nonEmpty, "bm25TopK: empty query set")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qterms = queries.flatMap { case (qid, ts) =>
-      ts.distinct.map(tm => (qid, tm)) }.toDF("query_id", "term")
-    val termSet = queries.flatMap(_._2).distinct
-    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("bigint")
+    val (qterms, termSet) = bm25Queries(docs.sparkSession, queries)
     val scalars = docs.agg(
       coalesce(sum(when(size(col(toksCol)) > 0, 1L).otherwise(0L)), lit(0L)).as("__n"),
       coalesce(sum(size(col(toksCol)).cast("bigint")), lit(0L)).as("__t"))
@@ -318,6 +312,26 @@ object TextOps {
         explode(col(toksCol)).as("term"))
       .filter(col("term").isin(termSet: _*))
       .groupBy(col(idCol), col("__dl"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25Score(tf, scalars, qterms, idCol, k, scale)
+  }
+
+  private def bm25Queries(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, Seq[String])]): (DataFrame, Seq[String]) = {
+    require(queries.nonEmpty, "bm25: empty query set")
+    import spark.implicits._
+    (queries.flatMap { case (qid, ts) => ts.distinct.map(tm => (qid, tm)) }
+      .toDF("query_id", "term"),
+      queries.flatMap(_._2).distinct)
+  }
+
+  /** The shared BM25 scoring tail — ONE implementation of the integer
+    * arithmetic, so the live ([[bm25TopK]]) and indexed
+    * ([[bm25TopKFromIndex]]) paths are bit-identical by construction.
+    * `tf`: (idCol, __dl, term, tf) candidate postings; `scalars`: one
+    * row (__n, __t). */
+  private def bm25Score(tf: DataFrame, scalars: DataFrame, qterms: DataFrame,
+      idCol: String, k: Int, scale: Long): DataFrame = {
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("bigint")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     tf.join(dfreq, Seq("term"))
       .join(broadcast(qterms), Seq("term"))
@@ -334,6 +348,49 @@ object TextOps {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
         col("e._2").as(idCol), col("e._1").cast("bigint").as("score_q"))
+  }
+
+  /** Materialized inverted index for repeated [[bm25TopK]] retrieval —
+    * the [[graft.dedup.Dedup.writeStore]] move applied to search: a
+    * served corpus should not re-tokenize and re-explode per query
+    * batch. Two tables: `table` = the posting list (term, doc_id, dl,
+    * tf), BUCKETED AND SORTED BY term so a term-probe reads its buckets
+    * in place (bucket pruning on the literal isin — no shuffle, no full
+    * scan), and `table_stats` = the one-row (n, t) corpus scalars
+    * frozen AT INDEX TIME (scores stay comparable across query batches;
+    * rebuild to refresh). df is NOT stored: it re-aggregates at query
+    * time from the probed postings alone — a probe-sized agg, always
+    * consistent with the postings. */
+  def writePostings(docs: DataFrame, idCol: String, toksCol: String,
+      table: String, path: String, buckets: Int = 64): Unit = {
+    docs.select(col(idCol).as("doc_id"),
+        size(col(toksCol)).cast("bigint").as("dl"),
+        explode(col(toksCol)).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "dl", "tf")
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "term").sortBy("term").saveAsTable(table)
+    docs.agg(
+        coalesce(sum(when(size(col(toksCol)) > 0, 1L).otherwise(0L)), lit(0L)).as("__n"),
+        coalesce(sum(size(col(toksCol)).cast("bigint")), lit(0L)).as("__t"))
+      .write.mode("overwrite").option("path", s"${path}_stats")
+      .saveAsTable(s"${table}_stats")
+  }
+
+  /** BM25 top-k served from a [[writePostings]] index: the probe
+    * filters the bucketed posting table by the literal query
+    * vocabulary and feeds the SAME scoring tail as [[bm25TopK]] —
+    * results are bit-identical to the live path over the indexed
+    * corpus (VocabSpec pins it). Per query batch the work is
+    * probe-sized: no tokenize, no corpus explode, no corpus scan. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: Seq[(Long, Seq[String])], k: Int = 10,
+      scale: Long = 10000L): DataFrame = {
+    val (qterms, termSet) = bm25Queries(spark, queries)
+    val tf = spark.table(table)
+      .filter(col("term").isin(termSet: _*))
+      .select(col("doc_id"), col("dl").as("__dl"), col("term"), col("tf"))
+    bm25Score(tf, spark.table(s"${table}_stats"), qterms, "doc_id", k, scale)
   }
 
   /** Robust per-group outlier report — the corpus-QA card that flags

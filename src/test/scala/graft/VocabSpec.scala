@@ -265,6 +265,30 @@ class VocabSpec extends SparkSpec {
     assert(s == want, s"packed score $s != $want")
   }
 
+  test("bm25TopKFromIndex: bit-equal to the live path; probe prunes buckets") {
+    val spark = SparkSpec.spark
+    val docs = Seq(
+      (0L, Seq("rare", "common")),
+      (1L, Seq("common", "x")),
+      (2L, Seq("mid", "common")),
+      (3L, Seq("mid", "common", "pad", "pad", "pad", "pad"))
+    ).toDF("doc_id", "ts")
+    val path = java.nio.file.Files.createTempDirectory("graft_postings")
+      .toString + "/t"
+    TextOps.writePostings(docs, "doc_id", "ts", "graft_test_postings", path,
+      buckets = 8)
+    val qs = Seq(1L -> Seq("rare", "common"), 2L -> Seq("mid"))
+    val live = TextOps.bm25TopK(docs, "doc_id", "ts", qs, k = 10)
+      .collect().map(_.toSeq).toSet
+    val indexed = TextOps.bm25TopKFromIndex(spark, "graft_test_postings", qs,
+      k = 10)
+    assert(indexed.collect().map(_.toSeq).toSet == live, "index != live")
+    // The probe must reach the bucketed scan as bucket pruning — the
+    // "probe-sized work" claim is a plan property, not prose.
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+
   test("robustOutlierReport: hand-computed median/MAD, even-count lower median") {
     // Group a: 1..9 → median 5 (first cum*2 >= 9 at v=5), devs
     // {0:1, 1:2, 2:2, 3:2, 4:2} → MAD 2 (cum 1,3,5 → 5*2 >= 9 at d=2);
