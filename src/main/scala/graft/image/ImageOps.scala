@@ -156,4 +156,57 @@ object ImageOps {
 
   /** PNG-encode UDF (binaryFile→parquet converter jobs + fixtures). */
   val encodePngUdf = udf { (f: Frame) => encodePng(f) }
+
+  /** Perceptual difference hash (dHash, 64-bit) — the image analog of
+    * [[graft.dedup.Dedup.simhashColumn]]: near-duplicate images (resaves,
+    * mild brightness/contrast shifts, small crops) differ in a few bits,
+    * so the existing banded-Hamming machinery
+    * ([[graft.dedup.Dedup.simhashNearDup]]) finds image near-dups with
+    * no new shuffle pattern. Pipeline: integer grayscale
+    * (299·r + 587·g + 114·b — never divided, scale cancels in the
+    * compare), 9×8 BOX-AVERAGE downscale with exact integer division
+    * (floor cell boundaries i·h div 8 / j·w div 9 — NOT Graphics2D,
+    * whose interpolation is implementation-defined), bit (i,j) set iff
+    * cell(i,j) > cell(i,j+1) (the horizontal gradient sign). A pure
+    * function of the pixel bytes — deterministic under retries and
+    * identical on any JVM. Images smaller than 9×8 hash to null (no
+    * meaningful gradient grid; filter or upscale first with
+    * [[minimumImageDimensions]]). */
+  val dHash = udf { (f: Frame) =>
+    if (f.h < 8 || f.w < 9) None
+    else {
+      val cells = Array.ofDim[Long](8, 9)
+      var i = 0
+      while (i < 8) {
+        val r0 = i * f.h / 8; val r1 = (i + 1) * f.h / 8
+        var j = 0
+        while (j < 9) {
+          val c0 = j * f.w / 9; val c1 = (j + 1) * f.w / 9
+          var sum = 0L
+          var r = r0
+          while (r < r1) {
+            var c = c0
+            while (c < c1) {
+              val p = 3 * (r * f.w + c)
+              sum += 299L * (f.px(p) & 0xff) + 587L * (f.px(p + 1) & 0xff) +
+                114L * (f.px(p + 2) & 0xff)
+              c += 1
+            }
+            r += 1
+          }
+          cells(i)(j) = sum / ((r1 - r0).toLong * (c1 - c0))
+          j += 1
+        }
+        i += 1
+      }
+      var bits = 0L
+      var k = 0
+      while (k < 64) {
+        val (i2, j2) = (k / 8, k % 8)
+        if (cells(i2)(j2) > cells(i2)(j2 + 1)) bits |= (1L << k)
+        k += 1
+      }
+      Some(bits)
+    }
+  }
 }

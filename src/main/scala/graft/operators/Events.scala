@@ -180,6 +180,35 @@ object Events {
     * (key, bucket)-keyed left join of two already-collapsed frames,
     * and one key-partitioned window — every shuffle keyed by the
     * uniform key, grid size bounded by span·keys. */
+  /** OHLC bucket downsampling — the financial-bar aggregation (open /
+    * high / low / close / count per (key, bucket)), the lossy-but-
+    * shaped summary a fixed-rate consumer wants when [[resampleFfill]]'s
+    * last-value-only grid is too coarse a description of within-bucket
+    * motion. Open and close are CARRIED values picked by struct-min/max
+    * over the (ts, tie)-total order (map-side combined, no sort); high
+    * and low are plain min/max — no double is ever summed, so every
+    * column is bit-exact cross-engine. One (key, bucket)-keyed
+    * map-side-combined agg over a projection; nothing else. */
+  def ohlc(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0,
+      s"ohlc: bucketSeconds must be positive, got $bucketSeconds")
+    val bucket = expr(
+      s"unix_micros(CAST($tsCol AS TIMESTAMP)) div ${bucketSeconds * 1000000}")
+    events
+      .select(col(keyCol).as("__k"), bucket.as("__b"),
+        struct(col(tsCol), col(tieCol), col(valCol)).as("__s"),
+        col(valCol).as("__v"))
+      .groupBy("__k", "__b")
+      .agg(min(col("__s")).getField(valCol).as("open"),
+        max(col("__v")).as("high"), min(col("__v")).as("low"),
+        max(col("__s")).getField(valCol).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("__k").as(keyCol),
+        (col("__b") * bucketSeconds).as("bucket_start_s"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
+
   def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
       valCol: String, tieCol: String, bucketSeconds: Long,
       maxBuckets: Long = 1000000): DataFrame = {

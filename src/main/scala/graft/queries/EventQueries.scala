@@ -193,6 +193,13 @@ object EventQueries {
     // Values are carried, never summed, so doubles stay bit-exact.
     "q138_resample_ffill" -> ((s, dir) =>
       graft.operators.Events.resampleFfill(t(s, dir, "events"),
+        "user_id", "ts", "value", "event_id", bucketSeconds = 3600)),
+
+    // OHLC bars ([[graft.operators.Events.ohlc]]): hourly open/high/
+    // low/close of `value` per user — carried values via (ts,
+    // event_id)-ordered struct extrema, no double ever summed.
+    "q140_ohlc" -> ((s, dir) =>
+      graft.operators.Events.ohlc(t(s, dir, "events"),
         "user_id", "ts", "value", "event_id", bucketSeconds = 3600))
   )
 
@@ -373,6 +380,25 @@ object EventQueries {
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    // q140: open/close via ASC/DESC row_number (the struct extrema's
+    // twin), high/low plain min/max — every value carried or compared,
+    // never summed.
+    "q140_ohlc" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b, ts,
+        |              event_id, value FROM events),
+        |r AS (SELECT user_id, b, value,
+        |        row_number() OVER (PARTITION BY user_id, b
+        |          ORDER BY ts ASC, event_id ASC) AS ro,
+        |        row_number() OVER (PARTITION BY user_id, b
+        |          ORDER BY ts DESC, event_id DESC) AS rc
+        |      FROM ev)
+        |SELECT user_id, b * 3600 AS bucket_start_s,
+        |  min(CASE WHEN ro = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  min(CASE WHEN rc = 1 THEN value END) AS close,
+        |  count(*) AS n_events
+        |FROM r GROUP BY user_id, b""".stripMargin
   )
 }

@@ -1473,6 +1473,18 @@ object TextQueries {
           3L -> Seq("spark", "nosuchterm")), k = 10)
     }),
 
+    // k-anonymity audit (the privacy-governance card beside q108's PII
+    // incidence): quasi-identifier combos — (lang, source, length
+    // bucket) — whose population is below k=5; any row here is a
+    // re-identification risk the release process must generalize or
+    // suppress. One map-side-combined agg + post-agg filter.
+    "q141_k_anonymity" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 5)),
+
     // Snapshot churn audit ([[graft.operators.Snapshot.diffSummary]]):
     // one planted row per status class — doc_id%17=3 removed, %17=5
     // text-edited (changed), %17=7 re-added under a new id (added) —
@@ -3130,6 +3142,11 @@ object TextQueries {
          |$iterCtes
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
     },
+
+    // q141: same combo agg + HAVING; `//` = `div` on non-negatives.
+    "q141_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS n
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
 
     // q137: the same plants + full join on doc_id with md5 content
     // compare; unchanged rows drop before the per-source count.

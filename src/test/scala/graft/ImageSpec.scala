@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.image.ImageOps
 import graft.image.ImageOps.Frame
+import graft.functions.Stable
 import graft.sources.{InMemory, TextFileSource}
 import graft.text.TextOps
 
@@ -122,5 +123,42 @@ class ImageSpec extends SparkSpec {
   test("InMemory source preserves collection order via __idx") {
     val df = InMemory.fromSeq(spark, Seq("x", "y", "z"))
     assert(df.orderBy("__idx").collect().map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+  }
+
+  test("dHash: invariant to brightness shift, far from unrelated, near-dup via Hamming bands") {
+    def shift(f: Frame, d: Int): Frame = Frame(f.h, f.w, f.c,
+      f.px.map(b => math.min(255, (b & 0xff) + d).toByte))
+    def noisy(f: Frame): Frame = Frame(f.h, f.w, f.c,
+      f.px.zipWithIndex.map { case (b, i) =>
+        if (i % 29 == 0) math.min(255, (b & 0xff) + 3).toByte else b })
+    val base = gradientFrame(32, 36)
+    val rnd = Frame(32, 36, 3, Array.tabulate(32 * 36 * 3)(i =>
+      (Stable.splitmix(i.toLong * 7 + 3) & 0xff).toByte))
+    val df = Seq((1L, base), (2L, shift(base, 10)), (3L, noisy(base)),
+        (4L, rnd)).toDF("id", "f")
+      .select(col("id"), ImageOps.dHash(col("f")).as("h"))
+    val hs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // A uniform brightness shift leaves every horizontal gradient sign
+    // unchanged: hash identical.
+    assert(hs(1L) == hs(2L), s"brightness shift changed the hash")
+    // Sparse pixel noise moves a few cells: small but possibly nonzero.
+    assert(hamming(hs(1L), hs(3L)) <= 12, s"noise: ${hamming(hs(1L), hs(3L))}")
+    // Unrelated content lands far away.
+    assert(hamming(hs(1L), hs(4L)) >= 16, s"unrelated: ${hamming(hs(1L), hs(4L))}")
+    // The hashes drop straight into the text path's banded-Hamming
+    // near-dup machinery — the planted near-pair surfaces, the
+    // unrelated image does not.
+    val pairs = graft.dedup.Dedup.simhashNearDup(
+        df.select(col("id").as("doc_id"), col("h").as("simhash")),
+        "doc_id", "simhash", bands = 13, bitsPerBand = 4, maxHamming = 12)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"got $pairs")
+    // Tiny images cannot form the 9x8 grid: null, not garbage.
+    val tiny = Seq((9L, gradientFrame(4, 4))).toDF("id", "f")
+      .select(ImageOps.dHash(col("f")).as("h")).collect()(0)
+    assert(tiny.isNullAt(0))
   }
 }
