@@ -78,4 +78,51 @@ object Graphs {
     }
     ranks
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection, the coarser companion to
+    * [[graft.dedup.Components.connectedComponents]] (components answer
+    * "reachable at all?"; LPA answers "densely knit together?" — the
+    * near-dup CLUSTER story vs the near-dup FAMILY story): every node
+    * starts labeled with its own id and each round adopts the label
+    * most frequent among its neighbors, ties broken (count DESC, label
+    * ASC) so every round is a pure deterministic function of the
+    * previous labeling — the async/random variant converges faster but
+    * is irreproducible, disqualifying it here. Fixed `iters` rounds
+    * (LPA oscillates on bipartite structures; a fixed horizon is the
+    * standard determinism fix). The graph is treated UNDIRECTED and
+    * SIMPLE (both directions unioned, parallel edges deduped — votes
+    * count neighbors, not link multiplicity).
+    *
+    * Scale shape: the [[pageRank]] template — undirected edge list
+    * repartitioned by src and persisted once; per round the label
+    * table (N rows) joins in, votes collapse in a map-side-combined
+    * (src, label) count agg, the argmax is a struct-min agg (never a
+    * per-node window), and the label lineage stays LINEAR in rounds
+    * (the base join is against the invariant node frame). Output:
+    * (node, label) — nodes sharing a label after `iters` rounds are a
+    * community. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    val dir = edges.select(col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst"))
+    val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = und.join(labels, und("dst") === labels("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("__c"))
+      val best = votes.groupBy("src")
+        .agg(min(struct((-col("__c")).as("__nc"), col("label")))
+          .getField("label").as("__best"))
+      labels = nodes.join(best, nodes("node") === best("src"), "left")
+        .select(col("node"), coalesce(col("__best"), col("node")).as("label"))
+    }
+    labels
+  }
 }

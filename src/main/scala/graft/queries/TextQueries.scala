@@ -24,6 +24,27 @@ object TextQueries {
     t(s, dir, "documents").select(col("doc_id"), col("text"),
       TextOps.tokens(col("text")).as("ts"))
 
+  /** The q131/q142 seeded link graph: doc i emits 1 + (i mod 3) links
+    * with md5-derived uniform targets — the deterministic stand-in for
+    * a crawl's link column. */
+  private def syntheticLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("__nd"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), col("doc_id") % 3)).as("j"), col("__nd"))
+      .select(col("src"),
+        pmod(Stable.seededHash(19, col("src"), col("j")), col("__nd")).as("dst"))
+  }
+
+  /** Shared oracle CTE for the q131/q142 link graph. */
+  private lazy val DuckLinkGraph: String =
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+       |ej AS (SELECT doc_id AS src,
+       |        unnest(generate_series(0, doc_id % 3)) AS j FROM documents),
+       |ed AS (SELECT src, ${Stable.duckSeededHash(19, "src", "j")} % nn.n AS dst
+       |       FROM ej, nn)""".stripMargin
+
   /** Shared oracle CTE: whitespace tokens, empties dropped. */
   private val DuckToks =
     "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM documents)"
@@ -1416,16 +1437,17 @@ object TextQueries {
     // the deterministic stand-in for a crawl's link column, exercising
     // the operator end-to-end: multigraph outdegrees, teleport base,
     // dangling leak, five exact integer iterations.
-    "q131_pagerank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__nd"))
-      val edges = docs.crossJoin(broadcast(n))
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), col("doc_id") % 3)).as("j"), col("__nd"))
-        .select(col("src"),
-          pmod(Stable.seededHash(19, col("src"), col("j")), col("__nd")).as("dst"))
-      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 5)
-    }),
+    "q131_pagerank" -> ((s, dir) =>
+      graft.operators.Graphs.pageRank(syntheticLinkGraph(s, dir),
+        "src", "dst", iters = 5)),
+
+    // Label-propagation communities ([[graft.operators.Graphs
+    // .labelPropagation]]): three synchronous rounds over the q131 link
+    // graph (undirected, deduped) — densely-knit document clusters,
+    // every round a deterministic (count DESC, label ASC) argmax.
+    "q142_communities" -> ((s, dir) =>
+      graft.operators.Graphs.labelPropagation(syntheticLinkGraph(s, dir),
+        "src", "dst", iters = 3)),
 
     // Trained-classifier loop closure ([[graft.text.Classify
     // .trainNaiveBayes]] → [[graft.text.Classify.packWeights]] →
@@ -3130,11 +3152,7 @@ object TextQueries {
            |          + (85 * coalesce(c.cin, 0)) // 100 AS rank
            |        FROM nodes n0 LEFT JOIN c$i c USING (node), nn)""".stripMargin
       }.mkString(",\n")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         |ej AS (SELECT doc_id AS src,
-         |        unnest(generate_series(0, doc_id % 3)) AS j FROM documents),
-         |ed AS (SELECT src, ${Stable.duckSeededHash(19, "src", "j")} % nn.n AS dst
-         |       FROM ej, nn),
+      s"""WITH $DuckLinkGraph,
          |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
          |nodes AS (SELECT DISTINCT node FROM
          |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
@@ -3229,6 +3247,28 @@ object TextQueries {
          |    THEN CAST(s.score_sum AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
          |  END AS mean_score
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN ds s USING (doc_id)""".stripMargin,
+
+    // q142: three unrolled synchronous rounds — undirected dedup via
+    // UNION, per-round (src, label) vote counts, (count DESC, label
+    // ASC) argmax via row_number, isolated coalesce to own id.
+    "q142_communities" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = s"l${i - 1}"
+        s"""v$i AS (SELECT u.src, l.label, count(*) AS c
+           |        FROM ud u JOIN $prev l ON l.node = u.dst GROUP BY 1, 2),
+           |b$i AS (SELECT src, label FROM (
+           |          SELECT src, label, row_number() OVER (PARTITION BY src
+           |            ORDER BY c DESC, label ASC) AS rn FROM v$i) WHERE rn = 1),
+           |l$i AS (SELECT n0.node, coalesce(b.label, n0.node) AS label
+           |        FROM nodes n0 LEFT JOIN b$i b ON b.src = n0.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $DuckLinkGraph,
+         |ud AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+         |nodes AS (SELECT DISTINCT src AS node FROM ud),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds
+         |SELECT node, label FROM l3""".stripMargin
+    },
 
     // q132: identical histogram → median → deviation-histogram → MAD →
     // outlier-count chain; the lower-median rule (min v with 2·cum ≥

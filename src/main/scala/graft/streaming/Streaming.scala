@@ -30,6 +30,25 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("win_start"), col("n_events"))
 
+  /** Stream-stream event-time INTERVAL join — the two-unbounded-sides
+    * capability (Spark buffers both sides in watermark-bounded state;
+    * the time-range predicate is what lets it evict: without it the
+    * state grows forever): right events joined to left events of the
+    * same key occurring within `withinSeconds` AFTER the left (the
+    * click→purchase attribution shape — the streaming twin of
+    * [[graft.operators.Events.withinWindowPairs]]' batch pair join and
+    * q44's as-of). Both sides MUST carry watermarks for state
+    * eviction; matches later than the watermark horizon are dropped by
+    * construction (document the horizon, don't discover it in prod).
+    * Key columns must be distinctly named (rename before calling). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      withinSeconds: Long, watermark: String = "2 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
+          s"$rightTs <= $leftTs + interval $withinSeconds seconds"))
+
   /** One user's open session state for [[sessionize]]. */
   case class SessionState(sessionId: Long, lastEpochS: Double, nEvents: Long)
   case class SessionOut(userId: Long, sessionId: Long, nEvents: Long)

@@ -166,6 +166,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("occupancy"), ex.getMessage)
   }
 
+  test("labelPropagation: triangle converges to min label, 2-cycle oscillates deterministically") {
+    // Triangle 1-2-3 plus the disconnected pair 10-11. Round 1: node 1
+    // sees labels {2,3} (tie -> 2); nodes 2,3 see label 1 win. Round 2:
+    // every triangle node's neighbors carry label 1 (or tie resolving
+    // to 1) -> all 1. The pair swaps labels each round (the documented
+    // bipartite oscillation) — after an even horizon each is back to
+    // its own id. Fixed iters makes even this pathology reproducible.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 11L),
+      s"got $got")
+    val odd = Graphs.labelPropagation(edges, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(odd(10L) == 11L && odd(11L) == 10L, s"got $odd")
+  }
+
   test("snapshot diff: added/removed/changed classified, unchanged dropped") {
     import graft.operators.Snapshot
     val old = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))

@@ -250,6 +250,28 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_replay_store")
   }
 
+  test("stream-stream interval join matches pairs within the window, drops the rest") {
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("cu", "cts"), buys.toDF().toDF("bu", "bts"),
+      "cu", "bu", "cts", "bts", withinSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+      // user 1: click at 0s, buys at 30s (in) and 120s (out);
+      // user 2: buy at 10s with no click — never emitted.
+      clicks.addData((1L, t(0)))
+      buys.addData((1L, t(30)), (1L, t(120)), (2L, t(10)))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select("cu", "bts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+      assert(got == Set((1L, "2024-01-01 00:00:30.0")), s"got $got")
+    } finally q.stop()
+  }
+
   test("watermark drops late data: an event below the watermark cannot revise a window") {
     val input = MemoryStream[Timestamp]
     val counts = Streaming.windowedCounts(
