@@ -79,6 +79,28 @@ object Graphs {
     ranks
   }
 
+  /** Rank-proportional thinning — the composition that makes
+    * [[pageRank]] a CURATION signal (the Common Crawl move: keep
+    * central pages with certainty, thin the periphery): node i survives
+    * with probability rank_i / maxRank, decided by the engine's seeded
+    * integer Bernoulli (hash·maxRank < m·rank — cross-multiplied, no
+    * division, no float; the [[graft.text.Classify.sampleByQuality]]
+    * trick with PageRank as the quality signal). Deterministic per
+    * (seed, node) — retries, speculation and external engines agree.
+    * Overflow: both products stay under 2^63 for rank grids up to 10^12
+    * at the default m = 10^6 (the [[pageRank]] default scale — exactly
+    * why that default was chosen).
+    *
+    * Scale shape: one one-row max agg broadcast in, then a pure filter
+    * — pushes to whatever scan carries the ranks; no shuffle. */
+  def rankWeightedSample(ranks: DataFrame, nodeCol: String, rankCol: String,
+      seed: Long, m: Long = 1000000L): DataFrame =
+    ranks
+      .crossJoin(broadcast(ranks.agg(max(col(rankCol)).as("__mx"))))
+      .filter(pmod(graft.functions.Stable.seededHash(seed, col(nodeCol)),
+        lit(m)) * col("__mx") < lit(m) * col(rankCol))
+      .select(col(nodeCol), col(rankCol))
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection, the coarser companion to
     * [[graft.dedup.Components.connectedComponents]] (components answer

@@ -45,6 +45,28 @@ object TextQueries {
        |ed AS (SELECT src, ${Stable.duckSeededHash(19, "src", "j")} % nn.n AS dst
        |       FROM ej, nn)""".stripMargin
 
+  /** Shared oracle CTE chain: five unrolled all-integer PageRank
+    * rounds over [[DuckLinkGraph]], ending at `r5(node, rank)`. */
+  private lazy val DuckPageRank5: String = {
+    val scale = 1000000000000L
+    val iterCtes = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS cin
+         |        FROM ed e JOIN deg d USING (src) JOIN $prev r ON r.node = e.src
+         |        GROUP BY 1),
+         |r$i AS (SELECT n0.node,
+         |          (${scale * 15} // (100 * nn.n))
+         |          + (85 * coalesce(c.cin, 0)) // 100 AS rank
+         |        FROM nodes n0 LEFT JOIN c$i c USING (node), nn)""".stripMargin
+    }.mkString(",\n")
+    s"""$DuckLinkGraph,
+       |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+       |r0 AS (SELECT node, $scale // nn.n AS rank FROM nodes, nn),
+       |$iterCtes""".stripMargin
+  }
+
   /** Shared oracle CTE: whitespace tokens, empties dropped. */
   private val DuckToks =
     "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM documents)"
@@ -1440,6 +1462,17 @@ object TextQueries {
     "q131_pagerank" -> ((s, dir) =>
       graft.operators.Graphs.pageRank(syntheticLinkGraph(s, dir),
         "src", "dst", iters = 5)),
+
+    // Centrality-weighted selection ([[graft.operators.Graphs
+    // .rankWeightedSample]] ∘ [[graft.operators.Graphs.pageRank]]):
+    // q131's ranks turned into a curation gate — the most central doc
+    // survives with certainty, the periphery thins in proportion; the
+    // seeded integer Bernoulli makes the kept set bit-reproducible.
+    "q143_rank_select" -> ((s, dir) =>
+      graft.operators.Graphs.rankWeightedSample(
+        graft.operators.Graphs.pageRank(syntheticLinkGraph(s, dir),
+          "src", "dst", iters = 5),
+        "node", "rank", seed = 23)),
 
     // Label-propagation communities ([[graft.operators.Graphs
     // .labelPropagation]]): three synchronous rounds over the q131 link
@@ -3140,26 +3173,18 @@ object TextQueries {
     // q131: the same edge generator and five UNROLLED iterations of
     // the all-integer update — `//` replays `div` exactly (every rank
     // and contribution is non-negative), so r5 matches bit-for-bit.
-    "q131_pagerank" -> {
-      val scale = 1000000000000L
-      val iterCtes = (1 to 5).map { i =>
-        val prev = if (i == 1) "r0" else s"r${i - 1}"
-        s"""c$i AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS cin
-           |        FROM ed e JOIN deg d USING (src) JOIN $prev r ON r.node = e.src
-           |        GROUP BY 1),
-           |r$i AS (SELECT n0.node,
-           |          (${scale * 15} // (100 * nn.n))
-           |          + (85 * coalesce(c.cin, 0)) // 100 AS rank
-           |        FROM nodes n0 LEFT JOIN c$i c USING (node), nn)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $DuckLinkGraph,
-         |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
-         |nodes AS (SELECT DISTINCT node FROM
-         |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
-         |r0 AS (SELECT node, $scale // nn.n AS rank FROM nodes, nn),
-         |$iterCtes
-         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
-    },
+    "q131_pagerank" ->
+      s"""WITH $DuckPageRank5
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin,
+
+    // q143: q131's r5 + the cross-multiplied seeded acceptance — the
+    // max rides in from one scalar CTE.
+    "q143_rank_select" ->
+      s"""WITH $DuckPageRank5,
+         |mx AS (SELECT max(rank) AS mx FROM r5)
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5, mx
+         |WHERE (${Stable.duckSeededHash(23, "node")} % 1000000) * mx
+         |      < 1000000 * rank""".stripMargin,
 
     // q141: same combo agg + HAVING; `//` = `div` on non-negatives.
     "q141_k_anonymity" ->

@@ -183,6 +183,19 @@ class OperatorsSpec extends SparkSpec {
     assert(odd(10L) == 11L && odd(11L) == 10L, s"got $odd")
   }
 
+  test("rankWeightedSample: max-rank node always survives, zero rank never, deterministic") {
+    val ranks = Seq((1L, 1000L), (2L, 500L), (3L, 0L)).toDF("node", "rank")
+    (0L to 4L).foreach { seed =>
+      val kept = Graphs.rankWeightedSample(ranks, "node", "rank", seed)
+        .select("node").as[Long].collect().toSet
+      assert(kept.contains(1L), s"seed $seed dropped the max-rank node")
+      assert(!kept.contains(3L), s"seed $seed kept a zero-rank node")
+      val again = Graphs.rankWeightedSample(ranks, "node", "rank", seed)
+        .select("node").as[Long].collect().toSet
+      assert(again == kept, "not deterministic")
+    }
+  }
+
   test("snapshot diff: added/removed/changed classified, unchanged dropped") {
     import graft.operators.Snapshot
     val old = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
