@@ -200,7 +200,25 @@ object EventQueries {
     // event_id)-ordered struct extrema, no double ever summed.
     "q140_ohlc" -> ((s, dir) =>
       graft.operators.Events.ohlc(t(s, dir, "events"),
-        "user_id", "ts", "value", "event_id", bucketSeconds = 3600))
+        "user_id", "ts", "value", "event_id", bucketSeconds = 3600)),
+
+    // Trailing RANGE-frame rolling aggregates: per-user hourly activity
+    // with 3-hour trailing sums — the RANGE frame (value-based, so
+    // missing buckets shrink the window — the correct time semantics a
+    // ROWS frame gets wrong on gaps). Counts are longs; the value sum
+    // runs in DECIMAL and casts to double only at the edge.
+    "q144_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("__b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("__v"))
+      val w = Window.partitionBy("user_id").orderBy("__b").rangeBetween(-2, 0)
+      hourly.select(col("user_id"), (col("__b") * 3600).as("bucket_start_s"),
+        col("n"), sum(col("n")).over(w).as("n_3h"),
+        sum(col("__v")).over(w).cast("double").as("v_3h"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -381,6 +399,18 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
         |FROM j""".stripMargin,
+
+    // q144: identical RANGE frame; DECIMAL window sum cast once.
+    "q144_rolling" ->
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+        |             count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS v
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, b * 3600 AS bucket_start_s, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_3h,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS v_3h
+        |FROM h
+        |WINDOW w AS (PARTITION BY user_id ORDER BY b
+        |             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // q140: open/close via ASC/DESC row_number (the struct extrema's
     // twin), high/low plain min/max — every value carried or compared,

@@ -191,6 +191,22 @@ object Relational {
           cume_dist().over(byPrice).as("price_cume"))
     }),
 
+    // Key-space integrity audit: per 1000-key bucket of o_orderkey, how
+    // many keys are present vs the bucket capacity — the gap report a
+    // lossy ingest shows up in (the %97 plant simulates the dropped
+    // rows; the generator's keys are dense, so every reported gap is a
+    // plant). One map-side-combined agg; never a global sort or an
+    // unpartitioned lead/lag window.
+    "q146_id_gaps" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 =!= 13)
+        .groupBy(expr("o_orderkey div 1000").as("bucket"))
+        .agg(count(lit(1)).as("n_present"),
+          min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .select(col("bucket"), col("n_present"),
+          (lit(1000L) - col("n_present")).as("n_missing"), col("lo"), col("hi"))
+        .filter(col("n_missing") > 0)),
+
     // Record linkage ([[graft.operators.Linkage.fuzzyPairs]]): distinct
     // part names within 2 edits, blocked on the first token — the
     // catalog-dedup tier (candidate+verify over a blocking key, the
@@ -300,6 +316,14 @@ object Relational {
         |FROM orders
         |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |  w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    // q146: same bucket agg; `//` = `div` on non-negative keys.
+    "q146_id_gaps" ->
+      """SELECT o_orderkey // 1000 AS bucket, count(*) AS n_present,
+        |  1000 - count(*) AS n_missing,
+        |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |FROM orders WHERE o_orderkey % 97 <> 13
+        |GROUP BY 1 HAVING 1000 - count(*) > 0""".stripMargin,
 
     // q136: same collapse → block → candidate+verify chain; DuckDB's
     // levenshtein is the same unit-cost edit distance as Spark's.

@@ -1528,6 +1528,22 @@ object TextQueries {
           3L -> Seq("spark", "nosuchterm")), k = 10)
     }),
 
+    // PIVOT (wide reshape): per-source language mix as one row per
+    // source with a literal column list (the bounded-cardinality
+    // contract that keeps pivot scale-safe — an unlisted pivot makes
+    // Spark collect the key domain first). Missing combos are 0.
+    "q145_pivot" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("source")
+        .pivot("lang", Seq("en", "fr", "es", "de", "zh")).count()
+        .na.fill(0L)),
+
+    // Per-group quantile card ([[TextOps.quantileCard]]): p50/p90/p99
+    // of n_chars per source from ONE bounded histogram — the dataset-
+    // card row, exact integers.
+    "q147_quantile_card" -> ((s, dir) =>
+      TextOps.quantileCard(t(s, dir, "documents"), "source", "n_chars",
+        ps = Seq(50, 90, 99))),
+
     // k-anonymity audit (the privacy-governance card beside q108's PII
     // incidence): quasi-identifier combos — (lang, source, length
     // bucket) — whose population is below k=5; any row here is a
@@ -3185,6 +3201,28 @@ object TextQueries {
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5, mx
          |WHERE (${Stable.duckSeededHash(23, "node")} % 1000000) * mx
          |      < 1000000 * rank""".stripMargin,
+
+    // q145: conditional-count columns — the portable spelling of PIVOT.
+    "q145_pivot" ->
+      """SELECT source,
+        |  count(*) FILTER (WHERE lang = 'en') AS en,
+        |  count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |  count(*) FILTER (WHERE lang = 'es') AS es,
+        |  count(*) FILTER (WHERE lang = 'de') AS de,
+        |  count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q147: the q132 histogram chain with three percentile cuts.
+    "q147_quantile_card" ->
+      """WITH hist AS (SELECT source AS g, n_chars AS v, count(*) AS c
+        |             FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |               sum(c) OVER (PARTITION BY g) AS tot FROM hist)
+        |SELECT g AS source, CAST(max(tot) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN v END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
+        |FROM cum GROUP BY g""".stripMargin,
 
     // q141: same combo agg + HAVING; `//` = `div` on non-negatives.
     "q141_k_anonymity" ->

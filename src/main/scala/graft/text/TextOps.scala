@@ -444,6 +444,32 @@ object TextOps {
         col("__m2").as("mad"), col("n_outliers"))
   }
 
+  /** Per-group quantile card — the p50/p90/p99 row of a dataset card,
+    * computed EXACTLY from the same bounded per-group value histogram
+    * [[robustOutlierReport]] uses (one corpus scan; the cut at
+    * percentile p is the smallest v whose cumulative count clears
+    * ⌈tot·p/100⌉, compared as the division-free integer cross-product
+    * `100·cum ≥ tot·p` — [[lengthPercentileGate]]'s rule, per group).
+    * Cumulative window partitions by group over histogram rows only.
+    * Output: (groupCol, n_rows, p<p1>, p<p2>, …). */
+  def quantileCard(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"quantileCard: percentiles must be in [1,100], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol).as("__g"), col(valCol).cast("bigint").as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy("__g").orderBy("__v")))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy("__g")))
+    val cuts = ps.map(p =>
+      min(when(col("__cum") * 100 >= col("__tot") * p, col("__v"))).as(s"p$p"))
+    cum.groupBy("__g")
+      .agg(max(col("__tot")).as("n_rows"), cuts: _*)
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** Vocabulary coverage curve — the tokenizer-design companion to
     * [[buildDictionary]] (reference: fuel/datasets/text.py:34-44, whose
     * fixed `dictionary` the caller must size): the top-`topK` tokens by
