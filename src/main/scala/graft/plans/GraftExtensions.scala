@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Canonicalization rewrite: the portable md5-composition hash form
+    // becomes the native codegen Hash64Expr (see RewriteComposedHash64).
+    ext.injectOptimizerRule(_ => RewriteComposedHash64)
     ext.injectFunction((FunctionIdentifier("graft_hash64"),
       info("graft_hash64", "md5-derived 60-bit hash of a string"),
       (exprs: Seq[Expression]) => {

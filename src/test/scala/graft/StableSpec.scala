@@ -85,4 +85,29 @@ class StableSpec extends SparkSpec {
     assert(r.getLong(0) >= 0L && r.getLong(1) < 2305843009213693951L)
     assert(r.getLong(2) == 0L) // families don't collide pointwise here
   }
+
+  test("optimizer rule rewrites the portable md5 composition to Hash64Expr") {
+    // A SQL user writing the documented portable form gets the native
+    // codegen expression automatically (GraftExtensions injectOptimizerRule).
+    // range, not a local Seq: ConvertToLocalRelation would constant-fold
+    // a LocalRelation projection before the plan can be inspected.
+    val df = spark.range(3).selectExpr("CAST(id AS STRING) AS s")
+      .selectExpr("s", "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_hash64"), optimized)
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == graft.functions.Hash64Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))),
+        s"rewritten value drifted for '${r.getString(0)}'")
+    }
+    // A genuinely-binary md5 input has no string child — the contract
+    // form is defined over strings, so the rule must leave it alone.
+    val bin = spark.range(2).selectExpr("unhex(CAST(id AS STRING)) AS b")
+      .selectExpr("CAST(conv(substring(md5(b), 1, 15), 16, 10) AS BIGINT) AS h")
+    assert(!bin.queryExecution.optimizedPlan.toString.contains("graft_hash64"))
+    // A 14-digit substring is NOT the contract form — untouched.
+    val off = spark.range(2).selectExpr("CAST(id AS STRING) AS s")
+      .selectExpr("CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) AS h")
+    assert(!off.queryExecution.optimizedPlan.toString.contains("graft_hash64"))
+  }
 }
