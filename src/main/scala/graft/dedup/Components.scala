@@ -147,4 +147,37 @@ object Components {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
+
+  /** [[keepCanonical]] with a QUALITY rule instead of the min-id
+    * convention — what the published pipelines actually do with a
+    * duplicate cluster (keep the longest / highest-scoring member, not
+    * an arbitrary one): the survivor of each closure family is its
+    * argmax of `qualityCol` (ties to the smaller id). The min-id
+    * convention silently discards the best copy whenever the best copy
+    * is not the oldest — this variant is the fix. Output: one row per
+    * survivor, (idCol, cluster_id, cluster_size, qualityCol).
+    *
+    * Scale shape: [[keepCanonical]]'s — the label frame is graph-
+    * bounded and broadcast-shaped against the corpus; the argmax is a
+    * struct-min agg over the labeled frame (map-side combined, never a
+    * per-cluster window), and the survivor join is keyed by the
+    * cluster id over two already-collapsed frames. */
+  def keepBest(corpus: DataFrame, idCol: String, qualityCol: String,
+      edges: DataFrame, aCol: String = "id1", bCol: String = "id2",
+      maxRounds: Int = 25): DataFrame = {
+    val labeled = clusterSizes(edges, aCol, bCol, maxRounds)
+      .withColumnRenamed("doc_id", idCol)
+    val tagged = corpus
+      .select(col(idCol), col(qualityCol).cast("bigint").as(qualityCol))
+      .join(labeled, Seq(idCol), "left")
+      .select(col(idCol), col(qualityCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+    val best = tagged.groupBy("cluster_id")
+      .agg(min(struct((-col(qualityCol)).as("__nq"), col(idCol).as("__id")))
+        .getField("__id").as("__keep"))
+    tagged.join(best, Seq("cluster_id"))
+      .filter(col(idCol) === col("__keep"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"), col(qualityCol))
+  }
 }

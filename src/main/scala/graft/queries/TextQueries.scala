@@ -1468,11 +1468,14 @@ object TextQueries {
     // q131's ranks turned into a curation gate — the most central doc
     // survives with certainty, the periphery thins in proportion; the
     // seeded integer Bernoulli makes the kept set bit-reproducible.
-    "q143_rank_select" -> ((s, dir) =>
-      graft.operators.Graphs.rankWeightedSample(
-        graft.operators.Graphs.pageRank(syntheticLinkGraph(s, dir),
-          "src", "dst", iters = 5),
-        "node", "rank", seed = 23)),
+    "q143_rank_select" -> ((s, dir) => {
+      // The rank table is consumed twice (the max scalar and the
+      // acceptance filter) — persist the N-row frame so the
+      // five-iteration join lineage materializes once, not per consumer.
+      val ranks = graft.operators.Graphs.pageRank(syntheticLinkGraph(s, dir),
+        "src", "dst", iters = 5).persist()
+      graft.operators.Graphs.rankWeightedSample(ranks, "node", "rank", seed = 23)
+    }),
 
     // Label-propagation communities ([[graft.operators.Graphs
     // .labelPropagation]]): three synchronous rounds over the q131 link
@@ -1526,6 +1529,34 @@ object TextQueries {
         Seq(1L -> Seq("hash", "join", "table"),
           2L -> Seq("window", "stream", "batch"),
           3L -> Seq("spark", "nosuchterm")), k = 10)
+    }),
+
+    // Quality-ruled cluster survivors ([[graft.dedup.Components
+    // .keepBest]]): q95's closure with the published pipelines' ACTUAL
+    // keep rule — the LONGEST member wins, not the oldest id. The
+    // plants are EXTENDED clones (source tokens + a wrapped slice), so
+    // the correct survivor of every planted family is a clone, never
+    // the original — precisely the case min-id gets wrong.
+    "q148_keep_best" -> ((s, dir) => {
+      val base = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val chains = base.filter(col("doc_id") % 29 === 3 && size(col("ts")) >= 64)
+      val planted = (0 until 2).map { i =>
+        chains.select((col("doc_id") * 10 + lit(1000000 + i)).as("doc_id"),
+          concat(col("ts"), slice(col("ts"), 1, 10 + 20 * i)).as("ts"))
+      }.reduce(_ union _)
+      val corpus = base.union(planted)
+        .withColumn("n_toks", size(col("ts")).cast("bigint"))
+      val feat = corpus
+        .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
+        .filter(col("mf").isNotNull)
+      val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
+      val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
+      val pairs = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+        .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+        .select("id1", "id2")
+      graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
     // PIVOT (wide reshape): per-source language mix as one row per
@@ -2415,7 +2446,9 @@ object TextQueries {
   /** Shared CTE chain of q74/q95: the planted drift-chain corpus, LSH
     * verified pairs, and the recursive closure → `corpus(doc_id, ts)`
     * and `comp(doc_id, cluster_id)`. */
-  private def duckClusterCtes: String = {
+  private def duckClusterCtes(plant: String =
+      """SELECT doc_id * 10 + 1000000 + i AS doc_id, ts[1 + 8*i : 40 + 8*i] AS ts
+        |  FROM chains, generate_series(0, 3) g(i)""".stripMargin): String = {
     val mins = (0 until 8).map(j =>
       s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
     val bands = (0 until 4).map { bnd =>
@@ -2426,8 +2459,7 @@ object TextQueries {
        |corpus AS (
        |  SELECT doc_id, ts FROM toks
        |  UNION ALL
-       |  SELECT doc_id * 10 + 1000000 + i AS doc_id, ts[1 + 8*i : 40 + 8*i] AS ts
-       |  FROM chains, generate_series(0, 3) g(i)),
+       |  $plant),
        |${duckShingleHashes("corpus")},
        |shsets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id),
        |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
@@ -2451,7 +2483,7 @@ object TextQueries {
   }
 
   private def duckClusterDedupOracle: String =
-    s"""$duckClusterCtes
+    s"""${duckClusterCtes()}
        |SELECT doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM comp""".stripMargin
@@ -2460,7 +2492,7 @@ object TextQueries {
     * label-is-self (or unlabeled singleton) rows, family sizes from the
     * collapsed comp frame. */
   private def duckClusterKeepOracle: String =
-    s"""$duckClusterCtes,
+    s"""${duckClusterCtes()},
        |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cs
        |          FROM comp GROUP BY cluster_id)
        |SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id,
@@ -2469,6 +2501,24 @@ object TextQueries {
        |LEFT JOIN comp k USING (doc_id)
        |LEFT JOIN sizes s ON s.cluster_id = k.cluster_id
        |WHERE k.cluster_id IS NULL OR k.cluster_id = c.doc_id""".stripMargin
+
+  /** q148: the closure CTEs over the EXTENDED-clone plant + the
+    * (n_toks DESC, doc_id ASC) survivor rule per family. */
+  private def duckKeepBestOracle: String =
+    s"""${duckClusterCtes(
+          """SELECT doc_id * 10 + 1000000 + i AS doc_id,
+            |    list_concat(ts, ts[1 : 10 + 20*i]) AS ts
+            |  FROM chains, generate_series(0, 1) g(i)""".stripMargin)},
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cs
+       |          FROM comp GROUP BY cluster_id),
+       |lab AS (SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id,
+       |          coalesce(s.cs, 1) AS cluster_size,
+       |          CAST(len(c.ts) AS BIGINT) AS n_toks
+       |        FROM corpus c LEFT JOIN comp k USING (doc_id)
+       |        LEFT JOIN sizes s ON s.cluster_id = k.cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size, n_toks FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_toks DESC, doc_id ASC) AS rn FROM lab) WHERE rn = 1""".stripMargin
 
   /** q75 oracle: the quantized bigram LM in SQL — same reference slice,
     * same integer bit costs. `length(bin(x)) - 1` is floor(log2 x) in
@@ -2938,6 +2988,7 @@ object TextQueries {
          |FROM dsh d LEFT JOIN bsh b USING (sh) GROUP BY d.doc_id""".stripMargin,
 
     "q95_cluster_keep" -> duckClusterKeepOracle,
+    "q148_keep_best" -> duckKeepBestOracle,
     "q96_bpe_merges" -> duckBpeOracle(6),
     "q97_bpe_fertility" -> duckBpeSegmentOracle(6),
 

@@ -68,4 +68,18 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(a == b)
   }
+
+  test("keepBest: highest quality survives per family, ties to smaller id, singletons kept") {
+    // Family {1,2,3} (chain 1-2, 2-3): doc 2 is the longest → survives
+    // (min-id would keep 1 — the case this rule exists to fix).
+    // Family {10,11}: equal quality → tie to 10. Doc 50: singleton.
+    val corpus = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (50L, 2L)).toDF("doc_id", "q")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Components.keepBest(corpus, "doc_id", "q", edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(2L -> (1L, 3L, 9L), 10L -> (10L, 2L, 4L),
+      50L -> (50L, 1L, 2L)), s"got $got")
+  }
 }
