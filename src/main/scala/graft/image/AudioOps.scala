@@ -94,4 +94,43 @@ object AudioOps {
     * via the codegen dot product of the frame with itself. */
   def frameEnergies(framesCol: Column): Column =
     transform(framesCol, f => graft.functions.VecExpressions.dot(f, f))
+
+  /** Perceptual audio fingerprint (64-bit) — the audio member of the
+    * engine's Hamming near-dup family ([[graft.image.ImageOps.dHash]]
+    * for images, SimHash for text): the clip is cut into 65 equal
+    * frames, each frame's energy is the EXACT integer Σ s² over the
+    * recovered int16 samples (pcm·32768 is exact — [[decodeWav]]
+    * divides by a power of two, so the product restores the original
+    * integer bit-for-bit; no float accumulates), and bit i is the
+    * energy-gradient sign e(i) > e(i+1) — the temporal-envelope shape,
+    * invariant under exact power-of-two gain and tolerant of small
+    * edits. Feed the hashes to
+    * [[graft.dedup.Dedup.simhashNearDup]]'s banded machinery — audio
+    * near-dup search with no new shuffle pattern. Clips shorter than
+    * 130 samples (2 per frame) hash to null. */
+  val audioHash = udf { (c: Clip) =>
+    if (c.pcm.length < 130) None
+    else {
+      val frames = 65
+      val e = new Array[Long](frames)
+      var i = 0
+      while (i < frames) {
+        val s0 = (i.toLong * c.pcm.length / frames).toInt
+        val s1 = ((i + 1).toLong * c.pcm.length / frames).toInt
+        var acc = 0L
+        var j = s0
+        while (j < s1) {
+          val v = math.round(c.pcm(j) * 32768f).toLong
+          acc += v * v
+          j += 1
+        }
+        e(i) = acc
+        i += 1
+      }
+      var bits = 0L
+      var k = 0
+      while (k < 64) { if (e(k) > e(k + 1)) bits |= (1L << k); k += 1 }
+      Some(bits)
+    }
+  }
 }

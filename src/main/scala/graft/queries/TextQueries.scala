@@ -1559,6 +1559,25 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Unicode NFC audit ([[TextOps.nfc]]): per-source count of docs
+    // whose text is not NFC-normal and the codepoint count the
+    // normalization saves — the i18n pre-dedup health check (planted
+    // combining marks on %31 docs; the base corpus is ASCII-clean).
+    "q149_nfc_audit" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("source"),
+        when(col("doc_id") % 31 === 4,
+          // DECOMPOSED marks (e + U+0301, u + U+0308) — NFC composes them
+          concat(col("text"), lit(" cafe\u0301 mu\u0308nchen")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("source"),
+          (TextOps.nfc(col("text")) =!= col("text")).cast("bigint").as("__ch"),
+          (length(col("text")) - length(TextOps.nfc(col("text"))))
+            .cast("bigint").as("__d"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__ch")).as("n_changed"),
+          sum(col("__d")).as("sum_delta"))
+    }),
+
     // PIVOT (wide reshape): per-source language mix as one row per
     // source with a literal column list (the bounded-cardinality
     // contract that keeps pivot scale-safe — an unlisted pivot makes
@@ -3252,6 +3271,22 @@ object TextQueries {
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5, mx
          |WHERE (${Stable.duckSeededHash(23, "node")} % 1000000) * mx
          |      < 1000000 * rank""".stripMargin,
+
+    // q149: DuckDB's nfc_normalize implements the same Unicode-standard
+    // algorithm as Java's Normalizer — combining marks compose
+    // identically, codepoint lengths agree.
+    "q149_nfc_audit" ->
+      """WITH p AS (SELECT source,
+        |    CASE WHEN doc_id % 31 = 4
+        |      THEN text || ' cafe' || chr(769) || ' mu' || chr(776) || 'nchen'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_changed,
+        |  CAST(sum(length(text) - length(nfc_normalize(text))) AS BIGINT)
+        |    AS sum_delta
+        |FROM p GROUP BY source""".stripMargin,
 
     // q145: conditional-count columns — the portable spelling of PIVOT.
     "q145_pivot" ->

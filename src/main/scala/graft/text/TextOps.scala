@@ -444,6 +444,20 @@ object TextOps {
         col("__m2").as("mad"), col("n_outliers"))
   }
 
+  /** Unicode NFC normalization — the i18n canonicalization every
+    * multilingual corpus needs BEFORE any hash-keyed operator (exact
+    * dedup, shingles, dictionary): "café" composed and "cafe" + U+0301
+    * are different strings to every md5 in this engine until normalized.
+    * Java's Normalizer implements the same Unicode-standard NFC
+    * algorithm as DuckDB's `nfc_normalize`, so the operation is
+    * oracle-exact despite being a UDF (a one-time ingest pass — the
+    * documented interpreted-tier trade, [[graft.ann.Ann.quantize]]'s
+    * note; the hot paths stay codegen over the normalized column). */
+  val nfc = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
   /** Per-group quantile card — the p50/p90/p99 row of a dataset card,
     * computed EXACTLY from the same bounded per-group value histogram
     * [[robustOutlierReport]] uses (one corpus scan; the cut at

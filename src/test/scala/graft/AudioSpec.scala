@@ -108,4 +108,27 @@ class AudioSpec extends SparkSpec {
       .select(size(VideoOps.sampleFrames(col("bytes"), 4)).as("n")).head()
     assert(one.getInt(0) == 1)
   }
+
+  test("audioHash: deterministic, reversed envelope is far, tiny clip is null") {
+    def clip(samples: Array[Short]) = Seq((1L, wavBytes(samples))).toDF("id", "wav")
+      .select(AudioOps.audioHash(AudioOps.decodeWav(col("wav"))).as("h"))
+      .head().getLong(0)
+    // Rising-envelope sine: frame energies strictly increase, so the
+    // hash is all-zero-ish in the > direction; its REVERSE has the
+    // opposite gradient signs almost everywhere.
+    val rising = Array.tabulate(2600)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 8000.0) * (i / 2600.0 * 30000)).toShort)
+    val h1 = clip(rising)
+    assert(clip(rising) == h1, "not deterministic")
+    // The envelope gradient flips almost everywhere under reversal;
+    // intra-frame sine ripple keeps some bits — random-level distance
+    // (~32) is the floor, near-dup distance (≤ 12) must be far away.
+    val h2 = clip(rising.reverse)
+    assert(java.lang.Long.bitCount(h1 ^ h2) >= 24,
+      s"reverse too close: ${java.lang.Long.bitCount(h1 ^ h2)}")
+    // Sub-grid clips hash to null.
+    val tiny = Seq((1L, wavBytes(Array.tabulate(64)(_.toShort)))).toDF("id", "wav")
+      .select(AudioOps.audioHash(AudioOps.decodeWav(col("wav"))).as("h")).head()
+    assert(tiny.isNullAt(0))
+  }
 }
