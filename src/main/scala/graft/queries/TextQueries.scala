@@ -1559,6 +1559,17 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Pseudo-relevance-feedback retrieval ([[TextOps
+    // .bm25PseudoFeedback]]): q130's queries, each expanded with the 2
+    // best terms mined from its own top-3 BM25 hits (corpus-idf-
+    // weighted, original terms excluded), then re-searched — the
+    // retrieve-expand-rerank loop, oracle-exact through BOTH stages.
+    "q150_prf_search" -> ((s, dir) =>
+      TextOps.bm25PseudoFeedback(docsWithTokens(s, dir), "doc_id", "ts",
+        Seq(1L -> Seq("hash", "join", "table"),
+          2L -> Seq("window", "stream", "batch"),
+          3L -> Seq("spark", "nosuchterm")), k = 10, fbDocs = 3, fbTerms = 2)),
+
     // Unicode NFC audit ([[TextOps.nfc]]): per-source count of docs
     // whose text is not NFC-normal and the codepoint count the
     // normalization saves — the i18n pre-dedup health check (planted
@@ -1701,6 +1712,58 @@ object TextQueries {
        |                                  ORDER BY s DESC, doc_id ASC) AS rn
        |      FROM agg)
        |WHERE rn <= 10""".stripMargin
+
+  /** One BM25 scoring stage over query CTE `$qcte`, CTEs suffixed
+    * `$sfx`, ending at `r$sfx(query_id, doc_id, s, rn)`. */
+  private def duckBm25Stage(qcte: String, sfx: String): String =
+    s"""tf$sfx AS (SELECT doc_id, dl, w AS term, count(*) AS tf
+       |       FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+       |             unnest(ts) AS w FROM toks)
+       |       WHERE w IN (SELECT term FROM $qcte)
+       |       GROUP BY 1, 2, 3),
+       |dfx$sfx AS (SELECT term, count(*) AS df FROM tf$sfx GROUP BY 1),
+       |scd$sfx AS (SELECT qq.query_id, t1.doc_id,
+       |    (((length(bin(sc.n)) - 1) - (length(bin(d.df)) - 1))
+       |      * 22 * t1.tf * (sc.t // sc.n) * 10000)
+       |    // (10 * t1.tf * (sc.t // sc.n) + 3 * (sc.t // sc.n) + 9 * t1.dl) AS s
+       |  FROM tf$sfx t1 JOIN dfx$sfx d USING (term) JOIN $qcte qq USING (term), sc),
+       |agg$sfx AS (SELECT query_id, doc_id, sum(s) AS s FROM scd$sfx GROUP BY 1, 2),
+       |r$sfx AS (SELECT query_id, doc_id, s, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY s DESC, doc_id ASC) AS rn FROM agg$sfx)""".stripMargin
+
+  /** q150: stage 1 → top-3 feedback docs → corpus-idf-weighted
+    * expansion terms (originals anti-joined out, ties term-ASC) →
+    * stage 2 over the expanded query union. */
+  private def duckPrfOracle: String =
+    s"""WITH $DuckToks,
+       |q0(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'table'),
+       |  (2, 'window'), (2, 'stream'), (2, 'batch'),
+       |  (3, 'spark'), (3, 'nosuchterm')),
+       |sc AS (SELECT count(*) FILTER (WHERE len(ts) > 0) AS n,
+       |       coalesce(sum(len(ts)), 0) AS t FROM toks),
+       |${duckBm25Stage("q0", "1")},
+       |fb AS (SELECT query_id, doc_id FROM r1 WHERE rn <= 3),
+       |tffb AS (SELECT f.query_id, u.w AS term, count(*) AS tf
+       |         FROM fb f JOIN (SELECT doc_id, unnest(ts) AS w FROM toks) u
+       |           ON u.doc_id = f.doc_id GROUP BY 1, 2),
+       |dfall AS (SELECT term, count(*) AS df FROM (
+       |           SELECT DISTINCT doc_id, unnest(ts) AS term FROM toks)
+       |          GROUP BY 1),
+       |expo AS (SELECT tb.query_id, tb.term,
+       |           tb.tf * ((length(bin(sc.n)) - 1) - (length(bin(d.df)) - 1)) AS s
+       |         FROM tffb tb JOIN dfall d USING (term)
+       |         CROSS JOIN sc
+       |         LEFT JOIN q0 o ON o.query_id = tb.query_id AND o.term = tb.term
+       |         WHERE o.term IS NULL),
+       |expt AS (SELECT query_id, term FROM (
+       |          SELECT query_id, term, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY s DESC, term ASC) AS rn FROM expo) WHERE rn <= 2),
+       |qx AS (SELECT query_id, term FROM q0
+       |       UNION SELECT query_id, term FROM expt),
+       |${duckBm25Stage("qx", "2")}
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+       |  doc_id, CAST(s AS BIGINT) AS score_q
+       |FROM r2 WHERE rn <= 10""".stripMargin
 
   private def duckCosine(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -3255,6 +3318,7 @@ object TextQueries {
     // oracle verbatim — the index changes the PLAN, not the answer.
     "q130_bm25_search" -> duckBm25Oracle,
     "q139_bm25_indexed" -> duckBm25Oracle,
+    "q150_prf_search" -> duckPrfOracle,
 
     // q131: the same edge generator and five UNROLLED iterations of
     // the all-integer update — `//` replays `div` exactly (every rank

@@ -350,6 +350,67 @@ object TextOps {
         col("e._2").as(idCol), col("e._1").cast("bigint").as("score_q"))
   }
 
+  /** Two-stage retrieval with pseudo-relevance feedback (Rocchio/RM
+    * simplified — the classic recall-repair loop, and the shape of
+    * every retrieve-expand-rerank RAG pipeline): run [[bm25TopK]], take
+    * each query's top `fbDocs` documents AS IF relevant, mine their
+    * `fbTerms` best expansion terms — ranked by (Σ tf over the
+    * feedback docs) · idf_bits with CORPUS document frequency, original
+    * query terms excluded, ties term-ASC — and re-run BM25 with the
+    * expanded query. Every score is the engine's integer BM25/idf
+    * arithmetic, so both stages are oracle-exact end to end.
+    *
+    * Scale shape: round 1 is [[bm25TopK]]; the two driver collects are
+    * BOUNDED BY THE QUERY CONTRACT (queries·fbDocs ids, then
+    * queries·fbTerms terms — the expanded query must become a literal
+    * probe anyway, exactly like [[graft.text.Classify.packWeights]]'
+    * dim-bounded collect); feedback tf explodes ONLY the feedback docs
+    * (literal isin on the id); the corpus df agg is the one full pass
+    * (the [[tfidfTopTerms]] df shape — distinct (doc, term) collapsed
+    * then term-keyed); the expansion argmax is a window over each
+    * query's feedback vocabulary (bounded by fbDocs documents' terms);
+    * round 2 is [[bm25TopK]] again with the expanded literals. */
+  def bm25PseudoFeedback(docs: DataFrame, idCol: String, toksCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int = 10, fbDocs: Int = 3,
+      fbTerms: Int = 2, scale: Long = 10000L): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"bm25PseudoFeedback: need fbDocs >= 1, fbTerms >= 0, got $fbDocs/$fbTerms")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("bigint")
+    val round1 = bm25TopK(docs, idCol, toksCol, queries, fbDocs, scale)
+    val fbPairs = round1.select(col("query_id"), col(idCol).as("__fbid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fbIds = fbPairs.map(_._2).distinct.toSeq
+    val fbDf = fbPairs.toSeq.toDF("query_id", "__fbid")
+    val tfFb = docs.select(col(idCol), explode(col(toksCol)).as("term"))
+      .filter(col(idCol).isin(fbIds: _*))
+      .join(broadcast(fbDf), col(idCol) === col("__fbid"))
+      .groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfAll = docs.select(col(idCol), explode(col(toksCol)).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = docs.agg(coalesce(sum(when(size(col(toksCol)) > 0, 1L)
+      .otherwise(0L)), lit(0L)).as("__n"))
+    val orig = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "term").withColumn("__orig", lit(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__sc").desc, col("term").asc)
+    val expansion = tfFb.join(dfAll, Seq("term"))
+      .crossJoin(broadcast(n))
+      .join(broadcast(orig), Seq("query_id", "term"), "left")
+      .filter(col("__orig").isNull)
+      .withColumn("__sc", col("__tf") * (ilog2(col("__n")) - ilog2(col("__df"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= fbTerms)
+      .select("query_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expByQ = expansion.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val expanded = queries.map { case (q, ts) =>
+      q -> (ts ++ expByQ.getOrElse(q, Nil)).distinct }
+    bm25TopK(docs, idCol, toksCol, expanded, k, scale)
+  }
+
   /** Materialized inverted index for repeated [[bm25TopK]] retrieval —
     * the [[graft.dedup.Dedup.writeStore]] move applied to search: a
     * served corpus should not re-tokenize and re-explode per query
