@@ -1559,6 +1559,19 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Sketch mergeability ([[graft.sketch.Sketch.hllRegistersByGroup]]
+    // → [[graft.sketch.Sketch.hllMergeRegisters]]): per-source token
+    // sketches merged register-wise into the global distinct-token
+    // estimate — the oracle re-sketches the UNION directly and must
+    // agree bit-for-bit, which is exactly the mergeability law that
+    // lets shards sketch independently at 100 TB.
+    "q151_sketch_merge" -> ((s, dir) => {
+      val v = t(s, dir, "documents").select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      graft.sketch.Sketch.hllMergeRegisters(
+        graft.sketch.Sketch.hllRegistersByGroup(v, "source", "w", b = 8), b = 8)
+    }),
+
     // Pseudo-relevance-feedback retrieval ([[TextOps
     // .bm25PseudoFeedback]]): q130's queries, each expanded with the 2
     // best terms mined from its own top-3 BM25 hits (corpus-idf-
@@ -3373,6 +3386,29 @@ object TextQueries {
         |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
         |FROM cum GROUP BY g""".stripMargin,
+
+    // q151: the union re-sketched DIRECTLY — register-wise max merge
+    // must equal it bit-for-bit (max is associative/commutative/
+    // idempotent), so the direct sketch IS the merged sketch's oracle.
+    "q151_sketch_merge" -> {
+      val alpha = graft.sketch.Sketch.hllAlpha(8)
+      s"""WITH $DuckToks,
+         |hv AS (SELECT ${H("w")} AS h FROM (SELECT unnest(ts) AS w FROM toks)),
+         |hb AS (SELECT h % 256 AS bucket,
+         |  CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8))
+         |       ELSE 53 END AS rho
+         |  FROM hv),
+         |regs AS (SELECT bucket, max(rho) AS M FROM hb GROUP BY 1),
+         |agg AS (SELECT count(*) AS occ,
+         |  CAST(sum(CAST(1 AS BIGINT) << (53 - M)) AS BIGINT) AS s_occ FROM regs)
+         |SELECT CAST(256 AS BIGINT) AS m,
+         |  CAST(256 - occ AS BIGINT) AS v_empty,
+         |  CAST(s_occ + (256 - occ) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS s_int,
+         |  CAST($alpha AS DOUBLE) * CAST(65536 AS DOUBLE) *
+         |    (CAST(9007199254740992 AS DOUBLE) /
+         |     CAST(s_occ + (256 - occ) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)) AS estimate
+         |FROM agg""".stripMargin
+    },
 
     // q141: same combo agg + HAVING; `//` = `div` on non-negatives.
     "q141_k_anonymity" ->

@@ -162,4 +162,53 @@ object Sketch {
         lit(alpha) * lit(m.toDouble * m.toDouble) *
           (lit(Math.pow(2.0, (w + 1).toDouble)) / col("s_int").cast("double")))
   }
+
+  /** The sketch's REGISTER TABLE exposed as data — the MERGEABLE form
+    * (one (group, bucket, M) row per occupied register) that makes HLL
+    * a distributable artifact: shards/partitions/dates sketch
+    * independently, the tables land anywhere, and any union of groups
+    * collapses to one estimate later via [[hllMergeRegisters]] without
+    * revisiting the data. At most groups·2^b rows; same
+    * map-side-combined max agg as [[hyperLogLogByGroup]]. */
+  def hllRegistersByGroup(values: DataFrame, groupCol: String, valCol: String,
+      b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"hllRegistersByGroup: b=$b outside [4,16]")
+    val m = 1 << b
+    val w = fieldWidth(b)
+    val h = Stable.hash64(col(valCol))
+    val rem = shiftright(h, b)
+    val rho = (lit(w + 1) -
+      when(rem > 0, length(bin(rem))).otherwise(lit(0))).cast("int")
+    values
+      .select(col(groupCol), pmod(h, lit(m.toLong)).as("bucket"), rho.as("rho"))
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("rho")).as("M"))
+  }
+
+  /** Union-of-sketches: register-wise max over any set of
+    * [[hllRegistersByGroup]] rows, then the standard estimate — and
+    * because max is associative, commutative, and idempotent, the
+    * merged estimate is BIT-IDENTICAL to sketching the union of the
+    * raw data directly (SketchSpec pins it; the q151 oracle exploits
+    * it — DuckDB re-sketches the union and must agree exactly). This
+    * is the property that lets 1000 executors sketch 100 TB
+    * independently and a one-row job combine the results. Bounded
+    * everywhere: ≤ groups·2^b input rows, 2^b merged registers, one
+    * output row (m, v_empty, s_int, estimate). */
+  def hllMergeRegisters(regs: DataFrame, b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"hllMergeRegisters: b=$b outside [4,16]")
+    val m = 1 << b
+    val w = fieldWidth(b)
+    val alpha = hllAlpha(b)
+    regs.groupBy("bucket").agg(max(col("M")).as("__M"))
+      .agg(count(lit(1)).as("__occ"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - __M)")),
+          lit(0L)).as("__s_occ"))
+      .select(lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("__occ")).as("v_empty"),
+        (col("__s_occ") +
+          (lit(m.toLong) - col("__occ")) * lit(1L << (w + 1))).as("s_int"))
+      .withColumn("estimate",
+        lit(alpha) * lit(m.toDouble * m.toDouble) *
+          (lit(Math.pow(2.0, (w + 1).toDouble)) / col("s_int").cast("double")))
+  }
 }

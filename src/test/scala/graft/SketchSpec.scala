@@ -79,4 +79,25 @@ class SketchSpec extends SparkSpec {
         s"group $g disagrees with its standalone sketch")
     }
   }
+
+  test("mergeability law: register-wise max of shard sketches == direct union sketch") {
+    // Overlapping shards (values recur across groups) — max's
+    // idempotence must make the merge insensitive to duplication.
+    val vals = (1L to 500L).map(i => (s"s${i % 3}", s"v${i % 137}"))
+      .toDF("g", "v")
+    val direct = Sketch.hyperLogLog(vals.select("v"), "v", b = 6).collect()(0)
+    val merged = Sketch.hllMergeRegisters(
+      Sketch.hllRegistersByGroup(vals, "g", "v", b = 6), b = 6).collect()(0)
+    assert(merged.getLong(0) == direct.getLong(0) &&
+      merged.getLong(1) == direct.getLong(1) &&
+      merged.getLong(2) == direct.getLong(2) &&
+      merged.getDouble(3) == direct.getDouble(3),
+      s"merged $merged != direct $direct")
+    // A single-group register table merges to itself.
+    val one = vals.filter(col("g") === "s0")
+    val d1 = Sketch.hyperLogLog(one.select("v"), "v", b = 6).collect()(0)
+    val m1 = Sketch.hllMergeRegisters(
+      Sketch.hllRegistersByGroup(one, "g", "v", b = 6), b = 6).collect()(0)
+    assert(m1.getLong(2) == d1.getLong(2) && m1.getDouble(3) == d1.getDouble(3))
+  }
 }
