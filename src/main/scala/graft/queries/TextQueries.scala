@@ -1559,6 +1559,23 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Distinctive vocabulary per source ([[TextOps.distinctiveTerms]]):
+    // each source's 3 most over-represented terms vs the rest of the
+    // corpus (bit-quantized smoothed log-odds — Fightin' Words) — the
+    // per-source profile card. All-integer scores, dense-rank tiebreak.
+    "q152_distinctive_terms" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        TextOps.tokens(col("text")).as("ts"))
+      TextOps.distinctiveTerms(d, "source", "ts", k = 3)
+    }),
+
+    // KWIC concordance ([[TextOps.kwic]]): every occurrence of the
+    // bigram "hash join" with 2 tokens of context — pure token-array
+    // arithmetic, identical windows on both engines.
+    "q153_kwic" -> ((s, dir) =>
+      TextOps.kwic(docsWithTokens(s, dir), "doc_id", "ts",
+        "hash", "join", ctx = 2)),
+
     // Sketch mergeability ([[graft.sketch.Sketch.hllRegistersByGroup]]
     // → [[graft.sketch.Sketch.hllMergeRegisters]]): per-source token
     // sketches merged register-wise into the global distinct-token
@@ -3386,6 +3403,39 @@ object TextQueries {
         |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
         |FROM cum GROUP BY g""".stripMargin,
+
+    // q152: same counts → complements → bit log-odds; row_number
+    // (w DESC, term ASC) replays the TopK dense-rank tiebreak.
+    "q152_distinctive_terms" ->
+      """WITH tk AS (SELECT source,
+        |      list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        |    FROM documents),
+        |cg AS (SELECT source AS g, w AS term, count(*) AS cg
+        |       FROM (SELECT source, unnest(ts) AS w FROM tk) GROUP BY 1, 2),
+        |ct AS (SELECT term, sum(cg) AS ct FROM cg GROUP BY 1),
+        |tg AS (SELECT g, sum(cg) AS tg FROM cg GROUP BY 1),
+        |tot AS (SELECT count(*) AS v, sum(ct) AS tt FROM ct),
+        |sc AS (SELECT cg.g, cg.term,
+        |         (length(bin(cg.cg + 1)) - 1)
+        |         - (length(bin(CAST(ct.ct - cg.cg + 1 AS BIGINT))) - 1)
+        |         + (length(bin(CAST(tot.tt - tg.tg + tot.v AS BIGINT))) - 1)
+        |         - (length(bin(CAST(tg.tg + tot.v AS BIGINT))) - 1) AS w
+        |       FROM cg JOIN ct USING (term) JOIN tg USING (g), tot)
+        |SELECT g AS source, CAST(rn AS BIGINT) AS rank, term,
+        |  CAST(w AS BIGINT) AS w
+        |FROM (SELECT *, row_number() OVER (PARTITION BY g
+        |        ORDER BY w DESC, term ASC) AS rn FROM sc)
+        |WHERE rn <= 3""".stripMargin,
+
+    // q153: 1-based positions, inclusive truncating slices — identical
+    // context windows; ts[i+1] past the end is NULL, never an error.
+    "q153_kwic" ->
+      s"""WITH $DuckToks,
+         |p AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+         |      FROM toks WHERE len(ts) > 0)
+         |SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |  array_to_string(ts[greatest(i - 2, 1) : i + 3], ' ') AS context
+         |FROM p WHERE ts[i] = 'hash' AND ts[i + 1] = 'join'""".stripMargin,
 
     // q151: the union re-sketched DIRECTLY — register-wise max merge
     // must equal it bit-for-bit (max is associative/commutative/

@@ -505,6 +505,87 @@ object TextOps {
         col("__m2").as("mad"), col("n_outliers"))
   }
 
+  /** Distinctive terms per group ("Fightin' Words", Monroe et al.
+    * 2008 simplified): for each group, the k terms whose usage most
+    * exceeds the REST of the corpus — the per-source vocabulary card
+    * that turns a mixed crawl's sources into readable profiles. The
+    * score is [[graft.text.Classify.trainNaiveBayes]]'s bit-quantized
+    * smoothed log-odds with the complement as the negative class:
+    *
+    *   w = [ilog2(c_g+1) − ilog2(c_rest+1)] + [ilog2(T_rest+V) − ilog2(T_g+V)]
+    *
+    * all integers, so ranking is exact on any engine. Ties (rank ASC)
+    * break term-ASC. Output: (groupCol, rank, term, w).
+    *
+    * Scale shape: ONE (group, term)-keyed map-side-combined count agg
+    * over the exploded corpus; per-term corpus totals aggregate the
+    * ALREADY-collapsed frame (c_rest = c_tot − c_g needs no second
+    * corpus pass); per-group token totals and V ride in as one bounded
+    * broadcast frame; per-group ranking is the bounded [[TopK]]
+    * aggregator over (w, term-rank) — never a group-vocabulary window
+    * sort. The term tiebreak rides the TopK key as the term's dense
+    * corpus rank (md5-free, order-exact). */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, toksCol: String,
+      k: Int = 3): DataFrame = {
+    val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("bigint")
+    val cg = docs.select(col(groupCol).as("__g"), explode(col(toksCol)).as("term"))
+      .groupBy("__g", "term").agg(count(lit(1)).as("__cg"))
+    val ct = cg.groupBy("term").agg(sum(col("__cg")).as("__ct"))
+    val tg = cg.groupBy("__g").agg(sum(col("__cg")).as("__tg"))
+    val tot = ct.agg(count(lit(1)).as("__v"),
+      coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
+    val scored = cg.join(ct, Seq("term"))
+      .join(broadcast(tg), Seq("__g"))
+      .crossJoin(broadcast(tot))
+      .select(col("__g"), col("term"),
+        (ilog2(col("__cg") + 1) - ilog2(col("__ct") - col("__cg") + 1)
+          + ilog2(col("__tt") - col("__tg") + col("__v"))
+          - ilog2(col("__tg") + col("__v"))).as("w"))
+    // Deterministic TopK tiebreak: the term must become the aggregator's
+    // LONG key. A term-ASC total order needs a dense term rank — one
+    // bounded window over the (already-collapsed) corpus vocabulary.
+    val termRank = ct.select(col("term"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("term").asc)).cast("bigint").as("__tr"))
+    scored.join(termRank, Seq("term"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopK.topK(k)(
+        col("w").cast("double"), col("__tr")).as("__top"))
+      .select(col("__g"), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("__g"), (col("__p") + 1).cast("bigint").as("rank"),
+        col("__e").getField("_2").as("__tr"),
+        col("__e").getField("_1").cast("bigint").as("w"))
+      .join(termRank, Seq("__tr"))
+      .select(col("__g").as(groupCol), col("rank"), col("term"), col("w"))
+  }
+
+  /** Keyword-in-context (KWIC) concordance — the corpus-inspection
+    * primitive ("show me every use of X with its surroundings"): one
+    * row per occurrence of the query BIGRAM with `ctx` tokens of
+    * context on each side. Pure token-array arithmetic (posexplode +
+    * slice) — no regex engine, so both engines extract the identical
+    * windows. Output: (idCol, pos, context). The occurrence position
+    * is 1-based (the slice convention).
+    *
+    * Scale shape: one bounded posexplode (every token once) filtered
+    * in its own codegen stage by the literal first token before the
+    * array probe of the second — no shuffle at all; the result is
+    * bounded by the phrase's corpus frequency. */
+  def kwic(docs: DataFrame, idCol: String, toksCol: String,
+      w1: String, w2: String, ctx: Int = 2): DataFrame =
+    docs
+      .select(col(idCol), col(toksCol).as("__ts"),
+        posexplode(col(toksCol)).as(Seq("__i", "__w")))
+      // try_element_at: the last token has no successor — ANSI
+      // element_at would throw instead of returning null.
+      .filter(col("__w") === w1 &&
+        expr("try_element_at(__ts, __i + 2)") === w2)
+      .select(col(idCol), (col("__i") + 1).cast("bigint").as("pos"),
+        concat_ws(" ", slice(col("__ts"),
+          greatest(col("__i") + 1 - ctx, lit(1)),
+          col("__i") + 2 + ctx - greatest(col("__i") + 1 - ctx, lit(1)) + 1))
+          .as("context"))
+
   /** Unicode NFC normalization — the i18n canonicalization every
     * multilingual corpus needs BEFORE any hash-keyed operator (exact
     * dedup, shingles, dictionary): "café" composed and "cafe" + U+0301

@@ -289,6 +289,27 @@ class VocabSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount"), plan)
   }
 
+  test("distinctiveTerms: hand-computed log-odds, group-exclusive term wins") {
+    // a: [x x y], b: [y z] → V=3, TT=5. w(x|a) = bits(3)-bits(1) +
+    // bits(5)-bits(6) = 1; w(y|a) = 0; w(z|b) = 1; w(y|b) = 0.
+    val docs = Seq(("a", Seq("x", "x", "y")), ("b", Seq("y", "z")))
+      .toDF("src", "ts")
+    val got = TextOps.distinctiveTerms(docs, "src", "ts", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set(("a", 1L, "x", 1L), ("a", 2L, "y", 0L),
+      ("b", 1L, "z", 1L), ("b", 2L, "y", 0L)), s"got $got")
+  }
+
+  test("kwic: window clamps at doc start, last token has no successor") {
+    val docs = Seq((1L, Seq("a", "hash", "join", "b", "c")),
+      (2L, Seq("hash", "join")), (3L, Seq("b", "hash"))).toDF("doc_id", "ts")
+    val got = TextOps.kwic(docs, "doc_id", "ts", "hash", "join", ctx = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 2L, "a hash join b c"), (2L, 1L, "hash join")),
+      s"got $got")
+  }
+
   test("robustOutlierReport: hand-computed median/MAD, even-count lower median") {
     // Group a: 1..9 → median 5 (first cum*2 >= 9 at v=5), devs
     // {0:1, 1:2, 2:2, 3:2, 4:2} → MAD 2 (cum 1,3,5 → 5*2 >= 9 at d=2);
