@@ -202,6 +202,32 @@ object EventQueries {
       graft.operators.Events.ohlc(t(s, dir, "events"),
         "user_id", "ts", "value", "event_id", bucketSeconds = 3600)),
 
+    // SLIDING event-time windows (10-minute length, 5-minute slide):
+    // every event lands in exactly two overlapping windows — the
+    // smoothed-rate view q34's tumbling windows cannot give. Same
+    // epoch-aligned window() operator, streaming-identical semantics.
+    "q154_sliding_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").cast("long").as("win_start_s"),
+          col("event_type"), col("n_events"))),
+
+    // NATIVE gap session windows (session_window — the built-in whose
+    // manual twin is q35's lag/sum chain): per-user 30-minute-gap
+    // sessions with [first, last+gap) bounds. The boundary differs
+    // from q35 BY CONTRACT: session_window's end is exclusive, so an
+    // exactly-30-minute gap starts a NEW session (q35's `>` keeps it)
+    // — the oracle replays the native rule in microseconds.
+    "q155_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("w.start").cast("long").as("session_start_s"),
+          col("w.end").cast("long").as("session_end_s"), col("n_events"))),
+
     // Trailing RANGE-frame rolling aggregates: per-user hourly activity
     // with 3-hour trailing sums — the RANGE frame (value-based, so
     // missing buckets shrink the window — the correct time semantics a
@@ -399,6 +425,33 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
         |FROM j""".stripMargin,
+
+    // q154: the two epoch-aligned 5-minute starts covering each event.
+    "q154_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS t, event_type FROM events),
+        |x AS (SELECT t, event_type,
+        |        unnest([(t // 300) * 300, (t // 300) * 300 - 300]) AS s
+        |      FROM e)
+        |SELECT s AS win_start_s, event_type, count(*) AS n_events
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // q155: gap rule in MICROSECONDS (sub-second gaps must round the
+    // same way Spark compares them); start/end floor to seconds at the
+    // output edge only. `>= gap` = the native exclusive-end boundary.
+    "q155_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
+        |o AS (SELECT user_id, tu,
+        |        CASE WHEN lag(tu) OVER w IS NULL
+        |               OR tu - lag(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |s AS (SELECT user_id, tu,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY tu
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM o)
+        |SELECT user_id, min(tu) // 1000000 AS session_start_s,
+        |  (max(tu) + 1800000000) // 1000000 AS session_end_s,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // q144: identical RANGE frame; DECIMAL window sum cast once.
     "q144_rolling" ->
