@@ -1559,6 +1559,42 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Leakage-SAFE grouped split (GroupKFold — the fix for what q119
+    // audits): the split unit is the near-dup CLUSTER, not the
+    // document, so no duplicate family ever straddles train/test.
+    // q95's planted clone corpus → closure labels → seeded hash split
+    // on the cluster id → per-split doc and cluster counts. The
+    // PropertiesSpec law pins the invariant (one split per cluster).
+    "q157_group_split" -> ((s, dir) => {
+      val base = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val chains = base.filter(col("doc_id") % 29 === 3 && size(col("ts")) >= 64)
+      val planted = (0 until 4).map { i =>
+        chains.select((col("doc_id") * 10 + lit(1000000 + i)).as("doc_id"),
+          slice(col("ts"), 1 + 8 * i, 40).as("ts"))
+      }.reduce(_ union _)
+      val corpus = base.union(planted)
+      val feat = corpus
+        .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
+        .filter(col("mf").isNotNull)
+      val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
+      val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
+      val pairs = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+        .join(shSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(shSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+        .select("id1", "id2")
+      val units = corpus.select("doc_id")
+        .join(graft.dedup.Components.connectedComponents(pairs),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("__unit"))
+      graft.sources.SplitSource.assignSplit(units, col("__unit"), seed = 31,
+          weights = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("__unit")).as("n_clusters"))
+    }),
+
     // Distinctive vocabulary per source ([[TextOps.distinctiveTerms]]):
     // each source's 3 most over-represented terms vs the rest of the
     // corpus (bit-quantized smoothed log-odds — Fightin' Words) — the
@@ -3403,6 +3439,19 @@ object TextQueries {
         |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
         |FROM cum GROUP BY g""".stripMargin,
+
+    // q157: the closure CTEs + cluster-keyed seeded split buckets —
+    // every family shares one hash, so it shares one split.
+    "q157_group_split" ->
+      s"""${duckClusterCtes()},
+         |units AS (SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS unit
+         |          FROM corpus c LEFT JOIN comp k USING (doc_id)),
+         |b AS (SELECT unit, doc_id,
+         |        ${Stable.duckSeededHash(31, "unit")} % 1000 AS bk FROM units)
+         |SELECT CASE WHEN bk < 800 THEN 'train' WHEN bk < 900 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(count(DISTINCT unit) AS BIGINT) AS n_clusters
+         |FROM b GROUP BY 1""".stripMargin,
 
     // q152: same counts → complements → bit log-odds; row_number
     // (w DESC, term ASC) replays the TopK dense-rank tiebreak.

@@ -374,4 +374,18 @@ class PropertiesSpec extends SparkSpec {
       }
     }, trials = 10)
   }
+
+  test("law: grouped split assigns every cluster to exactly one split") {
+    // The q157 invariant — the split key is the cluster id, so members
+    // of a family can never straddle train/test (the leakage q119
+    // audits is impossible by construction).
+    import org.scalacheck.Gen
+    check(Prop.forAll(Gen.choose(1L, 64L), Gen.choose(0L, 9999L)) { (n, seed) =>
+      val members = (0L until n * 3).map(i => (i, i % n)).toDF("doc_id", "__unit")
+      val s = graft.sources.SplitSource.assignSplit(members, col("__unit"), seed,
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      s.groupBy("__unit").agg(countDistinct(col("split")).as("k"))
+        .agg(max(col("k")).as("mx")).head().getLong(0) == 1L
+    }, trials = 10)
+  }
 }
