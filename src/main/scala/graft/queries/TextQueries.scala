@@ -1559,6 +1559,33 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Contrastive triplet mining (anchor, positive, negative): q50's
+    // verified near-dup pairs supply the positives; the negative is a
+    // seeded-hash pick over the base corpus, corrected past the two
+    // blocked ids (two corrections always suffice) — deterministic
+    // training data for a contrastive embedding objective.
+    "q156_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(array((col("embedding")(0) * lit(1.01)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      val pairs = Ann.nearDupPairs(emb.unionByName(clones), "vec_id", "embedding",
+          threshold = 0.99, planes = 12)
+        .select(col("id1"), col("id2"))
+      val n = emb.agg(count(lit(1)).as("__n"))
+      pairs.crossJoin(broadcast(n))
+        .withColumn("__h",
+          pmod(Stable.seededHash(37, col("id1"), col("id2")), col("__n")))
+        .withColumn("__h1",
+          when(col("__h") === col("id1") || col("__h") === col("id2"),
+            pmod(col("__h") + 1, col("__n"))).otherwise(col("__h")))
+        .select(col("id1").as("anchor_id"), col("id2").as("pos_id"),
+          when(col("__h1") === col("id1") || col("__h1") === col("id2"),
+            pmod(col("__h1") + 1, col("__n"))).otherwise(col("__h1"))
+            .as("neg_id"))
+    }),
+
     // Leakage-SAFE grouped split (GroupKFold — the fix for what q119
     // audits): the split unit is the near-dup CLUSTER, not the
     // document, so no duplicate family ever straddles train/test.
@@ -1910,9 +1937,11 @@ object TextQueries {
     * call-site parameters (seed 42, 6 tables × 12 planes — `planes` is
     * overridden at the q50 call site), and applies the identical cosine
     * threshold — fully deterministic, so hash-exact like q31/q39. */
-  private def duckNearDupOracle: String = {
+  /** The q50 pair chain (planted clones → sign-LSH buckets → cosine
+    * verify) as CTEs ending at `p(id1, id2)` — shared with q156. */
+  private def duckNearDupPairCtes: String = {
     val buckets = duckBucketUnion(Ann.hyperplanes(42, tables = 6, planes = 12, dim = 64))
-    s"""WITH u AS (
+    s"""u AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 1000000 AS vec_id,
@@ -1922,10 +1951,30 @@ object TextQueries {
        |b AS ($buckets),
        |cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2, l.v AS v1, r.v AS v2
        |         FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
-       |                          AND l.vec_id < r.vec_id)
-       |SELECT id1, id2 FROM cand
-       |WHERE ${duckCosine("v1", "v2")} >= 0.99""".stripMargin
+       |                          AND l.vec_id < r.vec_id),
+       |p AS (SELECT id1, id2 FROM cand
+       |      WHERE ${duckCosine("v1", "v2")} >= 0.99)""".stripMargin
   }
+
+  private def duckNearDupOracle: String =
+    s"""WITH $duckNearDupPairCtes
+       |SELECT id1, id2 FROM p""".stripMargin
+
+  /** q156: q50's pairs + the twice-corrected seeded negative (two
+    * corrections suffice — each moves past one of the two blocked
+    * ids, wraparound included). */
+  private def duckTripletsOracle: String =
+    s"""WITH $duckNearDupPairCtes,
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |t0 AS (SELECT id1, id2, ${Stable.duckSeededHash(37, "id1", "id2")} % nn.n AS h
+       |       FROM p, nn),
+       |t1 AS (SELECT t0.id1, t0.id2,
+       |         CASE WHEN h = id1 OR h = id2 THEN (h + 1) % nn.n ELSE h END AS h
+       |       FROM t0, nn)
+       |SELECT t1.id1 AS anchor_id, t1.id2 AS pos_id,
+       |  CAST(CASE WHEN h = t1.id1 OR h = t1.id2 THEN (h + 1) % nn.n
+       |       ELSE h END AS BIGINT) AS neg_id
+       |FROM t1, nn""".stripMargin
 
   /** q55 oracle: plants q50's clones, rebuilds [[Ann.sampleCentroids]]
     * (seeded id-hash, smallest 16) and the nearest-centroid assignment
@@ -4271,6 +4320,7 @@ object TextQueries {
     "q31_ann_lsh" -> duckLshOracle,
     "q39_ann_ivf" -> duckIvfOracle,
     "q50_near_dup" -> duckNearDupOracle,
+    "q156_triplets" -> duckTripletsOracle,
     "q55_semantic_dedup" -> duckSemanticDedupOracle,
 
     // q58: same planted PII, same two RE2 rules, applied in the same
