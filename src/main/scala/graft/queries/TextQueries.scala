@@ -1559,6 +1559,64 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Lexical-diversity card: per-source unigram and bigram type/token
+    // ratios (distinct / total — the ROUGE-style diversity signal a
+    // template-heavy source fails) plus token totals. Exact longs and
+    // long/long edge divisions; bigrams via the posexplode successor
+    // probe (q153's shape), distincts collapse map-side.
+    "q158_diversity" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        TextOps.tokens(col("text")).as("ts"))
+      val uni = d.select(col("source"), explode(col("ts")).as("w"))
+      val bi = d.select(col("source"), col("ts").as("__ts"),
+          posexplode(col("ts")).as(Seq("__i", "__w")))
+        .select(col("source"), concat_ws("\u0001", col("__w"),
+          expr("try_element_at(__ts, __i + 2)")).as("b"),
+          expr("try_element_at(__ts, __i + 2)").as("__nx"))
+        .filter(col("__nx").isNotNull)
+      val u = uni.groupBy("source").agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("w")).as("n_types"))
+      val b = bi.groupBy("source").agg(count(lit(1)).as("n_bigrams"),
+        count_distinct(col("b")).as("n_bigram_types"))
+      u.join(b, Seq("source"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"),
+          col("n_bigrams"), col("n_bigram_types"),
+          (col("n_bigram_types").cast("double") / col("n_bigrams").cast("double"))
+            .as("bigram_ttr"))
+    }),
+
+    // Nested ablation samples: ONE seeded hash, three thresholds — the
+    // 10% corpus is a SUBSET of the 20%, which is a subset of the 50%
+    // (threshold sampling's nesting property, the reproducibility
+    // contract scaling-law ablations need; PropertiesSpec pins the law).
+    "q159_nested_samples" -> ((s, dir) => {
+      val h = pmod(Stable.seededHash(41, col("doc_id")), lit(1000L))
+      t(s, dir, "documents").select(col("source"), h.as("__h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__h") < 100, 1L).otherwise(0L)).as("n_10pct"),
+          sum(when(col("__h") < 200, 1L).otherwise(0L)).as("n_20pct"),
+          sum(when(col("__h") < 500, 1L).otherwise(0L)).as("n_50pct"))
+    }),
+
+    // Class prototypes (nearest-class-mean components): per-label
+    // ELEMENTWISE integer sums of the int8-quantized embeddings +
+    // counts — the consumer divides at the edge; the engine never sums
+    // a float, so every cell is exact (the q62 quantization story
+    // applied to class statistics).
+    "q160_prototypes" -> ((s, dir) => {
+      val q = Ann.quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val lab = t(s, dir, "embeddings").select(col("vec_id"),
+        col("label").cast("bigint").as("label"))
+      q.join(lab, Seq("vec_id"))
+        .select(col("label"), posexplode(col("qvec")).as(Seq("dim", "qv")))
+        .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qv").cast("bigint")).as("q_sum"))
+    }),
+
     // Contrastive triplet mining (anchor, positive, negative): q50's
     // verified near-dup pairs supply the positives; the negative is a
     // seeded-hash pick over the base corpus, corrected past the two
@@ -3488,6 +3546,56 @@ object TextQueries {
         |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
         |FROM cum GROUP BY g""".stripMargin,
+
+    // q158: same unigram/bigram streams (chr(1) joint key) + distinct
+    // counts; the two ratios are long/long edge divisions.
+    "q158_diversity" ->
+      """WITH tk AS (SELECT source,
+        |      list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        |    FROM documents),
+        |uni AS (SELECT source, unnest(ts) AS w FROM tk),
+        |bi AS (SELECT source, ts[i] || chr(1) || ts[i + 1] AS b
+        |       FROM (SELECT source, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |             FROM tk WHERE len(ts) >= 2)),
+        |u AS (SELECT source, count(*) AS n_tokens,
+        |        count(DISTINCT w) AS n_types FROM uni GROUP BY 1),
+        |b2 AS (SELECT source, count(*) AS n_bigrams,
+        |        count(DISTINCT b) AS n_bigram_types FROM bi GROUP BY 1)
+        |SELECT u.source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(n_bigram_types AS BIGINT) AS n_bigram_types,
+        |  CAST(n_bigram_types AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS bigram_ttr
+        |FROM u JOIN b2 USING (source)""".stripMargin,
+
+    // q159: one hash, three thresholds — the nesting is structural.
+    "q159_nested_samples" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_10pct,
+         |  CAST(sum(CASE WHEN h < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_20pct,
+         |  CAST(sum(CASE WHEN h < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_50pct
+         |FROM (SELECT source, ${Stable.duckSeededHash(41, "doc_id")} % 1000 AS h
+         |      FROM documents)
+         |GROUP BY source""".stripMargin,
+
+    // q160: q62's quantization CTEs + per-(label, dim) integer sums —
+    // round-half-up floor(x/qs + 0.5) is exact double math both sides.
+    "q160_prototypes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |             CAST(label AS BIGINT) AS label FROM embeddings),
+        |sc AS (SELECT vec_id, label, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qs FROM e),
+        |q AS (SELECT vec_id, label,
+        |        CASE WHEN qs = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |             ELSE list_transform(v, x -> floor(x / qs + 0.5)) END AS qv
+        |      FROM sc),
+        |x AS (SELECT label, i - 1 AS dim, qv[i] AS val
+        |      FROM (SELECT label, qv, unnest(generate_series(1, len(qv))) AS i
+        |            FROM q))
+        |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        |  CAST(sum(val) AS BIGINT) AS q_sum
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // q157: the closure CTEs + cluster-keyed seeded split buckets —
     // every family shares one hash, so it shares one split.

@@ -375,6 +375,18 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 10)
   }
 
+  test("law: threshold samples are nested — the p% corpus is a subset of the q% corpus") {
+    // The q159 ablation contract: one hash, any two rates p < q —
+    // every row kept at p is kept at q, for any seed.
+    import org.scalacheck.Gen
+    check(Prop.forAll(Gen.choose(0L, 9999L),
+        Gen.choose(1, 499), Gen.choose(500, 999)) { (seed, p, q) =>
+      val h = pmod(graft.functions.Stable.seededHash(seed, col("id")), lit(1000L))
+      val df = SparkSpec.spark.range(300).select(col("id"), h.as("__h"))
+      df.filter(col("__h") < p && !(col("__h") < q)).count() == 0L
+    }, trials = 10)
+  }
+
   test("law: grouped split assigns every cluster to exactly one split") {
     // The q157 invariant — the split key is the cluster id, so members
     // of a family can never straddle train/test (the leakage q119
