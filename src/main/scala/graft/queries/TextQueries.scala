@@ -1559,6 +1559,65 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Exact descriptive moments: per-source n/Σx/Σx² as LONGS, the
+    // mean and population variance derived by ONE fixed-expression
+    // division each — the reformulation that makes variance
+    // deterministic where var_pop()'s float accumulation is not (agg
+    // order is unspecified; integer sums are order-free).
+    "q161_moments" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_x"),
+          sum(col("n_chars") * col("n_chars")).as("sum_x2"))
+        .select(col("source"), col("n"), col("sum_x"), col("sum_x2"),
+          (col("sum_x").cast("double") / col("n").cast("double")).as("mean_x"),
+          ((col("n") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")
+            / (col("n") * col("n")).cast("double")).as("var_x"))),
+
+    // Exact Pearson correlation (n_chars vs token count): all five
+    // sums are longs, r = cov_n / sqrt(varx_n · vary_n) with the
+    // products taken in double (single IEEE rounding) and sqrt
+    // correctly rounded — bit-stable where corr()'s running floats
+    // are not. One corpus scan, one row.
+    "q162_correlation" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("n_chars").as("x"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"), col("sx"), col("sy"), col("sxy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("pearson_r"))),
+
+    // Chi-square independence card (lang × source), MICRO-QUANTIZED:
+    // each cell's (O·N − rT·cT)²·10⁶ div (N·rT·cT) is an exact
+    // integer, so the statistic is a LONG sum — order-free — where a
+    // float Σ(O−E)²/E would be agg-order-dependent. dof rides along.
+    "q163_chi2" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("__o"))
+      val rt = cells.groupBy("lang").agg(sum(col("__o")).as("__rt"))
+      val ct = cells.groupBy("source").agg(sum(col("__o")).as("__ct"))
+      val nn = cells.agg(coalesce(sum(col("__o")), lit(0L)).as("__n"),
+        count_distinct(col("lang")).as("__nl"),
+        count_distinct(col("source")).as("__ns"))
+      cells.join(broadcast(rt), Seq("lang"))
+        .join(broadcast(ct), Seq("source"))
+        .crossJoin(broadcast(nn))
+        .select(expr("((__o * __n - __rt * __ct) * (__o * __n - __rt * __ct) " +
+          "* 1000000) div (__n * __rt * __ct)").as("__t"),
+          col("__nl"), col("__ns"))
+        .groupBy(col("__nl"), col("__ns"))
+        .agg(coalesce(sum(col("__t")), lit(0L)).as("chi2_micro"))
+        .select((( col("__nl") - 1) * (col("__ns") - 1)).as("dof"),
+          col("chi2_micro"))
+    }),
+
     // Lexical-diversity card: per-source unigram and bigram type/token
     // ratios (distinct / total — the ROUGE-style diversity signal a
     // template-heavy source fails) plus token totals. Exact longs and
@@ -3546,6 +3605,48 @@ object TextQueries {
         |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
         |FROM cum GROUP BY g""".stripMargin,
+
+    // q161: the same integer sums; both divisions single IEEE ops.
+    "q161_moments" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_x,
+        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_x2,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_x,
+        |  CAST(count(*) * sum(n_chars * n_chars)
+        |       - sum(n_chars) * sum(n_chars) AS DOUBLE)
+        |    / CAST(count(*) * count(*) AS DOUBLE) AS var_x
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q162: identical sum-of-longs reformulation; the double products
+    // and sqrt are single correctly-rounded IEEE ops on both engines.
+    "q162_correlation" ->
+      """WITH d AS (SELECT n_chars AS x,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0))
+        |      AS BIGINT) AS y
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM d)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+        |  CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) AS pearson_r
+        |FROM s""".stripMargin,
+
+    // q163: same micro-quantized per-cell terms, one integer sum.
+    "q163_chi2" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o
+        |              FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+        |         count(DISTINCT source) AS ns FROM cells)
+        |SELECT CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+        |  CAST(sum(((o * n - rt * ct) * (o * n - rt * ct) * 1000000)
+        |       // (n * rt * ct)) AS BIGINT) AS chi2_micro
+        |FROM cells JOIN rt USING (lang) JOIN ct USING (source), nn
+        |GROUP BY nl, ns""".stripMargin,
 
     // q158: same unigram/bigram streams (chr(1) joint key) + distinct
     // counts; the two ratios are long/long edge divisions.
