@@ -542,11 +542,13 @@ object TextOps {
           + ilog2(col("__tt") - col("__tg") + col("__v"))
           - ilog2(col("__tg") + col("__v"))).as("w"))
     // Deterministic TopK tiebreak: the term must become the aggregator's
-    // LONG key. A term-ASC total order needs a dense term rank — one
-    // bounded window over the (already-collapsed) corpus vocabulary.
-    val termRank = ct.select(col("term"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("term").asc)).cast("bigint").as("__tr"))
+    // LONG key, so the vocabulary needs a dense term-ASC rank — via
+    // [[graft.sources.PrefixSum]] (range-partitioned, the engine's
+    // no-unpartitioned-window rule; the vocabulary is corpus-scale).
+    val termRank = graft.sources.PrefixSum.withPrefixSum(
+        ct.withColumn("__one", lit(1L)), Seq(col("term").asc),
+        "__one", "__trb")
+      .select(col("term"), (col("__trb") + 1L).as("__tr"))
     scored.join(termRank, Seq("term"))
       .groupBy(col("__g"))
       .agg(graft.functions.TopK.topK(k)(
