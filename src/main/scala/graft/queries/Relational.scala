@@ -207,7 +207,19 @@ object Relational {
           (lit(1000L) - col("n_present")).as("n_missing"), col("lo"), col("hi"))
         .filter(col("n_missing") > 0)),
 
-    // Record linkage ([[graft.operators.Linkage.fuzzyPairs]]): distinct
+    // Correlated scalar subquery through the SQL entry point — Catalyst
+    // DECORRELATES it into a left-outer aggregate join (the rewrite
+    // that makes per-row subqueries scale; DuckDB performs the same
+    // unnesting, so one SQL text is both engine input and oracle).
+    "q164_correlated" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_q164")
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q164")
+      s.sql("""SELECT p_partkey, p_retailprice,
+              |  (SELECT count(*) FROM li_q164 l
+              |   WHERE l.l_partkey = p.p_partkey
+              |     AND l.l_extendedprice > p.p_retailprice) AS n_pricier
+              |FROM part_q164 p""".stripMargin)
+    }),
     // part names within 2 edits, blocked on the first token — the
     // catalog-dedup tier (candidate+verify over a blocking key, the
     // LSH shape applied to edit distance). Levenshtein is exact.
@@ -324,6 +336,16 @@ object Relational {
         |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
         |FROM orders WHERE o_orderkey % 97 <> 13
         |GROUP BY 1 HAVING 1000 - count(*) > 0""".stripMargin,
+
+    // q164: the identical correlated text — DuckDB unnests it the same
+    // way (a NULL-count from the decorrelated join reads as 0 via
+    // count(*)'s scalar-subquery semantics on both engines).
+    "q164_correlated" ->
+      """SELECT p_partkey, p_retailprice,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_partkey = p.p_partkey
+        |     AND l.l_extendedprice > p.p_retailprice) AS n_pricier
+        |FROM part p""".stripMargin,
 
     // q136: same collapse → block → candidate+verify chain; DuckDB's
     // levenshtein is the same unit-cost edit distance as Spark's.

@@ -1559,6 +1559,37 @@ object TextQueries {
       graft.dedup.Components.keepBest(corpus, "doc_id", "n_toks", pairs)
     }),
 
+    // Higher-order array functions WITHOUT explode: per-doc token-
+    // length stats computed entirely inside the array (transform →
+    // aggregate/filter) — the shuffle-free per-row shape the engine's
+    // quantization/signature tiers are built on, surfaced as a query.
+    "q165_hof_stats" -> ((s, dir) =>
+      docsWithTokens(s, dir).select(col("doc_id"),
+        size(col("ts")).cast("bigint").as("n_tokens"),
+        aggregate(transform(col("ts"), t => length(t).cast("bigint")),
+          lit(0L), (a, x) => a + x).as("sum_len"),
+        aggregate(transform(col("ts"), t => length(t).cast("bigint")),
+          lit(0L), (a, x) => greatest(a, x)).as("max_len"),
+        size(filter(col("ts"), t => length(t) >= 6)).cast("bigint")
+          .as("n_long_tokens"))),
+
+    // Transitive reachability via a RECURSIVE CTE through the SQL
+    // entry point (Spark 4's WITH RECURSIVE) — BFS over the q131 link
+    // graph from doc 0, hop-bounded; min(d) collapses the path
+    // multiplicity. DuckDB runs the same recursion — the oracle IS the
+    // same recursive query over the same generated edges.
+    "q166_reachability" -> ((s, dir) => {
+      syntheticLinkGraph(s, dir).createOrReplaceTempView("graft_q166_edges")
+      s.sql("""WITH RECURSIVE reach(node, d) AS (
+              |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+              |  UNION ALL
+              |  SELECT e.dst, r.d + 1 FROM reach r
+              |  JOIN graft_q166_edges e ON e.src = r.node
+              |  WHERE r.d < 3)
+              |SELECT node, CAST(min(d) AS BIGINT) AS dist
+              |FROM reach GROUP BY node""".stripMargin)
+    }),
+
     // Exact descriptive moments: per-source n/Σx/Σx² as LONGS, the
     // mean and population variance derived by ONE fixed-expression
     // division each — the reformulation that makes variance
@@ -3605,6 +3636,31 @@ object TextQueries {
         |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
         |FROM cum GROUP BY g""".stripMargin,
+
+    // q165: list_transform/list_sum/list_filter — DuckDB's HOFs over
+    // the same arrays; integer lengths, order-free sums.
+    "q165_hof_stats" ->
+      s"""WITH $DuckToks
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(ts, t -> len(t))), 0)
+         |    AS BIGINT) AS sum_len,
+         |  CAST(coalesce(list_max(list_transform(ts, t -> len(t))), 0)
+         |    AS BIGINT) AS max_len,
+         |  CAST(len(list_filter(ts, t -> len(t) >= 6)) AS BIGINT)
+         |    AS n_long_tokens
+         |FROM toks""".stripMargin,
+
+    // q166: the SAME hop-bounded recursion over the shared edge CTEs.
+    "q166_reachability" ->
+      s"""WITH RECURSIVE $DuckLinkGraph,
+         |reach(node, d) AS (
+         |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+         |  UNION ALL
+         |  SELECT e.dst, r.d + 1 FROM reach r
+         |  JOIN ed e ON e.src = r.node
+         |  WHERE r.d < 3)
+         |SELECT node, CAST(min(d) AS BIGINT) AS dist
+         |FROM reach GROUP BY node""".stripMargin,
 
     // q161: the same integer sums; both divisions single IEEE ops.
     "q161_moments" ->
