@@ -46,4 +46,20 @@ object Snapshot {
       contentCol: String, groupCol: String): DataFrame =
     diff(oldDf, newDf, idCol, contentCol, carry = Seq(groupCol))
       .groupBy(groupCol, "status").agg(count(lit(1)).as("n"))
+
+  /** Apply a changeset — [[diff]]'s inverse (SCD-1 upsert + delete
+    * without a table format): rows named by the delete list or
+    * shadowed by an upsert leave, upserts enter. One id-keyed
+    * LEFT-ANTI join against the (bounded) changeset-id union — AQE
+    * broadcasts it when the changeset is small, which is the normal
+    * crawl-delta case — then a union; the corpus body never shuffles.
+    * Changeset ids must be unique per side (the upsert frame IS the
+    * new truth for its ids). */
+  def applyChanges(oldDf: DataFrame, upserts: DataFrame,
+      deleteIds: DataFrame, idCol: String): DataFrame =
+    oldDf.join(
+        upserts.select(col(idCol)).union(deleteIds.select(col(idCol)))
+          .distinct(),
+        Seq(idCol), "left_anti")
+      .unionByName(upserts)
 }

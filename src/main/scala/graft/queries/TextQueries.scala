@@ -1858,6 +1858,27 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .filter(col("n") < 5)),
 
+    // Changeset application ([[graft.operators.Snapshot.applyChanges]]
+    // — q137's inverse): the same planted edits applied as an
+    // upsert+delete changeset; the per-source count and ORDER-FREE
+    // mod-sum content checksum certify the resulting corpus (hash64
+    // summed mod-capped — an integer sum no row order can disturb).
+    "q167_apply_changes" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select("doc_id", "text", "source")
+      val upserts = old.filter(col("doc_id") % 17 === 5)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          col("source"))
+        .unionByName(old.filter(col("doc_id") % 17 === 7)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+            col("source")))
+      val deletes = old.filter(col("doc_id") % 17 === 3).select("doc_id")
+      graft.operators.Snapshot.applyChanges(old, upserts, deletes, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(pmod(Stable.seededHash(3, col("doc_id"), col("text")),
+            lit(1099511627776L))).as("checksum"))
+    }),
+
     // Snapshot churn audit ([[graft.operators.Snapshot.diffSummary]]):
     // one planted row per status class — doc_id%17=3 removed, %17=5
     // text-edited (changed), %17=7 re-added under a new id (added) —
@@ -3827,6 +3848,26 @@ object TextQueries {
     "q141_k_anonymity" ->
       """SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS n
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
+
+    // q167: apply = anti-join the changeset ids, union upserts; the
+    // checksum is the same capped-hash integer sum.
+    "q167_apply_changes" ->
+      s"""WITH old AS (SELECT doc_id, text, source FROM documents),
+         |ups AS (SELECT doc_id, text || ' v2' AS text, source FROM old
+         |        WHERE doc_id % 17 = 5
+         |        UNION ALL
+         |        SELECT doc_id + 5000000, text, source FROM old
+         |        WHERE doc_id % 17 = 7),
+         |del AS (SELECT doc_id FROM old WHERE doc_id % 17 = 3),
+         |ch AS (SELECT doc_id FROM ups UNION SELECT doc_id FROM del),
+         |res AS (SELECT o.doc_id, o.text, o.source FROM old o
+         |        LEFT JOIN ch ON ch.doc_id = o.doc_id WHERE ch.doc_id IS NULL
+         |        UNION ALL
+         |        SELECT doc_id, text, source FROM ups)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(${Stable.duckSeededHash(3, "doc_id", "text")} % 1099511627776)
+         |    AS BIGINT) AS checksum
+         |FROM res GROUP BY source""".stripMargin,
 
     // q137: the same plants + full join on doc_id with md5 content
     // compare; unchanged rows drop before the per-source count.

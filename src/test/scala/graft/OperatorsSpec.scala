@@ -212,6 +212,20 @@ class OperatorsSpec extends SparkSpec {
       ("s2", "added") -> 1L), s"got $sum")
   }
 
+  test("applyChanges: upsert shadows, delete removes, untouched rows survive; diff of result is the changeset") {
+    import graft.operators.Snapshot
+    val old = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "s")).toDF("id", "txt", "src")
+    val ups = Seq((2L, "B", "s"), (9L, "d", "s")).toDF("id", "txt", "src")
+    val dels = Seq(Tuple1(3L)).toDF("id")
+    val res = Snapshot.applyChanges(old, ups, dels, "id")
+    val got = res.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 9L -> "d"), s"got $got")
+    // Round trip: diff(old, applied) recovers exactly the changeset.
+    val d = Snapshot.diff(old, res, "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((2L, "changed"), (3L, "removed"), (9L, "added")), s"got $d")
+  }
+
   test("resampleFfill: grid tiles the span, gaps carry forward, guard trips") {
     import graft.operators.Events
     // User u: values at buckets 0 (v=1.5) and 3 (v=2.5); bucket 0 has
