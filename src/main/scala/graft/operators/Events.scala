@@ -242,4 +242,88 @@ object Events {
         last(col("__v"), ignoreNulls = true).over(w).as("value"),
         when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
   }
+
+  /** First-order Markov transition matrix over sessionized event
+    * streams — the model behind [[topJourneys]]' raw paths (journeys
+    * rank WHOLE paths; the matrix factors them into memoryless steps,
+    * the form attribution and next-action prediction consume). Sessions
+    * cut at `gapSeconds` (the q35 rule); within a session every
+    * consecutive pair emits (from_type → to_type), plus the boundary
+    * states `__start` → first and last → `__end`, so every session
+    * contributes exactly (len + 1) transitions and each row's
+    * probabilities sum to ~1. Output: (from_type, to_type, n,
+    * row_total, p_ppm) with p_ppm = (10⁶·n) div row_total — the
+    * row-normalized probability on an integer ppm grid, exact on any
+    * engine.
+    *
+    * Scale shape: ONE per-user window pass computes the session gate
+    * and the lead pair; the ≤3 candidate transitions per event leave
+    * as a bounded explode; the (from, to) count agg map-side combines
+    * onto the bounded type-pair domain; row totals re-aggregate the
+    * COUNTS (never rescan events) and broadcast back onto the pair
+    * table. No event row crosses a second shuffle. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, eventIdCol: String, gapSeconds: Int = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(eventIdCol))
+    val trans = events
+      .withColumn("__gap",
+        col(tsCol).cast("double") - lag(col(tsCol).cast("double"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSeconds, 1).otherwise(0))
+      .withColumn("__lt", lead(col(typeCol), 1).over(byUser))
+      .withColumn("__ln", lead(col("__new"), 1).over(byUser))
+      .select(explode(array(
+        when(col("__new") === 1,
+          struct(lit("__start").as("from_type"), col(typeCol).as("to_type"))),
+        when(col("__ln") === 0,
+          struct(col(typeCol).as("from_type"), col("__lt").as("to_type"))),
+        when(col("__ln").isNull || col("__ln") === 1,
+          struct(col(typeCol).as("from_type"), lit("__end").as("to_type")))))
+        .as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("t.from_type"), col("t.to_type"))
+    val pairs = trans.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("row_total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"),
+        expr("(1000000 * n) div row_total").as("p_ppm"))
+  }
+
+  /** Slowly-changing-dimension type 2: compress a per-key change stream
+    * into validity intervals — the warehouse dimension-table build that
+    * turns an event log into an as-of-queryable history (the other half
+    * of [[AsOf.asofBackward]]: as-of ANSWERS point-in-time questions,
+    * SCD2 MATERIALIZES the table they're asked of). Rows order per key
+    * by (`tsCol`, `tieCol`); a row opens a new version iff it is the
+    * key's first or its `valueCol` differs (null-safely) from the
+    * previous row's — because dropped rows always sit inside a run of
+    * equal values, comparing to the immediate predecessor equals
+    * comparing to the last survivor, so one lag suffices. Survivors get
+    * `version` (1-based per key), `valid_from` = own ts, `valid_to` =
+    * next survivor's ts (null on the current version), `is_current`.
+    *
+    * Scale shape: both windows (the lag-based change gate and the
+    * lead/row_number interval build) partition by the key — no
+    * unpartitioned window anywhere, and Catalyst reuses ONE exchange +
+    * sort for the second window pair since the (partition, order) spec
+    * is identical. Nothing but the per-key ordered scan; per-key state
+    * is one row. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val w = ord
+    val survivors = changes
+      .withColumn("__prev", lag(col(valueCol), 1).over(ord))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") === 1 || !(col(valueCol) <=> col("__prev")))
+      .drop("__prev", "__rn")
+    survivors.select(col(keyCol),
+      row_number().over(w).cast("long").as("version"),
+      col(tsCol).as("valid_from"),
+      lead(col(tsCol), 1).over(w).as("valid_to"),
+      col(valueCol).as(valueCol),
+      when(lead(col(tsCol), 1).over(w).isNull, 1).otherwise(0).as("is_current"))
+  }
 }

@@ -101,6 +101,68 @@ object Graphs {
         lit(m)) * col("__mx") < lit(m) * col(rankCol))
       .select(col(nodeCol), col(rankCol))
 
+  /** Per-node triangle counts + local clustering coefficient — the
+    * graph-density companion to [[pageRank]] (centrality says "how
+    * linked?"; triangles say "how CLIQUISH?" — link-farm detection and
+    * community-quality scoring both key off it). Input edges are made
+    * SIMPLE and UNDIRECTED (self-loops dropped, both directions and
+    * parallel edges collapsed); output one row per node: (node, deg,
+    * n_tri, cc_ppm) with cc_ppm = (2·10^6·n_tri) div (deg·(deg−1)) —
+    * the local clustering coefficient on an integer ppm grid (0 when
+    * deg < 2), exact on any engine.
+    *
+    * Algorithm: degree orientation (Chiba–Nishizeki / the MR "node
+    * iterator++"). Each undirected edge is oriented from its
+    * (deg, id)-smaller endpoint to the larger; every triangle then
+    * appears EXACTLY once as {u→v, u→w, v→w} with u ≺ v ≺ w in that
+    * total order, so the count is wedge-join ∘ edge-semi-join with no
+    * post-hoc dedup. The orientation is the scale guard: a node's
+    * out-degree in the DAG is O(√m) regardless of its real degree, so
+    * the wedge set Σ outdeg(u)² stays near-linear even when one hub
+    * node has a million neighbors — the unoriented wedge join would
+    * square the hub.
+    *
+    * Scale shape: canonical edge set via distinct (edge-keyed), two
+    * degree joins (node-keyed), wedge self-join keyed on the shared
+    * apex u, then a LEFT SEMI join on the (x, y) edge key — ids only
+    * cross every shuffle, the semi join materializes no payload, and
+    * the per-node attribution is an explode(3) + map-side-combined
+    * count. No window functions, no driver-side state. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("bigint").as("a"),
+      col(dstCol).cast("bigint").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val o = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(o.select(col("u"), col("v").as("y"), col("dv").as("dy")), Seq("u"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tri = wedges.join(
+      o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr(s"(2 * $scale * coalesce(n_tri, 0L)) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_ppm"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection, the coarser companion to
     * [[graft.dedup.Components.connectedComponents]] (components answer

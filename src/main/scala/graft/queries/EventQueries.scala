@@ -244,6 +244,32 @@ object EventQueries {
       hourly.select(col("user_id"), (col("__b") * 3600).as("bucket_start_s"),
         col("n"), sum(col("n")).over(w).as("n_3h"),
         sum(col("__v")).over(w).cast("double").as("v_3h"))
+    }),
+
+    // SCD type-2 dimension build ([[graft.operators.Events.scd2]]): the
+    // event stream compressed into per-user validity intervals over a
+    // derived "tier" attribute (floor(value/50) — coarse enough that
+    // consecutive-equal runs actually collapse, so the change gate is
+    // exercised, not vacuous). Timestamps exit as epoch micros (the q44
+    // representation lesson); is_current as INT. Both windows partition
+    // by the uniform user key — the PlanSpec no-unpartitioned-window
+    // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // Markov transition matrix ([[graft.operators.Events
+    // .transitionMatrix]]): sessionized first-order transitions with
+    // __start/__end boundary states, row-normalized on the integer
+    // ppm grid — the factored form of q127's whole-path journeys.
+    "q170_transitions" -> ((s, dir) =>
+      graft.operators.Events.transitionMatrix(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")),
+
+    "q168_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), floor(col("value") / 50).cast("long").as("tier"))
+      graft.operators.Events.scd2(ev, "user_id", "ts", "tier", "event_id")
+        .select(col("user_id"), col("version"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("tier"), col("is_current"))
     })
   )
 
@@ -482,6 +508,55 @@ object EventQueries {
         |  max(value) AS high, min(value) AS low,
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
-        |FROM r GROUP BY user_id, b""".stripMargin
+        |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q170: q127's session gate verbatim, a second window for the
+    // lead of the derived flag, three boundary-cased selects for the
+    // transition stream, integer ppm normalization.
+    "q170_transitions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    epoch(ts) - lag(epoch(ts)) OVER w AS gap_s,
+        |    lead(event_type) OVER w AS lt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, event_id, ts, event_type, lt,
+        |    CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS nw
+        |  FROM g),
+        |h AS (
+        |  SELECT event_type, lt, nw,
+        |    lead(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ln
+        |  FROM f),
+        |tr AS (
+        |  SELECT '__start' AS from_type, event_type AS to_type FROM h WHERE nw = 1
+        |  UNION ALL
+        |  SELECT event_type, lt FROM h WHERE ln = 0
+        |  UNION ALL
+        |  SELECT event_type, '__end' FROM h WHERE ln IS NULL OR ln = 1),
+        |p AS (SELECT from_type, to_type, count(*) AS n FROM tr GROUP BY 1, 2),
+        |t2 AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        |       FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n, t2.row_total,
+        |  CAST((1000000 * p.n) // t2.row_total AS BIGINT) AS p_ppm
+        |FROM p JOIN t2 USING (from_type)""".stripMargin,
+
+    // q168: change gate = lag over the (ts, event_id) per-key order;
+    // IS DISTINCT FROM is the engine-neutral null-safe inequality.
+    "q168_scd2" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |             CAST(floor(value / 50) AS BIGINT) AS tier,
+        |             lag(CAST(floor(value / 50) AS BIGINT)) OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |           FROM events),
+        |s AS (SELECT user_id, ts, event_id, tier FROM c
+        |      WHERE pv IS NULL OR tier IS DISTINCT FROM pv)
+        |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER w) AS valid_to_us, tier,
+        |  CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+        |    AS is_current
+        |FROM s
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
   )
 }

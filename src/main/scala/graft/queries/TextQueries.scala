@@ -1879,6 +1879,15 @@ object TextQueries {
             lit(1099511627776L))).as("checksum"))
     }),
 
+    // Per-node triangle counts + clustering coefficient over the q131
+    // link graph ([[graft.operators.Graphs.triangles]]): degree-
+    // oriented wedge join, each triangle counted once, cc on an
+    // integer ppm grid. The cliquishness signal next to PageRank's
+    // centrality.
+    "q169_triangles" -> ((s, dir) =>
+      graft.operators.Graphs.triangles(syntheticLinkGraph(s, dir),
+        "src", "dst")),
+
     // Snapshot churn audit ([[graft.operators.Snapshot.diffSummary]]):
     // one planted row per status class — doc_id%17=3 removed, %17=5
     // text-edited (changed), %17=7 re-added under a new id (added) —
@@ -3868,6 +3877,36 @@ object TextQueries {
          |  CAST(sum(${Stable.duckSeededHash(3, "doc_id", "text")} % 1099511627776)
          |    AS BIGINT) AS checksum
          |FROM res GROUP BY source""".stripMargin,
+
+    // q169: same degree orientation — (deg, id) order spelled as the
+    // explicit lexicographic boolean; EXISTS is the semi join; each
+    // triangle counted once then attributed to its three corners.
+    "q169_triangles" ->
+      s"""WITH $DuckLinkGraph,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM ed WHERE src <> dst),
+         |dg AS (SELECT node, count(*) AS deg FROM (
+         |         SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |       GROUP BY 1),
+         |o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+         |               THEN e.a ELSE e.b END AS u,
+         |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+         |               THEN e.b ELSE e.a END AS v,
+         |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+         |               THEN db.deg ELSE da.deg END AS dv
+         |      FROM und e JOIN dg da ON da.node = e.a JOIN dg db ON db.node = e.b),
+         |w AS (SELECT e1.u, e1.v AS x, e2.v AS y FROM o e1 JOIN o e2 ON e1.u = e2.u
+         |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+         |tr AS (SELECT w.u, w.x, w.y FROM w
+         |       WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)),
+         |pn AS (SELECT node, count(*) AS n_tri FROM (
+         |         SELECT u AS node FROM tr UNION ALL SELECT x FROM tr
+         |         UNION ALL SELECT y FROM tr) GROUP BY 1)
+         |SELECT d.node, d.deg, CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(CASE WHEN d.deg >= 2
+         |         THEN (2 * 1000000 * coalesce(p.n_tri, 0)) // (d.deg * (d.deg - 1))
+         |         ELSE 0 END AS BIGINT) AS cc_ppm
+         |FROM dg d LEFT JOIN pn p USING (node)""".stripMargin,
 
     // q137: the same plants + full join on doc_id with md5 content
     // compare; unchanged rows drop before the per-source count.

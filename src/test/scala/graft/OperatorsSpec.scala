@@ -246,4 +246,63 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("maxBuckets"), ex.getMessage)
   }
+
+  test("transitionMatrix: session cuts, boundary states, ppm rows sum") {
+    import graft.operators.Events
+    // user 1: [A,B] then (gap>1800s) [C]; user 2: [A] alone.
+    val ev = Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 2000L, 3L, "C"),
+      (2L, 0L, 4L, "A"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.transitionMatrix(ev, "user_id", "event_type", "ts",
+      "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      ("__start", "A", 2L, 3L, 666666L), ("__start", "C", 1L, 3L, 333333L),
+      ("A", "B", 1L, 2L, 500000L), ("A", "__end", 1L, 2L, 500000L),
+      ("B", "__end", 1L, 1L, 1000000L), ("C", "__end", 1L, 1L, 1000000L)),
+      s"got $got")
+  }
+
+  test("triangles: K4 + pendant; dup/reversed/self-loop edges canonicalize") {
+    import graft.operators.Graphs
+    // K4 on {1,2,3,4} (edge 2-1 also given reversed, 1-2 duplicated),
+    // pendant 4-5, self-loop 6-6 (dropped entirely). K4 has 4 triangles,
+    // 3 per node; cc(K4 node)=1.0; node 4 also touches 5: deg 4, cc=1/2.
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (6L, 6L)).toDF("s", "d")
+    val got = Graphs.triangles(e, "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 3L, 3L, 1000000L), (2L, 3L, 3L, 1000000L), (3L, 3L, 3L, 1000000L),
+      (4L, 4L, 3L, 500000L), (5L, 1L, 0L, 0L)), s"got $got")
+  }
+
+  test("scd2: runs collapse, null-safe change gate, intervals chain, current open") {
+    import graft.operators.Events
+    // Key a: A A B A -> 3 versions (the middle A collapses); key b: one
+    // row; key c: null -> null -> X -> 2 versions (null==null collapses
+    // null-safely, null->X opens).
+    val ch = Seq(
+      ("a", 10L, 1L, Some("A")), ("a", 20L, 2L, Some("A")),
+      ("a", 30L, 3L, Some("B")), ("a", 40L, 4L, Some("A")),
+      ("b", 10L, 5L, Some("Z")),
+      ("c", 10L, 6L, None), ("c", 20L, 7L, None), ("c", 30L, 8L, Some("X")))
+      .toDF("k", "sec", "id", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.scd2(ch, "k", "ts", "v", "id")
+      .select(col("k"), col("version"), unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("t"), col("v"), col("is_current"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "~" else r.getString(4), r.getInt(5))).toSet
+    val M = 1000000L
+    assert(got == Set(
+      ("a", 1L, 10 * M, 30 * M, "A", 0), ("a", 2L, 30 * M, 40 * M, "B", 0),
+      ("a", 3L, 40 * M, -1L, "A", 1),
+      ("b", 1L, 10 * M, -1L, "Z", 1),
+      ("c", 1L, 10 * M, 30 * M, "~", 0), ("c", 2L, 30 * M, -1L, "X", 1)),
+      s"got $got")
+  }
 }
