@@ -1888,6 +1888,12 @@ object TextQueries {
       graft.operators.Graphs.triangles(syntheticLinkGraph(s, dir),
         "src", "dst")),
 
+    // PMI collocations ([[TextOps.pmiCollocations]]): adjacent-bigram
+    // association as the integer-ppm PMI ratio — one corpus explode,
+    // unigrams and N derived from the bounded pair table.
+    "q171_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(docsWithTokens(s, dir), "ts", minCount = 5)),
+
     // Snapshot churn audit ([[graft.operators.Snapshot.diffSummary]]):
     // one planted row per status class — doc_id%17=3 removed, %17=5
     // text-edited (changed), %17=7 re-added under a new id (added) —
@@ -3907,6 +3913,28 @@ object TextQueries {
          |         THEN (2 * 1000000 * coalesce(p.n_tri, 0)) // (d.deg * (d.deg - 1))
          |         ELSE 0 END AS BIGINT) AS cc_ppm
          |FROM dg d LEFT JOIN pn p USING (node)""".stripMargin,
+
+    // q171: per-position pair stream (doc-final tokens pair with
+    // NULL), unigrams/N summed from the pair table, the decimal-exact
+    // products cast to double once each, one division, one floor.
+    "q171_collocations" ->
+      s"""WITH $DuckToks,
+         |st AS (SELECT ts, unnest(generate_series(1, len(ts))) AS i
+         |       FROM toks WHERE len(ts) >= 1),
+         |pr AS (SELECT ts[i] AS w1,
+         |         CASE WHEN i < len(ts) THEN ts[i + 1] END AS w2 FROM st),
+         |pc AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+         |uni AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM pc GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+         |b AS (SELECT w1, w2, c AS c12 FROM pc
+         |      WHERE w2 IS NOT NULL AND c >= 5)
+         |SELECT b.w1, b.w2, b.c12, u1.c1 AS c1, u2.c1 AS c2,
+         |  CAST(floor(
+         |    CAST(CAST(b.c12 AS DECIMAL(38,0)) * nn.n * 1000000 AS DOUBLE) /
+         |    CAST(CAST(u1.c1 AS DECIMAL(38,0)) * u2.c1 AS DOUBLE))
+         |    AS BIGINT) AS score_ppm
+         |FROM b JOIN uni u1 ON u1.w1 = b.w1
+         |       JOIN uni u2 ON u2.w1 = b.w2, nn""".stripMargin,
 
     // q137: the same plants + full join on doc_id with md5 content
     // compare; unchanged rows drop before the per-source count.

@@ -770,6 +770,53 @@ object TextOps {
       .withColumn("share_delta", col("share_a") - col("share_b"))
   }
 
+  /** PMI collocations — adjacent-bigram association strength, the
+    * lexical-statistics operator behind multi-word-expression discovery
+    * (Church & Hanks 1990's pointwise mutual information, the signal
+    * phrase-merging tokenizers and "new york"-style vocab entries key
+    * off). Reported as the PMI RATIO on an integer ppm grid rather
+    * than its log: score_ppm = ⌊10⁶ · (c12·N) / (c1·c2)⌋ — monotone in
+    * PMI (log is), so rankings and thresholds agree, while staying
+    * engine-exact where a libm `ln` is not guaranteed bit-identical.
+    * c(w) counts EVERY occurrence (each token appears exactly once as
+    * a pair head, doc-final tokens with a null continuation), N = Σc.
+    * Pairs below `minCount` drop — the standard PMI small-sample
+    * guard: a 1-occurrence pairing of two hapaxes scores astronomically
+    * and means nothing. Output: (w1, w2, c12, c1, c2, score_ppm).
+    *
+    * Numeric contract: both products are exact in DECIMAL(38,0), cast
+    * to double once each (one IEEE rounding per side), one division,
+    * one floor — every engine reproduces the bits.
+    *
+    * Scale shape: ONE corpus explode (the in-array zip_with pairs each
+    * token with its successor — zip_with's null-padding supplies the
+    * doc-final null, no second slice pass) feeding one map-side-
+    * combined pair-keyed count agg; unigram counts and N derive from
+    * the BOUNDED pair table (sum over its rows), never a corpus
+    * rescan; the two unigram joins are vocab-keyed. */
+  def pmiCollocations(docs: DataFrame, toksCol: String,
+      minCount: Long = 5, scale: Long = 1000000L): DataFrame = {
+    val ts = col(toksCol)
+    val stream = docs.filter(size(ts) >= 1)
+      .select(explode(zip_with(ts, slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    val pc = stream.groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val uni = pc.groupBy("w1").agg(sum(col("c")).as("c1"))
+    val n = uni.agg(sum(col("c1")).as("__n"))
+    pc.filter(col("w2").isNotNull && col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("c").as("c12"))
+      .join(uni, Seq("w1"))
+      .join(uni.select(col("w1").as("w2"), col("c1").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        floor(
+          (col("c12").cast("decimal(38,0)") * col("__n") * lit(scale))
+            .cast("double") /
+          (col("c1").cast("decimal(38,0)") * col("c2")).cast("double"))
+          .as("score_ppm"))
+  }
+
   /** Separator between symbols in [[bpeMerges]]' working sequences: a
     * control char no `^[a-z]+$` training word can contain. */
   val BpeSep = "\u0001"

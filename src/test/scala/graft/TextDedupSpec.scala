@@ -979,6 +979,24 @@ class TextDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("occupancy"))
   }
 
+  test("pmiCollocations: hand-computed ppm ratios; doc-final nulls count unigrams") {
+    // "a b a b c" + "a b": pairs (a,b)x3 (b,a) (b,c) (c,·) (b,·);
+    // unigrams a=3 b=3 c=1, N=7. minCount=1 keeps all real pairs:
+    //   (a,b): ⌊1e6·3·7/(3·3)⌋ = 2333333; (b,a): ⌊1e6·7/9⌋ = 777777;
+    //   (b,c): ⌊1e6·7/3⌋ = 2333333. minCount=2 keeps only (a,b).
+    val docs = Seq("a b a b c", "a b").toDF("text")
+      .select(TextOps.tokens(col("text")).as("ts"))
+    val all = TextOps.pmiCollocations(docs, "ts", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(all == Set(("a", "b", 3L, 3L, 3L, 2333333L),
+      ("b", "a", 1L, 3L, 3L, 777777L),
+      ("b", "c", 1L, 3L, 1L, 2333333L)), s"got $all")
+    val top = TextOps.pmiCollocations(docs, "ts", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top == Set(("a", "b")), s"got $top")
+  }
+
   test("marginMine: hand-computed margins on axis vectors, tau cuts, ties by id") {
     // Axis-aligned vectors make every cosine exactly 1.0 or 0.0.
     // a: x1=(1,0), x2=(0,1); b: y1=(2,0), y2=(0,3), y3=(4,0). k=2:
