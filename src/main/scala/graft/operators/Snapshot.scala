@@ -62,4 +62,55 @@ object Snapshot {
           .distinct(),
         Seq(idCol), "left_anti")
       .unionByName(upserts)
+
+  /** Incremental aggregate maintenance — keep a per-group (n, sum)
+    * rollup current under a changeset WITHOUT re-aggregating the
+    * corpus (the materialized-view delta rule: ΔV = V(changes), the
+    * warehouse move that makes a 100 TB nightly rollup a
+    * changeset-sized job). Rows leaving (deleted, or shadowed by an
+    * upsert of the same id) contribute (−1, −value); upsert rows
+    * contribute (+1, +value); the old aggregate absorbs the net delta
+    * group-wise. Groups whose count reaches 0 drop (matching a fresh
+    * re-aggregation, which never emits empty groups). Output:
+    * (groupCol, nCol, sumCol) — the same shape as `oldAgg`.
+    *
+    * The changeset-bounded contract is ENFORCED (the [[graft.dedup
+    * .Dedup.contaminated]] probe style): the old rows being retracted
+    * are fetched by a BROADCAST semi-join of the changeset-id union
+    * against the corpus — the corpus is scanned once with a pushed
+    * filter and never shuffles — so a corpus-sized "changeset" must
+    * fail at the call site, not OOM the driver mid-broadcast.
+    *
+    * Scale shape: every agg runs over changeset-sized frames
+    * (map-side combined, group-keyed); the final merge is a
+    * group-keyed full-outer join of two group-cardinality tables. */
+  def maintainAggregate(oldAgg: DataFrame, oldDf: DataFrame,
+      upserts: DataFrame, deleteIds: DataFrame, idCol: String,
+      groupCol: String, valCol: String, nCol: String = "n_rows",
+      sumCol: String = "sum_val", maxChangeRows: Int = 1000000): DataFrame = {
+    val changeIds = upserts.select(col(idCol))
+      .union(deleteIds.select(col(idCol))).distinct()
+    val probed = changeIds.limit(maxChangeRows + 1).count()
+    require(probed <= maxChangeRows,
+      s"maintainAggregate: changeset exceeds $maxChangeRows ids — a " +
+        "corpus-sized changeset cannot broadcast; re-aggregate from " +
+        "scratch instead (it is the cheaper plan at that size), or raise " +
+        "maxChangeRows if the delta genuinely fits the broadcast budget")
+    val leaving = oldDf.join(broadcast(changeIds), Seq(idCol), "left_semi")
+      .groupBy(groupCol).agg((-count(lit(1))).as("__dn"),
+        (-coalesce(sum(col(valCol)), lit(0L))).as("__ds"))
+    val entering = upserts
+      .groupBy(groupCol).agg(count(lit(1)).as("__dn"),
+        coalesce(sum(col(valCol)), lit(0L)).as("__ds"))
+    val delta = leaving.unionByName(entering)
+      .groupBy(groupCol).agg(sum(col("__dn")).as("__dn"),
+        sum(col("__ds")).as("__ds"))
+    oldAgg.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col(nCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(nCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__ds"), lit(0L)))
+          .as(sumCol))
+      .filter(col(nCol) > 0)
+  }
 }

@@ -1894,6 +1894,26 @@ object TextQueries {
     "q171_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(docsWithTokens(s, dir), "ts", minCount = 5)),
 
+    // Incremental aggregate maintenance ([[graft.operators.Snapshot
+    // .maintainAggregate]]): the q167 changeset plants applied to a
+    // per-source (count, Σn_chars) rollup as a DELTA — the engine
+    // maintains, the oracle re-aggregates the applied corpus from
+    // scratch; hash-equality certifies ΔV = V(changes).
+    "q172_delta_rollup" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val oldAgg = old.groupBy("source").agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_val"))
+      val upserts = old.filter(col("doc_id") % 17 === 5)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 3).as("n_chars"))
+        .unionByName(old.filter(col("doc_id") % 17 === 7)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+            col("n_chars")))
+      val deletes = old.filter(col("doc_id") % 17 === 3).select("doc_id")
+      graft.operators.Snapshot.maintainAggregate(oldAgg, old, upserts,
+        deletes, "doc_id", "source", "n_chars")
+    }),
+
     // Snapshot churn audit ([[graft.operators.Snapshot.diffSummary]]):
     // one planted row per status class — doc_id%17=3 removed, %17=5
     // text-edited (changed), %17=7 re-added under a new id (added) —
@@ -3935,6 +3955,21 @@ object TextQueries {
          |    AS BIGINT) AS score_ppm
          |FROM b JOIN uni u1 ON u1.w1 = b.w1
          |       JOIN uni u2 ON u2.w1 = b.w2, nn""".stripMargin,
+
+    // q172: the oracle takes the OTHER road — rebuild the applied
+    // corpus row set and aggregate it fresh; rows %17∈{3,5} leave the
+    // unchanged arm, the edited and re-added arms re-enter.
+    "q172_delta_rollup" ->
+      """WITH old AS (SELECT doc_id, source, n_chars FROM documents),
+        |res AS (
+        |  SELECT source, n_chars FROM old WHERE doc_id % 17 NOT IN (3, 5)
+        |  UNION ALL
+        |  SELECT source, n_chars + 3 FROM old WHERE doc_id % 17 = 5
+        |  UNION ALL
+        |  SELECT source, n_chars FROM old WHERE doc_id % 17 = 7)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_val
+        |FROM res GROUP BY 1""".stripMargin,
 
     // q137: the same plants + full join on doc_id with md5 content
     // compare; unchanged rows drop before the per-source count.

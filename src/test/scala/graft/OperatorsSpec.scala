@@ -247,6 +247,25 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxBuckets"), ex.getMessage)
   }
 
+  test("maintainAggregate: delta rollup — modify, new group, emptied group, guard") {
+    import graft.operators.Snapshot
+    val old = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L))
+      .toDF("id", "g", "v")
+    val oldAgg = old.groupBy("g").agg(count(lit(1)).as("n_rows"),
+      sum(col("v")).as("sum_val"))
+    val ups = Seq((2L, "g1", 25L), (4L, "g3", 40L)).toDF("id", "g", "v")
+    val del = Seq(Tuple1(3L)).toDF("id")
+    val got = Snapshot.maintainAggregate(oldAgg, old, ups, del, "id", "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // g1: (2, 10+25); g3 enters; g2 empties and drops.
+    assert(got == Set(("g1", 2L, 35L), ("g3", 1L, 40L)), s"got $got")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshot.maintainAggregate(oldAgg, old, ups, del, "id", "g", "v",
+        maxChangeRows = 2)
+    }
+    assert(ex.getMessage.contains("maxChangeRows"), ex.getMessage)
+  }
+
   test("transitionMatrix: session cuts, boundary states, ppm rows sum") {
     import graft.operators.Events
     // user 1: [A,B] then (gap>1800s) [C]; user 2: [A] alone.
