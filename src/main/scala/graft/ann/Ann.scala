@@ -654,6 +654,44 @@ object Ann {
       .withColumn("mean_qnorm2_x10", expr("(__sq * 10) div n_vecs"))
       .drop("__sq")
 
+  /** Embedding Gram/covariance matrix — the d×d second-moment table
+    * behind PCA whitening, decorrelation audits, and the isotropy
+    * check an embedding space gets before ANN indexing ("are half my
+    * dimensions redundant?"). Coordinates land on a fixed micro-grid
+    * first (q_i = ⌊10³·x_i⌋ — floor of one double product,
+    * deterministic), so every accumulated sum is a LONG — exact and
+    * agg-order-free where a float Gram is neither. Output: one row per
+    * unordered dimension pair i ≤ j — (i, j, n, g = Σq_i·q_j,
+    * si = Σq_i, sj = Σq_j, cov = (n·g − si·sj)/n² on the quantized
+    * grid) — the q161 moments reformulation lifted to the bilinear
+    * case; the double division happens once at the output edge.
+    *
+    * Scale shape: ONE corpus scan; each row explodes its d(d+1)/2
+    * upper-triangle products (the standard outer-product fan-out —
+    * for d=64 that is 2 080 rows, in-codegen), and the pair-keyed agg
+    * map-side combines onto the FIXED d² domain, so the shuffle
+    * carries ~2 080 rows per partition regardless of corpus size.
+    * Overflow headroom: |q|≤10³·maxAbs, so g stays under 2⁶³ up to
+    * ~10¹² rows at unit-norm inputs. */
+  def gramMatrix(df: DataFrame, vecCol: String, dim: Int,
+      scale: Long = 1000L): DataFrame = {
+    val e = df
+      .select(expr(s"transform($vecCol, x -> " +
+        s"CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT))").as("q"))
+      .select(explode(expr(
+        s"flatten(transform(sequence(0, ${dim - 1}), i -> " +
+          s"transform(sequence(i, ${dim - 1}), j -> " +
+          "struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
+          "q[i] AS xi, q[j] AS xj))))")).as("e"))
+    e.groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("e.xi") * col("e.xj")).as("g"),
+        sum(col("e.xi")).as("si"), sum(col("e.xj")).as("sj"))
+      .withColumn("cov",
+        (col("n") * col("g") - col("si") * col("sj")).cast("double") /
+          (col("n") * col("n")).cast("double"))
+  }
+
   /** IVF cluster-balance report — the index health check run before
     * trusting an IVF deployment: per centroid, its inverted-list size
     * and share of the corpus. A skewed quantizer (one giant list)

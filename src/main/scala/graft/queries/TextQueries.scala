@@ -1894,6 +1894,12 @@ object TextQueries {
     "q171_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(docsWithTokens(s, dir), "ts", minCount = 5)),
 
+    // Embedding Gram/covariance matrix ([[Ann.gramMatrix]]): the d×d
+    // second-moment table on the micro-quantized grid — 2 080
+    // upper-triangle pairs, long-exact sums, cov at the output edge.
+    "q173_gram" -> ((s, dir) =>
+      Ann.gramMatrix(t(s, dir, "embeddings"), "embedding", dim = 64)),
+
     // Incremental aggregate maintenance ([[graft.operators.Snapshot
     // .maintainAggregate]]): the q167 changeset plants applied to a
     // per-source (count, Σn_chars) rollup as a DELTA — the engine
@@ -3955,6 +3961,24 @@ object TextQueries {
          |    AS BIGINT) AS score_ppm
          |FROM b JOIN uni u1 ON u1.w1 = b.w1
          |       JOIN uni u2 ON u2.w1 = b.w2, nn""".stripMargin,
+
+    // q173: same micro-grid (floor of one double product), 1-based
+    // list indexing, the pair domain generated once and crossed.
+    "q173_gram" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |ij AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |pr AS (SELECT a.i AS i, b.i AS j FROM ij a JOIN ij b ON b.i >= a.i),
+        |e AS (SELECT p.i, p.j, q.q[p.i + 1] AS xi, q.q[p.j + 1] AS xj
+        |      FROM q, pr p),
+        |agg AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |          count(*) AS n, CAST(sum(xi * xj) AS BIGINT) AS g,
+        |          CAST(sum(xi) AS BIGINT) AS si, CAST(sum(xj) AS BIGINT) AS sj
+        |        FROM e GROUP BY 1, 2)
+        |SELECT i, j, n, g, si, sj,
+        |  CAST(n * g - si * sj AS DOUBLE) / CAST(n * n AS DOUBLE) AS cov
+        |FROM agg""".stripMargin,
 
     // q172: the oracle takes the OTHER road — rebuild the applied
     // corpus row set and aggregate it fresh; rows %17∈{3,5} leave the

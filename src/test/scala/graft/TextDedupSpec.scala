@@ -997,6 +997,18 @@ class TextDedupSpec extends SparkSpec {
     assert(top == Set(("a", "b")), s"got $top")
   }
 
+  test("gramMatrix: hand-computed 2x2 second moments on the micro-grid") {
+    // [[1,2],[3,-1]] @ scale 1000: q = [1000,2000],[3000,-1000].
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, -1.0f)).toDF("embedding")
+    val got = Ann.gramMatrix(df, "embedding", dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 10000000L, 4000L, 4000L, 1000000.0),
+      (0L, 1L, 2L, -1000000L, 4000L, 1000L, -1500000.0),
+      (1L, 1L, 2L, 5000000L, 1000L, 1000L, 2250000.0)), s"got $got")
+  }
+
   test("marginMine: hand-computed margins on axis vectors, tau cuts, ties by id") {
     // Axis-aligned vectors make every cosine exactly 1.0 or 0.0.
     // a: x1=(1,0), x2=(0,1); b: y1=(2,0), y2=(0,3), y3=(4,0). k=2:
