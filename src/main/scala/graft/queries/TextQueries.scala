@@ -1531,6 +1531,20 @@ object TextQueries {
           3L -> Seq("spark", "nosuchterm")), k = 10)
     }),
 
+    // Conjunctive boolean retrieval ([[TextOps.booleanAndFromIndex]])
+    // from the same bucketed postings build as q139: docs containing
+    // ALL query terms; query 3 carries an absent term — empty by
+    // conjunction.
+    "q174_boolean_search" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q174_postings"
+      TextOps.writePostings(docsWithTokens(s, dir), "doc_id", "ts",
+        "graft_q174_postings", path)
+      TextOps.booleanAndFromIndex(s, "graft_q174_postings",
+        Seq(1L -> Seq("hash", "join"),
+          2L -> Seq("window", "stream", "batch"),
+          3L -> Seq("spark", "nosuchterm")))
+    }),
+
     // Quality-ruled cluster survivors ([[graft.dedup.Components
     // .keepBest]]): q95's closure with the published pipelines' ACTUAL
     // keep rule — the LONGEST member wins, not the oldest id. The
@@ -3961,6 +3975,25 @@ object TextQueries {
          |    AS BIGINT) AS score_ppm
          |FROM b JOIN uni u1 ON u1.w1 = b.w1
          |       JOIN uni u2 ON u2.w1 = b.w2, nn""".stripMargin,
+
+    // q174: tf table rebuilt live, the query VALUES inlined, match
+    // count vs distinct-term count as the conjunction test.
+    "q174_boolean_search" ->
+      s"""WITH $DuckToks,
+         |p AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+         |        unnest(ts) AS term FROM toks),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+         |       FROM p GROUP BY 1, 2, 3),
+         |q AS (SELECT * FROM (VALUES (1, 'hash', 2), (1, 'join', 2),
+         |        (2, 'window', 3), (2, 'stream', 3), (2, 'batch', 3),
+         |        (3, 'spark', 2), (3, 'nosuchterm', 2))
+         |        AS v(query_id, term, nt)),
+         |j AS (SELECT q.query_id, tf.doc_id, max(tf.dl) AS dl,
+         |        count(*) AS m, max(q.nt) AS nt,
+         |        CAST(sum(tf.tf) AS BIGINT) AS tf_total
+         |      FROM tf JOIN q USING (term) GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, dl, tf_total
+         |FROM j WHERE m = nt""".stripMargin,
 
     // q173: same micro-grid (floor of one double product), 1-based
     // list indexing, the pair domain generated once and crossed.

@@ -454,6 +454,45 @@ object TextOps {
     bm25Score(tf, spark.table(s"${table}_stats"), qterms, "doc_id", k, scale)
   }
 
+  /** Conjunctive boolean retrieval from a [[writePostings]] index —
+    * the AND-of-terms tier under [[bm25TopKFromIndex]] (ranked
+    * retrieval answers "best for these terms"; boolean AND answers
+    * "which documents contain ALL of them" — the filter stage of
+    * every filtered-search deployment, and the exact-match debugging
+    * query an index operator runs first). A doc qualifies for a query
+    * iff its matched-term count equals the query's distinct-term
+    * count — postings are (doc, term)-unique by construction, so a
+    * plain count IS the distinct match count. Queries with a term
+    * absent from the corpus return nothing, by conjunction. Output:
+    * (query_id, doc_id, dl, tf_total) — tf_total = Σtf over the
+    * query's terms, the payload a downstream ranker or highlighter
+    * consumes.
+    *
+    * Scale shape: the probe filters the bucketed posting table by the
+    * literal query vocabulary (bucket pruning — no corpus scan, no
+    * shuffle on the store side), the query table broadcasts (bounded
+    * by construction — it arrives as a driver Seq), and the
+    * (query, doc)-keyed agg map-side combines over probe-sized
+    * postings only. */
+  def booleanAndFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: Seq[(Long, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "booleanAnd: empty query set")
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, ts) =>
+        val d = ts.distinct
+        d.map(tm => (qid, tm, d.size.toLong)) }
+      .toDF("query_id", "term", "__nt")
+    spark.table(table)
+      .filter(col("term").isin(queries.flatMap(_._2).distinct: _*))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("__m"), max(col("__nt")).as("__nt"),
+        max(col("dl")).as("dl"), sum(col("tf")).as("tf_total"))
+      .filter(col("__m") === col("__nt"))
+      .select("query_id", "doc_id", "dl", "tf_total")
+  }
+
   /** Robust per-group outlier report — the corpus-QA card that flags
     * anomalous documents per source without assuming normality: for
     * each group, the (lower) MEDIAN of `valCol`, the MAD (median

@@ -289,6 +289,24 @@ class VocabSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount"), plan)
   }
 
+  test("booleanAndFromIndex: conjunction, tf payload, absent term empties, pruned probe") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "a")),
+      (2L, Seq("a", "b")),
+      (3L, Seq("b", "c"))).toDF("doc_id", "ts")
+    val path = java.nio.file.Files.createTempDirectory("graft_bool").toString + "/t"
+    TextOps.writePostings(docs, "doc_id", "ts", "graft_test_bool", path,
+      buckets = 8)
+    val res = TextOps.booleanAndFromIndex(spark, "graft_test_bool",
+      Seq(1L -> Seq("a", "b"), 2L -> Seq("a", "c"), 3L -> Seq("a", "zz")))
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 1L, 4L, 3L), (1L, 2L, 2L, 2L), (2L, 1L, 4L, 3L)),
+      s"got $got")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+
   test("distinctiveTerms: hand-computed log-odds, group-exclusive term wins") {
     // a: [x x y], b: [y z] → V=3, TT=5. w(x|a) = bits(3)-bits(1) +
     // bits(5)-bits(6) = 1; w(y|a) = 0; w(z|b) = 1; w(y|b) = 0.
