@@ -1908,6 +1908,20 @@ object TextQueries {
     "q171_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(docsWithTokens(s, dir), "ts", minCount = 5)),
 
+    // Pareto skyline ([[graft.operators.Skyline.skyline2D]]) over the
+    // genuine curation trade-off (length vs vocabulary richness —
+    // type-token ratio falls as documents grow, so the frontier is a
+    // real curve): undominated docs via per-x argmax + range-
+    // partitioned exclusive prefix max — never an unpartitioned
+    // window, never a corpus sort.
+    "q175_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.skyline2D(
+        docsWithTokens(s, dir).filter(size(col("ts")) >= 1)
+          .select(size(col("ts")).cast("bigint").as("n_tokens"),
+            expr("(1000000 * CAST(size(array_distinct(ts)) AS BIGINT)) " +
+              "div size(ts)").as("ttr_ppm")),
+        "n_tokens", "ttr_ppm")),
+
     // Embedding Gram/covariance matrix ([[Ann.gramMatrix]]): the d×d
     // second-moment table on the micro-quantized grid — 2 080
     // upper-triangle pairs, long-exact sums, cov at the output edge.
@@ -3975,6 +3989,24 @@ object TextQueries {
          |    AS BIGINT) AS score_ppm
          |FROM b JOIN uni u1 ON u1.w1 = b.w1
          |       JOIN uni u2 ON u2.w1 = b.w2, nn""".stripMargin,
+
+    // q175: the oracle runs the sort-scan form directly — per-x
+    // argmax by QUALIFY, exclusive prefix max as an unbounded-to-1-
+    // preceding window (fine single-node; the engine's point is
+    // avoiding exactly that shape distributed).
+    "q175_skyline" ->
+      s"""WITH $DuckToks,
+        |p AS (SELECT CAST(len(ts) AS BIGINT) AS x,
+        |        (1000000 * CAST(len(list_distinct(ts)) AS BIGINT)) // len(ts) AS y
+        |      FROM toks WHERE len(ts) >= 1),
+        |pc AS (SELECT x, y, count(*) AS n FROM p GROUP BY 1, 2),
+        |g AS (SELECT x, y, n FROM pc
+        |      QUALIFY row_number() OVER (PARTITION BY x ORDER BY y DESC) = 1),
+        |s AS (SELECT x, y, n, max(y) OVER (ORDER BY x DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM g)
+        |SELECT x AS n_tokens, y AS ttr_ppm, CAST(n AS BIGINT) AS n_points
+        |FROM s WHERE pm IS NULL OR y > pm""".stripMargin,
 
     // q174: tf table rebuilt live, the query VALUES inlined, match
     // count vs distinct-term count as the conjunction test.

@@ -62,4 +62,43 @@ object PrefixSum {
     }
     Bridge.internalCreateDataFrame(df.sparkSession, out, schema)
   }
+
+  /** Append `outName` = max of `valueCol` over all EARLIER rows in the
+    * total order (exclusive prefix max; first row gets Long.MinValue —
+    * the max identity, so `v > prefix` is vacuously true there). Same
+    * two-phase range-partitioned scan as [[withPrefixSum]] — max is
+    * associative with identity, which is all the scan needs — and the
+    * same contracts: non-null LONG value column, tie-free order. The
+    * primitive behind [[graft.operators.Skyline]] (dominance = "beaten
+    * by anything earlier in the order?"). */
+  def withPrefixMax(df: DataFrame, order: Seq[Column], valueCol: String,
+      outName: String = "__pmax"): DataFrame = {
+    val sorted = df.sort(order: _*)
+    val ordinal = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(ordinal).dataType == LongType,
+      s"prefix max requires a bigint value column, got ${sorted.schema(ordinal).dataType}")
+    val rdd = Bridge.internalRdd(sorted)
+    val partMaxes = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = Long.MinValue
+      it.foreach { r =>
+        if (r.isNullAt(ordinal)) throw new IllegalArgumentException(
+          s"prefix max: NULL in value column '$valueCol' (partition $pid)")
+        m = math.max(m, r.getLong(ordinal))
+      }
+      Iterator((pid, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partMaxes.scanLeft(Long.MinValue)(math.max)
+    val schema = StructType(sorted.schema.fields :+ StructField(outName, LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val joined = new JoinedRow
+      val maxRow = new GenericInternalRow(1)
+      var running = offsets(pid)
+      it.map { r =>
+        maxRow.setLong(0, running)
+        running = math.max(running, r.getLong(ordinal))
+        joined(r, maxRow): InternalRow
+      }
+    }
+    Bridge.internalCreateDataFrame(df.sparkSession, out, schema)
+  }
 }

@@ -247,6 +247,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxBuckets"), ex.getMessage)
   }
 
+  test("skyline2D: frontier with duplicates, same-x shadowing, tie-on-y drops") {
+    import graft.operators.Skyline
+    // Distinct pairs: (3,3)x2 (3,1) (2,5) (2,4) (1,5) (0,9).
+    // Frontier: (3,3) [n=2], (2,5); (1,5) ties y=5 vs larger x -> dominated;
+    // (0,9) beats the running max.
+    val pts = Seq((1L, 5L), (2L, 4L), (3L, 3L), (2L, 5L), (3L, 1L), (0L, 9L),
+      (3L, 3L)).toDF("x", "y")
+    val got = Skyline.skyline2D(pts, "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 3L, 2L), (2L, 5L, 1L), (0L, 9L, 1L)), s"got $got")
+  }
+
   test("maintainAggregate: delta rollup — modify, new group, emptied group, guard") {
     import graft.operators.Snapshot
     val old = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L))
