@@ -1908,6 +1908,12 @@ object TextQueries {
     "q171_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(docsWithTokens(s, dir), "ts", minCount = 5)),
 
+    // Per-source Gini card ([[TextOps.giniCard]]): document-length
+    // concentration from the value histogram — the Lorenz summary of
+    // the mixture, integer-exact with ties.
+    "q176_gini" -> ((s, dir) =>
+      TextOps.giniCard(t(s, dir, "documents"), "source", "n_chars")),
+
     // Pareto skyline ([[graft.operators.Skyline.skyline2D]]) over the
     // genuine curation trade-off (length vs vocabulary richness —
     // type-token ratio falls as documents grow, so the frontier is a
@@ -3989,6 +3995,23 @@ object TextQueries {
          |    AS BIGINT) AS score_ppm
          |FROM b JOIN uni u1 ON u1.w1 = b.w1
          |       JOIN uni u2 ON u2.w1 = b.w2, nn""".stripMargin,
+
+    // q176: same histogram rank-range identity; the cumulative window
+    // runs over histogram rows.
+    "q176_gini" ->
+      """WITH h AS (SELECT source AS g, n_chars AS v, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |w AS (SELECT g, v, c,
+        |        sum(c) OVER (PARTITION BY g ORDER BY v) - c AS f FROM h),
+        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(v * c) AS BIGINT) AS total,
+        |        CAST(sum(v * (2 * c * f + c * c + c)) AS BIGINT) AS s2
+        |      FROM w GROUP BY 1)
+        |SELECT g AS source, n, total,
+        |  CAST(CASE WHEN total > 0
+        |    THEN (1000000 * (s2 - (n + 1) * total)) // (n * total)
+        |    ELSE 0 END AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
 
     // q175: the oracle runs the sort-scan form directly — per-x
     // argmax by QUALIFY, exclusive prefix max as an unbounded-to-1-

@@ -544,6 +544,42 @@ object TextOps {
         col("__m2").as("mad"), col("n_outliers"))
   }
 
+  /** Per-group Gini inequality card — "is this source a few giant
+    * documents or many small ones?": the Lorenz-curve summary a
+    * data-mixture review reads next to [[robustOutlierReport]]'s
+    * outlier count (MAD says how wide; Gini says how CONCENTRATED).
+    * Population Gini with ties, exactly
+    * G = (2·Σᵢ i·xᵢ − (n+1)·T) / (n·T) over the ascending sort —
+    * computed from the value HISTOGRAM, not the sort: a value v with
+    * count c preceded by F smaller rows occupies ranks F+1…F+c, so
+    * 2·Σ i·xᵢ = Σᵥ v·(2cF + c² + c), an exact LONG. Output:
+    * (groupCol, n, total, gini_ppm) with gini_ppm =
+    * ⌊10⁶·(2S − (n+1)T)/(nT)⌋, 0 for empty/zero-total groups.
+    * Values must be non-negative (Gini's own precondition).
+    *
+    * Scale shape: the [[robustOutlierReport]] histogram argument
+    * verbatim — one (group, value)-keyed map-side-combined count agg
+    * over the corpus, one group-partitioned cumulative window over
+    * BOUNDED histogram rows, one group-keyed closing agg. */
+  def giniCard(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol).as("__g"),
+        col(valCol).cast("bigint").as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy("__g").orderBy("__v")
+    hist
+      .withColumn("__f", sum(col("__c")).over(wv) - col("__c"))
+      .groupBy("__g").agg(
+        sum(col("__c")).as("n"),
+        sum(col("__v") * col("__c")).as("total"),
+        sum(col("__v") * (col("__c") * col("__f") * 2 +
+          col("__c") * col("__c") + col("__c"))).as("__s2"))
+      .select(col("__g").as(groupCol), col("n"), col("total"),
+        when(col("total") > 0,
+          expr("(1000000 * (__s2 - (n + 1) * total)) div (n * total)"))
+          .otherwise(lit(0L)).as("gini_ppm"))
+  }
+
   /** Distinctive terms per group ("Fightin' Words", Monroe et al.
     * 2008 simplified): for each group, the k terms whose usage most
     * exceeds the REST of the corpus — the per-source vocabulary card

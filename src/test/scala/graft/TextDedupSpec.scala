@@ -997,6 +997,17 @@ class TextDedupSpec extends SparkSpec {
     assert(top == Set(("a", "b")), s"got $top")
   }
 
+  test("giniCard: hand-computed with ties; equal values zero; near-max concentration") {
+    // a: [1,1,2] -> 2S=18, T=4, n=3 -> (18-16)·1e6/12 = 166666.
+    // b: [5,5] -> 0. c: [0,0,10] -> (60-40)·1e6/30 = 666666 (max (n-1)/n).
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L), ("b", 5L),
+      ("c", 0L), ("c", 0L), ("c", 10L)).toDF("g", "v")
+    val got = TextOps.giniCard(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 3L, 4L, 166666L), ("b", 2L, 10L, 0L),
+      ("c", 3L, 10L, 666666L)), s"got $got")
+  }
+
   test("gramMatrix: hand-computed 2x2 second moments on the micro-grid") {
     // [[1,2],[3,-1]] @ scale 1000: q = [1000,2000],[3000,-1000].
     val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, -1.0f)).toDF("embedding")
