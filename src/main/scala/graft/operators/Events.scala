@@ -243,6 +243,31 @@ object Events {
         when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
   }
 
+  /** Conversion lag per user — the time-to-convert measurement behind
+    * every funnel report's "how long does it take?" column ([[funnel]]
+    * counts WHO converts; this measures WHEN): each user's FIRST
+    * `fromType` event, their first `toType` event at-or-after it, and
+    * the microsecond-exact lag. Users without a `fromType`, or whose
+    * `toType` events all precede it, drop. Output: (userCol, lag_us).
+    * Feed [[graft.text.TextOps.quantileCard]] for the distribution.
+    *
+    * Scale shape: two filtered user-keyed min-aggs (both map-side
+    * combined; the second runs over the join-restricted toType rows)
+    * and one user-keyed join between user-cardinality frames — the
+    * same key everywhere, so one partitioning carries the plan;
+    * min(t_B − t_A) = min(t_B) − t_A because t_A is fixed per user. */
+  def conversionLags(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, fromType: String, toType: String): DataFrame = {
+    val firstA = events.filter(col(typeCol) === fromType)
+      .groupBy(userCol).agg(min(col(tsCol)).as("__ta"))
+    events.filter(col(typeCol) === toType)
+      .join(firstA, Seq(userCol))
+      .filter(col(tsCol) >= col("__ta"))
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol)) - unix_micros(col("__ta")))
+        .as("lag_us"))
+  }
+
   /** First-order Markov transition matrix over sessionized event
     * streams — the model behind [[topJourneys]]' raw paths (journeys
     * rank WHOLE paths; the matrix factors them into memoryless steps,

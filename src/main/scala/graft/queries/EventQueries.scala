@@ -254,6 +254,18 @@ object EventQueries {
     // representation lesson); is_current as INT. Both windows partition
     // by the uniform user key — the PlanSpec no-unpartitioned-window
     // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // Conversion-lag distribution ([[graft.operators.Events
+    // .conversionLags]] → [[graft.text.TextOps.quantileCard]]): first
+    // view → first subsequent purchase per user, second-grid lags,
+    // histogram-exact p50/p90/p99.
+    "q177_conversion_lag" -> ((s, dir) =>
+      graft.text.TextOps.quantileCard(
+        graft.operators.Events.conversionLags(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "view", "purchase")
+          .select(lit("all").as("cohort"),
+            expr("lag_us div 1000000").as("lag_s")),
+        "cohort", "lag_s")),
+
     // Markov transition matrix ([[graft.operators.Events
     // .transitionMatrix]]): sessionized first-order transitions with
     // __start/__end boundary states, row-normalized on the integer
@@ -509,6 +521,24 @@ object EventQueries {
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q177: min(tB − tA) = min(tB) − tA per user; the quantile rule is
+    // quantileCard's cross-product cut over the lag histogram.
+    "q177_conversion_lag" ->
+      """WITH a AS (SELECT user_id, min(ts) AS ta FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id,
+        |        min(epoch_us(e.ts) - epoch_us(a.ta)) AS lag_us
+        |      FROM events e JOIN a USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= a.ta GROUP BY 1),
+        |h AS (SELECT lag_us // 1000000 AS v, count(*) AS c FROM b GROUP BY 1),
+        |w AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+        |        sum(c) OVER () AS tot FROM h)
+        |SELECT 'all' AS cohort, CAST(max(tot) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN v END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
+        |FROM w""".stripMargin,
 
     // q170: q127's session gate verbatim, a second window for the
     // lead of the derived flag, three boundary-cased selects for the

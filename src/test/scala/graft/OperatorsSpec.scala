@@ -247,6 +247,19 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxBuckets"), ex.getMessage)
   }
 
+  test("conversionLags: earlier purchases ignored, FIRST view anchors, non-converters drop") {
+    import graft.operators.Events
+    val ev = Seq((1L, 10L, "view"), (1L, 5L, "purchase"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (3L, 5L, "purchase"),
+      (4L, 50L, "view"), (4L, 10L, "view"), (4L, 60L, "purchase"))
+      .toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.conversionLags(ev, "user_id", "event_type", "ts",
+      "view", "purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 20000000L), (4L, 50000000L)), s"got $got")
+  }
+
   test("skyline2D: frontier with duplicates, same-x shadowing, tie-on-y drops") {
     import graft.operators.Skyline
     // Distinct pairs: (3,3)x2 (3,1) (2,5) (2,4) (1,5) (0,9).
