@@ -243,6 +243,45 @@ object Events {
         when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
   }
 
+  /** CUSUM change-point detection over daily event counts — "which day
+    * did this metric's level shift?", the monitoring question behind
+    * regression/incident attribution on an event stream. Per type, the
+    * observed-day series x₁…xₙ (missing days are absent, not zero —
+    * the series is the activity record, documented) gets the classic
+    * cumulative-sum statistic, INTEGER-SCALED to avoid the float mean:
+    * S'ₖ = n·Σᵢ≤ₖ xᵢ − k·T (= n·Σ(xᵢ − T/n), all LONG); the change
+    * point is argmax |S'ₖ| over k < n (S'ₙ ≡ 0), ties to the earliest
+    * day. Output: (typeCol, n_days, total, cp_day — epoch days,
+    * cusum_abs); types with a single observed day drop (no interior
+    * point to split at).
+    *
+    * Scale shape: one (type, day)-keyed map-side-combined count agg
+    * collapses the stream to the BOUNDED daily table; the cumulative
+    * windows partition by type over day rows (never the raw events);
+    * the closing argmax is a struct-min agg, not a rank window. */
+  def changePoint(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol).as("__t"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__x"))
+    val w = Window.partitionBy("__t").orderBy("__d")
+    val whole = Window.partitionBy("__t")
+    daily
+      .withColumn("__cum", sum(col("__x")).over(w))
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__tt", sum(col("__x")).over(whole))
+      .filter(col("__k") < col("__n"))
+      .withColumn("__s", col("__n") * col("__cum") - col("__k") * col("__tt"))
+      .groupBy(col("__t").as(typeCol))
+      .agg(max(col("__n")).as("n_days"), max(col("__tt")).as("total"),
+        min(struct((-abs(col("__s"))).as("na"),
+          unix_date(col("__d")).cast("bigint").as("d"))).as("__best"))
+      .select(col(typeCol), col("n_days"), col("total"),
+        col("__best.d").as("cp_day"), (-col("__best.na")).as("cusum_abs"))
+  }
+
   /** Conversion lag per user — the time-to-convert measurement behind
     * every funnel report's "how long does it take?" column ([[funnel]]
     * counts WHO converts; this measures WHEN): each user's FIRST

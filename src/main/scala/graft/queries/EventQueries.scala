@@ -254,6 +254,13 @@ object EventQueries {
     // representation lesson); is_current as INT. Both windows partition
     // by the uniform user key — the PlanSpec no-unpartitioned-window
     // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // CUSUM change point ([[graft.operators.Events.changePoint]]): the
+    // day each event type's daily level shifted, integer-scaled
+    // statistic, ties to the earliest day.
+    "q178_change_point" -> ((s, dir) =>
+      graft.operators.Events.changePoint(t(s, dir, "events"),
+        "event_type", "ts")),
+
     // Conversion-lag distribution ([[graft.operators.Events
     // .conversionLags]] → [[graft.text.TextOps.quantileCard]]): first
     // view → first subsequent purchase per user, second-grid lags,
@@ -521,6 +528,29 @@ object EventQueries {
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q178: identical integer scaling; the argmax is a rank window
+    // (abs DESC, day ASC) over the bounded interior-day rows.
+    "q178_change_point" ->
+      """WITH d AS (SELECT event_type AS t, CAST(ts AS DATE) AS dd,
+        |             count(*) AS x
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT t, dd, x,
+        |        sum(x) OVER (PARTITION BY t ORDER BY dd) AS cum,
+        |        row_number() OVER (PARTITION BY t ORDER BY dd) AS k,
+        |        count(*) OVER (PARTITION BY t) AS n,
+        |        sum(x) OVER (PARTITION BY t) AS tt
+        |      FROM d),
+        |s AS (SELECT t, dd, n, tt, n * cum - k * tt AS sv FROM w WHERE k < n),
+        |sel AS (SELECT t, dd, sv, n, tt,
+        |          row_number() OVER (PARTITION BY t
+        |            ORDER BY abs(sv) DESC, dd ASC) AS rn
+        |        FROM s)
+        |SELECT t AS event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(tt AS BIGINT) AS total,
+        |  CAST(datediff('day', DATE '1970-01-01', dd) AS BIGINT) AS cp_day,
+        |  CAST(abs(sv) AS BIGINT) AS cusum_abs
+        |FROM sel WHERE rn = 1""".stripMargin,
 
     // q177: min(tB − tA) = min(tB) − tA per user; the quantile rule is
     // quantileCard's cross-product cut over the lag histogram.

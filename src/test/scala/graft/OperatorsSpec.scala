@@ -260,6 +260,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 20000000L), (4L, 50000000L)), s"got $got")
   }
 
+  test("changePoint: level shift found, single-day type drops, ties to earliest day") {
+    import graft.operators.Events
+    // a: 10,10,20,20 per day -> |S'| peaks at k=2 (abs 40).
+    // b: one day -> no interior point. c: 1,2,1 -> tie abs 1, earliest day.
+    def rows(t: String, day: Long, n: Int) =
+      (1 to n).map(i => (t, day * 86400L + i))
+    val ev = (rows("a", 1, 10) ++ rows("a", 2, 10) ++ rows("a", 3, 20) ++
+      rows("a", 4, 20) ++ rows("b", 1, 5) ++
+      rows("c", 1, 1) ++ rows("c", 2, 2) ++ rows("c", 3, 1))
+      .toDF("event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.changePoint(ev, "event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(("a", 4L, 60L, 2L, 40L), ("c", 3L, 4L, 1L, 1L)),
+      s"got $got")
+  }
+
   test("skyline2D: frontier with duplicates, same-x shadowing, tie-on-y drops") {
     import graft.operators.Skyline
     // Distinct pairs: (3,3)x2 (3,1) (2,5) (2,4) (1,5) (0,9).
