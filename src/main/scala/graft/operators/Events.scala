@@ -243,6 +243,83 @@ object Events {
         when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
   }
 
+  /** Activity seasonality profile — the (weekday × hour) heatmap table
+    * behind every "when does this metric happen?" dashboard: per event
+    * type, counts on the 7×24 grid and each cell's share of the
+    * type's total on the integer ppm grid. Weekdays are ISO-shifted
+    * (0 = Monday … 6 = Sunday — the engine-neutral convention; Spark's
+    * `weekday` and DuckDB's `isodow − 1` agree), hours 0–23, both in
+    * the session's UTC. Output: (typeCol, dow, hour, n, share_ppm).
+    *
+    * Scale shape: one (type, dow, hour)-keyed map-side-combined count
+    * agg collapses the stream onto the fixed 168-cell-per-type grid;
+    * totals re-aggregate the GRID (never the stream) and broadcast
+    * back. */
+  def activityProfile(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val cells = events
+      .groupBy(col(typeCol), weekday(col(tsCol)).cast("bigint").as("dow"),
+        hour(col(tsCol)).cast("bigint").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col(typeCol)).agg(sum(col("n")).as("__tot"))
+    cells.join(broadcast(totals), Seq(typeCol))
+      .select(col(typeCol), col("dow"), col("hour"), col("n"),
+        expr("(1000000 * n) div __tot").as("share_ppm"))
+  }
+
+  /** Session-basket co-occurrence with lift — "which event types travel
+    * together?", the market-basket association table over [[topJourneys]]'
+    * sessions: for each unordered pair of DISTINCT event types seen in
+    * the same session, the co-occurrence count and the lift ratio on
+    * the integer ppm grid — lift_ppm = ⌊10⁶·(n_ab·S)/(n_a·n_b)⌋ with S
+    * the session count and n_x the sessions containing x (the PMI-ratio
+    * move from [[graft.text.TextOps.pmiCollocations]], applied to
+    * baskets). Pairs below `minCount` drop. Output: (type_a, type_b,
+    * n_ab, n_a, n_b, lift_ppm), type_a < type_b.
+    *
+    * Scale shape: sessions cut by the q35 gate (per-user window), each
+    * session collapses to its sorted DISTINCT type set (bounded by the
+    * type alphabet), pairs explode in-array (k² of a tiny k), and the
+    * pair/type/total tables all aggregate map-side onto the bounded
+    * type domain — the corpus never shuffles twice. */
+  def sessionCooccurrence(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, eventIdCol: String,
+      gapSeconds: Int = 1800, minCount: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(eventIdCol))
+    val sessions = events
+      .withColumn("__gap",
+        col(tsCol).cast("double") - lag(col(tsCol).cast("double"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(byUser.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(array_sort(collect_set(col(typeCol))).as("__ts"))
+    val baskets = sessions.select(col("__ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = baskets.agg(count(lit(1)).as("__s"))
+    val singles = baskets.select(explode(col("__ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__n1"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(__ts) - 2), i -> " +
+          "transform(sequence(i + 1, size(__ts) - 1), j -> " +
+          "struct(__ts[i] AS a, __ts[j] AS b))))")).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(singles.select(col("t").as("type_a"), col("__n1").as("n_a")),
+        Seq("type_a"))
+      .join(singles.select(col("t").as("type_b"), col("__n1").as("n_b")),
+        Seq("type_b"))
+      .crossJoin(broadcast(s))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), expr("(1000000 * n_ab * __s) div (n_a * n_b)")
+          .as("lift_ppm"))
+  }
+
   /** CUSUM change-point detection over daily event counts — "which day
     * did this metric's level shift?", the monitoring question behind
     * regression/incident attribution on an event stream. Per type, the
@@ -287,8 +364,12 @@ object Events {
     * counts WHO converts; this measures WHEN): each user's FIRST
     * `fromType` event, their first `toType` event at-or-after it, and
     * the microsecond-exact lag. Users without a `fromType`, or whose
-    * `toType` events all precede it, drop. Output: (userCol, lag_us).
-    * Feed [[graft.text.TextOps.quantileCard]] for the distribution.
+    * `toType` events all precede it, drop. Output: (userCol, from_us —
+    * the anchor's epoch micros, lag_us). Feed [[graft.text.TextOps
+    * .quantileCard]] for the distribution, COHORTED on something real
+    * (a constant cohort constant-folds quantileCard's per-group window
+    * into an unpartitioned one — the q177 lesson, caught by PlanSpec's
+    * global audit).
     *
     * Scale shape: two filtered user-keyed min-aggs (both map-side
     * combined; the second runs over the join-restricted toType rows)
@@ -302,7 +383,7 @@ object Events {
     events.filter(col(typeCol) === toType)
       .join(firstA, Seq(userCol))
       .filter(col(tsCol) >= col("__ta"))
-      .groupBy(col(userCol))
+      .groupBy(col(userCol), unix_micros(col("__ta")).as("from_us"))
       .agg(min(unix_micros(col(tsCol)) - unix_micros(col("__ta")))
         .as("lag_us"))
   }

@@ -264,14 +264,17 @@ object EventQueries {
     // Conversion-lag distribution ([[graft.operators.Events
     // .conversionLags]] → [[graft.text.TextOps.quantileCard]]): first
     // view → first subsequent purchase per user, second-grid lags,
-    // histogram-exact p50/p90/p99.
+    // histogram-exact p50/p90/p99 COHORTED by the anchor's weekday
+    // (a real partition key — a constant cohort would constant-fold
+    // quantileCard's window unpartitioned).
     "q177_conversion_lag" -> ((s, dir) =>
       graft.text.TextOps.quantileCard(
         graft.operators.Events.conversionLags(t(s, dir, "events"),
           "user_id", "event_type", "ts", "view", "purchase")
-          .select(lit("all").as("cohort"),
+          .select(weekday(timestamp_micros(col("from_us"))).cast("bigint")
+              .as("view_dow"),
             expr("lag_us div 1000000").as("lag_s")),
-        "cohort", "lag_s")),
+        "view_dow", "lag_s")),
 
     // Markov transition matrix ([[graft.operators.Events
     // .transitionMatrix]]): sessionized first-order transitions with
@@ -557,18 +560,20 @@ object EventQueries {
     "q177_conversion_lag" ->
       """WITH a AS (SELECT user_id, min(ts) AS ta FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
-        |b AS (SELECT e.user_id,
+        |b AS (SELECT e.user_id, CAST(isodow(a.ta) - 1 AS BIGINT) AS g,
         |        min(epoch_us(e.ts) - epoch_us(a.ta)) AS lag_us
         |      FROM events e JOIN a USING (user_id)
-        |      WHERE e.event_type = 'purchase' AND e.ts >= a.ta GROUP BY 1),
-        |h AS (SELECT lag_us // 1000000 AS v, count(*) AS c FROM b GROUP BY 1),
-        |w AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
-        |        sum(c) OVER () AS tot FROM h)
-        |SELECT 'all' AS cohort, CAST(max(tot) AS BIGINT) AS n_rows,
+        |      WHERE e.event_type = 'purchase' AND e.ts >= a.ta GROUP BY 1, 2),
+        |h AS (SELECT g, lag_us // 1000000 AS v, count(*) AS c
+        |      FROM b GROUP BY 1, 2),
+        |w AS (SELECT g, v, c,
+        |        sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |        sum(c) OVER (PARTITION BY g) AS tot FROM h)
+        |SELECT g AS view_dow, CAST(max(tot) AS BIGINT) AS n_rows,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 50 THEN v END) AS BIGINT) AS p50,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
-        |FROM w""".stripMargin,
+        |FROM w GROUP BY g""".stripMargin,
 
     // q170: q127's session gate verbatim, a second window for the
     // lead of the derived flag, three boundary-cased selects for the

@@ -256,8 +256,9 @@ class OperatorsSpec extends SparkSpec {
       .withColumn("ts", timestamp_seconds(col("sec")))
     val got = Events.conversionLags(ev, "user_id", "event_type", "ts",
       "view", "purchase").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 20000000L), (4L, 50000000L)), s"got $got")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10000000L, 20000000L), (4L, 10000000L, 50000000L)),
+      s"got $got")
   }
 
   test("changePoint: level shift found, single-day type drops, ties to earliest day") {
