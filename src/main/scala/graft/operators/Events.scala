@@ -301,7 +301,10 @@ object Events {
     val s = baskets.agg(count(lit(1)).as("__s"))
     val singles = baskets.select(explode(col("__ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("__n1"))
-    val pairs = baskets
+    // size >= 2 guards sequence()'s descending-on-empty trap (the
+    // repetitionColumns lesson): sequence(0, -1) DESCENDS, it does not
+    // return empty.
+    val pairs = baskets.filter(size(col("__ts")) >= 2)
       .select(explode(expr(
         "flatten(transform(sequence(0, size(__ts) - 2), i -> " +
           "transform(sequence(i + 1, size(__ts) - 1), j -> " +

@@ -254,6 +254,20 @@ object EventQueries {
     // representation lesson); is_current as INT. Both windows partition
     // by the uniform user key — the PlanSpec no-unpartitioned-window
     // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // Seasonality heatmap ([[graft.operators.Events.activityProfile]]):
+    // the 7×24 weekday/hour grid per event type with ppm shares.
+    "q179_seasonality" -> ((s, dir) =>
+      graft.operators.Events.activityProfile(t(s, dir, "events"),
+        "event_type", "ts")),
+
+    // Session-basket co-occurrence ([[graft.operators.Events
+    // .sessionCooccurrence]]): which event types share sessions, with
+    // integer-ppm lift — the market-basket table over the q35 session
+    // cut.
+    "q180_cooccurrence" -> ((s, dir) =>
+      graft.operators.Events.sessionCooccurrence(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")),
+
     // CUSUM change point ([[graft.operators.Events.changePoint]]): the
     // day each event type's daily level shifted, integer-scaled
     // statistic, ties to the earliest day.
@@ -531,6 +545,45 @@ object EventQueries {
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q179: isodow−1 is the engine-neutral Monday-zero weekday.
+    "q179_seasonality" ->
+      """WITH c AS (SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |             CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
+        |           FROM events GROUP BY 1, 2, 3),
+        |t2 AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+        |       FROM c GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.hour, c.n,
+        |  CAST((1000000 * c.n) // t2.tot AS BIGINT) AS share_ppm
+        |FROM c JOIN t2 USING (event_type)""".stripMargin,
+
+    // q180: q127's session gate, DISTINCT types per session, ordered
+    // self-join for a<b pairs, lift cross-multiplied on the ppm grid.
+    "q180_cooccurrence" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    epoch(ts) - lag(epoch(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts, event_type,
+        |        CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS nw
+        |      FROM g),
+        |sd AS (SELECT user_id, event_type,
+        |         sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM f),
+        |b AS (SELECT DISTINCT user_id, sid, event_type FROM sd),
+        |s2 AS (SELECT count(*) AS s FROM (SELECT DISTINCT user_id, sid FROM b)),
+        |n1 AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+        |p AS (SELECT x.event_type AS a, y.event_type AS bb
+        |      FROM b x JOIN b y ON x.user_id = y.user_id AND x.sid = y.sid
+        |        AND x.event_type < y.event_type),
+        |pc AS (SELECT a, bb, count(*) AS n_ab FROM p GROUP BY 1, 2)
+        |SELECT pc.a AS type_a, pc.bb AS type_b, pc.n_ab, na.n AS n_a,
+        |  nb.n AS n_b,
+        |  CAST((1000000 * pc.n_ab * s2.s) // (na.n * nb.n) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pc JOIN n1 na ON na.event_type = pc.a
+        |        JOIN n1 nb ON nb.event_type = pc.bb, s2""".stripMargin,
 
     // q178: identical integer scaling; the argmax is a rank window
     // (abs DESC, day ASC) over the bounded interior-day rows.

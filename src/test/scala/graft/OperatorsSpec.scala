@@ -261,6 +261,35 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("activityProfile: weekday-zero Monday, ppm shares per type") {
+    import graft.operators.Events
+    // Epoch day 4 = Mon 1970-01-05. A: 3 hits Mon 10h, 1 hit Tue 11h.
+    val ev = Seq(("A", 4L, 10L), ("A", 4L, 10L), ("A", 4L, 10L),
+      ("A", 5L, 11L))
+      .toDF("event_type", "day", "h")
+      .withColumn("ts", timestamp_seconds(col("day") * 86400 + col("h") * 3600))
+    val got = Events.activityProfile(ev, "event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(("A", 0L, 10L, 3L, 750000L), ("A", 1L, 11L, 1L, 250000L)),
+      s"got $got")
+  }
+
+  test("sessionCooccurrence: distinct-per-session baskets, a<b pairs, lift") {
+    import graft.operators.Events
+    // user 1: [A,B,A] then (gap) [B,C]; user 2: [A]. S=3, nA=2,nB=2,nC=1.
+    val ev = Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "A"),
+      (1L, 5000L, 4L, "B"), (1L, 5010L, 5L, "C"), (2L, 0L, 6L, "A"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.sessionCooccurrence(ev, "user_id", "event_type", "ts",
+      "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(("A", "B", 1L, 2L, 2L, 750000L),
+      ("B", "C", 1L, 2L, 1L, 1500000L)), s"got $got")
+  }
+
   test("changePoint: level shift found, single-day type drops, ties to earliest day") {
     import graft.operators.Events
     // a: 10,10,20,20 per day -> |S'| peaks at k=2 (abs 40).
