@@ -243,6 +243,44 @@ object Events {
         when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
   }
 
+  /** Daily OLS trend card — the "is this metric growing?" line next to
+    * [[changePoint]]'s "did it jump?" (a slope answers gradual drift;
+    * CUSUM answers level shifts — monitoring wants both): per type,
+    * ordinary least squares of daily count on epoch day over the
+    * observed-day series. The q162 discipline lifted to regression:
+    * all five sums are exact LONGS, and both coefficients are single
+    * divisions of integer-exact products —
+    * slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²),
+    * intercept = (Σy·Σxx − Σx·Σxy)/(n·Σxx − Σx²) — one IEEE rounding
+    * per product cast, one per division, bit-stable cross-engine.
+    * Types observed on a single day drop (zero variance in x). Output:
+    * (typeCol, n_days, total, slope, intercept).
+    *
+    * Scale shape: the stream collapses to the bounded (type, day)
+    * table in one map-side-combined agg; the regression is a second
+    * type-keyed agg over day rows. No windows at all. */
+  def dailyTrend(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), unix_date(to_date(col(tsCol))).cast("bigint")
+        .as("__x"))
+      .agg(count(lit(1)).as("__y"))
+    daily.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("total"),
+        sum(col("__x")).as("__sx"), sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .filter(col("n_days") * col("__sxx") - col("__sx") * col("__sx") > 0)
+      .select(col(typeCol), col("n_days"), col("total"),
+        ((col("n_days") * col("__sxy") - col("__sx") * col("total"))
+          .cast("double") /
+          (col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")).as("slope"),
+        ((col("total") * col("__sxx") - col("__sx") * col("__sxy"))
+          .cast("double") /
+          (col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")).as("intercept"))
+  }
+
   /** Activity seasonality profile — the (weekday × hour) heatmap table
     * behind every "when does this metric happen?" dashboard: per event
     * type, counts on the 7×24 grid and each cell's share of the

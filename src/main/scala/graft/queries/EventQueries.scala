@@ -254,6 +254,13 @@ object EventQueries {
     // representation lesson); is_current as INT. Both windows partition
     // by the uniform user key — the PlanSpec no-unpartitioned-window
     // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // Daily OLS trend ([[graft.operators.Events.dailyTrend]]): slope
+    // and intercept of daily counts per type from five exact long
+    // sums — drift, beside q178's level shifts.
+    "q181_daily_trend" -> ((s, dir) =>
+      graft.operators.Events.dailyTrend(t(s, dir, "events"),
+        "event_type", "ts")),
+
     // Seasonality heatmap ([[graft.operators.Events.activityProfile]]):
     // the 7×24 weekday/hour grid per event type with ppm shares.
     "q179_seasonality" -> ((s, dir) =>
@@ -545,6 +552,24 @@ object EventQueries {
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q181: identical integer sums and product-then-divide order.
+    "q181_daily_trend" ->
+      """WITH d AS (SELECT event_type AS t,
+        |             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |               AS BIGINT) AS x, count(*) AS y
+        |           FROM events GROUP BY 1, 2),
+        |a AS (SELECT t, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM d GROUP BY 1)
+        |SELECT t AS event_type, CAST(n AS BIGINT) AS n_days, sy AS total,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+        |FROM a WHERE n * sxx - sx * sx > 0""".stripMargin,
 
     // q179: isodow−1 is the engine-neutral Monday-zero weekday.
     "q179_seasonality" ->

@@ -261,6 +261,20 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("dailyTrend: exact OLS on 1,3,5; single-day type drops") {
+    import graft.operators.Events
+    def rows(t: String, day: Long, n: Int) =
+      (1 to n).map(i => (t, day * 86400L + i))
+    val ev = (rows("a", 1, 1) ++ rows("a", 2, 3) ++ rows("a", 3, 5) ++
+      rows("b", 1, 7))
+      .toDF("event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.dailyTrend(ev, "event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got == Set(("a", 3L, 9L, 2.0, -1.0)), s"got $got")
+  }
+
   test("activityProfile: weekday-zero Monday, ppm shares per type") {
     import graft.operators.Events
     // Epoch day 4 = Mon 1970-01-05. A: 3 hits Mon 10h, 1 hit Tue 11h.
