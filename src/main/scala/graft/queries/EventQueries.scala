@@ -254,6 +254,16 @@ object EventQueries {
     // representation lesson); is_current as INT. Both windows partition
     // by the uniform user key — the PlanSpec no-unpartitioned-window
     // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // Z-order layout keys ([[graft.operators.Layout.mortonKey]] /
+    // `zoneMapReport`): Morton keys over (user_id, epoch day) and the
+    // per-bucket zone-map statistics a reader's file pruning
+    // consults — the write-side layout primitive for 100 TB scans.
+    "q182_zorder" -> ((s, dir) =>
+      graft.operators.Layout.zoneMapReport(
+        t(s, dir, "events").select(col("user_id"),
+          unix_date(to_date(col("ts"))).cast("bigint").as("day")),
+        "user_id", "day", bucketShift = 10)),
+
     // Daily OLS trend ([[graft.operators.Events.dailyTrend]]): slope
     // and intercept of daily counts per type from five exact long
     // sums — drift, beside q178's level shifts.
@@ -552,6 +562,29 @@ object EventQueries {
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q182: the same five shift-or-mask spread rounds staged through
+    // CTEs (x on even bits, y << 1 on odd); DuckDB's checked << stays
+    // in range because every stage pre-masks — same reasoning as the
+    // engine's 31-bit domain contract.
+    "q182_zorder" ->
+      """WITH b AS (SELECT user_id AS x0,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS y0 FROM events),
+        |s1 AS (SELECT x0, y0, (x0 | (x0 << 16)) & 281470681808895 AS x,
+        |         (y0 | (y0 << 16)) & 281470681808895 AS y FROM b),
+        |s2 AS (SELECT x0, y0, (x | (x << 8)) & 71777214294589695 AS x,
+        |         (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        |s3 AS (SELECT x0, y0, (x | (x << 4)) & 1085102592571150095 AS x,
+        |         (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        |s4 AS (SELECT x0, y0, (x | (x << 2)) & 3689348814741910323 AS x,
+        |         (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        |s5 AS (SELECT x0, y0, (x | (x << 1)) & 6148914691236517205 AS x,
+        |         (y | (y << 1)) & 6148914691236517205 AS y FROM s4),
+        |z AS (SELECT x0, y0, (x | (y << 1)) >> 10 AS bucket FROM s5)
+        |SELECT bucket, count(*) AS n, min(x0) AS x_min, max(x0) AS x_max,
+        |  min(y0) AS y_min, max(y0) AS y_max
+        |FROM z GROUP BY 1""".stripMargin,
 
     // q181: identical integer sums and product-then-divide order.
     "q181_daily_trend" ->

@@ -261,6 +261,20 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("mortonKey: hand-computed interleavings, 31-bit guard trips") {
+    import graft.operators.Layout
+    // spread(3)=0b101=5; y rides the odd lane (<<1); 5⊕2 -> 17|8=25.
+    val got = Seq((3L, 0L), (0L, 3L), (1L, 1L), (5L, 2L)).toDF("x", "y")
+      .select(Layout.mortonKey(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(5L, 10L, 3L, 25L), s"got $got")
+    val ex = intercept[Exception] {
+      Seq((2147483648L, 0L)).toDF("x", "y")
+        .select(Layout.mortonKey(col("x"), col("y"))).collect()
+    }
+    assert(ex.getMessage.contains("mortonKey"), ex.getMessage)
+  }
+
   test("dailyTrend: exact OLS on 1,3,5; single-day type drops") {
     import graft.operators.Events
     def rows(t: String, day: Long, n: Int) =
