@@ -243,6 +243,40 @@ object Events {
         when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
   }
 
+  /** Interval-overlap aggregation by sweep line — "how many intervals
+    * cover each day?" (in-transit inventory, concurrent sessions,
+    * active contracts): the curve every operations dashboard draws.
+    * The naive form is a days × intervals containment join — quadratic
+    * and unshippable at 100 TB; the sweep line is the textbook
+    * rewrite: each interval [start, end) becomes +1 at start and −1
+    * at end, the deltas collapse to a bounded per-day table, and the
+    * curve is a prefix sum over the day axis. End day is EXCLUSIVE
+    * (an interval shipped and received the same day never counts).
+    * Output: (day — epoch days, net, in_transit), one row per day
+    * that appears as some interval's endpoint (the curve is constant
+    * between endpoints — consumers needing a dense grid resample with
+    * [[resampleFfill]]).
+    *
+    * Scale shape: one union + one day-keyed map-side-combined agg
+    * (the corpus never shuffles rows, only ±1 deltas), then
+    * [[graft.sources.PrefixSum.withPrefixSum]]'s range-partitioned
+    * two-phase scan over the BOUNDED day table — never an
+    * unpartitioned running-sum window. */
+  def inFlightByDay(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = df
+      .select(unix_date(to_date(col(startCol))).cast("bigint").as("day"),
+        lit(1L).as("__d"))
+      .unionByName(df.select(
+        unix_date(to_date(col(endCol))).cast("bigint").as("day"),
+        lit(-1L).as("__d")))
+      .groupBy("day").agg(sum(col("__d")).as("net"))
+    graft.sources.PrefixSum
+      .withPrefixSum(deltas, Seq(col("day")), "net", "__before")
+      .select(col("day"), col("net"),
+        (col("__before") + col("net")).as("in_transit"))
+  }
+
   /** Daily OLS trend card — the "is this metric growing?" line next to
     * [[changePoint]]'s "did it jump?" (a slope answers gradual drift;
     * CUSUM answers level shifts — monitoring wants both): per type,

@@ -197,6 +197,18 @@ object Relational {
     // rows; the generator's keys are dense, so every reported gap is a
     // plant). One map-side-combined agg; never a global sort or an
     // unpartitioned lead/lag window.
+    // Sweep-line interval aggregation ([[graft.operators.Events
+    // .inFlightByDay]]): lineitems in transit per day over derived
+    // [ship, ship + 3..27d) intervals — ±1 deltas + the range-
+    // partitioned prefix sum, never a days × intervals containment
+    // join.
+    "q183_in_transit" -> ((s, dir) =>
+      graft.operators.Events.inFlightByDay(
+        t(s, dir, "lineitem").select(col("l_shipdate"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_orderkey") % 25 + 3).cast("int")).as("l_receipt")),
+        "l_shipdate", "l_receipt")),
+
     "q146_id_gaps" -> ((s, dir) =>
       t(s, dir, "orders")
         .filter(col("o_orderkey") % 97 =!= 13)
@@ -240,6 +252,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // q183: identical delta construction; the cumulative window runs
+    // over the bounded day table (fine single-node — the engine's
+    // point is avoiding exactly that shape distributed).
+    "q183_in_transit" ->
+      """WITH iv AS (SELECT CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + CAST(l_orderkey % 25 + 3 AS INT) AS e
+        |  FROM lineitem),
+        |d AS (SELECT s AS day, 1 AS dd FROM iv
+        |      UNION ALL SELECT e, -1 FROM iv),
+        |g AS (SELECT day, CAST(sum(dd) AS BIGINT) AS net FROM d GROUP BY 1)
+        |SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day,
+        |  net, CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS in_transit
+        |FROM g""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

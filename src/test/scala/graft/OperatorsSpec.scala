@@ -261,6 +261,18 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("inFlightByDay: sweep-line curve, exclusive end, same-day interval vanishes") {
+    import graft.operators.Events
+    // [1,3) [1,2) [2,4) + degenerate [2,2): curve 1:2 2:2 3:1 4:0.
+    val iv = Seq((1L, 3L), (1L, 2L), (2L, 4L), (2L, 2L)).toDF("s", "e")
+      .select(timestamp_seconds(col("s") * 86400).as("start"),
+        timestamp_seconds(col("e") * 86400).as("end"))
+    val got = Events.inFlightByDay(iv, "start", "end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L), (2L, 0L, 2L), (3L, -1L, 1L),
+      (4L, -1L, 0L)), s"got $got")
+  }
+
   test("mortonKey: hand-computed interleavings, 31-bit guard trips") {
     import graft.operators.Layout
     // spread(3)=0b101=5; y rides the odd lane (<<1); 5⊕2 -> 17|8=25.
