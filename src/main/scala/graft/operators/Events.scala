@@ -243,6 +243,55 @@ object Events {
         when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
   }
 
+  /** Lagged cross-correlation between daily event series — "which
+    * metric LEADS which?" (errors today predicting churn in two days;
+    * views leading purchases): for every ordered type pair (a ≠ b)
+    * and lag 0…maxLag, the Pearson r between a's daily count and b's
+    * count `lag` days LATER, over the days where both series have
+    * data (inner alignment — absent days are absent, not zero,
+    * matching [[dailyTrend]]'s observed-day convention). Positive r
+    * at lag k reads "a leads b by k days". The q162 exactness
+    * discipline: five LONG sums per cell, products in double once, one
+    * sqrt; zero-variance cells drop. Output: (type_a, type_b, lag, n,
+    * r).
+    *
+    * Scale shape: the stream collapses ONCE to the bounded (type,
+    * day) table; the lag fan-out (×(maxLag+1)) and the day-keyed
+    * self-join run over that bounded table, never the events; the
+    * closing agg map-side combines onto the (pair × lag) domain. */
+  def crossCorrelation(events: DataFrame, typeCol: String, tsCol: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 0, s"crossCorrelation: maxLag must be >= 0, got $maxLag")
+    val daily = events
+      .groupBy(col(typeCol).as("__t"),
+        unix_date(to_date(col(tsCol))).cast("bigint").as("__day"))
+      .agg(count(lit(1)).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = daily.select(col("__t").as("type_a"), col("__day"),
+        col("__x").as("__xa"),
+        explode(expr(s"sequence(0L, ${maxLag}L)")).as("lag"))
+    val joined = a.join(
+      daily.select(col("__t").as("type_b"), col("__day").as("__bday"),
+        col("__x").as("__xb")),
+      col("__bday") === col("__day") + col("lag") &&
+        col("type_b") =!= col("type_a"))
+    joined
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("__xa")).as("__sx"),
+        sum(col("__xb")).as("__sy"),
+        sum(col("__xa") * col("__xb")).as("__sxy"),
+        sum(col("__xa") * col("__xa")).as("__sxx"),
+        sum(col("__xb") * col("__xb")).as("__syy"))
+      .filter(col("n") * col("__sxx") - col("__sx") * col("__sx") > 0 &&
+        col("n") * col("__syy") - col("__sy") * col("__sy") > 0)
+      .select(col("type_a"), col("type_b"), col("lag"), col("n"),
+        ((col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double") *
+            (col("n") * col("__syy") - col("__sy") * col("__sy"))
+              .cast("double"))).as("r"))
+  }
+
   /** Interval-overlap aggregation by sweep line — "how many intervals
     * cover each day?" (in-transit inventory, concurrent sessions,
     * active contracts): the curve every operations dashboard draws.

@@ -254,6 +254,14 @@ object EventQueries {
     // representation lesson); is_current as INT. Both windows partition
     // by the uniform user key — the PlanSpec no-unpartitioned-window
     // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // Lagged cross-correlation ([[graft.operators.Events
+    // .crossCorrelation]]): lead-lag Pearson r between each ordered
+    // pair of daily event series at lags 0-3 — exact sums, one
+    // division, inner day alignment.
+    "q184_cross_correlation" -> ((s, dir) =>
+      graft.operators.Events.crossCorrelation(t(s, dir, "events"),
+        "event_type", "ts")),
+
     // Z-order layout keys ([[graft.operators.Layout.mortonKey]] /
     // `zoneMapReport`): Morton keys over (user_id, epoch day) and the
     // per-bucket zone-map statistics a reader's file pruning
@@ -562,6 +570,31 @@ object EventQueries {
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q184: same daily table, lag fan-out via generate_series, day-
+    // keyed self-join, q162's product-then-divide order.
+    "q184_cross_correlation" ->
+      """WITH d AS (SELECT event_type AS t,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT t AS type_a, day, x AS xa,
+        |        unnest(generate_series(0, 3)) AS lag FROM d),
+        |j AS (SELECT a.type_a, b.t AS type_b, a.lag, a.xa, b.x AS xb
+        |      FROM a JOIN d b ON b.day = a.day + a.lag AND b.t <> a.type_a),
+        |g AS (SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag,
+        |        count(*) AS n, CAST(sum(xa) AS BIGINT) AS sx,
+        |        CAST(sum(xb) AS BIGINT) AS sy,
+        |        CAST(sum(xa * xb) AS BIGINT) AS sxy,
+        |        CAST(sum(xa * xa) AS BIGINT) AS sxx,
+        |        CAST(sum(xb * xb) AS BIGINT) AS syy
+        |      FROM j GROUP BY 1, 2, 3)
+        |SELECT type_a, type_b, lag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |FROM g
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
 
     // q182: the same five shift-or-mask spread rounds staged through
     // CTEs (x on even bits, y << 1 on odd); DuckDB's checked << stays

@@ -261,6 +261,26 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("crossCorrelation: shifted copy peaks at its lag, inner alignment, exact r") {
+    import graft.operators.Events
+    // A on days 1-4: 1,2,5,3; B = A shifted +1 day. lag 1 aligns
+    // perfectly (r=1); lag 0 aligns days 2-4: a=(2,5,3) vs b=(1,2,5)
+    // -> r = 1/sqrt(14*26).
+    def rows(t: String, day: Long, n: Int) =
+      (1 to n).map(i => (t, day * 86400L + i))
+    val ev = (rows("A", 1, 1) ++ rows("A", 2, 2) ++ rows("A", 3, 5) ++
+      rows("A", 4, 3) ++ rows("B", 2, 1) ++ rows("B", 3, 2) ++
+      rows("B", 4, 5) ++ rows("B", 5, 3))
+      .toDF("event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.crossCorrelation(ev, "event_type", "ts", maxLag = 1)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("A", "B", 1L)) == (4L, 1.0), s"got $got")
+    assert(got(("A", "B", 0L)) == (3L, 1.0 / math.sqrt(14.0 * 26.0)),
+      s"got $got")
+  }
+
   test("inFlightByDay: sweep-line curve, exclusive end, same-day interval vanishes") {
     import graft.operators.Events
     // [1,3) [1,2) [2,4) + degenerate [2,2): curve 1:2 2:2 3:1 4:0.
