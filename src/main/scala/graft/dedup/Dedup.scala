@@ -41,6 +41,35 @@ object Dedup {
     df.groupBy(md5(key.cast("string")).as("key_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Per-group duplicate-rate card — the dataset-card row quantifying
+    * what [[exact]] would remove, per source ("how much of source X is
+    * copies?"): n_docs, distinct contents, docs sharing their content
+    * hash with ANY doc corpus-wide (cross-source copies count — a
+    * mirror site's rate should read 100%, not 0), and the ppm rate.
+    * Output: (groupCol, n_docs, n_distinct, n_dup_docs, dup_ppm).
+    *
+    * Scale shape: the corpus collapses ONCE to the (group, hash)
+    * count table (map-side combined — the [[exact]] skew argument:
+    * the hot hash never gathers its rows anywhere); corpus-wide hash
+    * totals re-aggregate that COLLAPSED table, the join back is
+    * collapsed-vs-collapsed keyed by hash, and the closing agg is
+    * group-keyed. No corpus row crosses a second shuffle — the q66
+    * lesson applied to the report tier. */
+  def duplicateRateCard(df: DataFrame, groupCol: String,
+      key: Column): DataFrame = {
+    val sh = df.groupBy(col(groupCol), md5(key.cast("string")).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = sh.groupBy("__h").agg(sum(col("__c")).as("__ch"))
+    sh.join(totals, Seq("__h"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_docs"), count(lit(1)).as("n_distinct"),
+        coalesce(sum(when(col("__ch") >= 2, col("__c")).otherwise(0L)),
+          lit(0L)).as("n_dup_docs"))
+      .select(col(groupCol), col("n_docs"), col("n_distinct"),
+        col("n_dup_docs"),
+        expr("(1000000 * n_dup_docs) div n_docs").as("dup_ppm"))
+  }
+
   /** Cross-source overlap matrix — the corpus-overlap study every
     * multi-source recipe publishes (how much of source A's content
     * recurs verbatim in source B — double-counted tokens inflate a

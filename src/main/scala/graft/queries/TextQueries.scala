@@ -1908,6 +1908,24 @@ object TextQueries {
     "q171_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(docsWithTokens(s, dir), "ts", minCount = 5)),
 
+    // Per-source duplicate-rate card ([[Dedup.duplicateRateCard]]):
+    // what exact dedup would remove, per source — a planted mirror
+    // source (%31 clones) reads 100% duplicated, in-source twins
+    // (%37) raise their own source's rate, cross-source copies count
+    // on BOTH sides.
+    "q185_dup_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("text"))
+      val planted = d
+        .unionByName(d.filter(col("doc_id") % 31 === 4)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            lit("mirror").as("source"), col("text")))
+        .unionByName(d.filter(col("doc_id") % 37 === 2)
+          .select((col("doc_id") + 8000000L).as("doc_id"), col("source"),
+            col("text")))
+      Dedup.duplicateRateCard(planted, "source", col("text"))
+    }),
+
     // Per-source Gini card ([[TextOps.giniCard]]): document-length
     // concentration from the value histogram — the Lorenz summary of
     // the mixture, integer-exact with ties.
@@ -3995,6 +4013,26 @@ object TextQueries {
          |    AS BIGINT) AS score_ppm
          |FROM b JOIN uni u1 ON u1.w1 = b.w1
          |       JOIN uni u2 ON u2.w1 = b.w2, nn""".stripMargin,
+
+    // q185: same plants, same collapsed (source, hash) chain.
+    "q185_dup_rate" ->
+      """WITH p AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, 'mirror', text FROM documents
+        |  WHERE doc_id % 31 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, source, text FROM documents
+        |  WHERE doc_id % 37 = 2),
+        |sh AS (SELECT source, md5(text) AS h, count(*) AS c
+        |       FROM p GROUP BY 1, 2),
+        |t2 AS (SELECT h, CAST(sum(c) AS BIGINT) AS ch FROM sh GROUP BY 1)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN ch >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST((1000000 * sum(CASE WHEN ch >= 2 THEN c ELSE 0 END))
+        |    // sum(c) AS BIGINT) AS dup_ppm
+        |FROM sh JOIN t2 USING (h) GROUP BY 1""".stripMargin,
 
     // q176: same histogram rank-range identity; the cumulative window
     // runs over histogram rows.

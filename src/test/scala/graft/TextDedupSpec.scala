@@ -997,6 +997,17 @@ class TextDedupSpec extends SparkSpec {
     assert(top == Set(("a", "b")), s"got $top")
   }
 
+  test("duplicateRateCard: cross-source copies count both sides, in-source twins") {
+    // s1: t1, t1, t2 (in-source twin); s2: t2, t3 (t2 copied cross-source).
+    val df = Seq((1L, "s1", "t1"), (2L, "s1", "t1"), (3L, "s1", "t2"),
+      (4L, "s2", "t2"), (5L, "s2", "t3")).toDF("doc_id", "source", "text")
+    val got = Dedup.duplicateRateCard(df, "source", col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(("s1", 3L, 2L, 3L, 1000000L),
+      ("s2", 2L, 2L, 1L, 500000L)), s"got $got")
+  }
+
   test("giniCard: hand-computed with ties; equal values zero; near-max concentration") {
     // a: [1,1,2] -> 2S=18, T=4, n=3 -> (18-16)·1e6/12 = 166666.
     // b: [5,5] -> 0. c: [0,0,10] -> (60-40)·1e6/30 = 666666 (max (n-1)/n).
