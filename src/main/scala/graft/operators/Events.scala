@@ -243,6 +243,46 @@ object Events {
         when(col("__v").isNotNull, 1L).otherwise(0L).as("observed"))
   }
 
+  /** Inter-event burstiness card — "is this event stream Poisson or
+    * bursty?": per type, the squared coefficient of variation of the
+    * per-(user, type) inter-event gaps. CV² = 1 is the memoryless
+    * (exponential) baseline; > 1 means bursts, < 1 means pacing — the
+    * dispersion diagnostic behind rate-limit tuning and bot detection.
+    * Gaps land on the integer SECOND grid (µs div 10⁶ — exact), so
+    * n, Σg, Σg² are LONGS and both output doubles are single
+    * divisions of exact products (the q161/q162 reformulation:
+    * CV² = (n·Σg² − (Σg)²)/(Σg)²). Output: (typeCol, n_gaps,
+    * sum_gap_s, mean_gap_s, cv2); types with no gaps or zero total
+    * gap drop. Overflow headroom: second-grid g ≤ ~10⁸ for year-long
+    * logs keeps n·Σg² under 2⁶³ to ~10⁷ gaps per type — use a
+    * coarser grid beyond.
+    *
+    * Scale shape: ONE per-(user, type)-partitioned lag window (the
+    * q35 key — never partitioned by type alone, which would gather a
+    * hot type's whole stream), then a type-keyed map-side-combined
+    * agg. */
+  def burstiness(events: DataFrame, typeCol: String, userCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol, typeCol)
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__gus", unix_micros(col(tsCol)) -
+        lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__g", expr("__gus div 1000000"))
+      .filter(col("__g").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__g")).as("sum_gap_s"),
+        sum(col("__g") * col("__g")).as("__sg2"))
+      .filter(col("sum_gap_s") > 0)
+      .select(col(typeCol), col("n_gaps"), col("sum_gap_s"),
+        (col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap_s"),
+        ((col("n_gaps") * col("__sg2") - col("sum_gap_s") * col("sum_gap_s"))
+          .cast("double") /
+          (col("sum_gap_s") * col("sum_gap_s")).cast("double")).as("cv2"))
+  }
+
   /** Lagged cross-correlation between daily event series — "which
     * metric LEADS which?" (errors today predicting churn in two days;
     * views leading purchases): for every ordered type pair (a ≠ b)

@@ -254,6 +254,13 @@ object EventQueries {
     // representation lesson); is_current as INT. Both windows partition
     // by the uniform user key — the PlanSpec no-unpartitioned-window
     // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // Burstiness card ([[graft.operators.Events.burstiness]]): CV² of
+    // per-(user, type) inter-event gaps on the second grid — Poisson
+    // reads 1, bursts read higher.
+    "q186_burstiness" -> ((s, dir) =>
+      graft.operators.Events.burstiness(t(s, dir, "events"),
+        "event_type", "user_id", "ts", "event_id")),
+
     // Lagged cross-correlation ([[graft.operators.Events
     // .crossCorrelation]]): lead-lag Pearson r between each ordered
     // pair of daily event series at lags 0-3 — exact sums, one
@@ -570,6 +577,24 @@ object EventQueries {
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q186: same per-(user, type) lag, same integer-second grid and
+    // exact-sum CV² reformulation.
+    "q186_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |      // 1000000 AS gp
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n_gaps,
+        |        CAST(sum(gp) AS BIGINT) AS sum_gap_s,
+        |        CAST(sum(gp * gp) AS BIGINT) AS sg2
+        |      FROM g WHERE gp IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps, sum_gap_s,
+        |  CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+        |  CAST(n_gaps * sg2 - sum_gap_s * sum_gap_s AS DOUBLE) /
+        |    CAST(sum_gap_s * sum_gap_s AS DOUBLE) AS cv2
+        |FROM a WHERE sum_gap_s > 0""".stripMargin,
 
     // q184: same daily table, lag fan-out via generate_series, day-
     // keyed self-join, q162's product-then-divide order.

@@ -261,6 +261,21 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("burstiness: gaps pool across users within type, exact CV2, cross-user no gap") {
+    import graft.operators.Events
+    // u1/A: gaps 10,10; u2/A: gaps 1,9 -> n=4 sg=30 sg2=282
+    // cv2=(4*282-900)/900; no gap is ever computed across users.
+    val ev = Seq((1L, 0L, 1L, "A"), (1L, 10L, 2L, "A"), (1L, 20L, 3L, "A"),
+      (2L, 100L, 4L, "A"), (2L, 101L, 5L, "A"), (2L, 110L, 6L, "A"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.burstiness(ev, "event_type", "user_id", "ts",
+      "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got == Set(("A", 4L, 30L, 7.5, 228.0 / 900.0)), s"got $got")
+  }
+
   test("crossCorrelation: shifted copy peaks at its lag, inner alignment, exact r") {
     import graft.operators.Events
     // A on days 1-4: 1,2,5,3; B = A shifted +1 day. lag 1 aligns
