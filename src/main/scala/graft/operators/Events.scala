@@ -404,6 +404,48 @@ object Events {
             .cast("double")).as("intercept"))
   }
 
+  /** Theil–Sen robust trend — [[dailyTrend]]'s outlier-proof sibling
+    * (OLS lets one anomalous day drag the slope; the median of all
+    * pairwise slopes shrugs off up to ~29% corruption — the robust
+    * line a monitoring card should quote next to the OLS one): per
+    * type, the LOWER MEDIAN of (x_j − x_i)/(day_j − day_i) over all
+    * ordered day pairs, each slope micro-floored to the ppm grid
+    * (one double division + one floor — deterministic) so the median
+    * runs on exact integers via the 2·cum ≥ tot histogram rule (the
+    * [[graft.text.TextOps.quantileCard]] cut). Output: (typeCol,
+    * n_pairs, slope_ppm). Types with one observed day drop.
+    *
+    * Scale shape: the stream collapses ONCE to the bounded daily
+    * table; the pairwise fan-out is the BOUNDED day-table self-join
+    * keyed by type (d(d−1)/2 pairs of observed DAYS — 65 days is
+    * ~2 000 pairs — never event pairs); the median's cumulative
+    * window partitions by type over the slope histogram. */
+  def theilSenTrend(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol).as("__t"),
+        unix_date(to_date(col(tsCol))).cast("bigint").as("__day"))
+      .agg(count(lit(1)).as("__x"))
+    val a = daily.select(col("__t"), col("__day").as("__di"),
+      col("__x").as("__xi"))
+    val b = daily.select(col("__t"), col("__day").as("__dj"),
+      col("__x").as("__xj"))
+    val hist = a.join(b, Seq("__t")).filter(col("__di") < col("__dj"))
+      .select(col("__t"),
+        floor(lit(1000000d) * (col("__xj") - col("__xi")).cast("double") /
+          (col("__dj") - col("__di")).cast("double")).as("__s"))
+      .groupBy("__t", "__s").agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy("__t").orderBy("__s")
+    hist
+      .withColumn("__cum", sum(col("__c")).over(wv))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy("__t")))
+      .groupBy(col("__t").as(typeCol))
+      .agg(max(col("__tot")).as("n_pairs"),
+        min(when(col("__cum") * 2 >= col("__tot"), col("__s")))
+          .as("slope_ppm"))
+  }
+
   /** Activity seasonality profile — the (weekday × hour) heatmap table
     * behind every "when does this metric happen?" dashboard: per event
     * type, counts on the 7×24 grid and each cell's share of the

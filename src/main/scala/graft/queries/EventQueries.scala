@@ -254,6 +254,13 @@ object EventQueries {
     // representation lesson); is_current as INT. Both windows partition
     // by the uniform user key — the PlanSpec no-unpartitioned-window
     // audit holds, and Catalyst reuses one exchange+sort for the pair.
+    // Theil–Sen robust trend ([[graft.operators.Events.theilSenTrend]]):
+    // the median pairwise slope per type on the ppm grid — the
+    // outlier-proof line beside q181's OLS.
+    "q187_theil_sen" -> ((s, dir) =>
+      graft.operators.Events.theilSenTrend(t(s, dir, "events"),
+        "event_type", "ts")),
+
     // Burstiness card ([[graft.operators.Events.burstiness]]): CV² of
     // per-(user, type) inter-event gaps on the second grid — Poisson
     // reads 1, bursts read higher.
@@ -577,6 +584,25 @@ object EventQueries {
         |  min(CASE WHEN rc = 1 THEN value END) AS close,
         |  count(*) AS n_events
         |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // q187: same pairwise fan-out over the daily table, same micro-
+    // floored slope grid and 2·cum ≥ tot lower median.
+    "q187_theil_sen" ->
+      """WITH d AS (SELECT event_type AS t,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.t,
+        |        CAST(floor(1000000.0 * CAST(b.x - a.x AS DOUBLE) /
+        |          CAST(b.day - a.day AS DOUBLE)) AS BIGINT) AS s
+        |      FROM d a JOIN d b ON b.t = a.t AND a.day < b.day),
+        |h AS (SELECT t, s, count(*) AS c FROM p GROUP BY 1, 2),
+        |w AS (SELECT t, s, c, sum(c) OVER (PARTITION BY t ORDER BY s) AS cum,
+        |        sum(c) OVER (PARTITION BY t) AS tot FROM h)
+        |SELECT t AS event_type, CAST(max(tot) AS BIGINT) AS n_pairs,
+        |  CAST(min(CASE WHEN cum * 2 >= tot THEN s END) AS BIGINT)
+        |    AS slope_ppm
+        |FROM w GROUP BY t""".stripMargin,
 
     // q186: same per-(user, type) lag, same integer-second grid and
     // exact-sum CV² reformulation.

@@ -261,6 +261,23 @@ class OperatorsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("theilSenTrend: median pairwise slope shrugs an outlier day, OLS would not") {
+    import graft.operators.Events
+    // a: days 1,2,3 counts 1,3,4 -> slopes 2e6, 1e6, 1.5e6 -> median 1.5e6.
+    // b: days 1,2,3,4 counts 1,2,3,40 (outlier last day) -> 6 slopes:
+    // 1e6,1e6,1e6 (within 1-3) + 37e6,19e6,13e6 (to day 4) -> median 1e6.
+    def rows(t: String, day: Long, n: Int) =
+      (1 to n).map(i => (t, day * 86400L + i))
+    val ev = (rows("a", 1, 1) ++ rows("a", 2, 3) ++ rows("a", 3, 4) ++
+      rows("b", 1, 1) ++ rows("b", 2, 2) ++ rows("b", 3, 3) ++
+      rows("b", 4, 40))
+      .toDF("event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.theilSenTrend(ev, "event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 3L, 1500000L), ("b", 6L, 1000000L)), s"got $got")
+  }
+
   test("burstiness: gaps pool across users within type, exact CV2, cross-user no gap") {
     import graft.operators.Events
     // u1/A: gaps 10,10; u2/A: gaps 1,9 -> n=4 sg=30 sg2=282
