@@ -249,13 +249,15 @@ object Events {
     * (exponential) baseline; > 1 means bursts, < 1 means pacing — the
     * dispersion diagnostic behind rate-limit tuning and bot detection.
     * Gaps land on the integer SECOND grid (µs div 10⁶ — exact), so
-    * n, Σg, Σg² are LONGS and both output doubles are single
-    * divisions of exact products (the q161/q162 reformulation:
-    * CV² = (n·Σg² − (Σg)²)/(Σg)²). Output: (typeCol, n_gaps,
-    * sum_gap_s, mean_gap_s, cv2); types with no gaps or zero total
-    * gap drop. Overflow headroom: second-grid g ≤ ~10⁸ for year-long
-    * logs keeps n·Σg² under 2⁶³ to ~10⁷ gaps per type — use a
-    * coarser grid beyond.
+    * n, Σg, Σg² accumulate as LONGS; the CV² products are then taken
+    * in DOUBLE (each factor cast once — NOT as long products: (Σg)²
+    * overflows 2⁶³ already at ~3×10⁹ total gap-seconds per type,
+    * which a few thousand users × a two-month span reaches; the
+    * sf0.1 bench caught exactly that) with the identical cast-then-
+    * multiply-then-divide order on every engine:
+    * CV² = (n·Σg² − (Σg)²)/(Σg)² (the q161/q162 reformulation).
+    * Output: (typeCol, n_gaps, sum_gap_s, mean_gap_s, cv2); types
+    * with no gaps or zero total gap drop.
     *
     * Scale shape: ONE per-(user, type)-partitioned lag window (the
     * q35 key — never partitioned by type alone, which would gather a
@@ -278,9 +280,10 @@ object Events {
       .select(col(typeCol), col("n_gaps"), col("sum_gap_s"),
         (col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
           .as("mean_gap_s"),
-        ((col("n_gaps") * col("__sg2") - col("sum_gap_s") * col("sum_gap_s"))
-          .cast("double") /
-          (col("sum_gap_s") * col("sum_gap_s")).cast("double")).as("cv2"))
+        ((col("n_gaps").cast("double") * col("__sg2").cast("double") -
+          col("sum_gap_s").cast("double") * col("sum_gap_s").cast("double")) /
+          (col("sum_gap_s").cast("double") * col("sum_gap_s").cast("double")))
+          .as("cv2"))
   }
 
   /** Lagged cross-correlation between daily event series — "which

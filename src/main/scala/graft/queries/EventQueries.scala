@@ -618,8 +618,9 @@ object EventQueries {
         |      FROM g WHERE gp IS NOT NULL GROUP BY 1)
         |SELECT event_type, n_gaps, sum_gap_s,
         |  CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
-        |  CAST(n_gaps * sg2 - sum_gap_s * sum_gap_s AS DOUBLE) /
-        |    CAST(sum_gap_s * sum_gap_s AS DOUBLE) AS cv2
+        |  (CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        |    - CAST(sum_gap_s AS DOUBLE) * CAST(sum_gap_s AS DOUBLE)) /
+        |    (CAST(sum_gap_s AS DOUBLE) * CAST(sum_gap_s AS DOUBLE)) AS cv2
         |FROM a WHERE sum_gap_s > 0""".stripMargin,
 
     // q184: same daily table, lag fan-out via generate_series, day-
