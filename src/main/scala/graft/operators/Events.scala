@@ -487,7 +487,13 @@ object Events {
     * session collapses to its sorted DISTINCT type set (bounded by the
     * type alphabet), pairs explode in-array (k² of a tiny k), and the
     * pair/type/total tables all aggregate map-side onto the bounded
-    * type domain — the corpus never shuffles twice. */
+    * type domain — the corpus never shuffles twice.
+    *
+    * Overflow headroom: lift's numerator 10⁶·n_ab·S is a LONG —
+    * exact while n_ab·S < ~9·10¹², i.e. up to ~3·10⁶ sessions with a
+    * co-occurrence touching all of them; past that, widen the
+    * numerator to DECIMAL(38,0) — free, since the lift arithmetic
+    * runs on the ≤ |types|² pair table, never the corpus. */
   def sessionCooccurrence(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, eventIdCol: String,
       gapSeconds: Int = 1800, minCount: Long = 1): DataFrame = {

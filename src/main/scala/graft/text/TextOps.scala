@@ -560,7 +560,14 @@ object TextOps {
     * Scale shape: the [[robustOutlierReport]] histogram argument
     * verbatim — one (group, value)-keyed map-side-combined count agg
     * over the corpus, one group-partitioned cumulative window over
-    * BOUNDED histogram rows, one group-keyed closing agg. */
+    * BOUNDED histogram rows, one group-keyed closing agg.
+    *
+    * Overflow headroom: the ppm step computes 10⁶·(2S − (n+1)T) as a
+    * LONG — exact while n·T stays under ~9·10¹² per group (2S − (n+1)T
+    * is bounded by (n−1)·T); a group with 10⁹ documents of 10⁴ chars
+    * exceeds it — move the ppm step to DECIMAL(38,0) there (the
+    * histogram stays long; only the one-row-per-group closing
+    * arithmetic widens). */
   def giniCard(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df.select(col(groupCol).as("__g"),
