@@ -89,6 +89,24 @@ class SchemesSpec extends SparkSpec {
     }
   }
 
+  test("PrefixMax equals the window cumulative max at any input partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = supplier.select(col("s_suppkey"), (col("s_suppkey") * 5 % 11).cast("bigint").as("v"))
+    val expected = df
+      .withColumn("pm", max("v").over(
+        Window.orderBy("s_suppkey").rowsBetween(Window.unboundedPreceding, -1)))
+      .na.fill(Long.MinValue, Seq("pm"))
+      .orderBy("s_suppkey").select("s_suppkey", "pm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (parts <- Seq(1, 3, 8)) {
+      val got = PrefixSum
+        .withPrefixMax(df.repartition(parts), Seq(col("s_suppkey")), "v", "pm")
+        .orderBy("s_suppkey").select("s_suppkey", "pm")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"prefix max diverged at $parts input partitions")
+    }
+  }
+
   test("ConcatenatedScheme closed-form offsets are exact with bounded Constant segments") {
     // supplier has 10 rows: segment 1 = Constant(4, numExamples=7) -> 7 rows,
     // batches {0,1}; segment 2 = Sequential(5) -> 10 rows, batches continue
