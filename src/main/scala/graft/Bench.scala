@@ -58,9 +58,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
-    println(line)
+    // r7 postmortem: 186 per-query timings made the single JSON line longer
+    // than the driver's tail-capture window, truncating it mid-object
+    // ("parsed": null). The full detail now goes FIRST (stdout + file, where
+    // truncation is harmless) and the LAST line is a compact summary —
+    // bounded at the 10 slowest queries, well under 1 kB at any future query
+    // count — so the tail window always ends on a parseable object.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
+    println(full)
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

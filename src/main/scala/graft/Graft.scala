@@ -28,11 +28,47 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // config cascade (fuel config_parser analog: code > conf > default):
-    // spark.graft.floatX = float32|float64 selects the engine float width.
-    spark.conf.getOption("spark.graft.floatX").foreach(setFloatX)
+    // full config cascade (see configValue): conf > env > rc > default.
+    configValue(spark, "floatX").foreach(setFloatX)
     spark
   }
+
+  /** fuel's four-layer config cascade (fuel/config_parser.py:127-213:
+    * in-code value > environment variable > `~/.fuelrc` YAML > default)
+    * re-expressed for Spark: the Spark conf `spark.graft.<key>` is the
+    * in-code layer (set via builder/`spark.conf.set`, cluster-deployable
+    * through --conf), then env `GRAFT_<KEY>`, then the rc properties
+    * file (`$GRAFTRC`, defaulting to `~/.graftrc`, java-properties
+    * `key=value` lines), then `default`. Layers are per-key, exactly like
+    * fuel's: an rc file can set floatX while the conf overrides only
+    * maxBlock. `rc` is injectable for tests; production callers take the
+    * default (the file is read once per JVM). */
+  def configValue(spark: SparkSession, key: String,
+      default: Option[String] = None,
+      rc: java.util.Properties = rcProperties): Option[String] =
+    spark.conf.getOption(s"spark.graft.$key")
+      .orElse(sys.env.get("GRAFT_" + key.toUpperCase))
+      .orElse(Option(rc.getProperty(key)))
+      .orElse(default)
+
+  /** The rc file location: `$GRAFTRC` > `~/.graftrc` (fuel's
+    * FUEL_CONFIG > ~/.fuelrc resolution, config_parser.py:130-134). */
+  private[graft] def rcPath: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.env.getOrElse("GRAFTRC",
+      sys.props.getOrElse("user.home", ".") + "/.graftrc"))
+
+  /** Load an rc properties file; absent file = empty layer (fuel skips a
+    * missing ~/.fuelrc the same way). */
+  private[graft] def loadRc(path: java.nio.file.Path): java.util.Properties = {
+    val p = new java.util.Properties()
+    if (java.nio.file.Files.isRegularFile(path)) {
+      val in = java.nio.file.Files.newBufferedReader(path)
+      try p.load(in) finally in.close()
+    }
+    p
+  }
+
+  private lazy val rcProperties: java.util.Properties = loadRc(rcPath)
 
   /** fuel's `floatX` config (reference: fuel/config_parser.py:49-52,211):
     * the engine-wide float width used by `ForceFloatX`/`Cast("floatX")`.

@@ -43,13 +43,40 @@ object Ann {
     * alternative is the forced broadcast either OOMing the driver or
     * blowing Spark's broadcast limit mid-job, an error whose stack trace
     * points at an executor instead of at the oversized query set. */
+  /** Enforce the broadcast-side row contract TWICE: an eager call-site
+    * probe (a clean IllegalArgumentException naming the fix, raised
+    * before any job the oversized broadcast would OOM) and an IN-PLAN
+    * one-row raise_error gate crossed onto the frame. The gate
+    * re-enforces the bound at every execution — a lazily re-derived
+    * query frame can grow between probe time and run time — and is the
+    * plan-visible marker PlanSpec's global BroadcastNestedLoopJoin
+    * audit keys on (an eager-only probe leaves no trace in the plan).
+    * Costs one bounded (≤ max+1 rows) scan per side; the gate itself
+    * broadcasts as a one-row frame. Callers MUST build on the RETURNED
+    * frame. */
   private def probeQueries(queries: DataFrame, idCol: String, op: String,
-      maxQueryRows: Int, fix: String): Unit = {
-    val probed = queries.select(col(idCol)).limit(maxQueryRows + 1).count()
-    require(probed <= maxQueryRows,
+      maxQueryRows: Int, fix: String): DataFrame = {
+    val msg =
       s"$op: query set exceeds $maxQueryRows rows — a corpus-sized query side " +
         s"cannot broadcast. $fix, or raise maxQueryRows if the driver " +
-        "genuinely fits the larger broadcast")
+        "genuinely fits the larger broadcast"
+    val probed = queries.select(col(idCol)).limit(maxQueryRows + 1).count()
+    require(probed <= maxQueryRows, msg)
+    inPlanGate(queries, idCol, maxQueryRows, msg)
+  }
+
+  /** The in-plan half of a broadcast-side contract: a one-row gate frame
+    * (bounded count → raise_error past `maxRows`) crossed onto `df`. The
+    * `where` keeps the gate column live against column pruning; the gate
+    * itself broadcasts as a scalar frame, so the extra join is free at
+    * any scale and the `raise_error` marker survives into the executed
+    * plan for PlanSpec's audit. */
+  private def inPlanGate(df: DataFrame, keyCol: String, maxRows: Int,
+      msg: String): DataFrame = {
+    val gate = df.select(col(keyCol)).limit(maxRows + 1)
+      .agg(when(count(lit(1)) > maxRows, raise_error(lit(msg)))
+        .otherwise(lit(true)).as("__probed"))
+    df.crossJoin(broadcast(gate)).where(col("__probed")).drop("__probed")
   }
 
   /** Exact top-k neighbors for each query vector.
@@ -65,10 +92,10 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       maxQueryRows: Int = 1000000): DataFrame = {
-    probeQueries(queries, idCol, "bruteForceTopK", maxQueryRows,
+    val guarded = probeQueries(queries, idCol, "bruteForceTopK", maxQueryRows,
       "use lshTopK(broadcastQueries = false) for an unbounded query set " +
         "(or nearDupPairs for corpus-vs-itself search)")
-    val q = broadcast(queries
+    val q = broadcast(guarded
       .select(col(idCol).as("query_id"), col(vecCol).as("__qvec")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
       .join(q, col("neighbor_id") =!= col("query_id"))
@@ -171,10 +198,10 @@ object Ann {
       k: Int = 4, tauNum: Long = 105, tauDen: Long = 100,
       maxQueryRows: Int = 1000000): DataFrame = {
     require(k >= 1, s"marginMine: k must be >= 1, got $k")
-    probeQueries(a, idCol, "marginMine", maxQueryRows,
+    val guardedA = probeQueries(a, idCol, "marginMine", maxQueryRows,
       "generate candidates with lshTopK(broadcastQueries = false) and " +
         "apply the margin filter to that bounded pair frame")
-    val av = broadcast(a.select(col(idCol).as("src_id"),
+    val av = broadcast(guardedA.select(col(idCol).as("src_id"),
       col(vecCol).cast("array<double>").as("__av")))
     val pairs = b
       .select(col(idCol).as("dst_id"), col(vecCol).cast("array<double>").as("__bv"))
@@ -264,13 +291,13 @@ object Ann {
   def jlTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, outDim: Int = 32, oversample: Int = 20,
       seed: Long = 77, dim: Int = 64, maxQueryRows: Int = 1000000): DataFrame = {
-    probeQueries(queries, idCol, "jlTopK", maxQueryRows,
+    val guarded = probeQueries(queries, idCol, "jlTopK", maxQueryRows,
       "use lshTopK(broadcastQueries = false) for an unbounded query set")
     def reduced(df: DataFrame): DataFrame =
       signProject(quantize(df, idCol, vecCol), idCol, "qvec", outDim, seed, dim)
     val candScored = reduced(corpus)
       .select(col(idCol).as("neighbor_id"), col("rvec").as("__cv"))
-      .join(broadcast(reduced(queries)
+      .join(broadcast(reduced(guarded)
           .select(col(idCol).as("query_id"), col("rvec").as("__qv"))),
         col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -279,7 +306,7 @@ object Ann {
     val rerank = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
       .join(broadcast(cand.select("query_id", "neighbor_id")), Seq("neighbor_id"))
-      .join(broadcast(queries
+      .join(broadcast(guarded
           .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -350,15 +377,17 @@ object Ann {
       s"contaminatedSemantic: tauDen=$tauDen — the integer compare " +
         "den²·dot² vs num²·|a|²·|b|² must stay below 2^53 for bit-exact " +
         "double arithmetic; keep the denominator ≤ 10 (e.g. 9/10, 4/5)")
-    val probed = benchmark.select(col(benchIdCol)).limit(maxBenchRows + 1).count()
-    require(probed <= maxBenchRows,
+    val msg =
       s"contaminatedSemantic: benchmark exceeds $maxBenchRows rows — a " +
         "corpus-sized 'benchmark' cannot broadcast; use nearDupPairs' " +
         "LSH machinery for corpus-vs-corpus similarity, or raise " +
-        "maxBenchRows if the eval side genuinely fits the broadcast budget")
+        "maxBenchRows if the eval side genuinely fits the broadcast budget"
+    val probed = benchmark.select(col(benchIdCol)).limit(maxBenchRows + 1).count()
+    require(probed <= maxBenchRows, msg)
     val c = corpus.select(col(idCol), col(qvecCol).cast("array<double>").as("__cv"))
-    val b = benchmark.select(col(benchIdCol).as("__bid"),
-      col(benchQvecCol).cast("array<double>").as("__bv"))
+    val b = inPlanGate(benchmark, benchIdCol, maxBenchRows, msg)
+      .select(col(benchIdCol).as("__bid"),
+        col(benchQvecCol).cast("array<double>").as("__bv"))
     val d = dot(col("__cv"), col("__bv"))
     val na2 = dot(col("__cv"), col("__cv"))
     val nb2 = dot(col("__bv"), col("__bv"))
@@ -671,8 +700,13 @@ object Ann {
     * for d=64 that is 2 080 rows, in-codegen), and the pair-keyed agg
     * map-side combines onto the FIXED d² domain, so the shuffle
     * carries ~2 080 rows per partition regardless of corpus size.
-    * Overflow headroom: |q|≤10³·maxAbs, so g stays under 2⁶³ up to
-    * ~10¹² rows at unit-norm inputs. */
+    * Overflow headroom: |q|≤10³·maxAbs, so the accumulated g stays
+    * under 2⁶³ up to ~10¹² rows at unit-norm inputs. The closing cov
+    * arithmetic (n·g − si·sj) is computed in DOUBLE, not long — n·g
+    * wraps a long at only ~10⁷–10⁸ unit-norm rows, far below g's own
+    * headroom, so the exact-integer tier ends at the agg outputs and
+    * the one output-edge division carries double semantics (same
+    * fixed operation order on the oracle side → bit-identical). */
   def gramMatrix(df: DataFrame, vecCol: String, dim: Int,
       scale: Long = 1000L): DataFrame = {
     val e = df
@@ -688,8 +722,9 @@ object Ann {
         sum(col("e.xi") * col("e.xj")).as("g"),
         sum(col("e.xi")).as("si"), sum(col("e.xj")).as("sj"))
       .withColumn("cov",
-        (col("n") * col("g") - col("si") * col("sj")).cast("double") /
-          (col("n") * col("n")).cast("double"))
+        (col("n").cast("double") * col("g").cast("double") -
+          col("si").cast("double") * col("sj").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double")))
   }
 
   /** IVF cluster-balance report — the index health check run before
@@ -815,16 +850,18 @@ object Ann {
   def knnPropagate(corpus: DataFrame, idCol: String, vecCol: String,
       labeled: DataFrame, labeledIdCol: String, labeledVecCol: String,
       labelCol: String, k: Int = 5, maxLabeledRows: Int = 100000): DataFrame = {
-    val probed = labeled.select(col(labeledIdCol)).limit(maxLabeledRows + 1).count()
-    require(probed <= maxLabeledRows,
+    val msg =
       s"knnPropagate: labeled set exceeds $maxLabeledRows rows — a " +
         "corpus-sized 'seed set' cannot broadcast; label propagation " +
         "wants a bounded hand-labeled side, or raise maxLabeledRows if " +
-        "it genuinely fits the broadcast budget")
+        "it genuinely fits the broadcast budget"
+    val probed = labeled.select(col(labeledIdCol)).limit(maxLabeledRows + 1).count()
+    require(probed <= maxLabeledRows, msg)
     val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
-    val l = labeled.select(col(labeledIdCol).as("__lid"),
-      col(labeledVecCol).cast("array<double>").as("__lv"),
-      col(labelCol).cast("long").as("__lab"))
+    val l = inPlanGate(labeled, labeledIdCol, maxLabeledRows, msg)
+      .select(col(labeledIdCol).as("__lid"),
+        col(labeledVecCol).cast("array<double>").as("__lv"),
+        col(labelCol).cast("long").as("__lab"))
     val votes = c.join(broadcast(l), col(idCol) =!= col("__lid"))
       .select(col(idCol), col("__lab"), cosine(col("__cv"), col("__lv")).as("sim"))
       .groupBy(idCol).agg(TopK.topK(k)(col("sim"), col("__lab")).as("top"))
@@ -991,9 +1028,11 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64,
       broadcastQueries: Boolean = true, maxQueryRows: Int = 1000000): DataFrame = {
-    if (broadcastQueries)
-      probeQueries(queries, idCol, "lshTopK", maxQueryRows,
-        "pass broadcastQueries = false to plan key-partitioned shuffle joins")
+    val q0 =
+      if (broadcastQueries)
+        probeQueries(queries, idCol, "lshTopK", maxQueryRows,
+          "pass broadcastQueries = false to plan key-partitioned shuffle joins")
+      else queries
     val hp = hyperplanes(seed, tables, planes, dim)
     def maybeBcast(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     def bucketed(df: DataFrame, idAs: String): DataFrame =
@@ -1003,13 +1042,13 @@ object Ann {
     // pair (corpus side a key join, query side broadcast-or-shuffle per
     // the broadcastQueries contract above).
     val candidates = bucketed(corpus, "neighbor_id")
-      .join(maybeBcast(bucketed(queries, "query_id")), Seq("table", "bucket"))
+      .join(maybeBcast(bucketed(q0, "query_id")), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
     val scored = candidates
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec")),
         Seq("neighbor_id"))
-      .join(maybeBcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
+      .join(maybeBcast(q0.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qvec"), col("__cvec")).as("sim"))

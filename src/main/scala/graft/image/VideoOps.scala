@@ -9,14 +9,16 @@ import graft.image.ImageOps.Frame
   * frame-sampled into [[ImageOps.Frame]] rows for the image operator
   * family downstream.
   *
-  * NO REAL VIDEO CODEC EXISTS IN THIS ENVIRONMENT (the JVM ships image
-  * and WAV codecs, not H.264/VP9). The decoder here is therefore a
-  * DETERMINISTIC FAKE — clearly marked, swappable: [[sampleFrames]] takes
-  * the decode kernel as a parameter, and everything Spark-side (binary
-  * column in, evenly-spaced sampling, struct<Frame> rows out, executor
-  * parallelism, composition with crop/resize) is real and tested. A
-  * production deployment passes a JNI/ffmpeg-backed kernel with the same
-  * signature.
+  * The JVM ships image and WAV codecs, not H.264/VP9 — real video decode
+  * lives at the converter edge in [[Ffmpeg]] (one ffmpeg-CLI subprocess
+  * per clip, the reference's converter-tier pattern). The kernel here is
+  * a DETERMINISTIC FAKE kept as the hermetic test double — clearly
+  * marked, swappable: [[sampleFrames]] takes the decode kernel as a
+  * parameter, and everything Spark-side (binary column in, evenly-spaced
+  * sampling, struct<Frame> rows out, executor parallelism, composition
+  * with crop/resize) is real and tested against it. Production ingest
+  * uses [[Ffmpeg.sampleFramesCli]] (whole-clip decode, same sampling
+  * contract via [[Ffmpeg.evenIndices]]).
   */
 object VideoOps {
 
@@ -45,13 +47,9 @@ object VideoOps {
       totalFrames: Array[Byte] => Int = b => math.max(1, b.length / 64)): Column = {
     require(n > 0, s"frame sample count must be positive: $n")
     val sample = udf { (b: Array[Byte]) =>
-      val total = totalFrames(b)
-      val take = math.min(n, total)
-      // evenly spaced indices 0 .. total-1 (first/last included when n>1)
-      val idxs =
-        if (take == 1) Seq(0)
-        else (0 until take).map(i => (i.toLong * (total - 1) / (take - 1)).toInt)
-      idxs.map(i => (i, kernel(b, i)))
+      // evenly spaced indices 0 .. total-1 (first/last included when
+      // n>1) — ONE shared formula with the ffmpeg-CLI ingest path.
+      Ffmpeg.evenIndices(totalFrames(b), n).map(i => (i, kernel(b, i)))
     }
     sample(bytes)
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence event analytics — the funnel and cohort tables every
@@ -318,6 +318,15 @@ object Events {
         col("__x").as("__xb")),
       col("__bday") === col("__day") + col("lag") &&
         col("type_b") =!= col("type_a"))
+    // Closing arithmetic in DOUBLE, never long products: n·Σxx wraps a
+    // long once per-day counts reach ~10⁷ over a year (the agg sums
+    // themselves stay exact far longer — Σxx ≤ d·max_count²). One fixed
+    // a·b − c·d operation order, mirrored verbatim in the oracle, keeps
+    // the result bit-identical cross-engine (same discipline as
+    // [[graft.ann.Ann.gramMatrix]]'s cov step).
+    def d(c: Column): Column = c.cast("double")
+    val varX = d(col("n")) * d(col("__sxx")) - d(col("__sx")) * d(col("__sx"))
+    val varY = d(col("n")) * d(col("__syy")) - d(col("__sy")) * d(col("__sy"))
     joined
       .groupBy(col("type_a"), col("type_b"), col("lag"))
       .agg(count(lit(1)).as("n"), sum(col("__xa")).as("__sx"),
@@ -325,14 +334,10 @@ object Events {
         sum(col("__xa") * col("__xb")).as("__sxy"),
         sum(col("__xa") * col("__xa")).as("__sxx"),
         sum(col("__xb") * col("__xb")).as("__syy"))
-      .filter(col("n") * col("__sxx") - col("__sx") * col("__sx") > 0 &&
-        col("n") * col("__syy") - col("__sy") * col("__sy") > 0)
+      .filter(varX > 0 && varY > 0)
       .select(col("type_a"), col("type_b"), col("lag"), col("n"),
-        ((col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
-          sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
-            .cast("double") *
-            (col("n") * col("__syy") - col("__sy") * col("__sy"))
-              .cast("double"))).as("r"))
+        ((d(col("n")) * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) /
+          sqrt(varX * varY)).as("r"))
   }
 
   /** Interval-overlap aggregation by sweep line — "how many intervals
@@ -374,11 +379,16 @@ object Events {
     * CUSUM answers level shifts — monitoring wants both): per type,
     * ordinary least squares of daily count on epoch day over the
     * observed-day series. The q162 discipline lifted to regression:
-    * all five sums are exact LONGS, and both coefficients are single
-    * divisions of integer-exact products —
+    * all five sums are exact LONGS —
     * slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²),
-    * intercept = (Σy·Σxx − Σx·Σxy)/(n·Σxx − Σx²) — one IEEE rounding
-    * per product cast, one per division, bit-stable cross-engine.
+    * intercept = (Σy·Σxx − Σx·Σxy)/(n·Σxx − Σx²) — but the CLOSING
+    * products run in DOUBLE, never long: x is the absolute epoch day
+    * (~2·10⁴), so Σxx ≈ days·4·10⁸ and the long form of Σy·Σxx wraps
+    * silently at only ~10⁸ events over a year (Spark wraps where
+    * DuckDB raises — the engines would diverge in failure mode). The
+    * fixed a·b − c·d operation order is mirrored verbatim in the
+    * oracle, so each coefficient is still bit-stable cross-engine
+    * (one IEEE rounding per cast/product, one per division).
     * Types observed on a single day drop (zero variance in x). Output:
     * (typeCol, n_days, total, slope, intercept).
     *
@@ -391,20 +401,19 @@ object Events {
       .groupBy(col(typeCol), unix_date(to_date(col(tsCol))).cast("bigint")
         .as("__x"))
       .agg(count(lit(1)).as("__y"))
+    def d(c: Column): Column = c.cast("double")
+    val varX = d(col("n_days")) * d(col("__sxx")) -
+      d(col("__sx")) * d(col("__sx"))
     daily.groupBy(col(typeCol))
       .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("total"),
         sum(col("__x")).as("__sx"), sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__x") * col("__y")).as("__sxy"))
-      .filter(col("n_days") * col("__sxx") - col("__sx") * col("__sx") > 0)
+      .filter(varX > 0)
       .select(col(typeCol), col("n_days"), col("total"),
-        ((col("n_days") * col("__sxy") - col("__sx") * col("total"))
-          .cast("double") /
-          (col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
-            .cast("double")).as("slope"),
-        ((col("total") * col("__sxx") - col("__sx") * col("__sxy"))
-          .cast("double") /
-          (col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
-            .cast("double")).as("intercept"))
+        ((d(col("n_days")) * d(col("__sxy")) -
+          d(col("__sx")) * d(col("total"))) / varX).as("slope"),
+        ((d(col("total")) * d(col("__sxx")) -
+          d(col("__sx")) * d(col("__sxy"))) / varX).as("intercept"))
   }
 
   /** Theil–Sen robust trend — [[dailyTrend]]'s outlier-proof sibling

@@ -49,10 +49,19 @@ object Linkage {
       .drop("__occ")
     val l = guarded.select(col("__b"), col("__id").as("id1"), col("__s").as("s1"))
     val r = guarded.select(col("__b"), col("__id").as("id2"), col("__s").as("s2"))
+    // THRESHOLD-BOUNDED distance on the quadratic within-block hot
+    // path: the 3-arg levenshtein early-exits at maxDist (banded DP,
+    // O(maxDist·len) per evaluation instead of O(len²)) and encodes
+    // "beyond" as −1, so filter and projection share one expression.
+    // Catalyst does not reliably CSE a levenshtein across
+    // Filter/Project (predicate pushdown re-substitutes the alias), so
+    // the expression may still evaluate twice per candidate — the
+    // threshold bounds BOTH evaluations, which is what matters here.
     l.join(r, Seq("__b"))
-      .filter(col("id1") < col("id2") &&
-        levenshtein(col("s1"), col("s2")) <= maxDist)
-      .select(col("id1"), col("id2"), col("s1"), col("s2"),
-        levenshtein(col("s1"), col("s2")).cast("bigint").as("dist"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist",
+        levenshtein(col("s1"), col("s2"), maxDist).cast("bigint"))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("s1"), col("s2"), col("dist"))
   }
 }

@@ -642,11 +642,17 @@ object EventQueries {
         |        CAST(sum(xb * xb) AS BIGINT) AS syy
         |      FROM j GROUP BY 1, 2, 3)
         |SELECT type_a, type_b, lag, n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |         CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
         |FROM g
-        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
+        |WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0""".stripMargin,
 
     // q182: the same five shift-or-mask spread rounds staged through
     // CTEs (x on even bits, y << 1 on odd); DuckDB's checked << stays
@@ -671,7 +677,10 @@ object EventQueries {
         |  min(y0) AS y_min, max(y0) AS y_max
         |FROM z GROUP BY 1""".stripMargin,
 
-    // q181: identical integer sums and product-then-divide order.
+    // q181: identical integer sums; the closing products run in DOUBLE
+    // with the engine's exact a·b − c·d operation order (long products
+    // of absolute-epoch-day sums would overflow — raising here, wrapping
+    // in Spark — at ~10⁸ events/year).
     "q181_daily_trend" ->
       """WITH d AS (SELECT event_type AS t,
         |             CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
@@ -683,11 +692,16 @@ object EventQueries {
         |        CAST(sum(x * y) AS BIGINT) AS sxy
         |      FROM d GROUP BY 1)
         |SELECT t AS event_type, CAST(n AS BIGINT) AS n_days, sy AS total,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-        |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
-        |    CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
-        |FROM a WHERE n * sxx - sx * sx > 0""".stripMargin,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept
+        |FROM a WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0""".stripMargin,
 
     // q179: isodow−1 is the engine-neutral Monday-zero weekday.
     "q179_seasonality" ->
@@ -803,15 +817,20 @@ object EventQueries {
         |FROM p JOIN t2 USING (from_type)""".stripMargin,
 
     // q168: change gate = lag over the (ts, event_id) per-key order;
-    // IS DISTINCT FROM is the engine-neutral null-safe inequality.
+    // IS DISTINCT FROM is the engine-neutral null-safe inequality. The
+    // first-row arm is row_number() = 1, NOT `pv IS NULL` — a NULL
+    // predecessor TIER would satisfy the latter and open a version for
+    // every row of a NULL run, where the engine (and the ScD2 spec)
+    // collapse consecutive NULL tiers into one version.
     "q168_scd2" ->
       """WITH c AS (SELECT user_id, ts, event_id,
         |             CAST(floor(value / 50) AS BIGINT) AS tier,
-        |             lag(CAST(floor(value / 50) AS BIGINT)) OVER
-        |               (PARTITION BY user_id ORDER BY ts, event_id) AS pv
-        |           FROM events),
+        |             lag(CAST(floor(value / 50) AS BIGINT)) OVER wk AS pv,
+        |             row_number() OVER wk AS rn
+        |           FROM events
+        |           WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts, event_id, tier FROM c
-        |      WHERE pv IS NULL OR tier IS DISTINCT FROM pv)
+        |      WHERE rn = 1 OR tier IS DISTINCT FROM pv)
         |SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
         |  epoch_us(ts) AS valid_from_us,
         |  epoch_us(lead(ts) OVER w) AS valid_to_us, tier,

@@ -124,6 +124,24 @@ object Pipeline {
           count(lit(1)).as("n"))
     }),
 
+    // Mid-epoch resume oracled end-to-end ([[graft.stream.DataStream
+    // .resumeFrom]]'s exact plan via resumedPlan): epoch 1 of q53's
+    // stream resumed at cursor 192 (= batch boundary 3·64), reduced to
+    // the same per-batch boundary facts. The oracle replays the
+    // reseeded permutation (seed 11 + epoch 1) and the cursor cut in
+    // SQL — (seed, epoch, cursor) fully locate the resume point, so
+    // the yielded batch set is bit-reproducible.
+    "q188_resume_epoch" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select("o_orderkey")
+      val ds = graft.stream.DataStream(ord, ShuffledScheme(64, seed = 11),
+        Seq(col("o_orderkey")))
+      ds.resumedPlan(cursor = 192L, epoch = 1)
+        .groupBy(col(Schemes.BatchId).as("batch_id"))
+        .agg(min_by(col("o_orderkey"), col(Schemes.Pos)).as("first_id"),
+          max_by(col("o_orderkey"), col(Schemes.Pos)).as("last_id"),
+          count(lit(1)).as("n"))
+    }),
+
     // List-form Subset algebra (fuel/utils/__init__.py:30-397): the split
     // below exercises beautify (dups + contiguous tail), overlapping-slice
     // merging, mixed list∪slice union, and slice-request composition — all
@@ -238,6 +256,18 @@ object Pipeline {
          |  count(*) AS n
          |FROM p GROUP BY 1, 2""".stripMargin
     },
+
+    "q188_resume_epoch" ->
+      s"""WITH idx AS (
+         |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS i FROM orders),
+         |p AS (
+         |  SELECT o_orderkey,
+         |    row_number() OVER (ORDER BY ${duckShuffleHash(12, "i")}, i) - 1 AS pos
+         |  FROM idx)
+         |SELECT CAST(floor(pos / 64) AS BIGINT) AS batch_id,
+         |  min_by(o_orderkey, pos) AS first_id, max_by(o_orderkey, pos) AS last_id,
+         |  count(*) AS n
+         |FROM p WHERE pos >= 192 GROUP BY 1""".stripMargin,
 
     "q49_subset" ->
       s"""WITH d AS (

@@ -209,15 +209,26 @@ object Relational {
             (col("l_orderkey") % 25 + 3).cast("int")).as("l_receipt")),
         "l_shipdate", "l_receipt")),
 
-    "q146_id_gaps" -> ((s, dir) =>
-      t(s, dir, "orders")
+    // Bucket capacity comes from the OBSERVED key domain, not a flat
+    // 1000: the edge buckets are partial (keys start above the bucket's
+    // lower bound; the last bucket ends at the global max), so a flat
+    // capacity would report phantom gaps at the key-space edges. The
+    // global bounds ride as a broadcast one-row frame.
+    "q146_id_gaps" -> ((s, dir) => {
+      val f = t(s, dir, "orders").select(col("o_orderkey"))
         .filter(col("o_orderkey") % 97 =!= 13)
-        .groupBy(expr("o_orderkey div 1000").as("bucket"))
+      val bounds = f.agg(min(col("o_orderkey")).as("__gmin"),
+        max(col("o_orderkey")).as("__gmax"))
+      f.groupBy(expr("o_orderkey div 1000").as("bucket"))
         .agg(count(lit(1)).as("n_present"),
           min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .crossJoin(broadcast(bounds))
         .select(col("bucket"), col("n_present"),
-          (lit(1000L) - col("n_present")).as("n_missing"), col("lo"), col("hi"))
-        .filter(col("n_missing") > 0)),
+          (least(col("bucket") * 1000L + 999L, col("__gmax")) -
+            greatest(col("bucket") * 1000L, col("__gmin")) + 1L -
+            col("n_present")).as("n_missing"), col("lo"), col("hi"))
+        .filter(col("n_missing") > 0)
+    }),
 
     // Correlated scalar subquery, decorrelated EXPLICITLY. The oracle
     // keeps the correlated SQL as the semantic spec; the engine ships
@@ -365,13 +376,20 @@ object Relational {
         |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |  w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
-    // q146: same bucket agg; `//` = `div` on non-negative keys.
+    // q146: same bucket agg; `//` = `div` on non-negative keys; same
+    // observed-domain capacity clamp at the key-space edges.
     "q146_id_gaps" ->
-      """SELECT o_orderkey // 1000 AS bucket, count(*) AS n_present,
-        |  1000 - count(*) AS n_missing,
-        |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
-        |FROM orders WHERE o_orderkey % 97 <> 13
-        |GROUP BY 1 HAVING 1000 - count(*) > 0""".stripMargin,
+      """WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 13),
+        |g AS (SELECT min(o_orderkey) AS gmin, max(o_orderkey) AS gmax FROM f),
+        |b AS (SELECT o_orderkey // 1000 AS bucket, count(*) AS n_present,
+        |        min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |      FROM f GROUP BY 1)
+        |SELECT bucket, n_present,
+        |  least(bucket * 1000 + 999, gmax) - greatest(bucket * 1000, gmin)
+        |    + 1 - n_present AS n_missing, lo, hi
+        |FROM b, g
+        |WHERE least(bucket * 1000 + 999, gmax) - greatest(bucket * 1000, gmin)
+        |    + 1 - n_present > 0""".stripMargin,
 
     // q164: the identical correlated text — DuckDB unnests it the same
     // way (a NULL-count from the decorrelated join reads as 0 via

@@ -1403,10 +1403,17 @@ object TextQueries {
     // split into 40-token windows at 10-token overlap (stride 30) —
     // the preprocessor for docs longer than the model's context. The
     // chunk count is an integer formula, the slices are pure
-    // projections, and the oracle replays the identical geometry.
+    // projections, and the oracle replays the identical geometry. The
+    // query pins chunk CONTENT via hash64 of the space-joined chunk
+    // (tokens are whitespace-split, so the join is injective) instead
+    // of the raw array — every output column is scalar, which the
+    // driver's pandas comparator requires to sort rows.
     "q122_doc_chunks" -> ((s, dir) =>
       TextOps.splitLongDocs(docsWithTokens(s, dir), "doc_id", "ts",
-        maxTokens = 40, overlap = 10)),
+        maxTokens = 40, overlap = 10)
+        .select(col("doc_id"), col("chunk_id"),
+          Stable.hash64(concat_ws(" ", col("chunk_toks"))).as("chunk_hash"),
+          col("n_chunk_tokens"))),
 
     // Embedding hygiene ([[Ann.embeddingHealth]]): the one-row corpus
     // health check before any ANN tier — zero-norm counts, dimension
@@ -3157,7 +3164,8 @@ object TextQueries {
        |sc AS (SELECT doc_id,
        |    sum((${H("concat('w', CAST(h % 4096 AS VARCHAR))")} % 2001) - 1000) AS score_sum,
        |    count(*) AS n FROM th GROUP BY doc_id)
-       |SELECT doc_id, score_sum, CAST(n AS BIGINT) AS n_tokens,
+       |SELECT doc_id, CAST(score_sum AS BIGINT) AS score_sum,
+       |  CAST(n AS BIGINT) AS n_tokens,
        |  CAST(score_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score
        |FROM sc
        |WHERE score_sum * 1000000 > 50000000 * n
@@ -3653,7 +3661,7 @@ object TextQueries {
          |  CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 29) // 30 END AS nc FROM nz),
          |ex AS (SELECT doc_id, ts, n, unnest(generate_series(0, nc - 1)) AS k FROM ch)
          |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-         |  ts[k * 30 + 1 : k * 30 + 40] AS chunk_toks,
+         |  ${H("array_to_string(ts[k * 30 + 1 : k * 30 + 40], ' ')")} AS chunk_hash,
          |  CAST(len(ts[k * 30 + 1 : k * 30 + 40]) AS BIGINT) AS n_chunk_tokens
          |FROM ex""".stripMargin,
 
@@ -4103,7 +4111,9 @@ object TextQueries {
         |          CAST(sum(xi) AS BIGINT) AS si, CAST(sum(xj) AS BIGINT) AS sj
         |        FROM e GROUP BY 1, 2)
         |SELECT i, j, n, g, si, sj,
-        |  CAST(n * g - si * sj AS DOUBLE) / CAST(n * n AS DOUBLE) AS cov
+        |  (CAST(n AS DOUBLE) * CAST(g AS DOUBLE)
+        |     - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov
         |FROM agg""".stripMargin,
 
     // q172: the oracle takes the OTHER road — rebuild the applied
@@ -4539,7 +4549,8 @@ object TextQueries {
          |sc AS (SELECT doc_id,
          |    sum((${H("concat('w', CAST(h % 4096 AS VARCHAR))")} % 2001) - 1000) AS score_sum,
          |    count(*) AS n FROM th GROUP BY doc_id)
-         |SELECT doc_id, score_sum, CAST(n AS BIGINT) AS n_tokens,
+         |SELECT doc_id, CAST(score_sum AS BIGINT) AS score_sum,
+         |  CAST(n AS BIGINT) AS n_tokens,
          |  CAST(score_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score
          |FROM sc
          |WHERE n > 0 AND
@@ -4559,10 +4570,11 @@ object TextQueries {
          |  coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
          |  FROM h)
-         |SELECT doc_id, shuffle_key, n_tokens, tok_offset,
-         |  tok_offset // 512 AS first_seq,
-         |  CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
-         |       ELSE tok_offset // 512 END AS last_seq
+         |SELECT doc_id, shuffle_key, n_tokens,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(tok_offset // 512 AS BIGINT) AS first_seq,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 512
+         |            ELSE tok_offset // 512 END AS BIGINT) AS last_seq
          |FROM p""".stripMargin,
 
     // q111: the same plants, the same RE2-safe terminal-punctuation

@@ -77,4 +77,23 @@ final class Catalog(spark: SparkSession) {
 object Catalog {
   def forTestData(spark: SparkSession, dir: String): Catalog =
     new Catalog(spark).registerTestTables(dir)
+
+  /** fuel's public-dataset MNIST binding re-expressed over a parquet
+    * fixture (fuel/datasets/mnist.py:7-33 binds filename `mnist.hdf5`
+    * plus `default_transformers = uint8_pixels_to_floatX(('features',))`,
+    * i.e. ScaleAndShift(1/255, 0) then Cast(floatX) —
+    * fuel/transformers/defaults.py:6-13). Expected schema at `path`:
+    * (idx bigint, features array<...> of raw pixel ints in [0, 255],
+    * label). [[Catalog.defaultStream]] then yields floatX features in
+    * [0, 1] — the exact `default_stream` contract a fuel user gets from
+    * `MNIST(('train',)).default_stream()`. Any MNIST-shaped parquet
+    * works; tests exercise it over a deterministic mini fixture. */
+  def registerMnist(c: Catalog, spark: SparkSession, path: String,
+      name: String = "mnist-mini"): Catalog = {
+    import graft.transform.{Cast, ScaleAndShift}
+    c.register(name, () => spark.read.parquet(path), Seq(col("idx")),
+      Seq(ScaleAndShift(1.0 / 255, 0.0, Seq("features")),
+        Cast("floatX", Seq("features"))))
+    c
+  }
 }

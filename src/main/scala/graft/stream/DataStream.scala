@@ -55,11 +55,20 @@ final class DataStream(val source: DataFrame, val scheme: IterationScheme,
   def epochIterator(epoch: Int): Iterator[Seq[Row]] =
     epochFrom(compiledForEpoch(epoch))
 
+  /** The distributed plan [[resumeFrom]] iterates: epoch `epoch`'s
+    * compiled frame restricted to positions `>= cursor`. Exposed
+    * separately so the resume seam is oracle-checkable end-to-end
+    * (q188 replays the reseeded permutation + the cursor cut in SQL),
+    * not just spec'd. A cursor on a batch boundary resumes at a whole
+    * batch; mid-batch cursors yield that batch's remaining rows. */
+  def resumedPlan(cursor: Long, epoch: Int = 0): DataFrame =
+    compiledForEpoch(epoch).filter(col(Schemes.Pos) >= cursor)
+
   /** Resume epoch `epoch` mid-way: yields batches whose first row position
     * is `>= cursor` (the deterministic-replay answer to iterator pickling:
     * (seed, epoch, cursor) fully locate a point in the epoch stream). */
   def resumeFrom(cursor: Long, epoch: Int = 0): Iterator[Seq[Row]] =
-    epochFrom(compiledForEpoch(epoch).filter(col(Schemes.Pos) >= cursor))
+    epochFrom(resumedPlan(cursor, epoch))
 
   private def epochFrom(df: DataFrame): Iterator[Seq[Row]] = {
     val hasBatch = df.columns.contains(Schemes.BatchId)

@@ -333,9 +333,16 @@ object TextOps {
       idCol: String, k: Int, scale: Long): DataFrame = {
     val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("bigint")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    // Collapse the corpus-scalar frame through a grouping-less max agg:
+    // a no-op on its one-row contract (live path: one agg row; index
+    // path: the materialized one-row *_stats parquet), but the plan now
+    // PROVES the broadcast side is scalar — a FileScan alone carries no
+    // row bound, so PlanSpec's nested-loop audit (and a reader of the
+    // plan) would otherwise have to take the contract on faith.
+    val scalars1 = scalars.agg(max(col("__n")).as("__n"), max(col("__t")).as("__t"))
     tf.join(dfreq, Seq("term"))
       .join(broadcast(qterms), Seq("term"))
-      .crossJoin(broadcast(scalars))
+      .crossJoin(broadcast(scalars1))
       .withColumn("__adl", expr("__t div __n"))
       .withColumn("__idf", ilog2(col("__n")) - ilog2(col("__df")))
       .withColumn("__sc", expr(

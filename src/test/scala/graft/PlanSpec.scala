@@ -278,15 +278,60 @@ class PlanSpec extends SparkSpec {
             graft.text.Curation.gate(graft.text.Curation.scrubLines(raw)))),
           graft.text.Curation.scrub(raw.filter(col("doc_id") % 41 === 0)))
       })
+    // Violations accumulate across ALL targets (never fail-fast): one
+    // run reports every offender, so a new scale-killer class flushes
+    // out in a single audit pass instead of one query per run.
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     targets.foreach { case (name, mk) =>
       val nodes = allNodes(mk().queryExecution.executedPlan)
-      val unpartitionedWindows = nodes.collect {
+      nodes.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
-      }
-      assert(unpartitionedWindows.isEmpty,
+      }.foreach(_ => violations +=
         s"$name moves all rows to one partition via an unpartitioned Window")
-      val cartesians = nodes.collect { case c: CartesianProductExec => c.nodeName }
-      assert(cartesians.isEmpty, s"$name contains a CartesianProduct")
+      nodes.collect { case c: CartesianProductExec => c.nodeName }
+        .foreach(_ => violations += s"$name contains a CartesianProduct")
+      // A GLOBAL SortExec is a full range-repartition of its input — the
+      // engine's contract is that total orders exist only inside the
+      // range-partitioned prefix-sum scan (sortWithinPartitions,
+      // global=false) or a TakeOrderedAndProject top-k, so any
+      // global=true sort in a query plan is an unbudgeted corpus-wide
+      // shuffle that a 100x scale-up pays for twice.
+      nodes.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s.nodeName
+      }.foreach(_ => violations +=
+        s"$name contains a GLOBAL sort (full range shuffle)")
+      // BroadcastNestedLoopJoin is O(|stream| x |broadcast|) compare
+      // work: legal ONLY when the broadcast side is bounded by
+      // construction — a grouping-less aggregate (one-row scalar frame)
+      // or a frame behind an enforced raise_error probe guard (the ANN
+      // probeQueries contract). Anything else is a latent quadratic.
+      import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        val buildChild = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        val buildNodes = allNodes(buildChild)
+        val scalarFrame = buildNodes.exists {
+          case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+          case _ => false
+        }
+        val probed = buildChild.toString.contains("raise_error")
+        // Driver-literal frames (every leaf a LocalTableScan — the data
+        // already lives in the driver as a Seq) are bounded by
+        // construction: nothing corpus-sized can arrive that way.
+        val leaves = buildNodes.filter(_.children.isEmpty)
+        val driverLiteral = leaves.nonEmpty && leaves.forall(
+          _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        if (!(scalarFrame || probed || driverLiteral)) violations +=
+          s"$name broadcasts an UNBOUNDED side into a nested-loop join " +
+            "(not a one-row aggregate, a raise_error-probed frame, or a " +
+            s"driver-literal relation):\n$buildChild"
+      }
     }
+    assert(violations.isEmpty,
+      s"${violations.size} scale-killer plan violation(s):\n" +
+        violations.mkString("\n---\n"))
   }
 }

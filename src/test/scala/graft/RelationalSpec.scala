@@ -55,6 +55,39 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { cat.load("nope") }
   }
 
+  test("mnist-mini: the named public-dataset binding end-to-end (fuel mnist.py:7-33)") {
+    // A deterministic MNIST-SHAPED fixture (64 "images" of 784 raw pixel
+    // ints in [0, 255], labels 0-9) written as parquet, then bound by
+    // name with fuel's exact default chain (uint8_pixels_to_floatX):
+    // defaultStream must yield floatX features in [0, 1] with value
+    // pixel/255 — the contract MNIST(('train',)).default_stream() gives
+    // a fuel user, minus only the real file bytes.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("mnist-mini").toString
+    spark.range(64).select(col("id").as("idx"),
+        expr("transform(sequence(0, 783), j -> CAST((id * 31 + j * 17) % 256 AS INT))")
+          .as("features"),
+        (col("id") % 10).as("label"))
+      .write.mode("overwrite").parquet(dir)
+    val cat = graft.sources.Catalog.registerMnist(
+      new graft.sources.Catalog(spark), spark, dir)
+    val out = cat.defaultStream("mnist-mini")
+    assert(cat.order("mnist-mini").map(_.toString).contains("idx"))
+    val ft = out.schema("features").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(ft == Graft.floatX, s"default chain must land on floatX, got $ft")
+    val row = out.filter(col("idx") === 3).select(col("features")).head()
+    val feats = row.getSeq[Float](0)
+    assert(feats.length == 784)
+    // pixel (idx=3, j=2) = (93 + 34) % 256 = 127 -> 127/255
+    assert(math.abs(feats(2) - 127f / 255f) < 1e-6)
+    assert(feats.forall(v => v >= 0f && v <= 1f))
+    // raw load stays untransformed ints
+    assert(cat.load("mnist-mini").schema("features").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("approximate aggregates: HLL distinct near exact, quantile sketch brackets exact") {
     // The sketch tier of the aggregation surface (SURVEY §2.6): at 100 TB
     // an exact distinct is a full shuffle of the keys; the HLL sketch is a

@@ -59,10 +59,32 @@ def main():
             n_fail += 1
             continue
         ok = False
+        # The driver's hash is dtype-sensitive (r7: DuckDB HUGEINT sums
+        # reach pandas as float64 and hash-mismatch int64 Spark columns
+        # even when every value is equal) and its comparator cannot sort
+        # list/array columns. Mirror both gates here so the class is
+        # caught locally, not by the round artifact.
+        # Kind-level drift only: r7 showed int64-vs-float64 breaks the
+        # driver's hash (HUGEINT→float64 coercion) while int32-vs-int64
+        # and ns-vs-us datetimes hash equal — so compare dtype KIND
+        # (int/uint unified), not width.
+        def kind(d):
+            return {"u": "i"}.get(d.kind, d.kind)
+        dtype_mism = [
+            (c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+            for c in spark_df.columns if c in duck_df.columns
+            and kind(spark_df[c].dtype) != kind(duck_df[c].dtype)]
+        arr_cols = [c for c in spark_df.columns
+                    if spark_df[c].map(lambda v: isinstance(v, tuple)).any()]
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
         elif len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+        elif dtype_mism:
+            print(f"FAIL {name}: dtype drift (driver hash would mismatch): {dtype_mism}")
+        elif arr_cols:
+            print(f"FAIL {name}: array-typed output columns {arr_cols} "
+                  f"(driver's pandas sort_values cannot order them)")
         else:
             try:
                 pd.testing.assert_frame_equal(
