@@ -253,6 +253,23 @@ object Relational {
         .select(col("p_partkey"), col("p_retailprice"),
           coalesce(col("__n"), lit(0L)).as("n_pricier"))
     }),
+    // Explicit skew salting ([[graft.operators.Skew.saltedJoin]]): the
+    // customer→nation join shuffled on (key, salt) — the plan every
+    // known-skew deployment wants (the hot key spreads across `salt`
+    // reducers by construction; AQE's runtime splitter is the fallback
+    // for UNKNOWN skew). Salting is semantics-preserving and the salt
+    // never escapes, so the oracle is the PLAIN join; the aggregates
+    // are order-free (count/min/max), bit-stable under any lane split.
+    "q189_salted_join" -> ((s, dir) =>
+      graft.operators.Skew.saltedJoin(
+        t(s, dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
+        t(s, dir, "nation").select("n_nationkey", "n_name"),
+        "c_nationkey", "n_nationkey", saltBy = col("c_custkey"), salt = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))),
+
     // part names within 2 edits, blocked on the first token — the
     // catalog-dedup tier (candidate+verify over a blocking key, the
     // LSH shape applied to edit distance). Levenshtein is exact.
@@ -400,6 +417,14 @@ object Relational {
         |   WHERE l.l_partkey = p.p_partkey
         |     AND l.l_extendedprice > p.p_retailprice) AS n_pricier
         |FROM part p""".stripMargin,
+
+    // q189: the PLAIN join — salting is internal plumbing the result
+    // must be invariant to, which is exactly what this compare pins.
+    "q189_salted_join" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
 
     // q136: same collapse → block → candidate+verify chain; DuckDB's
     // levenshtein is the same unit-cost edit distance as Spark's.

@@ -489,4 +489,44 @@ class OperatorsSpec extends SparkSpec {
       ("c", 1L, 10 * M, 30 * M, "~", 0), ("c", 2L, 30 * M, -1L, "X", 1)),
       s"got $got")
   }
+
+  test("saltedJoin: hot key spreads across salt lanes, results invariant, left join exact") {
+    import graft.operators.Skew
+    // 1000 facts, 90% on the hot key 7 — the known-skew shape
+    val facts = SparkSpec.spark.range(1000).selectExpr("id AS fid",
+      "CASE WHEN id % 10 < 9 THEN 7L ELSE id % 10 END AS k",
+      "id * 3 AS v")
+    val dim = Seq((7L, "hot"), (0L, "zero"), (3L, "three"), (99L, "absent"))
+      .toDF("dk", "name")
+    // Disable auto-broadcast so the join actually shuffles — the shape
+    // salting exists for (a broadcastable dim needs no salt).
+    val conf = SparkSpec.spark.conf
+    val prior = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Skew.saltedJoin(facts, dim, "k", "dk",
+        saltBy = col("fid"), salt = 8)
+      // the physical shuffle must be keyed by (k, __salt): the hot key
+      // can then never land on a single reducer
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"join not salted:\n$plan")
+      // semantics: exactly the plain join
+      val expect = facts.join(dim, facts("k") === dim("dk")).drop("dk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val got = salted.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == expect && got.size == 900) // only the hot key 7 has a dim row (k=9 rows do not)
+      // the fact rows spread across DISTINCT salt lanes for the hot key
+      val lanes = facts.filter(col("k") === 7)
+        .select(pmod(graft.functions.Stable.hash64(col("fid")), lit(8L)).as("s"))
+        .distinct().count()
+      assert(lanes == 8, s"hot key used only $lanes of 8 lanes")
+      // left join: unmatched facts survive exactly once with null dim cols
+      val left = Skew.saltedJoin(facts, dim, "k", "dk",
+        saltBy = col("fid"), salt = 8, joinType = "left")
+      assert(left.count() == 1000)
+      assert(left.filter(col("name").isNull).count() ==
+        facts.join(dim, facts("k") === dim("dk"), "left_anti").count())
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
