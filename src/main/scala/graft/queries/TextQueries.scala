@@ -445,6 +445,41 @@ object TextQueries {
       graft.text.Curation.admit(fresh, store).select("doc_id")
     }),
 
+    // Store EVOLUTION across two admission rounds ([[graft.text
+    // .Curation.admit]] chained — the exact state loop [[graft.streaming
+    // .Streaming.admitStream]]'s foreachBatch runs, in batch form):
+    // batch 1 admits against an EMPTY store (within-batch dedup only,
+    // +1M verbatim plants collapse to their originals), its survivors'
+    // signatures BECOME the store, and batch 2 admits against that —
+    // +2M plants (copies of batch-1 docs) drop ONLY because batch 1's
+    // admissions entered the store, +3M plants (prefix-mutated batch-1
+    // docs) drop via the near tier against the evolved store. Output:
+    // (batch, doc_id) of every admitted doc — the oracle replays both
+    // rounds, so the store hand-off itself is hash-pinned.
+    "q190_admit_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def wTs(df: DataFrame): DataFrame =
+        df.withColumn("ts", TextOps.tokens(col("text")))
+      val b1 = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val b2 = docs.filter(col("doc_id") % 3 === 1)
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") < 60)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(docs
+          .filter(col("doc_id") % 3 === 0 && col("doc_id") >= 60 &&
+            col("doc_id") < 90)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("qq "), col("text")).as("text")))
+      val store0 = Dedup.signatureStore(wTs(docs.limit(0)), "doc_id", "text", "ts")
+      val a1 = graft.transform.Cache()(graft.text.Curation.admit(wTs(b1), store0))
+      val store1 = graft.transform.Cache()(
+        Dedup.signatureStore(a1, "doc_id", "text", "ts"))
+      val a2 = graft.text.Curation.admit(wTs(b2), store1)
+      a1.select(lit(1L).as("batch"), col("doc_id"))
+        .unionByName(a2.select(lit(2L).as("batch"), col("doc_id")))
+    }),
+
     // The curation-run report ([[graft.text.Curation.report]]): per-stage
     // survivor doc and token counts over q59's exact chain (same planted
     // PII, same doc_id % 41 eval slice) — the five-row frame an operator
@@ -3343,6 +3378,65 @@ object TextQueries {
     * `p` prefixes every emitted CTE name (`${p}sh` is the output), so a
     * second shingle stream — e.g. a benchmark tokenized separately from
     * the corpus, the q67/q69 shape — coexists in one WITH list. */
+  /** q190 oracle: BOTH admission rounds replayed — shingle minhashes
+    * computed once over the union (identical per doc either way), round
+    * 1 as within-only dedup (empty store), round 2 against round 1's
+    * survivor set as the store. The CTE chain is [[duckAdmitOracle]]'s
+    * construction parameterized by (batch, store) per round, so the
+    * store hand-off — the piece q60 cannot see — is what this pins. */
+  private def duckAdmitEvolutionOracle: String = {
+    val mins = (0 until 8).map(j => s"min(${Stable.duckFamilyHash("sh", j)}) AS m$j").mkString(", ")
+    def bandRows(from: String) = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS b, ${H(s"concat_ws(',', '$bnd', CAST(m${2 * bnd} AS VARCHAR), CAST(m${2 * bnd + 1} AS VARCHAR))")} AS bk FROM mh JOIN $from USING (doc_id)"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until 8).map(j => s"CAST(a.m$j = c.m$j AS INT)").mkString(" + ")
+    s"""WITH b1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+       |    WHERE doc_id % 3 = 0 AND doc_id < 30),
+       |b2 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+       |    WHERE doc_id % 3 = 0 AND doc_id < 60
+       |  UNION ALL SELECT doc_id + 3000000, 'qq ' || text FROM documents
+       |    WHERE doc_id % 3 = 0 AND doc_id >= 60 AND doc_id < 90),
+       |d0 AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+       |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM d0),
+       |${duckShingleHashes()},
+       |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |xk AS (SELECT doc_id, md5(substr(text, 1, 40)) AS xkey FROM d0),
+       |f1 AS (SELECT x.doc_id, x.xkey FROM xk x JOIN b1 USING (doc_id)),
+       |s1 AS (SELECT min(doc_id) AS doc_id FROM f1 GROUP BY xkey),
+       |fb1 AS (
+       |  ${bandRows("s1")}),
+       |wd1 AS (SELECT DISTINCT x.doc_id
+       |        FROM fb1 x JOIN fb1 y ON x.b = y.b AND x.bk = y.bk AND y.doc_id < x.doc_id
+       |        JOIN mh a ON a.doc_id = x.doc_id JOIN mh c ON c.doc_id = y.doc_id
+       |        WHERE ($agree) / 8.0 >= 0.5),
+       |a1 AS (SELECT w.doc_id FROM s1 w ANTI JOIN wd1 d ON w.doc_id = d.doc_id),
+       |f2 AS (SELECT x.doc_id, x.xkey FROM xk x JOIN b2 USING (doc_id)),
+       |s2 AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY xkey),
+       |sxk AS (SELECT DISTINCT x.xkey FROM xk x JOIN a1 USING (doc_id)),
+       |w2b AS (SELECT f.doc_id FROM f2 f JOIN s2 USING (doc_id)
+       |        ANTI JOIN sxk s ON f.xkey = s.xkey),
+       |sb2 AS (
+       |  ${bandRows("a1")}),
+       |fb2 AS (
+       |  ${bandRows("w2b")}),
+       |xd2 AS (SELECT DISTINCT f.doc_id
+       |        FROM fb2 f JOIN sb2 s ON f.b = s.b AND f.bk = s.bk
+       |        JOIN mh a ON a.doc_id = f.doc_id JOIN mh c ON c.doc_id = s.doc_id
+       |        WHERE ($agree) / 8.0 >= 0.5),
+       |wd2 AS (SELECT DISTINCT x.doc_id
+       |        FROM fb2 x JOIN fb2 y ON x.b = y.b AND x.bk = y.bk AND y.doc_id < x.doc_id
+       |        JOIN mh a ON a.doc_id = x.doc_id JOIN mh c ON c.doc_id = y.doc_id
+       |        WHERE ($agree) / 8.0 >= 0.5),
+       |nd2 AS (SELECT doc_id FROM xd2 UNION SELECT doc_id FROM wd2),
+       |a2 AS (SELECT w.doc_id FROM w2b w ANTI JOIN nd2 d ON w.doc_id = d.doc_id)
+       |SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM a1
+       |UNION ALL SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM a2""".stripMargin
+  }
+
   private def duckShingleHashes(src: String = "toks", p: String = ""): String = {
     val a = (0 until 3).map(i => Stable.familyConstants(100 + i)._1)
     s"""${p}tok AS (
@@ -5050,6 +5144,7 @@ object TextQueries {
     "q51_curation" -> duckCurationOracle,
     "q59_full_curation" -> duckFullCurationOracle,
     "q60_incremental_admit" -> duckAdmitOracle,
+    "q190_admit_evolution" -> duckAdmitEvolutionOracle,
     "q61_curation_report" -> duckReportOracle,
     "q67_published_curation" -> duckPublishedCurationOracle,
     "q68_published_report" -> duckPublishedReportOracle,
