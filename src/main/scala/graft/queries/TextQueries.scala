@@ -480,6 +480,17 @@ object TextQueries {
         .unionByName(a2.select(lit(2L).as("batch"), col("doc_id")))
     }),
 
+    // Packing-efficiency card ([[TextOps.packEfficiency]]): sequence
+    // counts and padding waste for three candidate context lengths —
+    // the table read BEFORE budgeting a q43-scale pack. Closed-form in
+    // one corpus agg (pads land only in the final sequence under
+    // cross-doc concatenation), all integer ppm arithmetic.
+    "q191_pack_efficiency" -> ((s, dir) =>
+      TextOps.packEfficiency(
+        docsWithTokens(s, dir).select(col("doc_id"),
+          size(col("ts")).cast("bigint").as("n_tokens")),
+        "n_tokens", Seq(128, 256, 512))),
+
     // The curation-run report ([[graft.text.Curation.report]]): per-stage
     // survivor doc and token counts over q59's exact chain (same planted
     // PII, same doc_id % 41 eval slice) — the five-row frame an operator
@@ -5145,6 +5156,24 @@ object TextQueries {
     "q59_full_curation" -> duckFullCurationOracle,
     "q60_incremental_admit" -> duckAdmitOracle,
     "q190_admit_evolution" -> duckAdmitEvolutionOracle,
+
+    // q191: the same closed-form card; `//` is integer division on the
+    // BIGINT-cast sums (HUGEINT sums cast at the CTE edge — the q72
+    // lesson).
+    "q191_pack_efficiency" ->
+      s"""WITH $DuckToks,
+         |t AS (SELECT
+         |  CAST(sum(CASE WHEN len(ts) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(ts)) AS BIGINT) AS total_tokens FROM toks),
+         |l AS (SELECT CAST(unnest([128, 256, 512]) AS BIGINT) AS seq_len),
+         |c AS (SELECT n_docs, total_tokens, seq_len,
+         |        (total_tokens + seq_len - 1) // seq_len AS n_sequences
+         |      FROM t, l)
+         |SELECT n_docs, total_tokens, seq_len, n_sequences,
+         |  n_sequences * seq_len - total_tokens AS pad_tokens,
+         |  ((n_sequences * seq_len - total_tokens) * 1000000)
+         |    // (n_sequences * seq_len) AS waste_ppm
+         |FROM c""".stripMargin,
     "q61_curation_report" -> duckReportOracle,
     "q67_published_curation" -> duckPublishedCurationOracle,
     "q68_published_report" -> duckPublishedReportOracle,

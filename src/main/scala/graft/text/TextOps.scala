@@ -1567,6 +1567,43 @@ object TextOps {
         e => e.getField("t")).as("tokens"))
   }
 
+  /** Packing-efficiency card — the decision table for choosing a
+    * training sequence length BEFORE committing to a [[packSequences]]
+    * run: for each candidate `seqLen`, the sequence count the pack
+    * would produce and the padding waste it would pay. Cross-document
+    * concatenation pads only the FINAL sequence, so the whole card is
+    * closed-form in (n_docs, total_tokens): n_sequences =
+    * ⌈total/seqLen⌉ — identical by construction to
+    * `max(last_seq) + 1` of the actual pack (same integer formula,
+    * [[packSequencesOrdered]]) — and pad_tokens = n_seq·seqLen − total.
+    * waste_ppm is the integer-ppm share of slots padding wastes.
+    * Output: one row per seqLen — (n_docs, total_tokens, seq_len,
+    * n_sequences, pad_tokens, waste_ppm).
+    *
+    * Scale shape: ONE map-side-combined agg to a single row, then a
+    * literal explode — deliberately NOT `seqLens.length` prefix-sum
+    * runs: the card must stay free when the pack itself is the
+    * expensive step being budgeted. */
+  def packEfficiency(df: DataFrame, nTokCol: String,
+      seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0),
+      s"packEfficiency: seqLens must be positive and non-empty: $seqLens")
+    df.agg(
+        coalesce(sum(when(col(nTokCol) > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs"),
+        coalesce(sum(col(nTokCol)), lit(0L)).as("total_tokens"))
+      .select(col("n_docs"), col("total_tokens"),
+        explode(array(seqLens.map(l => lit(l.toLong)): _*)).as("seq_len"))
+      .withColumn("n_sequences",
+        expr("(total_tokens + seq_len - 1) div seq_len"))
+      .withColumn("pad_tokens",
+        col("n_sequences") * col("seq_len") - col("total_tokens"))
+      .withColumn("waste_ppm",
+        when(col("n_sequences") > 0,
+          expr("(pad_tokens * 1000000) div (n_sequences * seq_len)"))
+          .otherwise(lit(0L)))
+  }
+
   /** Pack tokenized documents into fixed-length training sequences (the
     * LLM-pretraining layout: concatenate docs in id order, cut every
     * `seqLen` tokens; docs may span sequence boundaries). Emits each doc's

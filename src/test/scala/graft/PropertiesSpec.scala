@@ -387,6 +387,45 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 10)
   }
 
+  test("law: saltedJoin is salt-invariant and equals the plain join for any salt") {
+    // The lane count is pure plumbing: for ANY salt (including the
+    // degenerate 1) the joined multiset must equal the unsalted join —
+    // the q189 invariance, quantified over salt and data shape.
+    import org.scalacheck.Gen
+    check(Prop.forAll(Gen.choose(1, 24), Gen.choose(2L, 40L)) { (salt, n) =>
+      val facts = SparkSpec.spark.range(n * 5)
+        .selectExpr("id AS fid", "id % " + n + " AS k")
+      val dim = (0L until n by 2).map(k => (k, s"d$k")).toDF("dk", "name")
+      val plain = facts.join(dim, facts("k") === dim("dk")).drop("dk")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val salted = graft.operators.Skew
+        .saltedJoin(facts, dim, "k", "dk", saltBy = col("fid"), salt = salt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      salted == plain
+    }, trials = 8)
+  }
+
+  test("law: packEfficiency's closed form equals the actual pack's sequence count") {
+    // n_sequences = ceil(total/seqLen) must agree with max(last_seq)+1
+    // of packSequences — the card predicts exactly what the pack does.
+    import org.scalacheck.Gen
+    check(Prop.forAll(Gen.choose(1, 40), Gen.choose(1L, 9999L)) { (seqLen, seed) =>
+      val docs = SparkSpec.spark.range(30).select(col("id").as("doc_id"),
+        pmod(graft.functions.Stable.seededHash(seed, col("id")), lit(25L))
+          .as("n_tokens"))
+      val card = graft.text.TextOps
+        .packEfficiency(docs, "n_tokens", Seq(seqLen))
+        .head()
+      val packed = graft.text.TextOps
+        .packSequences(docs.filter(col("n_tokens") > 0), "doc_id", "n_tokens", seqLen)
+        .agg(max(col("last_seq")).as("mx")).head()
+      val expected = if (packed.isNullAt(0)) 0L else packed.getLong(0) + 1
+      card.getAs[Long]("n_sequences") == expected &&
+        card.getAs[Long]("pad_tokens") ==
+          card.getAs[Long]("n_sequences") * seqLen - card.getAs[Long]("total_tokens")
+    }, trials = 8)
+  }
+
   test("law: grouped split assigns every cluster to exactly one split") {
     // The q157 invariant — the split key is the cluster id, so members
     // of a family can never straddle train/test (the leakage q119
