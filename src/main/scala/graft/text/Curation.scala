@@ -146,11 +146,26 @@ object Curation {
     * exploded token stream once per consumer (signature mins + both
     * verify-join sides = three). The only exchanges left are the band
     * bucket join and the candidate verify joins, which are genuinely
-    * relational. */
-  def nearDeduped(exactKept: DataFrame): DataFrame = {
-    val feat = exactKept
+    * relational.
+    *
+    * The feature frame PERSISTS by default — the opposite call from the
+    * chain's scan-reuse rule, and for the measured reason: this is not
+    * a narrow cheap projection but ~2n md5 digests per doc feeding
+    * THREE consumers (sig mins + both verify-join sides), and the
+    * verify joins shuffle the shingle arrays regardless, so persisting
+    * trades one cached write for two full re-hashings of the corpus
+    * (sf0.1 probe, BenchQ73: 3.4 s → 2.6 s for the stage; the win
+    * compounds across every chain that embeds this stage). At 100 TB
+    * the cache is corpus-token-scale — MEMORY_AND_DISK absorbs it; pass
+    * `reuse = Recompute` when executor disk, not CPU, is the bound. */
+  def nearDeduped(exactKept: DataFrame, reuse: Reuse = Persist): DataFrame = {
+    val feat0 = exactKept
       .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("__mf"))
       .filter(col("__mf").isNotNull)
+    val feat = reuse match {
+      case Persist => Cache()(feat0)
+      case Recompute => feat0
+    }
     val shSets = feat.select(col("doc_id"), col("__mf")("shingles").as("sh"))
     val sig = feat.select(col("doc_id"), col("__mf")("sig").as("sig"))
     val cand = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
@@ -168,10 +183,16 @@ object Curation {
     * cross-shard collisions never meet and the occupancy guard counts
     * per shard). The ordering rule still applies, per shard: exact
     * dedup first, keyed on (group, content-key). */
-  def nearDedupedGrouped(exactKept: DataFrame, groupCol: String): DataFrame = {
-    val feat = exactKept
+  def nearDedupedGrouped(exactKept: DataFrame, groupCol: String,
+      reuse: Reuse = Persist): DataFrame = {
+    val feat0 = exactKept
       .select(col("doc_id"), col(groupCol), Dedup.minhashFeatures(col("ts")).as("__mf"))
       .filter(col("__mf").isNotNull)
+    // same three-consumer persist rationale as [[nearDeduped]]
+    val feat = reuse match {
+      case Persist => Cache()(feat0)
+      case Recompute => feat0
+    }
     val shSets = feat.select(col("doc_id"), col("__mf")("shingles").as("sh"))
     val sig = feat.select(col("doc_id"), col(groupCol), col("__mf")("sig").as("sig"))
     val cand = Dedup.lshCandidatesGrouped(sig, "doc_id", "sig", groupCol,
@@ -259,7 +280,13 @@ object Curation {
     val scrubbed = Cache()(scrub(docs))
     val gated = Cache()(gate(scrubbed))
     val ex = Cache()(exactDeduped(gated))
-    val nd = Cache()(nearDeduped(ex))
+    // Recompute, not Persist, for the feature frame HERE: the report
+    // already caches every stage boundary, so feat's three consumers
+    // re-project from the in-memory `ex` rows — cheaper than writing
+    // the corpus-scale shingle arrays to a second cache (measured at
+    // sf0.1: the persist default cost q68 ~+1 s; the chain queries,
+    // whose ex is not a cached stage, measure the opposite).
+    val nd = Cache()(nearDeduped(ex, Recompute))
     val clean = decontaminate(nd, scrub(benchmark), k, minOverlap)
     def stat(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
@@ -565,7 +592,8 @@ object Curation {
     val gated = Cache()(gate(scrubbed))
     val rg = Cache()(repetitionGate(gated, maxTop2GramFrac, maxDup3GramFrac))
     val ex = Cache()(exactDeduped(rg))
-    val nd = Cache()(nearDeduped(ex))
+    // Recompute for the same reason as [[report]]: ex is a cached stage.
+    val nd = Cache()(nearDeduped(ex, Recompute))
     val clean = decontaminate(nd, scrub(benchmark), k, minOverlap)
     def stat(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),

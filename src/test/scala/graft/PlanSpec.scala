@@ -155,6 +155,11 @@ class PlanSpec extends SparkSpec {
     // prefix sum executes eagerly and roots the final q51 plan in an
     // RDD scan, hiding the upstream tree.
     import org.apache.spark.sql.functions.col
+    // Clear the session cache first: earlier suites populate Cache()d
+    // frames whose plans can MATCH fragments of this lineage, and the
+    // CacheManager then substitutes InMemoryRelations — changing the
+    // scan count with suite order instead of with composition.
+    spark.catalog.clearCache()
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"), graft.text.TextOps.tokens(col("text")).as("ts"))
     val p = graft.text.Curation.curatedDocs(docs).queryExecution.executedPlan.toString
@@ -162,7 +167,10 @@ class PlanSpec extends SparkSpec {
     // 10 = the multi-consumer DAG expanded to a plan tree: exactKept is
     // gated⋈keep (2 scans), the LSH band self-join doubles the signature
     // branch (4), the two verify sides re-derive shingle sets (2+2), and
-    // the final anti-join re-derives exactKept (2).
+    // the final anti-join re-derives exactKept (2). nearDeduped's feature
+    // persist does not change the count — the four InMemoryTableScans it
+    // introduces stringify with their child scans — it changes what
+    // EXECUTES (the cached branches hash once, not three times).
     assert(scans == 10,
       s"curation corpus scan count changed ($scans, expected 10) — revisit Curation.Reuse")
   }
