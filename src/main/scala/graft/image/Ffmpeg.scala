@@ -57,12 +57,19 @@ object Ffmpeg {
         binary, "-v", "error", "-i", tmp.toString,
         "-f", "rawvideo", "-pix_fmt", "rgb24",
         "-vf", s"scale=$w:$h", "pipe:1").start()
-      // stdout first (the big stream), then stderr: at -v error the
-      // stderr volume is far below the pipe buffer, so this order
-      // cannot deadlock while keeping the large read streaming.
+      // stderr drains on its OWN thread: a partially corrupt clip can
+      // emit one '-v error' line per bad packet — past the ~64 KB pipe
+      // buffer ffmpeg would block writing stderr while we block reading
+      // stdout, deadlocking the executor task. Concurrent drains make
+      // the pair progress regardless of either stream's volume.
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val drainer = new Thread(() => proc.getErrorStream.transferTo(errBuf))
+      drainer.setDaemon(true)
+      drainer.start()
       val out = proc.getInputStream.readAllBytes()
-      val err = new String(proc.getErrorStream.readAllBytes(), UTF_8)
       val rc = proc.waitFor()
+      drainer.join(10000)
+      val err = errBuf.toString(UTF_8)
       require(rc == 0, s"ffmpeg exited $rc: $err")
       val per = w * h * 3
       require(out.length % per == 0,

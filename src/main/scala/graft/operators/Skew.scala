@@ -45,8 +45,13 @@ object Skew {
       joinType == "left_outer",
       s"saltedJoin: only inner/left joins are salt-preserving as " +
         s"implemented, got '$joinType'")
+    // hash64 is null-preserving: an uncoalesced NULL saltBy would make
+    // __salt NULL, the lane condition never match, and a real key match
+    // silently vanish (inner) or null out (left) — the coalesce keeps
+    // the documented semantics-preserving contract for ANY saltBy.
     val f = facts.withColumn("__salt",
-      pmod(graft.functions.Stable.hash64(saltBy), lit(salt.toLong)))
+      pmod(coalesce(graft.functions.Stable.hash64(saltBy), lit(0L)),
+        lit(salt.toLong)))
     val d = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     f.join(d, f("__salt") === d("__salt") &&

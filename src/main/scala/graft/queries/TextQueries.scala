@@ -5171,8 +5171,10 @@ object TextQueries {
          |      FROM t, l)
          |SELECT n_docs, total_tokens, seq_len, n_sequences,
          |  n_sequences * seq_len - total_tokens AS pad_tokens,
-         |  ((n_sequences * seq_len - total_tokens) * 1000000)
-         |    // (n_sequences * seq_len) AS waste_ppm
+         |  CASE WHEN n_sequences > 0
+         |       THEN ((n_sequences * seq_len - total_tokens) * 1000000)
+         |              // (n_sequences * seq_len)
+         |       ELSE 0 END AS waste_ppm
          |FROM c""".stripMargin,
     "q61_curation_report" -> duckReportOracle,
     "q67_published_curation" -> duckPublishedCurationOracle,

@@ -53,6 +53,24 @@ final class Catalog(spark: SparkSession) {
       defaults: Seq[Transform] = Nil): this.type =
     register(name, () => SplitSource.read(spark, path, split), order, defaults)
 
+  /** fuel's public-dataset MNIST binding re-expressed over a parquet
+    * fixture (fuel/datasets/mnist.py:7-33 binds filename `mnist.hdf5`
+    * plus `default_transformers = uint8_pixels_to_floatX(('features',))`,
+    * i.e. ScaleAndShift(1/255, 0) then Cast(floatX) —
+    * fuel/transformers/defaults.py:6-13). Expected schema at `path`:
+    * (idx bigint, features array<...> of raw pixel ints in [0, 255],
+    * label). [[defaultStream]] then yields floatX features in [0, 1] —
+    * the exact `default_stream` contract a fuel user gets from
+    * `MNIST(('train',)).default_stream()`. Any MNIST-shaped parquet
+    * works; tests exercise it over a deterministic mini fixture. */
+  def registerMnist(path: String, name: String = "mnist-mini"): this.type = {
+    import graft.transform.{Cast, ScaleAndShift}
+    register(name, () => spark.read.parquet(path),
+      Seq(col("idx")),
+      Seq(ScaleAndShift(1.0 / 255, 0.0, Seq("features")),
+        Cast("floatX", Seq("features"))))
+  }
+
   def names: Seq[String] = entries.keys.toSeq
 
   /** Raw load (no defaults). */
@@ -77,23 +95,4 @@ final class Catalog(spark: SparkSession) {
 object Catalog {
   def forTestData(spark: SparkSession, dir: String): Catalog =
     new Catalog(spark).registerTestTables(dir)
-
-  /** fuel's public-dataset MNIST binding re-expressed over a parquet
-    * fixture (fuel/datasets/mnist.py:7-33 binds filename `mnist.hdf5`
-    * plus `default_transformers = uint8_pixels_to_floatX(('features',))`,
-    * i.e. ScaleAndShift(1/255, 0) then Cast(floatX) —
-    * fuel/transformers/defaults.py:6-13). Expected schema at `path`:
-    * (idx bigint, features array<...> of raw pixel ints in [0, 255],
-    * label). [[Catalog.defaultStream]] then yields floatX features in
-    * [0, 1] — the exact `default_stream` contract a fuel user gets from
-    * `MNIST(('train',)).default_stream()`. Any MNIST-shaped parquet
-    * works; tests exercise it over a deterministic mini fixture. */
-  def registerMnist(c: Catalog, spark: SparkSession, path: String,
-      name: String = "mnist-mini"): Catalog = {
-    import graft.transform.{Cast, ScaleAndShift}
-    c.register(name, () => spark.read.parquet(path), Seq(col("idx")),
-      Seq(ScaleAndShift(1.0 / 255, 0.0, Seq("features")),
-        Cast("floatX", Seq("features"))))
-    c
-  }
 }

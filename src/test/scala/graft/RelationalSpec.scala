@@ -69,8 +69,7 @@ class RelationalSpec extends SparkSpec {
           .as("features"),
         (col("id") % 10).as("label"))
       .write.mode("overwrite").parquet(dir)
-    val cat = graft.sources.Catalog.registerMnist(
-      new graft.sources.Catalog(spark), spark, dir)
+    val cat = new graft.sources.Catalog(spark).registerMnist(dir)
     val out = cat.defaultStream("mnist-mini")
     assert(cat.order("mnist-mini").map(_.toString).contains("idx"))
     val ft = out.schema("features").dataType
