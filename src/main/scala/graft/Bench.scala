@@ -51,6 +51,24 @@ object Bench {
       runFull(SparkEntry.queries(n)(spark, sfDir))
       n -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // The PREVIOUS run's full per-query detail (committed BENCH_LOCAL.json)
+    // — read BEFORE this run overwrites it, so the round-over-round ratio
+    // on the shared query subset is computed by the bench itself, not
+    // hand-assembled from truncated driver artifacts (VERDICT r8 #8).
+    val prevQueries: Map[String, Double] = {
+      val p = Paths.get("BENCH_LOCAL.json")
+      if (!Files.exists(p)) Map.empty
+      else {
+        val txt = Files.readString(p)
+        val body = txt.indexOf("\"queries\":{")
+        if (body < 0) Map.empty
+        else {
+          val sub = txt.substring(body + 11, txt.indexOf('}', body))
+          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(sub)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    }
     val allPasses = (1 to passes).map(_ => timedPass())
     val results = names.map(n => n -> allPasses.map(_(n)).min)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -58,19 +76,34 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val shared = results.filter { case (n, _) => prevQueries.contains(n) }
+    val sharedPrev =
+      if (shared.isEmpty) """{"n":0}"""
+      else {
+        val cur = shared.map(_._2).sum
+        val prev = shared.map { case (n, _) => prevQueries(n) }.sum
+        s"""{"n":${shared.size},"prev_total":${fmt(prev)},"cur_total":${fmt(cur)},"ratio":${fmt(cur / prev)}}"""
+      }
     // r7 postmortem: 186 per-query timings made the single JSON line longer
     // than the driver's tail-capture window, truncating it mid-object
     // ("parsed": null). The full detail now goes FIRST (stdout + file, where
     // truncation is harmless) and the LAST line is a compact summary —
     // bounded at the 10 slowest queries, well under 1 kB at any future query
     // count — so the tail window always ends on a parseable object.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shared_prev":$sharedPrev,"sf":"$sfDir"}"""
+    // Subset dev runs (SPARK_GRAFT_BENCH_ONLY) must not overwrite the
+    // committed full-suite baseline the next round's ratio is computed from.
+    if (only.isEmpty) Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     println(full)
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"queries":$slowest,"sf":"$sfDir"}""")
+    // "truncated":true marks this line as the bounded summary — its
+    // queries map holds only the 10 slowest, so a consumer can never
+    // mistake it for the full per-query set (that shape-identity was an
+    // r8 advice finding). The full set is the detail line above and
+    // BENCH_LOCAL.json, which carry no truncated marker.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"truncated":true,"queries":$slowest,"shared_prev":$sharedPrev,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -303,10 +303,13 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("sim"))
     val cand = topKPerQuery(candScored, k * oversample)
+    // Raw query frame here: the in-plan gate rides the candidate tier
+    // (always executed — cand feeds the rerank), so re-gating this
+    // reference would only repeat the gate's limit+agg scan (r8 advice).
     val rerank = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
       .join(broadcast(cand.select("query_id", "neighbor_id")), Seq("neighbor_id"))
-      .join(broadcast(guarded
+      .join(broadcast(queries
           .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1045,10 +1048,14 @@ object Ann {
       .join(maybeBcast(bucketed(q0, "query_id")), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
+    // The vector rejoin references the RAW query frame: the in-plan gate
+    // rides the candidates subtree (which always executes — it feeds the
+    // final plan), so a second gated reference would only re-execute the
+    // gate's limit+agg scan without adding enforcement (r8 advice).
     val scored = candidates
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec")),
         Seq("neighbor_id"))
-      .join(maybeBcast(q0.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
+      .join(maybeBcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qvec"), col("__cvec")).as("sim"))

@@ -48,29 +48,41 @@ object Ffmpeg {
     * rawvideo stream (`nFrames · w·h·3` bytes), stderr (at `-v error`)
     * is surfaced in the failure message. */
   def decodeFrames(bytes: Array[Byte], w: Int, h: Int,
-      binary: String = "ffmpeg"): IndexedSeq[Frame] = {
+      binary: String = "ffmpeg", timeoutSec: Long = 300): IndexedSeq[Frame] = {
     require(w > 0 && h > 0, s"target geometry must be positive: ${w}x$h")
+    require(timeoutSec > 0, s"decode timeout must be positive: $timeoutSec")
     val tmp = Files.createTempFile("graft-clip", ".bin")
+    var proc: Process = null
     try {
       Files.write(tmp, bytes)
-      val proc = new ProcessBuilder(
+      proc = new ProcessBuilder(
         binary, "-v", "error", "-i", tmp.toString,
         "-f", "rawvideo", "-pix_fmt", "rgb24",
         "-vf", s"scale=$w:$h", "pipe:1").start()
-      // stderr drains on its OWN thread: a partially corrupt clip can
-      // emit one '-v error' line per bad packet — past the ~64 KB pipe
-      // buffer ffmpeg would block writing stderr while we block reading
-      // stdout, deadlocking the executor task. Concurrent drains make
-      // the pair progress regardless of either stream's volume.
+      // BOTH pipes drain on their own threads: a partially corrupt clip
+      // can emit one '-v error' line per bad packet — past the ~64 KB
+      // pipe buffer ffmpeg would block writing stderr while we block
+      // reading stdout, deadlocking the executor task. With the reads
+      // off-thread, the main thread's only blocking call is the BOUNDED
+      // waitFor below, so a demuxer stall on a malformed container can
+      // never pin the Spark task past `timeoutSec` — the process is
+      // destroyed and the task fails loudly instead.
+      val outBuf = new java.io.ByteArrayOutputStream()
       val errBuf = new java.io.ByteArrayOutputStream()
-      val drainer = new Thread(() => proc.getErrorStream.transferTo(errBuf))
-      drainer.setDaemon(true)
-      drainer.start()
-      val out = proc.getInputStream.readAllBytes()
-      val rc = proc.waitFor()
-      drainer.join(10000)
+      val outDrainer = new Thread(() => proc.getInputStream.transferTo(outBuf))
+      val errDrainer = new Thread(() => proc.getErrorStream.transferTo(errBuf))
+      outDrainer.setDaemon(true); errDrainer.setDaemon(true)
+      outDrainer.start(); errDrainer.start()
+      val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) proc.destroyForcibly()
+      outDrainer.join(10000)
+      errDrainer.join(10000)
       val err = errBuf.toString(UTF_8)
+      require(finished,
+        s"ffmpeg did not finish within ${timeoutSec}s (killed): $err")
+      val rc = proc.exitValue()
       require(rc == 0, s"ffmpeg exited $rc: $err")
+      val out = outBuf.toByteArray
       val per = w * h * 3
       require(out.length % per == 0,
         s"rawvideo stream length ${out.length} is not a multiple of " +
@@ -78,7 +90,12 @@ object Ffmpeg {
       (0 until out.length / per).map { i =>
         Frame(h, w, 3, java.util.Arrays.copyOfRange(out, i * per, (i + 1) * per))
       }
-    } finally Files.delete(tmp)
+    } finally {
+      // Failure paths (geometry require, interrupt, I/O error) must not
+      // orphan the subprocess executor-side.
+      if (proc != null && proc.isAlive) proc.destroyForcibly()
+      Files.delete(tmp)
+    }
   }
 
   /** Evenly-spaced `n`-of-`total` frame indices — THE shared sampling

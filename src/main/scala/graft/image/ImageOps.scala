@@ -141,17 +141,59 @@ object ImageOps {
     udf { (xs: Seq[Int]) => xs.map(_.toByte).toArray }.apply(ints)
 
   /** Grayscale 8x8 thumbnail frame from a float vector in [-1,1] — used to
-    * materialize image fixtures from the embeddings table in queries. */
+    * materialize image fixtures from the embeddings table in queries.
+    * Quantization runs in DOUBLE on purpose: float32 parquet values promote
+    * to double exactly, and IEEE double `(v + 1.0) * 127.5` then truncate-
+    * toward-zero is bit-identical in any engine — so the pixel bytes are a
+    * closed form the DuckDB oracle can recompute (q36's content oracle;
+    * a float32 pipeline here could land on the other side of an integer
+    * boundary vs the oracle's double arithmetic). */
   val frameFromVector = udf { (vec: Seq[Float]) =>
     val side = math.sqrt(vec.size.toDouble).toInt
     val px = new Array[Byte](side * side * 3)
     var i = 0
     while (i < side * side) {
-      val v = math.max(0, math.min(255, ((vec(i) + 1.0f) * 127.5f).toInt)).toByte
+      val v = math.max(0, math.min(255, ((vec(i).toDouble + 1.0) * 127.5).toInt)).toByte
       px(3 * i) = v; px(3 * i + 1) = v; px(3 * i + 2) = v
       i += 1
     }
     Frame(side, side, 3, px)
+  }
+
+  /** Crop of fixed (h, w) at EXPLICIT offsets carried as columns — the
+    * deterministic sibling of [[randomFixedSizeCrop]] (same copy kernel,
+    * offsets supplied by the caller instead of derived from splitmix).
+    * Lets a query derive offsets from [[Stable.seededHash]] — the engine's
+    * cross-engine-stable randomness — so the crop window is replayable by
+    * an external oracle (q36). */
+  def cropAt(cropH: Int, cropW: Int) = udf { (f: Frame, offY: Int, offX: Int) =>
+    require(offY >= 0 && offX >= 0 && offY + cropH <= f.h && offX + cropW <= f.w,
+      s"crop ${cropH}x$cropW at ($offY,$offX) outside image ${f.h}x${f.w}")
+    val px = new Array[Byte](cropH * cropW * f.c)
+    var y = 0
+    while (y < cropH) {
+      System.arraycopy(f.px, ((y + offY) * f.w + offX) * f.c, px, y * cropW * f.c, cropW * f.c)
+      y += 1
+    }
+    Frame(cropH, cropW, f.c, px)
+  }
+
+  /** Pixel bytes as unsigned-decimal text ("138 140 255 ...", row-major,
+    * channels interleaved) — the canonical serialization the content
+    * oracle hashes: `Stable.hash64(pxString)` on the Spark side equals
+    * DuckDB's md5 of the same space-joined string, giving the codec round
+    * trip a pixel-exact cross-engine check with scalar output (the driver
+    * comparator cannot sort array columns). */
+  val pxString = udf { (f: Frame) =>
+    f.px.iterator.map(b => (b & 0xff).toString).mkString(" ")
+  }
+
+  /** Sum of unsigned pixel bytes — the closed-form companion stat to
+    * [[pxString]] (a human-diffable scalar when the hash mismatches). */
+  val pxSum = udf { (f: Frame) =>
+    var s = 0L; var i = 0
+    while (i < f.px.length) { s += (f.px(i) & 0xff); i += 1 }
+    s
   }
 
   /** PNG-encode UDF (binaryFile→parquet converter jobs + fixtures). */

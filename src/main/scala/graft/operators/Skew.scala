@@ -45,6 +45,13 @@ object Skew {
       joinType == "left_outer",
       s"saltedJoin: only inner/left joins are salt-preserving as " +
         s"implemented, got '$joinType'")
+    // The working column is internal: an input already carrying __salt
+    // (e.g. the output of a previous saltedJoin that failed to drop it,
+    // or a user column with the reserved name) would make the lane
+    // condition ambiguous and silently corrupt the join keys.
+    require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin: inputs must not already carry a __salt column " +
+        "(reserved as the internal salt lane)")
     // hash64 is null-preserving: an uncoalesced NULL saltBy would make
     // __salt NULL, the lane condition never match, and a real key match
     // silently vanish (inner) or null out (left) — the coalesce keeps

@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.image.ImageOps
 import graft.sources.Tables
 
-/** Multimodal (image + audio) pipelines over binary columns. The codec
-  * *bytes* have no SQL oracle (q36's px_crc stays rows-only; pixel-exact
-  * semantics are covered by ImageSpec/AudioSpec), but the codec-independent
-  * metadata the pipelines emit — dims after a fixed crop, sample counts
-  * closed-form from `len(embedding)` — is DuckDB-expressible, so q47/q45
-  * are oracled: the oracle verifies the real decode's metadata agrees with
-  * the closed form for every row. */
+/** Multimodal (image + audio) pipelines over binary columns, ALL oracled:
+  * q36 verifies decoded image CONTENT pixel-exactly (the real PNG
+  * encode/decode runs on the Spark side; the DuckDB oracle recomputes the
+  * expected pixels in closed form from the embedding — PNG is lossless, the
+  * quantization runs in IEEE double, and the crop offsets derive from
+  * [[graft.functions.Stable.seededHash]], so every stage is replayable
+  * outside the JVM). q47 oracles the dims of the bilinear-upscale chain
+  * (Graphics2D interpolation is implementation-defined, so only its
+  * geometry has a closed form); q45 oracles the audio round trip's
+  * metadata. Sample-exact PCM and codec-byte internals are additionally
+  * covered by ImageSpec/AudioSpec. */
 object ImageQueries {
   /** vector -> PNG -> decode -> upscale>=16x16 -> seeded 12x12 crop.
     * Every stage is a columnar projection with executor-side JVM kernels. */
@@ -29,10 +33,29 @@ object ImageQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Codec residue of the full image round trip: the pixel checksum after
-    // encode/decode/upscale/crop. Rows-only by nature (no SQL codec).
-    "q36_image_pipeline" -> ((s, dir) =>
-      croppedFrames(s, dir).select(col("vec_id"), crc32(col("frame.px")).as("px_crc"))),
+    // Pixel-content oracle of the image round trip: vector -> PNG encode
+    // (real ImageIO codec) -> decode (real codec) -> seeded 6x6 crop at
+    // seededHash-derived offsets -> content hash + byte sum. Every stage
+    // after the codec pair is closed-form, and PNG is lossless, so the
+    // oracle recomputes the exact pixels from the embedding — a byte-level
+    // corruption anywhere in encode/decode/crop breaks the hash.
+    "q36_image_pipeline" -> ((s, dir) => {
+      import graft.functions.Stable
+      val emb = Tables.load(s, dir, "embeddings")
+      val side = sqrt(size(col("embedding")).cast("double")).cast("int")
+      val choices = (side - lit(5)).cast("bigint")
+      val staged = emb.select(col("vec_id"),
+        ImageOps.encodePngUdf(ImageOps.frameFromVector(col("embedding"))).as("png"),
+        pmod(Stable.seededHash(901, col("vec_id")), choices).cast("int").as("oy"),
+        pmod(Stable.seededHash(902, col("vec_id")), choices).cast("int").as("ox"))
+      val cropped = staged.select(col("vec_id"),
+        ImageOps.cropAt(6, 6)(
+          ImageOps.imagesFromBytes(col("png")), col("oy"), col("ox")).as("frame"))
+      cropped.select(col("vec_id"),
+        col("frame.h").as("h"), col("frame.w").as("w"), col("frame.c").as("c"),
+        ImageOps.pxSum(col("frame")).as("px_sum"),
+        Stable.hash64(ImageOps.pxString(col("frame"))).as("px_hash"))
+    }),
 
     // Deterministic half of the image pipeline: dims after the 12x12 crop
     // are closed-form, so the real decode+crop path is oracle-verified.
@@ -57,9 +80,31 @@ object ImageQueries {
     })
   )
 
-  /** Oracles for the codec-independent columns. q36's px_crc is the only
-    * residue left rows-only — raw codec bytes have no SQL analog. */
+  /** Oracles — q36's recomputes the decoded pixel content in closed form
+    * (grayscale quantization in double, seededHash crop offsets, 3-channel
+    * replication, md5-hash64 of the canonical decimal-string serialization);
+    * q47/q45 verify the codec-independent metadata. */
   val oracles: Map[String, String] = Map(
+    "q36_image_pipeline" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CAST(sqrt(len(embedding)) AS INTEGER) AS side,
+        |    [GREATEST(0, LEAST(255, CAST(trunc((CAST(e AS DOUBLE) + 1.0) * 127.5) AS INTEGER))) FOR e IN embedding] AS gv,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(chr(1), '901', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % (CAST(sqrt(len(embedding)) AS INTEGER) - 5) AS INTEGER) AS oy,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(chr(1), '902', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % (CAST(sqrt(len(embedding)) AS INTEGER) - 5) AS INTEGER) AS ox
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id,
+        |    flatten([[gv[(y + oy) * side + (x + ox) + 1] FOR x IN range(6)] FOR y IN range(6)]) AS cg
+        |  FROM q
+        |), p AS (
+        |  SELECT vec_id, flatten([[v, v, v] FOR v IN cg]) AS rgb FROM c
+        |)
+        |SELECT vec_id, CAST(6 AS INTEGER) AS h, CAST(6 AS INTEGER) AS w,
+        |  CAST(3 AS INTEGER) AS c,
+        |  CAST(list_sum(rgb) AS BIGINT) AS px_sum,
+        |  CAST(('0x' || substr(md5(array_to_string(rgb, ' ')), 1, 15)) AS BIGINT) AS px_hash
+        |FROM p""".stripMargin,
     // Crop dims are pipeline constants (12x12 crop of an upscaled frame);
     // c=3 because the decoder normalizes every image to RGB.
     "q47_image_meta" ->

@@ -549,7 +549,7 @@ object Curation {
   /** [[curateCCNet]]'s shared interior: every doc that cleared the line
     * scrub and token floor, scored and bucketed — (doc_id, lang_pred,
     * n_tokens, n_bigrams, total_bits, score_q, bucket). */
-  private def ccnetBucketed(docs: DataFrame, reference: DataFrame,
+  private[graft] def ccnetBucketed(docs: DataFrame, reference: DataFrame,
       maxLineOccurrences: Long, minTokens: Int, nBuckets: Int): DataFrame = {
     val scrubbed = Cache()(scrubLines(docs, maxLineOccurrences = maxLineOccurrences))
     val tagged = scrubbed

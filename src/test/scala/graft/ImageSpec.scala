@@ -34,6 +34,39 @@ class ImageSpec extends SparkSpec {
     assert(out.getAs[Array[Byte]](3).toSeq == f.px.toSeq)
   }
 
+  test("cropAt: explicit-offset crop window, bounds enforced; pxString/pxSum canonical") {
+    val f = gradientFrame(8, 8)
+    val df = Seq((1L, f)).toDF("id", "f")
+    val out = df.select(
+        ImageOps.cropAt(3, 2)(col("f"), lit(4), lit(5)).as("c"))
+      .select(col("c.h"), col("c.w"), col("c.px"),
+        ImageOps.pxSum(col("c")).as("s"), ImageOps.pxString(col("c")).as("str"))
+      .collect()(0)
+    assert(out.getInt(0) == 3 && out.getInt(1) == 2)
+    val px = out.getAs[Array[Byte]](2)
+    // window rows 4..6, cols 5..6 of the gradient: r=col, g=row, b=7
+    val expect = for (y <- 4 to 6; x <- 5 to 6; v <- Seq(x, y, 7)) yield v
+    assert(px.map(_ & 0xff).toSeq == expect)
+    assert(out.getLong(3) == expect.sum)
+    assert(out.getString(4) == expect.mkString(" "))
+    // out-of-bounds offsets raise, not wrap
+    intercept[org.apache.spark.SparkException] {
+      df.select(ImageOps.cropAt(3, 2)(col("f"), lit(6), lit(0))).collect()
+    }
+  }
+
+  test("frameFromVector quantizes in double — the closed form the q36 oracle replays") {
+    val vec = Array(-1.5f, -1.0f, -0.25f, 0.0f, 0.25f, 0.5f, 0.999f, 1.5f, 0.1f)
+    val df = Seq((1L, vec.toSeq)).toDF("id", "v")
+    val out = df.select(ImageOps.frameFromVector(col("v")).as("f"))
+      .select("f.h", "f.w", "f.px").collect()(0)
+    assert(out.getInt(0) == 3 && out.getInt(1) == 3)
+    val gray = out.getAs[Array[Byte]](2).grouped(3).map(_(0) & 0xff).toSeq
+    val expect = vec.map(v =>
+      math.max(0, math.min(255, ((v.toDouble + 1.0) * 127.5).toInt))).toSeq
+    assert(gray == expect, s"got $gray expected $expect")
+  }
+
   test("toBytes packs a uint8 array column into binary (fuel ToBytes)") {
     import org.apache.spark.sql.functions.col
     val df = Seq(Tuple1(Seq(0, 1, 127, 128, 255))).toDF("xs")

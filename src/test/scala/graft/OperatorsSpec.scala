@@ -529,4 +529,20 @@ class OperatorsSpec extends SparkSpec {
         facts.join(dim, facts("k") === dim("dk"), "left_anti").count())
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("saltedJoin rejects inputs that already carry the reserved __salt column") {
+    import graft.operators.Skew
+    val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
+    val dim = SparkSpec.spark.range(3).selectExpr("id AS dk", "id * 2 AS v")
+    val e1 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts.withColumn("__salt", lit(0)), dim, "k", "dk",
+        saltBy = col("fid"))
+    }
+    assert(e1.getMessage.contains("__salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts, dim.withColumn("__salt", lit(0)), "k", "dk",
+        saltBy = col("fid"))
+    }
+    assert(e2.getMessage.contains("__salt"))
+  }
 }

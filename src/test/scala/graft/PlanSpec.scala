@@ -259,6 +259,63 @@ class PlanSpec extends SparkSpec {
       s"the one-row cuts frame must broadcast:\n$p")
   }
 
+  test("flagship curation chains: PINNED shuffle-exchange budgets (q59/q67/q73/q79 pre-pack)") {
+    // The global audit catches node-CLASS killers (cartesian, global sort,
+    // unbounded BNLJ) but not shuffle-count creep: a composition change
+    // that adds one more Exchange to a flagship chain is invisible to it
+    // while costing a full corpus repartition at 100 TB. Same rationale as
+    // the q51 corpus-scan pin — the budget is pinned so a change fails
+    // loudly and the new count is a conscious decision. Counts are taken
+    // on the UNCACHED pre-pack frames (packSequences' eager prefix sum
+    // roots the final plans in RDD scans, hiding the tree; Cache()
+    // boundaries would likewise hide any shuffle behind an
+    // InMemoryTableScan leaf) — so the pin reflects pure composition.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.text.{Curation, TextOps}
+    spark.catalog.clearCache()
+    def shuffles(df: DataFrame): Int =
+      allNodes(df.queryExecution.executedPlan).count(_.isInstanceOf[ShuffleExchangeLike])
+    val raw = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val ref = raw.filter(col("doc_id") % 41 === 0)
+    val q59pre = Curation.decontaminate(
+      Curation.curatedDocs(Curation.scrub(raw)), Curation.scrub(ref))
+    val q67pre = Curation.decontaminate(
+      Curation.dedupe(Curation.repetitionGate(Curation.gate(
+        Curation.scrubLines(raw)))), Curation.scrub(ref))
+    val q73pre = {
+      val clean = Curation.decontaminate(
+        Curation.dedupe(Curation.repetitionGate(Curation.gate(
+          Curation.scrubLines(raw)))), Curation.scrub(ref))
+      TextOps.dedupSpans(clean, "doc_id", "ts", 20)
+        .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+    }
+    val q79pre = Curation.ccnetBucketed(raw, raw.filter(col("doc_id") % 7 < 2),
+        maxLineOccurrences = 1, minTokens = 30, nBuckets = 3)
+      .filter(col("bucket") >= 1 && col("bucket") < 3)
+    // The pins are counts of the UNCACHED composition tree (see above) —
+    // q73's 36 includes the full q67 interior re-expanded without its
+    // Cache() boundaries, which is why it exceeds q67's own 11; the real
+    // query pays the cached count. What matters is that these numbers
+    // only move when the COMPOSITION moves.
+    val budgets = Seq(
+      ("q59 pre-pack", q59pre, 21),
+      ("q67 pre-pack", q67pre, 11),
+      ("q73 pre-pack", q73pre, 36),
+      ("q79 pre-pack", q79pre, 10))
+    val diffs = budgets.flatMap { case (name, df, pinned) =>
+      val got = shuffles(df)
+      if (got != pinned) Some(s"$name: $got shuffle exchanges (pinned $pinned)")
+      else None
+    }
+    assert(diffs.isEmpty,
+      "shuffle-exchange budget changed — a composition edit added/removed " +
+        s"a corpus repartition; re-justify and re-pin:\n${diffs.mkString("\n")}")
+  }
+
   test("global audit: no unpartitioned Window, no CartesianProduct, in any query") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec

@@ -81,6 +81,23 @@ class VideoSpec extends SparkSpec {
     assert(e.getMessage.contains("empty clip"), e.getMessage)
   }
 
+  test("decodeFrames kills a stalled subprocess at the timeout instead of pinning the task") {
+    val dir = Files.createTempDirectory("stall-ffmpeg")
+    val sh = dir.resolve("ffmpeg")
+    Files.write(sh,
+      "#!/bin/bash\nif [ \"$1\" = \"-version\" ]; then exit 0; fi\nsleep 600\n"
+        .getBytes("UTF-8"))
+    Files.setPosixFilePermissions(sh, PosixFilePermissions.fromString("rwxr-xr-x"))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      Ffmpeg.decodeFrames(Array[Byte](1, 2, 3), 2, 2, binary = sh.toString,
+        timeoutSec = 1)
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("did not finish"), e.getMessage)
+    assert(elapsed < 30, s"timeout path took ${elapsed}s - process not killed")
+  }
+
   test("evenIndices: the shared sampling contract (first/last in, bounded, ordered)") {
     assert(Ffmpeg.evenIndices(10, 4) == Seq(0, 3, 6, 9))
     assert(Ffmpeg.evenIndices(10, 1) == Seq(0))
@@ -92,6 +109,64 @@ class VideoSpec extends SparkSpec {
       assert(idx.head == 0)
       if (idx.length > 1) assert(idx.last == total - 1)
       assert(idx == idx.sorted && idx.distinct == idx)
+    }
+  }
+
+  /** Hand-authored uncompressed AVI (RIFF + 'DIB ' vids stream, BGR24
+    * bottom-up, no index): pure byte assembly — no codec library needed to
+    * WRITE it, while any real ffmpeg can DECODE it. Each frame is a single
+    * constant gray value, so the pixel assertion is immune to every
+    * codec-side representation choice (bottom-up vs top-down rows, BGR vs
+    * RGB order, identity-scale resampling): all bytes of decoded frame i
+    * must equal `grays(i)`, full stop. Width 8 keeps rows 4-byte aligned
+    * (8·3 = 24), so no DIB row padding enters the picture. */
+  private def uncompressedAvi(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val frameBytes = w * h * 3
+    val strh = Array.concat(fcc("vids"), fcc("DIB "), le32(0), le16(0), le16(0),
+      le32(0), le32(1), le32(25), le32(0), le32(grays.length), le32(frameBytes),
+      le32(0xffffffff), le32(0), le16(0), le16(0), le16(w), le16(h))
+    val strf = Array.concat(le32(40), le32(w), le32(h), le16(1), le16(24),
+      le32(0), le32(frameBytes), le32(0), le32(0), le32(0), le32(0))
+    val strl = Array.concat(fcc("LIST"), le32(4 + 8 + strh.length + 8 + strf.length),
+      fcc("strl"), fcc("strh"), le32(strh.length), strh,
+      fcc("strf"), le32(strf.length), strf)
+    val avih = Array.concat(le32(40000), le32(frameBytes * 25), le32(0), le32(0),
+      le32(grays.length), le32(0), le32(1), le32(frameBytes),
+      le32(w), le32(h), le32(0), le32(0), le32(0), le32(0))
+    val hdrl = Array.concat(fcc("LIST"), le32(4 + 8 + avih.length + strl.length),
+      fcc("hdrl"), fcc("avih"), le32(avih.length), avih, strl)
+    val frames = grays.flatMap { g =>
+      fcc("00db") ++ le32(frameBytes) ++ Array.fill[Byte](frameBytes)(g.toByte)
+    }.toArray
+    val movi = Array.concat(fcc("LIST"), le32(4 + frames.length), fcc("movi"), frames)
+    val body = Array.concat(fcc("AVI "), hdrl, movi)
+    bb.write(fcc("RIFF")); bb.write(le32(body.length)); bb.write(body)
+    bb.toByteArray
+  }
+
+  test("real-ffmpeg kernel: decodes a hand-authored uncompressed AVI when the binary exists (mode recorded)") {
+    // Round-artifact record of WHICH kernel this round exercised: "real"
+    // when a system ffmpeg decoded actual container bytes, "stub" when
+    // only the CLI-contract double ran (this container ships no ffmpeg).
+    val real = Ffmpeg.available("ffmpeg")
+    val mode = if (real) "real" else "stub"
+    Files.write(java.nio.file.Paths.get("VIDEO_MODE.txt"),
+      s"ffmpeg_kernel_mode=$mode\n".getBytes("UTF-8"))
+    info(s"ffmpeg kernel mode this run: $mode")
+    assume(real, "no system ffmpeg on PATH - real-kernel path recorded as stub")
+    val grays = Seq(20, 60, 180, 240)
+    val clip = uncompressedAvi(w = 8, h = 6, grays)
+    val frames = Ffmpeg.decodeFrames(clip, w = 8, h = 6, binary = "ffmpeg")
+    assert(frames.length == grays.length)
+    frames.zip(grays).foreach { case (f, g) =>
+      assert(f.w == 8 && f.h == 6 && f.c == 3)
+      assert(f.px.forall(b => (b & 0xff) == g),
+        s"expected constant gray $g, got ${f.px.take(12).map(_ & 0xff).toSeq}")
     }
   }
 
