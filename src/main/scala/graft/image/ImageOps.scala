@@ -196,6 +196,13 @@ object ImageOps {
     s
   }
 
+  /** Frame → flat float pixel array in [0, 1] (row-major, channels
+    * interleaved): fuel's `uint8_pixels_to_floatX` landing
+    * (fuel/transformers/defaults.py:6-13) for DECODED image columns —
+    * the tail of a binary-image default chain (decode with
+    * [[imagesFromBytes]], then this; see Catalog.registerCifar10). */
+  val pxToUnit = udf { (f: Frame) => f.px.map(b => (b & 0xff) / 255.0f) }
+
   /** PNG-encode UDF (binaryFile→parquet converter jobs + fixtures). */
   val encodePngUdf = udf { (f: Frame) => encodePng(f) }
 

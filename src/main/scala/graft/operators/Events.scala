@@ -597,15 +597,40 @@ object Events {
     *
     * Scale shape: two filtered user-keyed min-aggs (both map-side
     * combined; the second runs over the join-restricted toType rows)
-    * and one user-keyed join between user-cardinality frames — the
-    * same key everywhere, so one partitioning carries the plan;
-    * min(t_B − t_A) = min(t_B) − t_A because t_A is fixed per user. */
+    * and one user-keyed join — the same key everywhere, so one
+    * partitioning carries the plan; min(t_B − t_A) = min(t_B) − t_A
+    * because t_A is fixed per user.
+    *
+    * SKEW: the probe side of the join is the RAW toType stream, so a
+    * flooding user (bot, SDK retry loop) concentrates one reducer —
+    * the engine's one production-shaped known-skew join. AQE's
+    * OptimizeSkewedJoin does NOT cover it, and PlanSpec's
+    * "conversionLags' hot-user join" test MEASURES why: the same-key
+    * aggregate directly downstream reuses the join's hash partitioning
+    * (SMJ → partial+final agg fuse into one exchange-free stage), and
+    * the splitter refuses any split that would invalidate a downstream
+    * distribution requirement (`forceOptimizeSkewedJoin` exists
+    * precisely because of this class). So this operator carries the
+    * engine's production [[graft.operators.Skew.saltedJoin]] call site:
+    * `salt > 0` keys the shuffle by (user, salt) — the flooding user's
+    * rows spread over `salt` reducers; the firstA side (one row per
+    * user after its min-agg) replicates `salt`x; the per-(user, anchor)
+    * min re-aggregates across lanes afterwards (map-side combined, one
+    * extra bounded exchange — the price of straggler immunity). Default
+    * 0 = the exchange-minimal plan for non-pathological traffic;
+    * results are IDENTICAL either way (q177/q192 share one oracle). */
   def conversionLags(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, fromType: String, toType: String): DataFrame = {
+      tsCol: String, fromType: String, toType: String,
+      salt: Int = 0): DataFrame = {
     val firstA = events.filter(col(typeCol) === fromType)
       .groupBy(userCol).agg(min(col(tsCol)).as("__ta"))
-    events.filter(col(typeCol) === toType)
-      .join(firstA, Seq(userCol))
+    val toEvents = events.filter(col(typeCol) === toType)
+      .select(col(userCol), col(tsCol))
+    val joined =
+      if (salt <= 0) toEvents.join(firstA, Seq(userCol))
+      else Skew.saltedJoin(toEvents, firstA, userCol, userCol,
+        saltBy = col(tsCol), salt = salt)
+    joined
       .filter(col(tsCol) >= col("__ta"))
       .groupBy(col(userCol), unix_micros(col("__ta")).as("from_us"))
       .agg(min(unix_micros(col(tsCol)) - unix_micros(col("__ta")))

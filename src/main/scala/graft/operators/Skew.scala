@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   * fact; the explicit form here is for when the skew is KNOWN up front
   * and the plan should never build the hot partition in the first
   * place (and for join shapes AQE's splitter does not cover).
+  *
+  * Production guidance, measured: the engine's own pipelines need NO
+  * explicit salting — every hot-key join is either structurally immune
+  * (agg-form exact dedup, the (group, hash)-keyed cap join-back,
+  * broadcast anti-joins) or SMJ-shaped and covered by AQE's splitter,
+  * which PlanSpec verifies by executing
+  * [[graft.operators.Events.conversionLags]] (the raw-event-stream x
+  * per-user join — the one production site with a known flooding key)
+  * over a 90%-hot user and asserting `skew=true` on the executed plan.
+  * Reach for [[saltedJoin]] when a join is NOT sort-merge (broadcast
+  * disabled + hash join), when the hot partition must never be BUILT
+  * (straggler-sensitive SLAs), or when AQE is off.
   */
 object Skew {
 

@@ -329,6 +329,17 @@ object EventQueries {
             expr("lag_us div 1000000").as("lag_s")),
         "view_dow", "lag_s")),
 
+    // The SALTED conversion-lag path ([[graft.operators.Events
+    // .conversionLags]] with salt = 16 → [[graft.operators.Skew
+    // .saltedJoin]]): the production call site for explicit salting —
+    // AQE's skew splitter is suppressed at this join by the same-key
+    // aggregate downstream (measured in PlanSpec), so a flooding user
+    // is spread across 16 salt lanes by construction. Same oracle
+    // shape as q177's interior: salting is semantics-preserving.
+    "q192_conversion_lag_salted" -> ((s, dir) =>
+      graft.operators.Events.conversionLags(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "view", "purchase", salt = 16)),
+
     // Markov transition matrix ([[graft.operators.Events
     // .transitionMatrix]]): sessionized first-order transitions with
     // __start/__end boundary states, row-normalized on the integer
@@ -784,6 +795,17 @@ object EventQueries {
         |  CAST(min(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90,
         |  CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS BIGINT) AS p99
         |FROM w GROUP BY g""".stripMargin,
+
+    // q192: q177's interior without the quantile tail — the salted join
+    // must produce EXACTLY the plain join's rows (salt invariance).
+    "q192_conversion_lag_salted" ->
+      """WITH a AS (SELECT user_id, min(ts) AS ta FROM events
+        |           WHERE event_type = 'view' GROUP BY 1)
+        |SELECT e.user_id, CAST(epoch_us(a.ta) AS BIGINT) AS from_us,
+        |  CAST(min(epoch_us(e.ts) - epoch_us(a.ta)) AS BIGINT) AS lag_us
+        |FROM events e JOIN a USING (user_id)
+        |WHERE e.event_type = 'purchase' AND e.ts >= a.ta
+        |GROUP BY 1, 2""".stripMargin,
 
     // q170: q127's session gate verbatim, a second window for the
     // lead of the derived flag, three boundary-cased selects for the

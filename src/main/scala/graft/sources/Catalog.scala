@@ -71,6 +71,29 @@ final class Catalog(spark: SparkSession) {
         Cast("floatX", Seq("features"))))
   }
 
+  /** fuel's CIFAR-10 binding re-expressed over a parquet fixture with a
+    * BINARY-image default chain (fuel/datasets/cifar10.py:6-26 binds
+    * `cifar10.hdf5` plus the same `uint8_pixels_to_floatX` defaults):
+    * where MNIST's fixture carries raw pixel int arrays, this one
+    * carries ENCODED image bytes — the storage shape of every web-scale
+    * image corpus — so the default chain must run the real codec:
+    * [[graft.image.ImageOps.imagesFromBytes]] (PNG/JPEG decode →
+    * Frame), then [[graft.image.ImageOps.pxToUnit]] (uint8 → unit
+    * floats), then the floatX cast. Expected schema at `path`:
+    * (idx bigint, features binary — encoded image bytes, label).
+    * [[defaultStream]] yields (idx, features array<floatX> in [0, 1],
+    * label) — `CIFAR10(('train',)).default_stream()`'s contract over
+    * codec-backed storage. */
+  def registerCifar10(path: String, name: String = "cifar10-mini"): this.type = {
+    import graft.transform.{Cast, Mapping}
+    import graft.image.ImageOps
+    register(name, () => spark.read.parquet(path),
+      Seq(col("idx")),
+      Seq(Mapping(replace = Seq("features" -> ImageOps.imagesFromBytes(col("features")))),
+        Mapping(replace = Seq("features" -> ImageOps.pxToUnit(col("features")))),
+        Cast("floatX", Seq("features"))))
+  }
+
   def names: Seq[String] = entries.keys.toSeq
 
   /** Raw load (no defaults). */

@@ -207,6 +207,55 @@ class PlanSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("conversionLags' hot-user join: AQE's split is SUPPRESSED here — salt=16 is the fix (measured)") {
+    // THE production-shaped known-skew site in the engine: conversionLags
+    // joins the RAW toType event stream (user-keyed — a bot or SDK retry
+    // loop floods one user) against the per-user firstA aggregate. The
+    // r9 measurement that motivated the operator's `salt` parameter:
+    // although this is an SMJ inner join under skew-grade thresholds,
+    // AQE's OptimizeSkewedJoin does NOT split it, because the same-key
+    // aggregate directly downstream reuses the join's partitioning and
+    // the splitter refuses to invalidate a downstream distribution
+    // requirement. Both halves are asserted so a Spark version change
+    // that alters either fact shows up here.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      // 200k events, ~90% on user 0; every user converts A -> B
+      val events = spark.range(0, 200000).select(
+        when(col("id") % 10 === 0, pmod(col("id"), lit(97L))).otherwise(lit(0L)).as("u"),
+        when(col("id") < 100, lit("A")).otherwise(lit("B")).as("t"),
+        timestamp_micros(col("id") * 1000000L + 1000000000L).as("ts"))
+      val plain = graft.operators.Events.conversionLags(events, "u", "t", "ts", "A", "B")
+      val plainRows = plain.collect()
+      val p = plain.queryExecution.executedPlan.toString
+      // Half 1: the suppression is real — skew thresholds are met but no
+      // partition split appears in the final adaptive plan.
+      assert(!p.contains("skew=true"),
+        "AQE now splits this join — the salt parameter's rationale " +
+          s"(and this pin) needs revisiting:\n$p")
+      // Half 2: the salted path spreads the hot user by construction and
+      // is row-for-row identical.
+      val salted = graft.operators.Events.conversionLags(
+        events, "u", "t", "ts", "A", "B", salt = 16)
+      val sp = salted.queryExecution.executedPlan.toString
+      assert(sp.contains("__salt"), s"salted path did not salt:\n$sp")
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(salted.collect().map(key).toSet == plainRows.map(key).toSet)
+      val hot = plainRows.find(_.getLong(0) == 0L).get
+      assert(hot.getLong(2) > 0, s"hot user lag: $hot")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   // ------------------------------------------------- global scale audit
   // Two plan shapes are never acceptable at 100 TB, in ANY query:
   //   - WindowExec with an empty partitionSpec: moves every row to ONE

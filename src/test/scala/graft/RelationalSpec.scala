@@ -87,6 +87,45 @@ class RelationalSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("cifar10-mini: named binding with a BINARY-image default chain + defaultStream epoch") {
+    // The second named public-dataset binding (fuel cifar10.py:6-26),
+    // proving the default-transformer mechanism on codec-backed storage:
+    // the fixture holds PNG BYTES (not scalar arrays), and the default
+    // chain runs the real ImageIO decode -> uint8->unit floats -> floatX.
+    import org.apache.spark.sql.functions._
+    import graft.image.ImageOps
+    import graft.image.ImageOps.Frame
+    val dir = java.nio.file.Files.createTempDirectory("cifar10-mini").toString
+    val mkPng = udf { (id: Long) =>
+      ImageOps.encodePng(Frame(32, 32, 3,
+        Array.tabulate[Byte](32 * 32 * 3)(j => ((id * 31 + j * 7) % 256).toByte)))
+    }
+    spark.range(48).select(col("id").as("idx"), mkPng(col("id")).as("features"),
+        (col("id") % 10).as("label"))
+      .write.mode("overwrite").parquet(dir)
+    val cat = new graft.sources.Catalog(spark).registerCifar10(dir)
+    val out = cat.defaultStream("cifar10-mini")
+    val ft = out.schema("features").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(ft == Graft.floatX, s"default chain must land on floatX, got $ft")
+    val feats = out.filter(col("idx") === 5).select(col("features"))
+      .head().getSeq[Float](0)
+    assert(feats.length == 32 * 32 * 3)
+    // PNG is lossless: pixel (idx=5, j=10) = (5*31 + 70) % 256 = 225 -> 225/255
+    assert(math.abs(feats(10) - 225f / 255f) < 1e-6)
+    assert(feats.forall(v => v >= 0f && v <= 1f))
+    // raw load stays encoded bytes — the defaults, not the storage, decode
+    assert(cat.load("cifar10-mini").schema("features").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // and the stream drives a real epoch: a seeded-shuffle scheme over the
+    // decoded stream yields all 48 examples exactly once
+    val ds = graft.stream.DataStream(out, graft.schemes.ShuffledExampleScheme(seed = 7),
+      cat.order("cifar10-mini"))
+    val seen = ds.epochIterator().flatMap(_.map(_.getLong(0))).toSeq
+    assert(seen.sorted == (0L until 48L), s"epoch did not cover the fixture: $seen")
+    assert(seen != seen.sorted, "shuffled epoch came out in sequential order")
+  }
+
   test("approximate aggregates: HLL distinct near exact, quantile sketch brackets exact") {
     // The sketch tier of the aggregation surface (SURVEY §2.6): at 100 TB
     // an exact distinct is a full shuffle of the keys; the HLL sketch is a
