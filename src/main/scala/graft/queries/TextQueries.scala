@@ -1506,6 +1506,29 @@ object TextQueries {
           2L -> Seq("window", "stream", "batch"),
           3L -> Seq("spark", "nosuchterm")), k = 10)),
 
+    // Hybrid retrieval ([[graft.text.TextOps.rrfFuse]]): reciprocal-rank
+    // fusion of q130's lexical BM25 ranking with a semantic ANN ranking
+    // over the same doc-id space (vec_id i = doc i's embedding — the
+    // fixture correspondence q50/q55 use). Queries 1-3 fuse their BM25
+    // list with the cosine neighbors of their own embedding; scores are
+    // integer `div` reciprocals summed as longs, so the fused order is
+    // replayed exactly by the oracle.
+    "q193_hybrid_retrieval" -> ((s, dir) => {
+      val lex = TextOps.bm25TopK(docsWithTokens(s, dir), "doc_id", "ts",
+        Seq(1L -> Seq("hash", "join", "table"),
+          2L -> Seq("window", "stream", "batch"),
+          3L -> Seq("spark", "nosuchterm")), k = 20)
+      val emb = t(s, dir, "embeddings")
+      val sem = Ann.bruteForceTopK(emb,
+          emb.filter(col("vec_id") >= 1 && col("vec_id") < 4),
+          "vec_id", "embedding", k = 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      TextOps.rrfFuse(Seq(
+          lex.select("query_id", "rank", "doc_id"),
+          sem.select("query_id", "rank", "doc_id")),
+        "doc_id", k = 10)
+    }),
+
     // PageRank over a seeded synthetic link graph
     // ([[graft.operators.Graphs.pageRank]]): doc i emits 1 + (i mod 3)
     // links whose targets are md5-derived (uniform over the corpus) —
@@ -3808,6 +3831,40 @@ object TextQueries {
     // oracle verbatim — the index changes the PLAN, not the answer.
     "q130_bm25_search" -> duckBm25Oracle,
     "q139_bm25_indexed" -> duckBm25Oracle,
+
+    // q193: q130's BM25 stage (k=20) + q30-style exact cosine ranking
+    // over the shared id space, fused by integer reciprocal ranks.
+    "q193_hybrid_retrieval" ->
+      s"""WITH $DuckToks,
+         |q(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (1, 'table'),
+         |  (2, 'window'), (2, 'stream'), (2, 'batch'),
+         |  (3, 'spark'), (3, 'nosuchterm')),
+         |sc AS (SELECT count(*) FILTER (WHERE len(ts) > 0) AS n,
+         |       coalesce(sum(len(ts)), 0) AS t FROM toks),
+         |${duckBm25Stage("q", "l")},
+         |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id >= 1 AND vec_id < 4),
+         |cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |sem AS (SELECT query_id, doc_id, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS rn
+         |        FROM (SELECT q2.query_id, c2.doc_id,
+         |                list_dot_product(q2.v, c2.v) /
+         |                  (sqrt(list_dot_product(q2.v, q2.v)) *
+         |                   sqrt(list_dot_product(c2.v, c2.v))) AS sim
+         |              FROM qv q2, cv c2 WHERE q2.query_id <> c2.doc_id)),
+         |contrib AS (
+         |  SELECT query_id, doc_id, 1000000000000 // (60 + rn) AS c
+         |  FROM rl WHERE rn <= 20
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1000000000000 // (60 + rn) AS c
+         |  FROM sem WHERE rn <= 20),
+         |f AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+         |  doc_id, CAST(s AS BIGINT) AS rrf_score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY s DESC, doc_id ASC) AS rn FROM f)
+         |WHERE rn <= 10""".stripMargin,
     "q150_prf_search" -> duckPrfOracle,
 
     // q131: the same edge generator and five UNROLLED iterations of

@@ -94,6 +94,27 @@ final class Catalog(spark: SparkSession) {
         Cast("floatX", Seq("features"))))
   }
 
+  /** fuel's YouTubeAudio binding over a parquet fixture with a
+    * binary-AUDIO default chain (fuel/datasets/youtube_audio.py:5-30
+    * binds `youtube_audio/{id}.hdf5` exposing a raw waveform source):
+    * the fixture carries WAV bytes; the default chain runs the real
+    * javax.sound codec ([[graft.image.AudioOps.decodeWav]]) and lands
+    * the unit-amplitude float waveform — the third modality (after
+    * MNIST's scalar arrays and CIFAR-10's encoded images) through the
+    * SAME default-transformer mechanism. Expected schema at `path`:
+    * (idx bigint, features binary — WAV bytes, label optional).
+    * [[defaultStream]] yields (idx, features array<floatX> in [-1, 1],
+    * ...). */
+  def registerYoutubeAudio(path: String, name: String = "youtube-audio-mini"): this.type = {
+    import graft.transform.{Cast, Mapping}
+    import graft.image.AudioOps
+    register(name, () => spark.read.parquet(path),
+      Seq(col("idx")),
+      Seq(Mapping(replace = Seq("features" -> AudioOps.decodeWav(col("features")))),
+        Mapping(replace = Seq("features" -> col("features")("pcm"))),
+        Cast("floatX", Seq("features"))))
+  }
+
   def names: Seq[String] = entries.keys.toSeq
 
   /** Raw load (no defaults). */

@@ -445,6 +445,47 @@ object TextOps {
       .saveAsTable(s"${table}_stats")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard way to combine heterogeneous retrieval tiers (BM25 lexical
+    * + embedding ANN, or any mix) without score calibration: each
+    * ranking contributes `scale div (k0 + rank)` per (query, doc) and
+    * the fused order is the contribution sum. The curation uses are
+    * hybrid benchmark-decontamination audit and hard-negative mining
+    * (fuse a lexical and a semantic ranking; near-top disagreements are
+    * the hard negatives).
+    *
+    * All-integer by construction: `rank` is an integer, the reciprocal
+    * is one integer `div` at `scale`, the fused score a LONG sum —
+    * bit-stable cross-engine and under any summation order (the
+    * [[bm25TopK]] discipline). Ties rank (score DESC, id ASC).
+    *
+    * Scale shape: every input obeys the engine's top-k contract
+    * (query_id, rank, idCol — nQueries·k rows, BOUNDED), so the union
+    * and (query, doc)-keyed sum are probe-sized whatever the corpus
+    * was; the final per-query cut is the bounded [[graft.functions
+    * .TopK]] aggregator — map-side reduced, no window, no corpus
+    * anywhere in this plan (the corpora were scanned by the input
+    * rankings). Score bound: nRankings·scale/k0 « 2^53, so the double
+    * handoff into TopK is exact. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      k0: Int = 60, scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking required")
+    require(k >= 1 && k0 >= 0 && scale >= 1,
+      s"rrfFuse: bad parameters k=$k k0=$k0 scale=$scale")
+    val contrib = rankings
+      .map(_.select(col("query_id"), col(idCol),
+        expr(s"${scale}L div (${k0}L + rank)").as("__c")))
+      .reduce(_ unionByName _)
+    contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__c")).as("__s"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topK(k)(
+        col("__s").cast("double"), col(idCol).cast("bigint")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("e._2").as(idCol), col("e._1").cast("bigint").as("rrf_score"))
+  }
+
   /** BM25 top-k served from a [[writePostings]] index: the probe
     * filters the bucketed posting table by the literal query
     * vocabulary and feeds the SAME scoring tail as [[bm25TopK]] —

@@ -126,6 +126,35 @@ class RelationalSpec extends SparkSpec {
     assert(seen != seen.sorted, "shuffled epoch came out in sequential order")
   }
 
+  test("youtube-audio-mini: named binding with a binary-AUDIO default chain") {
+    // Third modality through the default-transformer mechanism: WAV bytes
+    // in storage, the real javax.sound decode in the default chain.
+    import org.apache.spark.sql.functions._
+    import graft.image.AudioOps
+    val dir = java.nio.file.Files.createTempDirectory("yta-mini").toString
+    val mkWav = udf { (id: Long) =>
+      AudioOps.encodeWav(Array.tabulate(64)(j =>
+        ((id * 13 + j * 5) % 200 - 100) / 128.0f), 8000f)
+    }
+    spark.range(12).select(col("id").as("idx"), mkWav(col("id")).as("features"))
+      .write.mode("overwrite").parquet(dir)
+    val cat = new graft.sources.Catalog(spark).registerYoutubeAudio(dir)
+    val out = cat.defaultStream("youtube-audio-mini")
+    val ft = out.schema("features").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(ft == Graft.floatX, s"default chain must land on floatX, got $ft")
+    val feats = out.filter(col("idx") === 2).select(col("features"))
+      .head().getSeq[Float](0)
+    assert(feats.length == 64)
+    // 16-bit PCM round trip: amplitude recovered to 1/32768 absolute
+    val expect = ((2 * 13 + 10 * 5) % 200 - 100) / 128.0f
+    assert(math.abs(feats(10) - expect) <= 1.0f / 32768 + 1e-6,
+      s"sample 10: got ${feats(10)}, expected ~$expect")
+    assert(feats.forall(v => v >= -1f && v <= 1f))
+    assert(cat.load("youtube-audio-mini").schema("features").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+
   test("approximate aggregates: HLL distinct near exact, quantile sketch brackets exact") {
     // The sketch tier of the aggregation surface (SURVEY §2.6): at 100 TB
     // an exact distinct is a full shuffle of the keys; the HLL sketch is a
