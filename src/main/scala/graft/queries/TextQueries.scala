@@ -1860,6 +1860,20 @@ object TextQueries {
           count_distinct(col("__unit")).as("n_clusters"))
     }),
 
+    // Competence-paced curriculum ([[graft.text.Curation.curriculum]]):
+    // the classic length curriculum per source — epoch 0 trains on the
+    // shortest quarter of each source, the pool grows linearly to the
+    // full corpus by epoch 3. Integer histogram cutoffs (the
+    // Perplexity.buckets rule) + md5 mixing keys, so the whole schedule
+    // replays bit-for-bit in SQL.
+    "q194_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      graft.text.Curation.curriculum(d, "source", "doc_id", "n_tokens",
+        epochs = 4)
+    }),
+
     // Distinctive vocabulary per source ([[TextOps.distinctiveTerms]]):
     // each source's 3 most over-represented terms vs the rest of the
     // corpus (bit-quantized smoothed log-odds — Fightin' Words) — the
@@ -3831,6 +3845,28 @@ object TextQueries {
     // oracle verbatim — the index changes the PLAN, not the answer.
     "q130_bm25_search" -> duckBm25Oracle,
     "q139_bm25_indexed" -> duckBm25Oracle,
+
+    // q194: per-source score histogram -> cumulative cutoffs (the
+    // buckets rule at 4 epochs) -> admission epoch -> epoch fan-out +
+    // md5 mixing key.
+    "q194_curriculum" ->
+      s"""WITH $DuckToks,
+         |s AS (SELECT d.source, d.doc_id, CAST(len(t.ts) AS BIGINT) AS sc
+         |      FROM documents d JOIN toks t USING (doc_id) WHERE len(t.ts) > 0),
+         |hist AS (SELECT source, sc, count(*) AS c FROM s GROUP BY 1, 2),
+         |cum AS (SELECT source, sc,
+         |         sum(c) OVER (PARTITION BY source ORDER BY sc) AS cum,
+         |         sum(c) OVER (PARTITION BY source) AS n FROM hist),
+         |cuts AS (SELECT source, i, min(CASE WHEN cum * 4 >= n * i THEN sc END) AS cut
+         |         FROM cum CROSS JOIN generate_series(1, 3) g(i) GROUP BY 1, 2),
+         |b AS (SELECT s.source, s.doc_id, s.sc,
+         |        CAST(sum(CASE WHEN s.sc > c.cut THEN 1 ELSE 0 END) AS INTEGER) AS joined_at
+         |      FROM s JOIN cuts c USING (source) GROUP BY 1, 2, 3)
+         |SELECT b.source, CAST(e AS BIGINT) AS epoch, b.doc_id, b.joined_at,
+         |  CAST(('0x' || substr(md5(concat_ws(chr(1), '29', b.source,
+         |    CAST(e AS VARCHAR), CAST(b.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord_key
+         |FROM b CROSS JOIN generate_series(0, 3) g(e)
+         |WHERE e >= b.joined_at""".stripMargin,
 
     // q193: q130's BM25 stage (k=20) + q30-style exact cosine ranking
     // over the shared id space, fused by integer reciprocal ranks.

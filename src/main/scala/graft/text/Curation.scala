@@ -1103,6 +1103,70 @@ object Curation {
     writeTokenArtifact(mixed, path, seqLen, topK, splitSeed, weights)
   }
 
+  /** Competence-paced curriculum schedule (Bengio et al. 2009;
+    * Platanios et al. 2019's competence pacing) — the training-order
+    * stage after mixing: early epochs train on the EASIEST fraction of
+    * each group and the admitted pool grows linearly to the full corpus
+    * by the last epoch. A doc with difficulty score s joins at the
+    * first epoch e whose competence fraction (e+1)/epochs covers its
+    * score rank, and stays for every later epoch. Difficulty is any
+    * integer column (token count is the classic length curriculum; a
+    * perplexity or quality score plugs in unchanged).
+    *
+    * Deterministic and oracle-exact: admission cutoffs are integer
+    * histogram thresholds — cut_i = min score with cum·epochs ≥ n·i,
+    * the SAME per-group rule as [[Perplexity.buckets]] — and the
+    * within-epoch mixing key is [[graft.functions.Stable.seededHash]]
+    * (seed, group, epoch, id): each epoch visits its pool in a fresh
+    * reproducible order when the consumer sorts by `ord_key` (emitted
+    * as a COLUMN, not an order — ordering is the iteration scheme's
+    * job, and a corpus-wide sort here would be an unbudgeted range
+    * shuffle).
+    *
+    * Scale shape: the histogram is bounded by the group × distinct
+    * integer scores (quantized scores, not rows); its cumsum window
+    * partitions by group; cuts broadcast back; admission is a pure
+    * projection and the epoch fan-out an `explode(sequence(...))`
+    * bounded by `epochs`. No global sort, no corpus-keyed window,
+    * one corpus shuffle (the histogram agg, map-side combined).
+    * Output: (groupCol, epoch, idCol, joined_at, ord_key) — one row
+    * per (doc, epoch it participates in). */
+  def curriculum(docs: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, epochs: Int, seed: Long = 29): DataFrame = {
+    require(epochs >= 1, s"curriculum: epochs must be >= 1, got $epochs")
+    val q = docs.select(col(groupCol), col(idCol),
+        col(scoreCol).cast("bigint").as("__s"))
+      .filter(col("__s").isNotNull)
+    val hist = q.groupBy(col(groupCol), col("__s")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w.orderBy("__s")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(w))
+    val cutAggs = (1 until epochs).map(i =>
+      min(when(col("__cum") * epochs >= col("__n") * i, col("__s")))
+        .as(s"__cut$i"))
+    val joined =
+      if (epochs == 1) q.withColumn("joined_at", lit(0))
+      else {
+        val cuts = cum.groupBy(groupCol).agg(cutAggs.head, cutAggs.tail: _*)
+        val at = (1 until epochs).foldLeft(lit(0)) { (acc, i) =>
+          acc + when(col("__s") > col(s"__cut$i"), 1).otherwise(0)
+        }
+        q.join(broadcast(cuts), Seq(groupCol))
+          .withColumn("joined_at", at)
+          .drop((1 until epochs).map(i => s"__cut$i"): _*)
+      }
+    joined
+      .select(col(groupCol), col(idCol), col("joined_at").cast("int").as("joined_at"),
+        explode(sequence(col("joined_at").cast("bigint"), lit(epochs.toLong - 1)))
+          .as("epoch"))
+      .select(col(groupCol), col("epoch"), col(idCol), col("joined_at"),
+        graft.functions.Stable.seededHash(seed, col(groupCol), col("epoch"),
+          col(idCol)).as("ord_key"))
+  }
+
   /** Per-group document cap — the per-domain frequency discipline web
     * pipelines apply before mixing (C4 kept one page per URL; later
     * corpora cap documents per registered domain so no single site

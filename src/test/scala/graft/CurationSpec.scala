@@ -493,4 +493,38 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(re == out.toSet)
   }
+
+  test("curriculum: pools nest, grow to the full group, easiest join first, deterministic") {
+    import SparkSpec.spark.implicits._
+    // two groups with different score distributions; 40 docs each
+    val docs = (0 until 40).flatMap(i => Seq(
+      ("a", i.toLong, (i % 10 + 1).toLong),       // scores 1..10, uniform
+      ("b", (i + 100).toLong, (i / 10 + 1).toLong) // scores 1..4, 10 docs each
+    )).toDF("g", "id", "sc")
+    val out = Curation.curriculum(docs, "g", "id", "sc", epochs = 4, seed = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val pools = out.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).toSet).toMap
+    for (g <- Seq("a", "b"); e <- 0L to 2L)
+      assert(pools((g, e)).subsetOf(pools((g, e + 1))),
+        s"pool ($g, $e) not nested in epoch ${e + 1}")
+    // final epoch covers everything
+    assert(pools(("a", 3L)).size == 40 && pools(("b", 3L)).size == 40)
+    // group b: scores 1..4 in equal tens -> pool sizes exactly 10/20/30/40
+    assert((0L to 3L).map(e => pools(("b", e)).size) == Seq(10, 20, 30, 40))
+    // easiest-first: epoch-0 docs of b are exactly the score-1 docs
+    val bScore = docs.filter($"g" === "b").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(pools(("b", 0L)).forall(bScore(_) == 1L))
+    // joined_at is consistent: a doc appears in exactly epochs joined_at..3
+    out.groupBy(t => (t._1, t._3)).foreach { case ((_, _), rows) =>
+      val ja = rows.head._4
+      assert(rows.map(_._2).sorted.toSeq == (ja.toLong to 3L).toSeq)
+    }
+    // deterministic under repartitioning
+    val re = Curation.curriculum(docs.repartition(7), "g", "id", "sc",
+        epochs = 4, seed = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(re.toSet == out.toSet)
+  }
 }
