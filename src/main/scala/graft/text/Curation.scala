@@ -1111,7 +1111,9 @@ object Curation {
     * first epoch e whose competence fraction (e+1)/epochs covers its
     * score rank, and stays for every later epoch. Difficulty is any
     * integer column (token count is the classic length curriculum; a
-    * perplexity or quality score plugs in unchanged).
+    * perplexity or quality score plugs in unchanged). Complement of
+    * [[TextOps.packSequencesOrdered]]: that orders tokens WITHIN one
+    * pass by difficulty; this grows the admitted pool ACROSS epochs.
     *
     * Deterministic and oracle-exact: admission cutoffs are integer
     * histogram thresholds — cut_i = min score with cum·epochs ≥ n·i,
