@@ -1061,4 +1061,80 @@ object Ann {
         cosine(col("__qvec"), col("__cvec")).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) —
+    * the DIVERSE top-k the plain rankers cannot produce: greedily pick
+    * the candidate maximizing relevance while penalizing similarity to
+    * what is already picked,
+    *
+    *   mmr(c) = lNum·rel(c) − (lDen−lNum)·max_{s ∈ selected} cos(c, s)
+    *
+    * (the λ = lNum/lDen trade scaled through by lDen, so both
+    * coefficients are EXACT small-integer doubles — a literal `1 − λ`
+    * would already disagree across engines at λ = 0.7). Curation uses:
+    * diverse eval-exemplar and few-shot selection, dedup-aware corpus
+    * sampling, seed selection for active learning.
+    *
+    * Determinism: cosine is the engine's IEEE-double contract (the q30
+    * oracle discipline — both engines sum the dot left-to-right), the
+    * per-round argmax orders by (score DESC, id ASC) — a total order —
+    * and `greatest` over the selected set is order-independent, so an
+    * external engine replays every round bit-for-bit. Candidates whose
+    * score is NULL/NaN (zero-norm vectors) are excluded, deterministically.
+    *
+    * Scale shape: greedy selection is inherently sequential (k
+    * driver-looped rounds, each one jobs over the pool), so the pool is
+    * a BOUNDED CANDIDATE TIER by contract — the output of an ANN /
+    * BM25 / RRF top-k, not a corpus — enforced by an eager probe like
+    * [[probeQueries]]. Each round is one map-side-combined min-struct
+    * agg over the persisted pool (selected vectors ride in as
+    * literals); nothing shuffles. Output: (rank, idCol) — rank 1..k in
+    * selection order. */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambdaNum: Long = 7, lambdaDen: Long = 10,
+      maxCandidates: Int = 100000): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    require(0 < lambdaNum && lambdaNum <= lambdaDen,
+      s"mmrSelect: need 0 < lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
+    val probed = candidates.select(col(idCol)).limit(maxCandidates + 1).count()
+    require(probed <= maxCandidates,
+      s"mmrSelect: candidate pool exceeds $maxCandidates rows — greedy " +
+        "selection runs k passes over the pool; feed it a bounded candidate " +
+        "tier (an ANN/BM25/RRF top-k), or raise maxCandidates deliberately")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val pool = candidates.select(col(idCol).cast("bigint").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"),
+        col(relCol).cast("double").as("__rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val penalty = (lambdaDen - lambdaNum).toDouble
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    val taken = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (rank, id)
+    var exhausted = false
+    for (t <- 1 to k if !exhausted) {
+      val maxSim: Column =
+        if (selected.isEmpty) lit(0.0)
+        else {
+          val sims = selected.map { case (_, v) => cosine(col("__v"), typedlit(v)) }
+          if (sims.size == 1) sims.head else greatest(sims.toSeq: _*)
+        }
+      val score = lit(lambdaNum.toDouble) * col("__rel") - lit(penalty) * maxSim
+      val remaining =
+        if (selected.isEmpty) pool
+        else pool.filter(!col("__id").isInCollection(selected.map(_._1)))
+      val best = remaining
+        .select(col("__id"), col("__v"), score.as("__m"))
+        .filter(col("__m").isNotNull && !isnan(col("__m")))
+        .agg(min(struct((-col("__m")).as("n"), col("__id").as("i"), col("__v").as("v"))).as("b"))
+        .head().getStruct(0)
+      if (best == null) exhausted = true
+      else {
+        val id = best.getLong(1)
+        taken += ((t.toLong, id))
+        selected += ((id, best.getSeq[Double](2)))
+      }
+    }
+    pool.unpersist()
+    taken.toSeq.toDF("rank", idCol)
+  }
 }

@@ -1506,6 +1506,22 @@ object TextQueries {
           2L -> Seq("window", "stream", "batch"),
           3L -> Seq("spark", "nosuchterm")), k = 10)),
 
+    // MMR diverse selection ([[graft.ann.Ann.mmrSelect]]): greedy
+    // maximal-marginal-relevance over a bounded candidate pool —
+    // relevance = cosine to doc 0's embedding, 4 rounds at lambda 7/10.
+    // Every round's argmax replays in SQL (exact integer coefficients,
+    // the q30 cosine discipline), so the whole selection is hash-exact.
+    "q196_mmr_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val pool = emb.filter(col("vec_id") >= 1 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"),
+          Ann.cosine(col("embedding").cast("array<double>"),
+            typedlit(q0)).as("rel"))
+      Ann.mmrSelect(pool, "vec_id", "embedding", "rel", k = 4)
+    }),
+
     // Hybrid retrieval ([[graft.text.TextOps.rrfFuse]]): reciprocal-rank
     // fusion of q130's lexical BM25 ranking with a semantic ANN ranking
     // over the same doc-id space (vec_id i = doc i's embedding — the
@@ -3867,6 +3883,33 @@ object TextQueries {
          |    CAST(e AS VARCHAR), CAST(b.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord_key
          |FROM b CROSS JOIN generate_series(0, 3) g(e)
          |WHERE e >= b.joined_at""".stripMargin,
+
+    // q196: the four greedy MMR rounds unrolled — per round the q30
+    // cosine formula, exact integer coefficients 7/3, argmax by
+    // (score DESC, id ASC) over the not-yet-selected pool.
+    "q196_mmr_select" -> {
+      def cos(a: String, b: String): String =
+        s"list_dot_product($a.v, $b.v) / (sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))"
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q0 AS (SELECT v FROM e WHERE id = 0),
+         |pool AS (SELECT e.id, e.v, ${cos("e", "q0")} AS rel
+         |  FROM e, q0 WHERE e.id >= 1 AND e.id < 60),
+         |s1 AS (SELECT id, v, rel FROM pool
+         |       ORDER BY (7 * rel - 3 * 0.0) DESC, id LIMIT 1),
+         |s2 AS (SELECT p.id, p.v, p.rel FROM pool p, s1
+         |       WHERE p.id <> s1.id
+         |       ORDER BY (7 * p.rel - 3 * (${cos("p", "s1")})) DESC, p.id LIMIT 1),
+         |s3 AS (SELECT p.id, p.v, p.rel FROM pool p, s1, s2
+         |       WHERE p.id NOT IN (s1.id, s2.id)
+         |       ORDER BY (7 * p.rel - 3 * GREATEST(${cos("p", "s1")}, ${cos("p", "s2")})) DESC, p.id LIMIT 1),
+         |s4 AS (SELECT p.id, p.v, p.rel FROM pool p, s1, s2, s3
+         |       WHERE p.id NOT IN (s1.id, s2.id, s3.id)
+         |       ORDER BY (7 * p.rel - 3 * GREATEST(${cos("p", "s1")}, ${cos("p", "s2")}, ${cos("p", "s3")})) DESC, p.id LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, s1.id AS vec_id FROM s1
+         |UNION ALL SELECT 2, s2.id FROM s2
+         |UNION ALL SELECT 3, s3.id FROM s3
+         |UNION ALL SELECT 4, s4.id FROM s4""".stripMargin
+    },
 
     // q193: q130's BM25 stage (k=20) + q30-style exact cosine ranking
     // over the shared id space, fused by integer reciprocal ranks.

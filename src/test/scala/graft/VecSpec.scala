@@ -145,4 +145,33 @@ class VecSpec extends SparkSpec {
     assert(viaEval == viaDf)
     assert(viaEval == (3.0 - 1.0 - 3.25))
   }
+
+  test("mmrSelect picks diversity over redundancy; lambda=den degenerates to top-k by rel") {
+    import graft.ann.Ann
+    // Pool: two near-duplicate high-relevance vectors (1, 2), one
+    // orthogonal medium-relevance vector (3), one low (4). Plain top-2
+    // by relevance = {1, 2}; MMR at lambda 7/10 must pick 1 then skip
+    // its near-clone for the orthogonal 3.
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 0.95),
+      (2L, Seq(0.999, 0.01, 0.0), 0.94),
+      (3L, Seq(0.0, 1.0, 0.0), 0.60),
+      (4L, Seq(0.0, 0.0, 1.0), 0.10)).toDF("id", "v", "rel")
+    val got = Ann.mmrSelect(rows, "id", "v", "rel", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 3L), (3L, 2L)), s"got $got")
+    // lambda = 1 (num = den): pure relevance order — the ranker limit
+    val pure = Ann.mmrSelect(rows, "id", "v", "rel", k = 3,
+        lambdaNum = 1, lambdaDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pure == Seq((1L, 1L), (2L, 2L), (3L, 3L)), s"got $pure")
+    // pool-exhaustion: k beyond the pool stops cleanly
+    val all = Ann.mmrSelect(rows, "id", "v", "rel", k = 10)
+    assert(all.count() == 4)
+    // bounded-pool contract enforced
+    val e = intercept[IllegalArgumentException] {
+      Ann.mmrSelect(rows, "id", "v", "rel", k = 2, maxCandidates = 2)
+    }
+    assert(e.getMessage.contains("candidate pool"))
+  }
 }
