@@ -439,4 +439,28 @@ class PropertiesSpec extends SparkSpec {
         .agg(max(col("k")).as("mx")).head().getLong(0) == 1L
     }, trials = 10)
   }
+
+  test("law: rrfFuse is invariant to ranking-list order, and self-fusion preserves order") {
+    import graft.text.TextOps
+    def ranking(ids: Seq[Long], qid: Long = 1L) =
+      ids.zipWithIndex.map { case (id, i) => (qid, (i + 1).toLong, id) }
+        .toDF("query_id", "rank", "doc_id")
+    val a = ranking(Seq(10L, 20L, 30L, 40L))
+    val b = ranking(Seq(30L, 10L, 50L, 60L))
+    def fused(rs: Seq[org.apache.spark.sql.DataFrame]) =
+      TextOps.rrfFuse(rs, "doc_id", k = 6)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // permutation invariance: the contribution sum is commutative
+    assert(fused(Seq(a, b)) sameElements fused(Seq(b, a)))
+    // self-fusion: 1/(k0+r) is strictly decreasing in r, so fusing a
+    // ranking with itself reproduces it exactly
+    val self = fused(Seq(a, a))
+    assert(self.map(_._2).toSeq == Seq(10L, 20L, 30L, 40L), s"got ${self.toSeq}")
+    // a doc on BOTH lists at mid rank outranks a single-list top doc
+    // only when the reciprocal sums say so — pin one interior value:
+    // doc 30 (ranks 3 and 1) vs doc 10 (ranks 1 and 2):
+    // 10: 1e12/61 + 1e12/62 > 30: 1e12/63 + 1e12/61 -> 10 first, 30 second
+    val ab = fused(Seq(a, b))
+    assert(ab.take(2).map(_._2).toSeq == Seq(10L, 30L), s"got ${ab.toSeq}")
+  }
 }
