@@ -1890,6 +1890,28 @@ object TextQueries {
         epochs = 4)
     }),
 
+    // Curriculum -> per-epoch packing ([[TextOps.packSequencesGrouped]]
+    // over [[graft.text.Curation.curriculum]]): the end-to-end training
+    // artifact — each epoch's admitted pool packed into its OWN
+    // fixed-length sequence stream (offsets and sequence numbers restart
+    // per epoch), in the epoch's seeded mixing order. The grouped prefix
+    // sum is the global two-phase scan minus each group's broadcast
+    // start offset — no corpus-wide window anywhere.
+    "q195_curriculum_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val sched = graft.text.Curation
+        .curriculum(d, "source", "doc_id", "n_tokens", epochs = 3)
+        .join(d.select("doc_id", "n_tokens"), Seq("doc_id"))
+      TextOps.packSequencesGrouped(
+          sched.select("epoch", "doc_id", "n_tokens", "ord_key"),
+          Seq("epoch"), "doc_id", "n_tokens", seqLen = 512,
+          orderBy = Seq(col("ord_key")))
+        .select("epoch", "doc_id", "n_tokens", "tok_offset",
+          "first_seq", "last_seq")
+    }),
+
     // Distinctive vocabulary per source ([[TextOps.distinctiveTerms]]):
     // each source's 3 most over-represented terms vs the rest of the
     // corpus (bit-quantized smoothed log-odds — Fightin' Words) — the
@@ -3883,6 +3905,39 @@ object TextQueries {
          |    CAST(e AS VARCHAR), CAST(b.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord_key
          |FROM b CROSS JOIN generate_series(0, 3) g(e)
          |WHERE e >= b.joined_at""".stripMargin,
+
+    // q195: q194's curriculum CTEs at 3 epochs + a per-epoch exclusive
+    // window prefix sum in (ord_key, doc_id) order — the grouped pack's
+    // reference semantics.
+    "q195_curriculum_pack" ->
+      s"""WITH $DuckToks,
+         |s AS (SELECT d.source, d.doc_id, CAST(len(t.ts) AS BIGINT) AS sc
+         |      FROM documents d JOIN toks t USING (doc_id) WHERE len(t.ts) > 0),
+         |hist AS (SELECT source, sc, count(*) AS c FROM s GROUP BY 1, 2),
+         |cum AS (SELECT source, sc,
+         |         sum(c) OVER (PARTITION BY source ORDER BY sc) AS cum,
+         |         sum(c) OVER (PARTITION BY source) AS n FROM hist),
+         |cuts AS (SELECT source, i, min(CASE WHEN cum * 3 >= n * i THEN sc END) AS cut
+         |         FROM cum CROSS JOIN generate_series(1, 2) g(i) GROUP BY 1, 2),
+         |b AS (SELECT s.source, s.doc_id, s.sc,
+         |        CAST(sum(CASE WHEN s.sc > c.cut THEN 1 ELSE 0 END) AS INTEGER) AS joined_at
+         |      FROM s JOIN cuts c USING (source) GROUP BY 1, 2, 3),
+         |sched AS (
+         |  SELECT b.source, CAST(e AS BIGINT) AS epoch, b.doc_id, b.sc,
+         |    CAST(('0x' || substr(md5(concat_ws(chr(1), '29', b.source,
+         |      CAST(e AS VARCHAR), CAST(b.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord_key
+         |  FROM b CROSS JOIN generate_series(0, 2) g(e)
+         |  WHERE e >= b.joined_at),
+         |packed AS (
+         |  SELECT epoch, doc_id, sc AS n_tokens,
+         |    coalesce(sum(sc) OVER (PARTITION BY epoch ORDER BY ord_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         |  FROM sched)
+         |SELECT epoch, doc_id, n_tokens,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(tok_offset // 512 AS BIGINT) AS first_seq,
+         |  CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+         |FROM packed""".stripMargin,
 
     // q196: the four greedy MMR rounds unrolled — per round the q30
     // cosine formula, exact integer coefficients 7/3, argmax by

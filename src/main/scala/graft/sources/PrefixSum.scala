@@ -63,6 +63,37 @@ object PrefixSum {
     Bridge.internalCreateDataFrame(df.sparkSession, out, schema)
   }
 
+  /** GROUP-RESTARTING exclusive prefix sum: `outName` = sum of
+    * `valueCol` over earlier rows of the SAME group in the total order
+    * (each group's first row gets 0) — the primitive behind per-epoch /
+    * per-split token packing, where every group is its own training
+    * stream with its own offsets.
+    *
+    * Form: one global [[withPrefixSum]] ordered (groups, order) — groups
+    * are contiguous in the range sort — minus each group's starting
+    * offset. The starts frame is one map-side-combined min-agg collapsed
+    * to |groups| rows, and the subtraction join is group-keyed (AQE
+    * broadcasts it in the few-groups case — epochs, splits; a
+    * many-small-groups caller still only shuffles corpus rows by group
+    * once). Same contracts as [[withPrefixSum]]: non-null LONG value,
+    * tie-free total order within each group. */
+  def withGroupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], valueCol: String,
+      outName: String = "__offset"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "withGroupedPrefixSum: no group columns — use withPrefixSum")
+    val g = withPrefixSum(df, groupCols.map(org.apache.spark.sql.functions.col) ++ order,
+      valueCol, "__goff")
+    val starts = g.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("__goff")).as("__gstart"))
+    g.join(starts, groupCols)
+      .withColumn(outName,
+        org.apache.spark.sql.functions.col("__goff") -
+          org.apache.spark.sql.functions.col("__gstart"))
+      .drop("__goff", "__gstart")
+  }
+
   /** Append `outName` = max of `valueCol` over all EARLIER rows in the
     * total order (exclusive prefix max; first row gets Long.MinValue —
     * the max identity, so `v > prefix` is vacuously true there). Same

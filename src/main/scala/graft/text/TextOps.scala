@@ -1676,4 +1676,25 @@ object TextOps {
         when(col(nTokCol) > 0, expr(s"(tok_offset + $nTokCol - 1) div $seqLen"))
           .otherwise(expr(s"tok_offset div $seqLen")))
   }
+
+  /** [[packSequencesOrdered]] restarted PER GROUP — every group value is
+    * its own training stream with its own token offsets and sequence
+    * numbering from 0 (per-epoch packing of a [[graft.text.Curation
+    * .curriculum]] schedule, per-split packing of train/valid/test).
+    * Same output contract per group as the global pack; the only
+    * additions over the global form are the |groups|-row starts agg and
+    * a group-keyed subtraction join
+    * ([[graft.sources.PrefixSum.withGroupedPrefixSum]]). */
+  def packSequencesGrouped(df: DataFrame, groupCols: Seq[String],
+      idCol: String, nTokCol: String, seqLen: Int,
+      orderBy: Seq[Column] = Nil): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    graft.sources.PrefixSum
+      .withGroupedPrefixSum(df, groupCols, orderBy :+ col(idCol), nTokCol,
+        "tok_offset")
+      .withColumn("first_seq", expr(s"tok_offset div $seqLen"))
+      .withColumn("last_seq",
+        when(col(nTokCol) > 0, expr(s"(tok_offset + $nTokCol - 1) div $seqLen"))
+          .otherwise(expr(s"tok_offset div $seqLen")))
+  }
 }

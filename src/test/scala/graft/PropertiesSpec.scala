@@ -440,6 +440,21 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 10)
   }
 
+  test("law: grouped prefix sum = per-group window sum, restarts at 0, invariant to partitioning") {
+    import org.scalacheck.Gen
+    check(Prop.forAll(Gen.choose(1, 5), Gen.choose(1L, 200L)) { (nGroups, n) =>
+      val df = SparkSpec.spark.range(n).selectExpr(
+        s"id % $nGroups AS g", "id AS k", "(id * 7) % 13 AS v")
+      val got = graft.sources.PrefixSum
+        .withGroupedPrefixSum(df.repartition(5), Seq("g"), Seq(col("k")), "v", "off")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      val expect = df.selectExpr("g", "k", "v",
+          "coalesce(sum(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS off")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      got == expect && (0L until math.min(nGroups.toLong, n)).forall(g => got((g, g)) == 0L)
+    }, trials = 8)
+  }
+
   test("law: rrfFuse is invariant to ranking-list order, and self-fusion preserves order") {
     import graft.text.TextOps
     def ranking(ids: Seq[Long], qid: Long = 1L) =
