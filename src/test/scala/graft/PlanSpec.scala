@@ -397,7 +397,23 @@ class PlanSpec extends SparkSpec {
     // out in a single audit pass instead of one query per run.
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     targets.foreach { case (name, mk) =>
-      val nodes = allNodes(mk().queryExecution.executedPlan)
+      val plan = mk().queryExecution.executedPlan
+      val nodes = allNodes(plan)
+      // Nondeterministic expressions are BANNED from query plans: the
+      // engine's reproducibility contract derives all randomness from
+      // Stable's md5 construction (deterministic under retry,
+      // speculation and repartitioning), and a rand()/uuid()/
+      // monotonically_increasing_id() that slips in silently breaks
+      // exactly-once semantics on the first executor retry. (The one
+      // sanctioned MID use — TextFileSource.lines' per-file line
+      // numbering, ordered within a single unsplittable-scan task — is
+      // not part of any SparkEntry plan.)
+      val planStr = plan.toString
+      Seq("rand(", "randn(", "uuid()", "monotonically_increasing_id()")
+        .filter(planStr.contains)
+        .foreach(tok => violations +=
+          s"$name plans the nondeterministic expression $tok — " +
+            "derive randomness from graft.functions.Stable instead")
       nodes.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
       }.foreach(_ => violations +=
