@@ -72,14 +72,20 @@ object PrefixSum {
     * Form: one global [[withPrefixSum]] ordered (groups, order) — groups
     * are contiguous in the range sort — minus each group's starting
     * offset. The starts frame is one map-side-combined min-agg collapsed
-    * to |groups| rows, and the subtraction join is group-keyed (AQE
-    * broadcasts it in the few-groups case — epochs, splits; a
-    * many-small-groups caller still only shuffles corpus rows by group
-    * once). Same contracts as [[withPrefixSum]]: non-null LONG value,
-    * tie-free total order within each group. */
+    * to |groups| rows and BROADCAST by default: both sides are
+    * RDD-rooted (no stats), so without the hint Spark plans the
+    * subtraction join sort-merge ON THE GROUP KEY — which shuffles the
+    * whole corpus into |groups| partitions, a parallelism collapse at
+    * the designed few-groups use (epochs, splits). A many-small-groups
+    * caller (per-source packing over millions of sources) passes
+    * `broadcastStarts = false` to take the group-keyed shuffle join
+    * instead — there the group cardinality IS the parallelism. Same
+    * contracts as [[withPrefixSum]]: non-null LONG value, tie-free
+    * total order within each group. */
   def withGroupedPrefixSum(df: DataFrame, groupCols: Seq[String],
       order: Seq[Column], valueCol: String,
-      outName: String = "__offset"): DataFrame = {
+      outName: String = "__offset",
+      broadcastStarts: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty,
       "withGroupedPrefixSum: no group columns — use withPrefixSum")
     val g = withPrefixSum(df, groupCols.map(org.apache.spark.sql.functions.col) ++ order,
@@ -87,7 +93,8 @@ object PrefixSum {
     val starts = g.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
       .agg(org.apache.spark.sql.functions.min(
         org.apache.spark.sql.functions.col("__goff")).as("__gstart"))
-    g.join(starts, groupCols)
+    g.join(if (broadcastStarts) org.apache.spark.sql.functions.broadcast(starts)
+           else starts, groupCols)
       .withColumn(outName,
         org.apache.spark.sql.functions.col("__goff") -
           org.apache.spark.sql.functions.col("__gstart"))
