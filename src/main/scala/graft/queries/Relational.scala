@@ -30,6 +30,26 @@ object Relational {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Declarative data-quality verification ([[graft.operators.Checks]]):
+    // the Deequ-class constraint suite an ingest gate runs — all
+    // row-level checks in ONE scan+agg pass, uniqueness in agg form,
+    // referential integrity as a keys-only anti-join. Checks chosen so
+    // both outcomes are load-bearing: three violated (range cuts inside
+    // the data, R return flag, non-unique order key) and five clean.
+    "q197_quality_checks" -> ((s, dir) => {
+      import graft.operators.Checks._
+      graft.operators.Checks.run(t(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 30),
+        InRange("l_discount", 0.0, 0.05),
+        AcceptedValues("l_returnflag", Seq("A", "N")),
+        MatchesRegex("l_linestatus", "[OF]"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        Unique(Seq("l_orderkey")),
+        RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        MinRows(1000)))
+    }),
+
     // TPC-H Q1-style scan + partial-aggregable groupBy. At 100 TB this is a
     // single pass with map-side combine; no join, no wide row.
     "q1_agg" -> ((s, dir) => {
@@ -280,6 +300,45 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // q197: one scalar select per declared check, violation counts and
+    // the 0/1 pass flag exactly as the operator defines them.
+    "q197_quality_checks" ->
+      """SELECT 'not_null' AS check_name, 'l_orderkey' AS col_name,
+        |  CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_violations,
+        |  CAST(CASE WHEN count(*) FILTER (WHERE l_orderkey IS NULL) = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM lineitem
+        |UNION ALL SELECT 'in_range', 'l_quantity',
+        |  CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)) AS BIGINT) AS v,
+        |  CAST(CASE WHEN count(*) FILTER (WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'in_range', 'l_discount',
+        |  CAST(count(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05)) AS BIGINT),
+        |  CAST(CASE WHEN count(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05)) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'accepted_values', 'l_returnflag',
+        |  CAST(count(*) FILTER (WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N')) AS BIGINT),
+        |  CAST(CASE WHEN count(*) FILTER (WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N')) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'matches_regex', 'l_linestatus',
+        |  CAST(count(*) FILTER (WHERE l_linestatus IS NULL OR NOT regexp_full_match(l_linestatus, '(?:[OF])')) AS BIGINT),
+        |  CAST(CASE WHEN count(*) FILTER (WHERE l_linestatus IS NULL OR NOT regexp_full_match(l_linestatus, '(?:[OF])')) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |  CAST(CASE WHEN count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'unique', 'l_orderkey',
+        |  CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT),
+        |  CAST(CASE WHEN count(*) - count(DISTINCT l_orderkey) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'ref_integrity', 'l_orderkey',
+        |  CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+        |  CAST(CASE WHEN (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |UNION ALL SELECT 'min_rows', '',
+        |  CAST(GREATEST(0, 1000 - (SELECT count(*) FROM lineitem)) AS BIGINT),
+        |  CAST(CASE WHEN (SELECT count(*) FROM lineitem) >= 1000 THEN 1 ELSE 0 END AS BIGINT)""".stripMargin,
     // q183: identical delta construction; the cumulative window runs
     // over the bounded day table (fine single-node — the engine's
     // point is avoiding exactly that shape distributed).

@@ -530,6 +530,30 @@ class OperatorsSpec extends SparkSpec {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("Checks.run: planted violations counted per declared NULL semantics, one row per check") {
+    import graft.operators.Checks
+    import graft.operators.Checks._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 5.0, "ok"), (1L, 25.0, "ok"),      // dup id; 25 out of range
+      (2L, null, "zz"),                        // null v (NOT a range violation); zz not accepted
+      (null, 3.0, null)                        // null id; null s violates regex+accepted
+    ).toDF("id", "v", "s")
+    val ref = Seq(1L).toDF("rid")              // id=2 breaks referential integrity
+    val out = Checks.run(df, Seq(
+        NotNull("id"), InRange("v", 0.0, 10.0), MatchesRegex("s", "[a-z]+"),
+        AcceptedValues("s", Seq("ok")), Unique(Seq("id")),
+        RefIntegrity("id", ref, "rid"), MinRows(10)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("not_null", "id", 1L, 0L),
+      ("in_range", "v", 1L, 0L),          // only 25.0; the NULL is not a range violation
+      ("matches_regex", "s", 1L, 0L),     // the NULL; "zz" matches [a-z]+
+      ("accepted_values", "s", 2L, 0L),   // "zz" and the NULL
+      ("unique", "id", 1L, 0L),           // one row beyond id=1's first
+      ("ref_integrity", "id", 1L, 0L),    // id=2 (the NULL id is exempt)
+      ("min_rows", "", 6L, 0L)), s"got ${out.toSeq}")
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
