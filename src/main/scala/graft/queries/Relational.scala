@@ -50,6 +50,19 @@ object Relational {
         MinRows(1000)))
     }),
 
+    // Numeric distribution drift ([[graft.operators.Drift
+    // .histogramDrift]]): PSI-bits between the view and purchase value
+    // distributions on a declared 8-bucket grid — the monitoring card a
+    // refreshed corpus runs per numeric column. Integer shares, bit
+    // logs, bucket spine complete.
+    "q198_value_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Drift.histogramDrift(
+        ev.filter(col("event_type") === "view").select("value"),
+        ev.filter(col("event_type") === "purchase").select("value"),
+        "value", lo = 0.0, width = 40.0, nBuckets = 8)
+    }),
+
     // TPC-H Q1-style scan + partial-aggregable groupBy. At 100 TB this is a
     // single pass with map-side combine; no join, no wide row.
     "q1_agg" -> ((s, dir) => {
@@ -300,6 +313,31 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // q198: identical bucketing (one IEEE floor per value, clamped),
+    // integer shares, bit-log psi terms over the complete bucket spine.
+    "q198_value_drift" ->
+      """WITH av AS (SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 40.0) AS BIGINT), 0), 7) AS bucket
+        |            FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |bv AS (SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 40.0) AS BIGINT), 0), 7) AS bucket
+        |       FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |ha AS (SELECT bucket, count(*) AS n_a FROM av GROUP BY 1),
+        |hb AS (SELECT bucket, count(*) AS n_b FROM bv GROUP BY 1),
+        |h AS (SELECT g.bucket, coalesce(ha.n_a, 0) AS n_a, coalesce(hb.n_b, 0) AS n_b
+        |      FROM generate_series(0, 7) g(bucket)
+        |      LEFT JOIN ha ON ha.bucket = g.bucket
+        |      LEFT JOIN hb ON hb.bucket = g.bucket),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM h),
+        |s AS (SELECT h.bucket, h.n_a, h.n_b,
+        |        CASE WHEN t.ta > 0 THEN h.n_a * 1000000 // t.ta ELSE 0 END AS share_a,
+        |        CASE WHEN t.tb > 0 THEN h.n_b * 1000000 // t.tb ELSE 0 END AS share_b
+        |      FROM h, t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(share_a AS BIGINT) AS share_a,
+        |  CAST(share_b AS BIGINT) AS share_b,
+        |  CAST((share_a - share_b) * ((length(bin(share_a + 1)) - 1) -
+        |       (length(bin(share_b + 1)) - 1)) AS BIGINT) AS psi_term
+        |FROM s""".stripMargin,
+
     // q197: one scalar select per declared check, violation counts and
     // the 0/1 pass flag exactly as the operator defines them.
     "q197_quality_checks" ->

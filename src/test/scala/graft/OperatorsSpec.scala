@@ -554,6 +554,25 @@ class OperatorsSpec extends SparkSpec {
       ("min_rows", "", 6L, 0L)), s"got ${out.toSeq}")
   }
 
+  test("histogramDrift: zero on identical snapshots, positive on a shift, terms never negative") {
+    import graft.operators.Drift
+    val a = SparkSpec.spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    val shifted = SparkSpec.spark.range(1000).selectExpr("CAST(id % 100 + 40 AS DOUBLE) AS v")
+    val same = Drift.histogramDrift(a, a, "v", lo = 0.0, width = 20.0, nBuckets = 8)
+      .collect()
+    assert(same.length == 8)
+    assert(same.forall(r => r.getLong(5) == 0L), "identical snapshots must have zero PSI")
+    assert(same.forall(r => r.getLong(1) == r.getLong(2)))
+    val drift = Drift.histogramDrift(a, shifted, "v", lo = 0.0, width = 20.0, nBuckets = 8)
+      .collect()
+    assert(drift.map(_.getLong(5)).sum > 0L, "a 40-unit shift must register")
+    assert(drift.forall(_.getLong(5) >= 0L), "psi terms are nonnegative by construction")
+    // every bucket reports, observed or not (the spine)
+    assert(drift.map(_.getLong(0)).sorted.toSeq == (0L to 7L))
+    // clamping: out-of-grid values land in the edge buckets, not dropped
+    assert(drift.map(r => r.getLong(2)).sum == 1000L)
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
