@@ -50,6 +50,17 @@ object Relational {
         MinRows(1000)))
     }),
 
+    // Chi-square contingency test ([[graft.operators.Stats
+    // .chi2Contingency]]): does the event-type mix differ across three
+    // synthetic user arms? Exact long counts in, one fixed IEEE op
+    // chain per cell, micro-integer terms out.
+    "q199_chi2_mix" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        concat(lit("arm"), (col("user_id") % 3).cast("string")).as("arm"),
+        col("event_type"))
+      graft.operators.Stats.chi2Contingency(ev, "arm", "event_type")
+    }),
+
     // Numeric distribution drift ([[graft.operators.Drift
     // .histogramDrift]]): PSI-bits between the view and purchase value
     // distributions on a declared 8-bucket grid — the monitoring card a
@@ -313,6 +324,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // q199: identical contingency counts, the same fixed double op
+    // chain per cell (E = R·C/N, term = d·d/E, floored micro units).
+    "q199_chi2_mix" ->
+      """WITH cells AS (SELECT 'arm' || CAST(user_id % 3 AS VARCHAR) AS arm,
+        |    event_type, count(*) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT arm, sum(observed) AS rt FROM cells GROUP BY 1),
+        |c AS (SELECT event_type, sum(observed) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT sum(observed) AS nt FROM cells),
+        |j AS (SELECT cells.arm, cells.event_type, cells.observed,
+        |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) AS e
+        |      FROM cells JOIN r USING (arm) JOIN c USING (event_type), n)
+        |SELECT arm, event_type, CAST(observed AS BIGINT) AS observed,
+        |  CAST(floor(e * 1000000.0) AS BIGINT) AS expected_micro,
+        |  CAST(floor((CAST(observed AS DOUBLE) - e) * (CAST(observed AS DOUBLE) - e) / e * 1000000.0) AS BIGINT) AS term_micro
+        |FROM j""".stripMargin,
+
     // q198: identical bucketing (one IEEE floor per value, clamped),
     // integer shares, bit-log psi terms over the complete bucket spine.
     "q198_value_drift" ->

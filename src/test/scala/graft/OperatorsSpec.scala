@@ -554,6 +554,27 @@ class OperatorsSpec extends SparkSpec {
       ("min_rows", "", 6L, 0L)), s"got ${out.toSeq}")
   }
 
+  test("chi2Contingency: hand-computed 2x2 table, micro-exact terms") {
+    import graft.operators.Stats
+    // observed [[10, 20], [30, 40]]: E = [12, 18, 28, 42]; terms
+    // 4/12, 4/18, 4/28, 4/42 -> 333333, 222222, 142857, 95238 micro.
+    val rows = Seq(("a", "x", 10), ("a", "y", 20), ("b", "x", 30), ("b", "y", 40))
+      .flatMap { case (g, o, n) => Seq.fill(n)((g, o)) }.toDF("g", "o")
+    val out = Stats.chi2Contingency(rows, "g", "o")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      ("a", "x", 10L, 12000000L, 333333L),
+      ("a", "y", 20L, 18000000L, 222222L),
+      ("b", "x", 30L, 28000000L, 142857L),
+      ("b", "y", 40L, 42000000L, 95238L)), s"got $out")
+    // a perfectly proportional table has zero statistic
+    val prop = Seq(("a", "x", 10), ("a", "y", 20), ("b", "x", 20), ("b", "y", 40))
+      .flatMap { case (g, o, n) => Seq.fill(n)((g, o)) }.toDF("g", "o")
+    assert(Stats.chi2Contingency(prop, "g", "o")
+      .agg(sum(col("term_micro"))).head().getLong(0) == 0L)
+  }
+
   test("histogramDrift: zero on identical snapshots, positive on a shift, terms never negative") {
     import graft.operators.Drift
     val a = SparkSpec.spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
