@@ -440,6 +440,28 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 10)
   }
 
+  test("law: conversionLags is salt-invariant — any salt reproduces the plain path exactly") {
+    // q192 pins salt = 16 against the oracle; this quantifies the same
+    // invariance over the salt knob on a generated event log (every
+    // user converts with scattered A/B interleavings, some users have
+    // no A — the drop case).
+    import org.scalacheck.Gen
+    check(Prop.forAll(Gen.choose(1, 24), Gen.choose(20L, 200L)) { (salt, n) =>
+      val ev = SparkSpec.spark.range(n).selectExpr(
+        "id % 7 AS u",
+        "CASE WHEN id % 5 = 0 AND id % 7 <> 3 THEN 'A' ELSE 'B' END AS t",
+        "timestamp_micros(id * 1000000 + 1000000000) AS ts")
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val plain = graft.operators.Events
+        .conversionLags(ev, "u", "t", "ts", "A", "B")
+        .collect().map(key).toSet
+      val salted = graft.operators.Events
+        .conversionLags(ev, "u", "t", "ts", "A", "B", salt = salt)
+        .collect().map(key).toSet
+      salted == plain
+    }, trials = 8)
+  }
+
   test("law: grouped prefix sum = per-group window sum, restarts at 0, invariant to partitioning") {
     import org.scalacheck.Gen
     check(Prop.forAll(Gen.choose(1, 5), Gen.choose(1L, 200L)) { (nGroups, n) =>
