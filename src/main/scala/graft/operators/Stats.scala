@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Statistical hypothesis testing over grouped counts — the A/B-analysis
   * primitive ("does the outcome mix differ by arm?") the event operators
@@ -29,13 +30,34 @@ object Stats {
 
   def chi2Contingency(df: DataFrame, groupCol: String,
       outcomeCol: String): DataFrame = {
-    val cells = df.groupBy(col(groupCol), col(outcomeCol))
+    // NULL arms/outcomes are excluded (they are missing labels, not a
+    // category; recode them upstream to test them as one).
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(outcomeCol).isNotNull)
+      .groupBy(col(groupCol), col(outcomeCol))
       .agg(count(lit(1)).as("observed"))
     val rowT = cells.groupBy(groupCol).agg(sum(col("observed")).as("__r"))
     val colT = cells.groupBy(outcomeCol).agg(sum(col("observed")).as("__c"))
     val grand = cells.agg(sum(col("observed")).as("__n"))
-    cells
-      .join(broadcast(rowT), Seq(groupCol))
+    // COMPLETE cell spine: a structural zero — an (arm, outcome)
+    // combination that never occurs while both marginals are nonzero —
+    // is exactly where the association lives; omitting it (O=0,
+    // term=E) would underestimate the statistic on the most
+    // significant tables. The outcome set is a bounded closed set by
+    // the test's own contract (a χ² over unbounded categories is
+    // meaningless), so it becomes a driver literal (guarded) and the
+    // spine is a pure explode — no nested-loop join anywhere.
+    val outcomes = colT.select(col(outcomeCol)).limit(1001).collect()
+      .map(_.get(0))
+    require(outcomes.length <= 1000,
+      "chi2Contingency: more than 1000 outcome categories — a " +
+        "contingency test needs a bounded closed outcome set; bucket the " +
+        "outcome column first")
+    rowT
+      .select(col(groupCol), col("__r"),
+        explode(array(outcomes.map(v => lit(v)): _*)).as(outcomeCol))
+      .join(cells, Seq(groupCol, outcomeCol), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
       .join(broadcast(colT), Seq(outcomeCol))
       .crossJoin(broadcast(grand))
       // the EXACT op chain the oracle replays: E = (R·C)/N, d = O−E,
@@ -48,5 +70,144 @@ object Stats {
         floor(col("__e") * lit(1000000.0)).cast("bigint").as("expected_micro"),
         floor(col("__d") * col("__d") / col("__e") * lit(1000000.0))
           .cast("bigint").as("term_micro"))
+  }
+
+  /** Per-distinct-value labeled counts — the shared reduction behind the
+    * two-sample rank statistics ([[mannWhitney]], [[ksTwoSample]]): one
+    * map-side-combined agg collapsing BOTH samples to (value, count_in_a,
+    * pooled_count). Whatever the corpus size, everything downstream runs
+    * on the distinct-value frame. NULLs are excluded from both samples. */
+  private def labeledValueCounts(a: DataFrame, b: DataFrame,
+      valueCol: String): DataFrame = {
+    val tag = (df: DataFrame, ia: Long) => df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("__v"), lit(ia).as("__ia"))
+    tag(a, 1L).unionByName(tag(b, 0L))
+      .groupBy("__v")
+      .agg(sum(col("__ia")).as("ca"), count(lit(1)).as("ct"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) for two samples of `valueCol` —
+    * the nonparametric "is one distribution stochastically larger?" test
+    * (median-shift robust where [[welchT]] assumes means matter). Ranks
+    * with tie-averaging are computed WITHOUT a global window: per-value
+    * counts + the range-partitioned [[graft.sources.PrefixSum]] give
+    * less(v) = pooled count below v, and the doubled rank-sum
+    * 2·R_a = Σ_v ca(v)·(2·less(v) + ct(v) + 1) stays on the integer grid
+    * (tie-averaged ranks are half-integers, so ×2 is exact).
+    *
+    * Output (one row): n_a, n_b, u2_a/u2_b (doubled U statistics;
+    * U_a + U_b = n_a·n_b so u2_a + u2_b = 2·n_a·n_b), tie_cube =
+    * Σ(t³ − t) over tie groups, and the tie-corrected normal
+    * approximation z in floored micro units (NULL when the variance is 0
+    * — i.e. every value tied). All inputs to the double chain are exact
+    * longs; the chain itself is IEEE mul/div/sqrt only (correctly
+    * rounded, so cross-engine deterministic — the [[chi2Contingency]]
+    * discipline). Exactness headroom: 2·R_a ≤ 2N² and tie_cube ≤ N³
+    * must fit a long — exact to N ≈ 2×10⁶ pooled rows in the worst
+    * all-tied case, N ≈ 2×10⁹ for continuous-ish values; a rank test
+    * over more rows should test a sample, not the corpus. */
+  def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val byV = labeledValueCounts(a, b, valueCol)
+    val withLess = graft.sources.PrefixSum.withPrefixSum(
+      byV, Seq(col("__v")), "ct", "__lt")
+    val g = withLess.agg(
+      sum(col("ca")).as("n_a"),
+      sum(col("ct") - col("ca")).as("n_b"),
+      sum(col("ca") * (lit(2L) * col("__lt") + col("ct") + lit(1L))).as("r2_a"),
+      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_cube"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + lit(1L)))
+    val nd = (c: Column) => c.cast("double")
+    val nn = nd(col("n_a") + col("n_b"))
+    val varr = nd(col("n_a")) * nd(col("n_b")) / lit(12.0) *
+      ((nn + lit(1.0)) - nd(col("tie_cube")) / (nn * (nn - lit(1.0))))
+    val z = (nd(col("u2_a")) / lit(2.0) -
+      nd(col("n_a")) * nd(col("n_b")) / lit(2.0)) / sqrt(varr)
+    g.select(col("n_a"), col("n_b"), col("u2_a"),
+      (lit(2L) * col("n_a") * col("n_b") - col("u2_a")).as("u2_b"),
+      col("tie_cube"),
+      when(varr <= lit(0.0), lit(null))
+        .otherwise(floor(z * lit(1000000.0)).cast("bigint")).as("z_micro"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    * test with NO binning contract (companion to [[Drift.histogramDrift]]
+    * whose grid is declared): D = sup_x |F_a(x) − F_b(x)|, computed on
+    * the EXACT integer grid |cum_a·n_b − cum_b·n_a| (the common
+    * denominator n_a·n_b cleared), so the supremum is an integer max —
+    * no float compare picks the winner. Cumulative counts come from two
+    * range-partitioned [[graft.sources.PrefixSum]] passes over the
+    * distinct-value frame; the arg-sup row is taken with a top-1
+    * (TakeOrderedAndProject — a tree-reduced top-k, not a global sort),
+    * tie-broken to the smallest attaining value.
+    *
+    * Output (one row): n_a, n_b, d_num (integer numerator), d_micro =
+    * floor(d_num / (n_a·n_b) · 1e6), ks_at (smallest value attaining the
+    * supremum). Headroom: cum·n ≤ N² must fit a long — exact to
+    * N ≈ 3×10⁹ pooled rows. */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val byV = labeledValueCounts(a, b, valueCol)
+    val s = graft.sources.PrefixSum.withPrefixSum(
+      graft.sources.PrefixSum.withPrefixSum(byV, Seq(col("__v")), "ct", "__lt"),
+      Seq(col("__v")), "ca", "__la")
+    val tot = byV.agg(sum(col("ca")).as("n_a"),
+      sum(col("ct") - col("ca")).as("n_b"))
+    val cumA = col("__la") + col("ca")
+    val cumB = col("__lt") + col("ct") - cumA
+    s.crossJoin(broadcast(tot))
+      .select(col("__v"), col("n_a"), col("n_b"),
+        abs(cumA * col("n_b") - cumB * col("n_a")).as("d"))
+      .orderBy(col("d").desc, col("__v").asc).limit(1)
+      .select(col("n_a"), col("n_b"), col("d").as("d_num"),
+        floor(col("d").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")) *
+          lit(1000000.0)).cast("bigint").as("d_micro"),
+        col("__v").as("ks_at"))
+  }
+
+  /** Welch's unequal-variance t-test on the declared micro grid — "do
+    * the means differ?" for two samples of `valueCol`. The engine's
+    * quantization discipline makes it cross-engine exact: each value is
+    * floored ONCE onto the integer grid m = floor(v·scale), then the
+    * only sums are exact integer/decimal moments (Σm as long, Σm² as
+    * DECIMAL(38,0) — a long Σm² would wrap silently at corpus scale);
+    * mean, variance, t and the Welch–Satterthwaite df are each ONE IEEE
+    * mul/div/sqrt chain over those exact sums, no float accumulation
+    * anywhere. Output (one row): n_a, n_b, mean_a_micro, mean_b_micro,
+    * t_micro, df_micro (t/df floored ×1e6; NULL when either side has
+    * n < 2 or both variances are 0). Headroom: |v·scale| ≲ 3×10⁹ keeps
+    * Σm exact to ~10⁹ rows; Σm² in DECIMAL(38,0) is effectively
+    * unbounded. */
+  def welchT(a: DataFrame, b: DataFrame, valueCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1000, s"welchT: scale too coarse, got $scale")
+    def moments(df: DataFrame, sfx: String): DataFrame = {
+      val m = floor(col(valueCol) * lit(scale.toDouble)).cast("bigint")
+      df.filter(col(valueCol).isNotNull)
+        .select(m.as("__m"))
+        .agg(count(lit(1)).as(s"n_$sfx"), sum(col("__m")).as(s"s1_$sfx"),
+          sum((col("__m").cast(DecimalType(19, 0)) * col("__m"))
+            .cast(DecimalType(38, 0))).as(s"s2_$sfx"))
+    }
+    val nd = (c: Column) => c.cast("double")
+    def se(sfx: String): Column =
+      (nd(col(s"s2_$sfx")) - nd(col(s"s1_$sfx")) * nd(col(s"s1_$sfx")) /
+        nd(col(s"n_$sfx"))) / (nd(col(s"n_$sfx")) - lit(1.0)) / nd(col(s"n_$sfx"))
+    val (sea, seb) = (se("a"), se("b"))
+    val meanDiff = nd(col("s1_a")) / nd(col("n_a")) -
+      nd(col("s1_b")) / nd(col("n_b"))
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / (nd(col("n_a")) - lit(1.0)) +
+        seb * seb / (nd(col("n_b")) - lit(1.0)))
+    val bad = col("n_a") < 2 || col("n_b") < 2 || (sea + seb) <= lit(0.0)
+    moments(a, "a").crossJoin(broadcast(moments(b, "b")))
+      .select(col("n_a"), col("n_b"),
+        floor(nd(col("s1_a")) / nd(col("n_a"))).cast("bigint").as("mean_a_micro"),
+        floor(nd(col("s1_b")) / nd(col("n_b"))).cast("bigint").as("mean_b_micro"),
+        when(bad, lit(null)).otherwise(
+          floor(meanDiff / sqrt(sea + seb) * lit(1000000.0)).cast("bigint"))
+          .as("t_micro"),
+        when(bad, lit(null)).otherwise(
+          floor(dfW * lit(1000000.0)).cast("bigint")).as("df_micro"))
   }
 }

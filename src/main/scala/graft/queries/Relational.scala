@@ -61,6 +61,47 @@ object Relational {
       graft.operators.Stats.chi2Contingency(ev, "arm", "event_type")
     }),
 
+    // Mann–Whitney rank-sum ([[graft.operators.Stats.mannWhitney]]): are
+    // purchase values stochastically larger than view values? Ranks via
+    // per-value counts + range-partitioned prefix sum; doubled-U integer
+    // grid; tie-corrected z in one IEEE chain.
+    "q200_rank_shift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.mannWhitney(
+        ev.filter(col("event_type") === "purchase").select("value"),
+        ev.filter(col("event_type") === "view").select("value"), "value")
+    }),
+
+    // Two-sample KS ([[graft.operators.Stats.ksTwoSample]]): largest CDF
+    // gap between purchase and view values on the exact integer
+    // numerator grid, arg-sup tie-broken to the smallest value.
+    "q201_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.ksTwoSample(
+        ev.filter(col("event_type") === "purchase").select("value"),
+        ev.filter(col("event_type") === "view").select("value"), "value")
+    }),
+
+    // Welch unequal-variance t ([[graft.operators.Stats.welchT]]): do
+    // purchase and view value MEANS differ? Exact integer/decimal
+    // moments on the declared micro grid, one IEEE chain for t and the
+    // Welch–Satterthwaite df.
+    "q202_welch_means" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Stats.welchT(
+        ev.filter(col("event_type") === "purchase").select("value"),
+        ev.filter(col("event_type") === "view").select("value"), "value")
+    }),
+
+    // Nelson–Aalen time-to-first-purchase ([[graft.operators.Survival
+    // .hazardCurve]]): hour-grid durations, right-censored at the
+    // declared study end; integer-micro hazards so the cumulative is
+    // exact; risk set and cumulative via prefix sums, no global window.
+    "q203_retention_hazard" -> ((s, dir) =>
+      graft.operators.Survival.hazardCurve(
+        t(s, dir, "events"), "user_id", "ts",
+        col("event_type") === "purchase", "2024-01-03 00:00:00")),
+
     // Numeric distribution drift ([[graft.operators.Drift
     // .histogramDrift]]): PSI-bits between the view and purchase value
     // distributions on a declared 8-bucket grid — the monitoring card a
@@ -333,13 +374,92 @@ object Relational {
         |r AS (SELECT arm, sum(observed) AS rt FROM cells GROUP BY 1),
         |c AS (SELECT event_type, sum(observed) AS ct FROM cells GROUP BY 1),
         |n AS (SELECT sum(observed) AS nt FROM cells),
-        |j AS (SELECT cells.arm, cells.event_type, cells.observed,
+        |j AS (SELECT ra.arm, ca.event_type, coalesce(cells.observed, 0) AS observed,
         |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) AS e
-        |      FROM cells JOIN r USING (arm) JOIN c USING (event_type), n)
+        |      FROM r ra CROSS JOIN c ca
+        |      LEFT JOIN cells ON cells.arm = ra.arm AND cells.event_type = ca.event_type, n)
         |SELECT arm, event_type, CAST(observed AS BIGINT) AS observed,
         |  CAST(floor(e * 1000000.0) AS BIGINT) AS expected_micro,
         |  CAST(floor((CAST(observed AS DOUBLE) - e) * (CAST(observed AS DOUBLE) - e) / e * 1000000.0) AS BIGINT) AS term_micro
         |FROM j""".stripMargin,
+
+    // q200: same per-value counts, the cumulative via a window (the
+    // oracle is single-node), the same doubled-U integer grid and the
+    // same IEEE z chain. Every hugeint aggregate cast back to BIGINT.
+    "q200_rank_shift" ->
+      """WITH p AS (SELECT value AS v, 1 AS ia FROM events WHERE event_type='purchase' AND value IS NOT NULL),
+        |q AS (SELECT value AS v, 0 AS ia FROM events WHERE event_type='view' AND value IS NOT NULL),
+        |u AS (SELECT * FROM p UNION ALL SELECT * FROM q),
+        |byv AS (SELECT v, sum(ia) AS ca, count(*) AS ct FROM u GROUP BY 1),
+        |w AS (SELECT ca, ct, coalesce(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt FROM byv),
+        |g AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(ct-ca) AS BIGINT) AS n_b,
+        |             CAST(sum(ca*(2*lt+ct+1)) AS BIGINT) AS r2_a,
+        |             CAST(sum(ct*ct*ct-ct) AS BIGINT) AS tie_cube FROM w),
+        |h AS (SELECT n_a, n_b, r2_a - n_a*(n_a+1) AS u2_a, tie_cube FROM g),
+        |z AS (SELECT *, CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/12.0 *
+        |        ((CAST(n_a+n_b AS DOUBLE)+1.0) - CAST(tie_cube AS DOUBLE)/(CAST(n_a+n_b AS DOUBLE)*(CAST(n_a+n_b AS DOUBLE)-1.0))) AS varr
+        |      FROM h)
+        |SELECT n_a, n_b, u2_a, 2*n_a*n_b - u2_a AS u2_b, tie_cube,
+        |  CASE WHEN varr <= 0.0 THEN NULL ELSE
+        |    CAST(floor((CAST(u2_a AS DOUBLE)/2.0 - CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/2.0) / sqrt(varr) * 1000000.0) AS BIGINT)
+        |  END AS z_micro
+        |FROM z""".stripMargin,
+
+    // q201: same exact integer numerator |cum_a·n_b − cum_b·n_a|; the
+    // arg-sup row via ORDER BY d DESC, v LIMIT 1 (Spark: top-1).
+    "q201_ks_drift" ->
+      """WITH p AS (SELECT value AS v, 1 AS ia FROM events WHERE event_type='purchase' AND value IS NOT NULL),
+        |q AS (SELECT value AS v, 0 AS ia FROM events WHERE event_type='view' AND value IS NOT NULL),
+        |u AS (SELECT * FROM p UNION ALL SELECT * FROM q),
+        |byv AS (SELECT v, sum(ia) AS ca, count(*) AS ct FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(ct-ca) AS BIGINT) AS n_b FROM byv),
+        |w AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cua, sum(ct) OVER (ORDER BY v) AS cut FROM byv),
+        |curve AS (SELECT v, CAST(abs(cua*n_b - (cut-cua)*n_a) AS BIGINT) AS d, n_a, n_b FROM w, tot)
+        |SELECT n_a, n_b, d AS d_num,
+        |  CAST(floor(CAST(d AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))*1000000.0) AS BIGINT) AS d_micro,
+        |  v AS ks_at
+        |FROM curve ORDER BY d DESC, v LIMIT 1""".stripMargin,
+
+    // q202: the same micro-grid moments (hugeint sums exact, like
+    // Spark's DECIMAL(38,0)), the same variance/t/df IEEE chains.
+    "q202_welch_means" ->
+      """WITH a AS (SELECT CAST(floor(value*1000000.0) AS BIGINT) AS m FROM events WHERE event_type='purchase' AND value IS NOT NULL),
+        |b AS (SELECT CAST(floor(value*1000000.0) AS BIGINT) AS m FROM events WHERE event_type='view' AND value IS NOT NULL),
+        |ga AS (SELECT CAST(count(*) AS BIGINT) AS n_a, CAST(sum(m) AS BIGINT) AS s1a, CAST(sum(m*m) AS DOUBLE) AS s2a FROM a),
+        |gb AS (SELECT CAST(count(*) AS BIGINT) AS n_b, CAST(sum(m) AS BIGINT) AS s1b, CAST(sum(m*m) AS DOUBLE) AS s2b FROM b),
+        |j AS (SELECT *,
+        |  (s2a - CAST(s1a AS DOUBLE)*CAST(s1a AS DOUBLE)/CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE)-1.0) / CAST(n_a AS DOUBLE) AS sea,
+        |  (s2b - CAST(s1b AS DOUBLE)*CAST(s1b AS DOUBLE)/CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE)-1.0) / CAST(n_b AS DOUBLE) AS seb
+        |  FROM ga, gb)
+        |SELECT n_a, n_b,
+        |  CAST(floor(CAST(s1a AS DOUBLE)/CAST(n_a AS DOUBLE)) AS BIGINT) AS mean_a_micro,
+        |  CAST(floor(CAST(s1b AS DOUBLE)/CAST(n_b AS DOUBLE)) AS BIGINT) AS mean_b_micro,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sea + seb <= 0.0 THEN NULL ELSE
+        |    CAST(floor((CAST(s1a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(s1b AS DOUBLE)/CAST(n_b AS DOUBLE)) / sqrt(sea+seb) * 1000000.0) AS BIGINT)
+        |  END AS t_micro,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sea + seb <= 0.0 THEN NULL ELSE
+        |    CAST(floor((sea+seb)*(sea+seb) / (sea*sea/(CAST(n_a AS DOUBLE)-1.0) + seb*seb/(CAST(n_b AS DOUBLE)-1.0)) * 1000000.0) AS BIGINT)
+        |  END AS df_micro
+        |FROM j""".stripMargin,
+
+    // q203: same window restriction, same epoch_us hour grid (NOT
+    // date_diff — that counts boundary crossings), same micro-floored
+    // per-step hazard summed as integers.
+    "q203_retention_hazard" ->
+      """WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL AND ts <= TIMESTAMP '2024-01-03 00:00:00'),
+        |subj AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |           min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS te
+        |         FROM ev GROUP BY 1),
+        |durs AS (SELECT (coalesce(te, epoch_us(TIMESTAMP '2024-01-03 00:00:00')) - t0) // 3600000000 AS dur,
+        |           CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS e
+        |         FROM subj),
+        |byd AS (SELECT dur, CAST(sum(e) AS BIGINT) AS d, CAST(sum(1-e) AS BIGINT) AS c FROM durs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d+c) AS BIGINT) AS n FROM byd),
+        |w AS (SELECT dur, d, c, CAST(n - coalesce(sum(d+c) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM byd, tot),
+        |h AS (SELECT dur, d, c, n_risk, CAST(floor(CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE)*1000000.0) AS BIGINT) AS hazard_micro FROM w)
+        |SELECT CAST(dur AS BIGINT) AS dur, d, c, n_risk, hazard_micro,
+        |  CAST(sum(hazard_micro) OVER (ORDER BY dur) AS BIGINT) AS cumhaz_micro
+        |FROM h""".stripMargin,
 
     // q198: identical bucketing (one IEEE floor per value, clamped),
     // integer shares, bit-log psi terms over the complete bucket spine.

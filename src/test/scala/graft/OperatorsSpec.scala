@@ -573,6 +573,17 @@ class OperatorsSpec extends SparkSpec {
       .flatMap { case (g, o, n) => Seq.fill(n)((g, o)) }.toDF("g", "o")
     assert(Stats.chi2Contingency(prop, "g", "o")
       .agg(sum(col("term_micro"))).head().getLong(0) == 0L)
+    // STRUCTURAL ZEROS count: arm b never shows outcome y, but E > 0
+    // there — the cell must appear with O=0 and term = E (the
+    // association signal an observed-cells-only statistic would miss).
+    val zero = Seq(("a", "x", 10), ("a", "y", 10), ("b", "x", 20))
+      .flatMap { case (g, o, n) => Seq.fill(n)((g, o)) }.toDF("g", "o")
+    val z = Stats.chi2Contingency(zero, "g", "o")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // N=40, R_b=20, C_y=10 -> E(b,y)=5, O=0, term = 25/5 = 5.0
+    assert(z(("b", "y")) == ((0L, 5000000L, 5000000L)), s"got ${z(("b", "y"))}")
+    assert(z.size == 4, s"spine incomplete: ${z.keySet}")
   }
 
   test("histogramDrift: zero on identical snapshots, positive on a shift, terms never negative") {
@@ -592,6 +603,84 @@ class OperatorsSpec extends SparkSpec {
     assert(drift.map(_.getLong(0)).sorted.toSeq == (0L to 7L))
     // clamping: out-of-grid values land in the edge buckets, not dropped
     assert(drift.map(r => r.getLong(2)).sum == 1000L)
+  }
+
+  test("mannWhitney: hand-computed U, tie cube, all-tied variance -> NULL z, a/b symmetry") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // a = {1,2,3} all below b = {4,5,6}: ranks of a are 1,2,3 so
+    // R_a = 6, u2_a = 2*6 - 3*4 = 0 (complete separation), u2_b = 18.
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(4.0, 5.0, 6.0).toDF("v")
+    val r = Stats.mannWhitney(a, b, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 3L, 0L, 18L, 0L)))
+    assert(r.getLong(5) < 0L, "a below b must give a negative z")
+    // symmetry: swapping the samples swaps the U statistics
+    val s = Stats.mannWhitney(b, a, "v").head()
+    assert(s.getLong(2) == 18L && s.getLong(3) == 0L)
+    // every value tied: tie_cube = 4^3-4 = 60, variance collapses to 0,
+    // z must be NULL (not Inf/NaN floored into a garbage long)
+    val t1 = Seq(1.0, 1.0).toDF("v")
+    val r2 = Stats.mannWhitney(t1, t1, "v").head()
+    assert(r2.getLong(4) == 60L && r2.getLong(2) == 4L && r2.getLong(3) == 4L)
+    assert(r2.isNullAt(5))
+  }
+
+  test("ksTwoSample: separation gives D=1, identity gives D=0, arg-sup is the smallest value") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val a = Seq(1.0, 2.0).toDF("v")
+    val b = Seq(3.0, 4.0).toDF("v")
+    val r = Stats.ksTwoSample(a, b, "v").head()
+    // sup at v=2: |cumA*n_b - cumB*n_a| = |2*2 - 0*2| = 4 = n_a*n_b -> D=1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((2L, 2L, 4L, 1000000L, 2.0)))
+    val id = Stats.ksTwoSample(a, a, "v").head()
+    assert(id.getLong(2) == 0L && id.getDouble(4) == 1.0,
+      "identical samples: D=0, attained first at the smallest value")
+  }
+
+  test("welchT: equal samples give t=0 and df=4 exactly; n<2 gives NULLs") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val r = Stats.welchT(a, a, "v").head()
+    // identical sides: meanDiff = 0 -> t = 0; sea == seb bitwise so the
+    // Welch-Satterthwaite df chain is exactly (2s)^2 / (s^2) = 4
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 3L, 2000000L, 2000000L, 0L, 4000000L)))
+    val tiny = Stats.welchT(Seq(1.0).toDF("v"), a, "v").head()
+    assert(tiny.isNullAt(4) && tiny.isNullAt(5))
+  }
+
+  test("hazardCurve: hand-computed risk sets, censoring at study end, exact cumulative") {
+    import graft.operators.Survival
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 00:30:00", "purchase"),   // dur 0, event
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 02:10:00", "purchase"),   // dur 2, event
+      (3L, "2024-01-01 00:00:00", "view"),       // no purchase: censored @24h
+      (4L, "2024-01-01 00:00:00", "view"),
+      (4L, "2024-01-03 01:00:00", "purchase"))   // after study end: censored
+      .toDF("user_id", "s", "event_type")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("event_type"))
+    val out = Survival.hazardCurve(ev, "user_id", "ts",
+      col("event_type") === "purchase", "2024-01-02 00:00:00")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) == ((1L, 0L, 4L, 250000L, 250000L)))
+    assert(out(2L) == ((1L, 0L, 3L, 333333L, 583333L)))
+    // both unresolved subjects censored together at the window edge,
+    // contributing risk but no hazard
+    assert(out(24L) == ((0L, 2L, 2L, 0L, 583333L)))
+    assert(out.size == 3)
   }
 
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
