@@ -165,6 +165,93 @@ object Stats {
         col("__v").as("ks_at"))
   }
 
+  /** Exact trimmed AND winsorized mean on the declared micro grid — the
+    * robust location estimate a monitoring pipeline wants when a corpus
+    * column has heavy tails the plain mean chases. No sampling, no
+    * sketch: per-value counts + ONE range-partitioned
+    * [[graft.sources.PrefixSum]] give every value its exact rank
+    * interval [less, less+ct); the k lowest / k highest rows
+    * (k = floor(n·alpha)) are then dropped (trimmed) or clamped to the
+    * boundary order statistics (winsorized) by pure integer arithmetic
+    * — kept weight = clamp(min(less+ct, n−k) − max(less, k), 0, ct) —
+    * and a SINGLE aggregation produces sums, kept counts, and both
+    * boundary values (no second pass over the prefix frame). Output
+    * (one row): n, k, lo_micro / hi_micro (the clamp bounds = the
+    * alpha / 1−alpha order statistics), trimmed_mean_micro,
+    * winsor_mean_micro. Headroom: Σ|m|·ct and k·|m| must fit a long —
+    * the [[welchT]] Σm contract. */
+  def robustMean(df: DataFrame, valueCol: String, alpha: Double,
+      scale: Long = 1000000L): DataFrame = {
+    require(alpha >= 0.0 && alpha < 0.5,
+      s"robustMean: alpha must be in [0, 0.5), got $alpha")
+    require(scale >= 1000, s"robustMean: scale too coarse, got $scale")
+    val byV = df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) * lit(scale.toDouble)).cast("bigint").as("__m"))
+      .groupBy("__m").agg(count(lit(1)).as("ct"))
+    val tot = byV.agg(sum(col("ct")).as("__n"))
+      .select(col("__n"),
+        floor(col("__n").cast("double") * lit(alpha)).cast("bigint").as("__k"))
+    val kept = graft.sources.PrefixSum
+      .withPrefixSum(byV, Seq(col("__m")), "ct", "__less")
+      .crossJoin(broadcast(tot))
+      .withColumn("__w", greatest(
+        least(col("__less") + col("ct"), col("__n") - col("__k")) -
+          greatest(col("__less"), col("__k")), lit(0L)))
+    val g = kept.agg(
+      max(col("__n")).as("n"), max(col("__k")).as("k"),
+      sum(col("__m") * col("__w")).as("__tsum"),
+      sum(col("__w")).as("__tcnt"),
+      max(when(col("__less") <= col("__k") &&
+        col("__k") < col("__less") + col("ct"), col("__m"))).as("lo_micro"),
+      max(when(col("__less") <= col("__n") - col("__k") - lit(1L) &&
+        col("__n") - col("__k") - lit(1L) < col("__less") + col("ct"),
+        col("__m"))).as("hi_micro"))
+    g.select(col("n"), col("k"), col("lo_micro"), col("hi_micro"),
+      floor(col("__tsum").cast("double") / col("__tcnt").cast("double"))
+        .cast("bigint").as("trimmed_mean_micro"),
+      floor((col("__tsum") + col("k") * col("lo_micro") +
+        col("k") * col("hi_micro")).cast("double") / col("n").cast("double"))
+        .cast("bigint").as("winsor_mean_micro"))
+  }
+
+  /** floor(log10(1 + 1/d)·1e6) for d = 1..9 — the Benford expected
+    * first-digit shares on the micro grid. Computed ONCE here and
+    * interpolated as literals into both engines' plans (java.lang.Math
+    * log10 is deterministic per process but not correctly-rounded, so
+    * it must never run inside either engine). */
+  val benfordExpectedMicro: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
+  /** Benford first-digit screen — the forensic data-quality card for a
+    * positive amount column (fabricated or capped values flunk it; real
+    * multiplicative data follows log10(1+1/d)). The first digit is
+    * extracted WITHOUT engine logs: amount → integer cents
+    * (floor(v·100), so v ≥ 0.01 is the domain; smaller/nonpositive rows
+    * are excluded), then the first character of the exact integer
+    * decimal rendering — both engines print integers identically.
+    * Output: one row per digit 1..9 (complete spine) — (digit,
+    * observed, share_micro = observed·1e6 div n, expected_micro literal,
+    * dev_micro = |share − expected|); Σ dev_micro is the screen
+    * statistic (2× total-variation distance in micro units). */
+  def benfordCard(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = df.filter(col(valueCol) >= 0.01)
+      .select(substring(floor(col(valueCol) * lit(100.0)).cast("bigint")
+        .cast("string"), 1, 1).cast("bigint").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val tot = h.agg(sum(col("observed")).as("__n"))
+    val spine = benfordExpectedMicro.zipWithIndex
+      .map { case (e, i) => (i + 1L, e) }.toDF("digit", "expected_micro")
+    spine.join(h, Seq("digit"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("observed * 1000000L div __n"))
+      .select(col("digit"), col("observed"), col("share_micro"),
+        col("expected_micro"),
+        abs(col("share_micro") - col("expected_micro")).as("dev_micro"))
+  }
+
   /** Welch's unequal-variance t-test on the declared micro grid — "do
     * the means differ?" for two samples of `valueCol`. The engine's
     * quantization discipline makes it cross-engine exact: each value is

@@ -102,6 +102,21 @@ object Relational {
         t(s, dir, "events"), "user_id", "ts",
         col("event_type") === "purchase", "2024-01-03 00:00:00")),
 
+    // Exact 5%-trimmed and winsorized mean ([[graft.operators.Stats
+    // .robustMean]]): order statistics from per-value counts + prefix
+    // sum, integer clamp weights, one aggregation — no global window,
+    // no sketch.
+    "q204_robust_mean" -> ((s, dir) =>
+      graft.operators.Stats.robustMean(
+        t(s, dir, "events").select("value"), "value", alpha = 0.05)),
+
+    // Benford first-digit screen ([[graft.operators.Stats.benfordCard]])
+    // on order totals: integer-cents first digit, literal expected
+    // shares (log10 never runs in-engine), complete 1..9 spine.
+    "q205_benford_price" -> ((s, dir) =>
+      graft.operators.Stats.benfordCard(
+        t(s, dir, "orders").select("o_totalprice"), "o_totalprice")),
+
     // Numeric distribution drift ([[graft.operators.Drift
     // .histogramDrift]]): PSI-bits between the view and purchase value
     // distributions on a declared 8-bucket grid — the monitoring card a
@@ -460,6 +475,44 @@ object Relational {
         |SELECT CAST(dur AS BIGINT) AS dur, d, c, n_risk, hazard_micro,
         |  CAST(sum(hazard_micro) OVER (ORDER BY dur) AS BIGINT) AS cumhaz_micro
         |FROM h""".stripMargin,
+
+    // q204: same micro grid, same rank-interval clamp arithmetic (all
+    // integer until the final two divisions), boundary order statistics
+    // via the same conditional max.
+    "q204_robust_mean" ->
+      """WITH m AS (SELECT CAST(floor(value*1000000.0) AS BIGINT) AS m FROM events WHERE value IS NOT NULL),
+        |byv AS (SELECT m, count(*) AS ct FROM m GROUP BY 1),
+        |w AS (SELECT m, ct, coalesce(sum(ct) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS less FROM byv),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n, CAST(floor(CAST(sum(ct) AS DOUBLE) * 0.05) AS BIGINT) AS k FROM byv),
+        |kept AS (SELECT m, ct, less, n, k,
+        |    GREATEST(LEAST(less+ct, n-k) - GREATEST(less, k), 0) AS wkeep FROM w, tot),
+        |agg AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k,
+        |               CAST(sum(m*wkeep) AS BIGINT) AS tsum, CAST(sum(wkeep) AS BIGINT) AS tcnt,
+        |               CAST(max(CASE WHEN less <= k AND k < less+ct THEN m END) AS BIGINT) AS lo_micro,
+        |               CAST(max(CASE WHEN less <= n-k-1 AND n-k-1 < less+ct THEN m END) AS BIGINT) AS hi_micro
+        |        FROM kept)
+        |SELECT n, k, lo_micro, hi_micro,
+        |  CAST(floor(CAST(tsum AS DOUBLE)/CAST(tcnt AS DOUBLE)) AS BIGINT) AS trimmed_mean_micro,
+        |  CAST(floor(CAST(tsum + k*lo_micro + k*hi_micro AS DOUBLE)/CAST(n AS DOUBLE)) AS BIGINT) AS winsor_mean_micro
+        |FROM agg""".stripMargin,
+
+    // q205: same integer-cents first digit (string head of an exact
+    // integer), the same literal expected shares interpolated from
+    // Stats.benfordExpectedMicro.
+    "q205_benford_price" -> {
+      val spine = graft.operators.Stats.benfordExpectedMicro.zipWithIndex
+        .map { case (e, i) => s"(${i + 1}, ${e})" }.mkString(", ")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice*100.0) AS BIGINT) AS VARCHAR),1,1) AS BIGINT) AS digit
+        |           FROM orders WHERE o_totalprice >= 0.01),
+        |h AS (SELECT digit, count(*) AS observed FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM h),
+        |s(digit, expected_micro) AS (VALUES ${spine})
+        |SELECT CAST(s.digit AS BIGINT) AS digit, CAST(coalesce(h.observed,0) AS BIGINT) AS observed,
+        |  CAST(coalesce(h.observed,0) * 1000000 // n AS BIGINT) AS share_micro,
+        |  CAST(s.expected_micro AS BIGINT) AS expected_micro,
+        |  CAST(abs(coalesce(h.observed,0) * 1000000 // n - s.expected_micro) AS BIGINT) AS dev_micro
+        |FROM s LEFT JOIN h ON s.digit = h.digit, tot""".stripMargin
+    },
 
     // q198: identical bucketing (one IEEE floor per value, clamped),
     // integer shares, bit-log psi terms over the complete bucket spine.

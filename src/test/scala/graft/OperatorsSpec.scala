@@ -683,6 +683,49 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("robustMean: hand-computed trim/winsorize on 1..10, alpha=0 degenerates to the mean") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val v = (1 to 10).map(_.toDouble).toDF("v")
+    val r = Stats.robustMean(v, "v", alpha = 0.2).head()
+    // k=2: drop {1,2} and {9,10}; kept 3..8 -> mean 5.5; bounds 3 and 8;
+    // winsorized (33 + 2*3 + 2*8)/10 = 5.5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((10L, 2L, 3000000L, 8000000L, 5500000L, 5500000L)))
+    val r0 = Stats.robustMean(v, "v", alpha = 0.0).head()
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getLong(4),
+      r0.getLong(5)) == ((0L, 1000000L, 10000000L, 5500000L, 5500000L)))
+    // duplicates straddling the cut: ties are weighted, not all-dropped
+    val dup = Seq(1.0, 2.0, 2.0, 2.0, 3.0).toDF("v")
+    val rd = Stats.robustMean(dup, "v", alpha = 0.2).head()
+    // k=1: drop one '1' and one '3'; kept = three 2s -> both means 2.0
+    assert(rd.getLong(4) == 2000000L && rd.getLong(5) == 2000000L)
+    intercept[IllegalArgumentException] { Stats.robustMean(v, "v", 0.5) }
+  }
+
+  test("benfordCard: digit extraction without logs, complete spine, sub-cent rows excluded") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val v = Seq(1.0, 2.5, 19.99, 0.005, 300.0, -7.0).toDF("v")
+    val rows = Stats.benfordCard(v, "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.size == 9, "complete 1..9 spine")
+    // cents 100, 250, 1999, 30000 -> digits 1,2,1,3 (0.005 and -7 excluded)
+    assert(rows(1L)._1 == 2L && rows(2L)._1 == 1L && rows(3L)._1 == 1L)
+    assert((4L to 9L).forall(rows(_)._1 == 0L))
+    assert(rows(1L)._2 == 500000L && rows(2L)._2 == 250000L)
+    // expected literals are the micro-floored Benford shares, and the
+    // deviation column is exactly |share - expected|
+    assert(rows(1L)._3 == Stats.benfordExpectedMicro.head)
+    assert(rows.forall { case (_, (_, s, e, d)) => d == math.abs(s - e) })
+    assert(Stats.benfordExpectedMicro.sum <= 1000000L &&
+      Stats.benfordExpectedMicro.head == 301029L)
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
