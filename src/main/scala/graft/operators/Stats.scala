@@ -252,6 +252,59 @@ object Stats {
         abs(col("share_micro") - col("expected_micro")).as("dev_micro"))
   }
 
+  /** CUPED variance reduction (Controlled-experiment Using Pre-Existing
+    * Data) — the A/B-analysis workhorse that shrinks metric variance by
+    * regressing out a pre-period covariate: Y′ = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) fitted on the POOLED population (arm-blind, so
+    * the adjustment is unbiased under randomization). Input is the
+    * per-subject frame — one row per randomization unit with LONG
+    * micro-grid metric `yCol` and covariate `xCol` (build them with
+    * exact integer per-subject sums; this operator never sees raw
+    * floats). All moments are exact (counts/sums as long, cross
+    * products in DECIMAL(38,0) — long Σxy would wrap at corpus scale);
+    * θ, adjusted means, and the variance-reduction ratio
+    * ρ² = cov²/(var·var) are each one IEEE chain over those sums.
+    * Output: one row per arm — (arm, n, mean_y_micro, mean_adj_micro,
+    * theta_micro, var_reduction_ppm); the last three are NULL when
+    * var(X) (resp. var(Y)) is zero. Scale shape: one map-side-combined
+    * pooled agg + one per-arm agg, pooled broadcast onto the arm
+    * frame. */
+  def cuped(perSubject: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    Seq(xCol, yCol).foreach { c =>
+      require(perSubject.schema(c).dataType == LongType,
+        s"cuped: $c must be a bigint micro-grid column, got " +
+          perSubject.schema(c).dataType)
+    }
+    val dec = (c: Column) => c.cast(DecimalType(19, 0))
+    val x = col(xCol); val y = col(yCol)
+    val pool = perSubject.agg(
+      count(lit(1)).as("__n"), sum(x).as("__sx"), sum(y).as("__sy"),
+      sum((dec(x) * y).cast(DecimalType(38, 0))).as("__sxy"),
+      sum((dec(x) * x).cast(DecimalType(38, 0))).as("__sxx"),
+      sum((dec(y) * y).cast(DecimalType(38, 0))).as("__syy"))
+    val byArm = perSubject.groupBy(col(armCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sxg"), sum(y).as("__syg"))
+    val nd = (c: Column) => c.cast("double")
+    val covn = nd(col("__n")) * nd(col("__sxy")) - nd(col("__sx")) * nd(col("__sy"))
+    val varxn = nd(col("__n")) * nd(col("__sxx")) - nd(col("__sx")) * nd(col("__sx"))
+    val varyn = nd(col("__n")) * nd(col("__syy")) - nd(col("__sy")) * nd(col("__sy"))
+    val meanAdj = nd(col("__syg")) / nd(col("n")) -
+      covn / varxn * (nd(col("__sxg")) / nd(col("n")) - nd(col("__sx")) / nd(col("__n")))
+    byArm.crossJoin(broadcast(pool))
+      .select(col(armCol), col("n"),
+        floor(nd(col("__syg")) / nd(col("n"))).cast("bigint").as("mean_y_micro"),
+        when(varxn <= lit(0.0), lit(null))
+          .otherwise(floor(meanAdj).cast("bigint")).as("mean_adj_micro"),
+        when(varxn <= lit(0.0), lit(null))
+          .otherwise(floor(covn / varxn * lit(1000000.0)).cast("bigint"))
+          .as("theta_micro"),
+        when(varxn <= lit(0.0) || varyn <= lit(0.0), lit(null))
+          .otherwise(floor(covn * covn / (varxn * varyn) * lit(1000000.0))
+            .cast("bigint")).as("var_reduction_ppm"))
+  }
+
   /** Welch's unequal-variance t-test on the declared micro grid — "do
     * the means differ?" for two samples of `valueCol`. The engine's
     * quantization discipline makes it cross-engine exact: each value is

@@ -117,6 +117,22 @@ object Relational {
       graft.operators.Stats.benfordCard(
         t(s, dir, "orders").select("o_totalprice"), "o_totalprice")),
 
+    // CUPED adjusted means ([[graft.operators.Stats.cuped]]): per-user
+    // post-period purchase value adjusted by pre-period activity, θ fit
+    // arm-blind on the pooled population; exact integer/decimal moments
+    // in, one IEEE chain per output.
+    "q206_cuped_adjust" -> ((s, dir) => {
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val m = floor(col("value") * lit(1000000.0)).cast("bigint")
+      val perUser = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+        .agg(coalesce(sum(when(col("ts") < cut, m)), lit(0L)).as("x"),
+          coalesce(sum(when(col("ts") >= cut &&
+            col("event_type") === "purchase", m)), lit(0L)).as("y"))
+      graft.operators.Stats.cuped(perUser, "arm", "x", "y")
+    }),
+
     // Numeric distribution drift ([[graft.operators.Drift
     // .histogramDrift]]): PSI-bits between the view and purchase value
     // distributions on a declared 8-bucket grid — the monitoring card a
@@ -513,6 +529,31 @@ object Relational {
         |  CAST(abs(coalesce(h.observed,0) * 1000000 // n - s.expected_micro) AS BIGINT) AS dev_micro
         |FROM s LEFT JOIN h ON s.digit = h.digit, tot""".stripMargin
     },
+
+    // q206: same per-user integer sums (hugeint cross products = Spark's
+    // DECIMAL(38,0)), same pooled-θ and adjusted-mean chains.
+    "q206_cuped_adjust" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS arm,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN CAST(floor(value*1000000.0) AS BIGINT) END), 0) AS x,
+        |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type='purchase' THEN CAST(floor(value*1000000.0) AS BIGINT) END), 0) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |pool AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+        |  CAST(sum(CAST(x AS HUGEINT)*y) AS DOUBLE) sxy, CAST(sum(CAST(x AS HUGEINT)*x) AS DOUBLE) sxx, CAST(sum(CAST(y AS HUGEINT)*y) AS DOUBLE) syy FROM pu),
+        |byarm AS (SELECT arm, CAST(count(*) AS BIGINT) ng, CAST(sum(x) AS BIGINT) sxg, CAST(sum(y) AS BIGINT) syg FROM pu GROUP BY 1),
+        |j AS (SELECT *,
+        |  CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS covn,
+        |  CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varxn,
+        |  CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS varyn
+        |  FROM byarm, pool)
+        |SELECT CAST(arm AS BIGINT) AS arm, ng AS n,
+        |  CAST(floor(CAST(syg AS DOUBLE)/CAST(ng AS DOUBLE)) AS BIGINT) AS mean_y_micro,
+        |  CASE WHEN varxn <= 0.0 THEN NULL ELSE
+        |    CAST(floor(CAST(syg AS DOUBLE)/CAST(ng AS DOUBLE) - covn/varxn * (CAST(sxg AS DOUBLE)/CAST(ng AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) AS BIGINT)
+        |  END AS mean_adj_micro,
+        |  CASE WHEN varxn <= 0.0 THEN NULL ELSE CAST(floor(covn/varxn * 1000000.0) AS BIGINT) END AS theta_micro,
+        |  CASE WHEN varxn <= 0.0 OR varyn <= 0.0 THEN NULL ELSE CAST(floor(covn*covn/(varxn*varyn) * 1000000.0) AS BIGINT) END AS var_reduction_ppm
+        |FROM j""".stripMargin,
 
     // q198: identical bucketing (one IEEE floor per value, clamped),
     // integer shares, bit-log psi terms over the complete bucket spine.

@@ -726,6 +726,29 @@ class OperatorsSpec extends SparkSpec {
       Stats.benfordExpectedMicro.head == 301029L)
   }
 
+  test("cuped: perfect covariate equalizes adjusted means, theta=2, rho2=1; var(X)=0 -> NULLs") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // y = 2x exactly: theta = 2, rho^2 = 1; arm imbalance in x is fully
+    // regressed out so BOTH adjusted means land on the pooled value 5
+    val pu = Seq((0L, 1L, 2L), (0L, 2L, 4L), (1L, 3L, 6L), (1L, 4L, 8L))
+      .toDF("arm", "x", "y")
+    val r = Stats.cuped(pu, "arm", "x", "y").orderBy("arm").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(3L, 7L), "raw means differ")
+    assert(r.map(_.getLong(3)).toSeq == Seq(5L, 5L), "adjusted means equalized")
+    assert(r.forall(_.getLong(4) == 2000000L))
+    assert(r.forall(_.getLong(5) == 1000000L))
+    // constant covariate: no information, everything derived is NULL
+    val flat = Seq((0L, 7L, 2L), (1L, 7L, 4L)).toDF("arm", "x", "y")
+    val f = Stats.cuped(flat, "arm", "x", "y").collect()
+    assert(f.forall(row => row.isNullAt(3) && row.isNullAt(4) && row.isNullAt(5)))
+    // non-long metric columns are rejected loudly
+    intercept[IllegalArgumentException] {
+      Stats.cuped(pu.withColumn("x", col("x").cast("double")), "arm", "x", "y")
+    }
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
