@@ -55,8 +55,8 @@ object Stable {
     z ^ (z >>> 31)
   }
 
-  private val MersennePrime61 = 2305843009213693951L // 2^61 - 1
-  private val Mod30 = 1073741824L // 2^30
+  private[graft] val MersennePrime61 = 2305843009213693951L // 2^61 - 1
+  private[graft] val Mod30 = 1073741824L // 2^30
 
   /** The j-th member of a universal hash family over a 60-bit base hash:
     * `(a_j * lo30(h) + b_j * hi30(h) + c_j) mod (2^61-1)` with 31-bit odd

@@ -305,6 +305,68 @@ object Stats {
             .cast("bigint")).as("var_reduction_ppm"))
   }
 
+  /** Cumulative Poisson(1) thresholds on the 60-bit hash grid
+    * [0, 2⁶⁰): replicate weight w = k iff hash ∈ [t_{k−1}, t_k), capped
+    * at 6 (P(X>6) ≈ 8×10⁻⁵ — the standard truncation). Driver-side
+    * doubles become SHARED integer literals in both engines, so exp()
+    * never runs in-engine. */
+  private[graft] val poissonThresholds: Seq[Long] = {
+    val e = math.exp(-1.0)
+    var fact = 1.0; var cum = 0.0
+    (0 to 5).map { k =>
+      if (k > 0) fact *= k
+      cum += e / fact
+      math.floor(cum * 1152921504606846976.0).toLong // × 2^60
+    }
+  }
+
+  /** Poisson bootstrap — the DISTRIBUTED bootstrap: instead of the
+    * unshardable n-out-of-n multinomial resample, every row enters
+    * replicate b with an independent Poisson(1) weight, which partial
+    * aggregation reduces map-side (the shuffle carries `replicates` rows
+    * per task, whatever the corpus). Randomness is the engine's stable
+    * kind — [[graft.functions.Stable.seededHash]] of (key, replicate),
+    * uniform on [0, 2⁶⁰) — so weights are deterministic under retries,
+    * speculation and repartitioning, and bit-equal in the oracle. (The
+    * cheap [[graft.functions.Stable.familyHash]] is deliberately NOT
+    * used: its 31-bit constants are fine for MinHash minima but not
+    * uniform enough on the full range for inverse-CDF sampling.) Weight
+    * selection is pure integer compares against [[poissonThresholds]].
+    *
+    * Output: one row per replicate — (b, n_b, mean_micro) on the
+    * declared micro grid — the bootstrap distribution of the mean;
+    * percentiles of it are the CI (client-side: `replicates` rows).
+    * Headroom: Σw·|m| ≤ 6·N·|m| — the [[welchT]] Σm contract. CPU is
+    * `replicates` md5s per row — the honest price of replicate-
+    * independent draws; at corpus scale bound it with a pre-sampled
+    * frame or fewer replicates. */
+  def poissonBootstrap(df: DataFrame, keyCol: Column, valueCol: String,
+      replicates: Int = 100, seed: Long = 1L,
+      scale: Long = 1000000L): DataFrame = {
+    require(replicates >= 2 && replicates <= 10000,
+      s"poissonBootstrap: replicates must be in [2, 10000], got $replicates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = (0L until replicates.toLong).toDF("b")
+    val t = poissonThresholds
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(keyCol.as("__k"),
+        floor(col(valueCol) * lit(scale.toDouble)).cast("bigint").as("__m"))
+    val h = graft.functions.Stable.seededHash(seed, col("__k"), col("b"))
+    val w = when(h < t(0), lit(0L)).when(h < t(1), lit(1L))
+      .when(h < t(2), lit(2L)).when(h < t(3), lit(3L))
+      .when(h < t(4), lit(4L)).when(h < t(5), lit(5L)).otherwise(lit(6L))
+    rows.crossJoin(broadcast(spine))
+      .select(col("b"), w.as("__w"), col("__m"))
+      .groupBy(col("b"))
+      .agg(sum(col("__w")).as("n_b"),
+        sum(col("__w") * col("__m")).as("__s"))
+      .select(col("b"), col("n_b"),
+        when(col("n_b") <= 0L, lit(null)).otherwise(
+          floor(col("__s").cast("double") / col("n_b").cast("double"))
+            .cast("bigint")).as("mean_micro"))
+  }
+
   /** Welch's unequal-variance t-test on the declared micro grid — "do
     * the means differ?" for two samples of `valueCol`. The engine's
     * quantization discipline makes it cross-engine exact: each value is

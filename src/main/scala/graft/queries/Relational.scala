@@ -133,6 +133,16 @@ object Relational {
       graft.operators.Stats.cuped(perUser, "arm", "x", "y")
     }),
 
+    // Poisson bootstrap ([[graft.operators.Stats.poissonBootstrap]]):
+    // the distribution of the mean purchase/view value under 100
+    // hash-deterministic Poisson(1) resamples — the distributed
+    // bootstrap (no n-out-of-n multinomial), map-side-combined to 100
+    // output rows.
+    "q207_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Stats.poissonBootstrap(
+        t(s, dir, "events").select("event_id", "value"),
+        col("event_id"), "value", replicates = 100, seed = 1L)),
+
     // Numeric distribution drift ([[graft.operators.Drift
     // .histogramDrift]]): PSI-bits between the view and purchase value
     // distributions on a declared 8-bucket grid — the monitoring card a
@@ -554,6 +564,26 @@ object Relational {
         |  CASE WHEN varxn <= 0.0 THEN NULL ELSE CAST(floor(covn/varxn * 1000000.0) AS BIGINT) END AS theta_micro,
         |  CASE WHEN varxn <= 0.0 OR varyn <= 0.0 THEN NULL ELSE CAST(floor(covn*covn/(varxn*varyn) * 1000000.0) AS BIGINT) END AS var_reduction_ppm
         |FROM j""".stripMargin,
+
+    // q207: the same md5 of (seed, key, replicate) and the same Poisson
+    // thresholds interpolated as literals (exp/md5 arithmetic agreed by
+    // construction, not by luck).
+    "q207_bootstrap_ci" -> {
+      import graft.functions.Stable
+      val t = graft.operators.Stats.poissonThresholds
+      s"""WITH sp AS (SELECT unnest(generate_series(0, 99)) AS b),
+        |rows AS (SELECT event_id AS k, CAST(floor(value*1000000.0) AS BIGINT) AS m
+        |  FROM events WHERE value IS NOT NULL),
+        |x AS (SELECT b, ${Stable.duckSeededHash(1L, "k", "b")} AS h, m
+        |      FROM rows CROSS JOIN sp),
+        |w AS (SELECT b, m, CASE WHEN h < ${t(0)} THEN 0 WHEN h < ${t(1)} THEN 1
+        |        WHEN h < ${t(2)} THEN 2 WHEN h < ${t(3)} THEN 3
+        |        WHEN h < ${t(4)} THEN 4 WHEN h < ${t(5)} THEN 5 ELSE 6 END AS w FROM x),
+        |g AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_b, CAST(sum(w*m) AS BIGINT) AS s FROM w GROUP BY 1)
+        |SELECT CAST(b AS BIGINT) AS b, n_b,
+        |  CASE WHEN n_b <= 0 THEN NULL ELSE CAST(floor(CAST(s AS DOUBLE)/CAST(n_b AS DOUBLE)) AS BIGINT) END AS mean_micro
+        |FROM g""".stripMargin
+    },
 
     // q198: identical bucketing (one IEEE floor per value, clamped),
     // integer shares, bit-log psi terms over the complete bucket spine.

@@ -749,6 +749,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("poissonBootstrap: deterministic, full replicate spine, Poisson(1) mass behaves") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("k", "v")
+    val r1 = Stats.poissonBootstrap(df, col("k"), "v", replicates = 50)
+      .orderBy("b").collect()
+    assert(r1.length == 50, "one row per replicate")
+    // Poisson(1): E[n_b] = 1000; a 5-sigma band is +/- 158
+    assert(r1.forall(r => r.getLong(1) > 842 && r.getLong(1) < 1158),
+      s"replicate sizes implausible: ${r1.map(_.getLong(1)).mkString(",")}")
+    // every bootstrap mean stays inside the data range and near the mean
+    assert(r1.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 99000000L))
+    val grand = r1.map(_.getLong(2)).sum / 50
+    assert(math.abs(grand - 49500000L) < 5000000L, s"grand mean drifted: $grand")
+    // stable randomness: a second run is bit-identical; a new seed is not
+    val r2 = Stats.poissonBootstrap(df, col("k"), "v", replicates = 50)
+      .orderBy("b").collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    val r3 = Stats.poissonBootstrap(df, col("k"), "v", replicates = 50, seed = 2L)
+      .orderBy("b").collect()
+    assert(r1.map(_.getLong(1)).toSeq != r3.map(_.getLong(1)).toSeq)
+    // thresholds are monotone and cover ~Poisson(1) mass up to k=5
+    val t = Stats.poissonThresholds
+    assert(t == t.sorted && t.last < 1152921504606846976L)
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
