@@ -367,6 +367,40 @@ object Stats {
             .cast("bigint")).as("mean_micro"))
   }
 
+  /** z for the two-sided 95% interval — a DRIVER-SIDE literal (the
+    * inverse normal CDF never runs in-engine); Double.toString
+    * round-trips, so the interpolated oracle literal is the same
+    * double. */
+  val z975: Double = 1.959963984540054
+
+  /** Wilson score interval per group — the conversion-rate card with
+    * honest uncertainty (the Wald interval collapses at p near 0/1 and
+    * small n; Wilson stays inside [0,1] and is the standard A/B
+    * reporting choice). Inputs are exact LONG counts from one map-side
+    * agg of a boolean success column; center and half-width are each
+    * one IEEE mul/div/sqrt chain (correctly-rounded ops only — z is the
+    * [[z975]] literal, or caller-supplied). Output: one row per group —
+    * (group, n, successes, rate_ppm, lo_ppm, hi_ppm), ppm-floored;
+    * NULL bounds when n = 0 is impossible by construction (a group
+    * exists only with rows). */
+  def proportionCI(df: DataFrame, groupCol: String, successCol: Column,
+      z: Double = z975): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, lit(1L)).otherwise(lit(0L))).as("successes"))
+    val nd = (c: Column) => c.cast("double")
+    val zc = lit(z); val z2 = zc * zc
+    val ph = nd(col("successes")) / nd(col("n"))
+    val denom = lit(1.0) + z2 / nd(col("n"))
+    val center = (ph + z2 / (lit(2.0) * nd(col("n")))) / denom
+    val half = zc * sqrt(ph * (lit(1.0) - ph) / nd(col("n")) +
+      z2 / (lit(4.0) * nd(col("n")) * nd(col("n")))) / denom
+    g.select(col(groupCol), col("n"), col("successes"),
+      floor(ph * lit(1000000.0)).cast("bigint").as("rate_ppm"),
+      floor((center - half) * lit(1000000.0)).cast("bigint").as("lo_ppm"),
+      floor((center + half) * lit(1000000.0)).cast("bigint").as("hi_ppm"))
+  }
+
   /** Welch's unequal-variance t-test on the declared micro grid — "do
     * the means differ?" for two samples of `valueCol`. The engine's
     * quantization discipline makes it cross-engine exact: each value is

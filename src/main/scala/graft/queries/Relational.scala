@@ -143,6 +143,17 @@ object Relational {
         t(s, dir, "events").select("event_id", "value"),
         col("event_id"), "value", replicates = 100, seed = 1L)),
 
+    // Wilson score intervals ([[graft.operators.Stats.proportionCI]]):
+    // per-arm user conversion rate with honest 95% bounds; counts from
+    // one per-user collapse + one per-arm agg, z a shared literal.
+    "q208_conversion_ci" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy((col("user_id") % 3).as("arm"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+      graft.operators.Stats.proportionCI(perUser, "arm", col("conv") === 1L)
+    }),
+
     // Numeric distribution drift ([[graft.operators.Drift
     // .histogramDrift]]): PSI-bits between the view and purchase value
     // distributions on a declared 8-bucket grid — the monitoring card a
@@ -583,6 +594,33 @@ object Relational {
         |SELECT CAST(b AS BIGINT) AS b, n_b,
         |  CASE WHEN n_b <= 0 THEN NULL ELSE CAST(floor(CAST(s AS DOUBLE)/CAST(n_b AS DOUBLE)) AS BIGINT) END AS mean_micro
         |FROM g""".stripMargin
+    },
+
+    // q208: the same literal z (Double.toString round-trips), the same
+    // center/half-width chains over exact counts.
+    "q208_conversion_ci" -> {
+      // CAST the literal: DuckDB parses bare decimal literals as
+      // DECIMAL, whose exact z*z would round ONCE where Spark's
+      // double*double rounds each factor — a 1-ulp divergence class.
+      val z = s"CAST(${graft.operators.Stats.z975} AS DOUBLE)"
+      s"""WITH pu AS (SELECT user_id % 3 AS arm, user_id,
+        |    max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS successes
+        |      FROM pu GROUP BY 1),
+        |c AS (SELECT *,
+        |  CAST(successes AS DOUBLE)/CAST(n AS DOUBLE) AS ph,
+        |  1.0 + ${z}*${z}/CAST(n AS DOUBLE) AS denom FROM g),
+        |h AS (SELECT *,
+        |  (ph + ${z}*${z}/(2.0*CAST(n AS DOUBLE)))/denom AS center,
+        |  ${z}*sqrt(ph*(1.0-ph)/CAST(n AS DOUBLE) + ${z}*${z}/(4.0*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))/denom AS half
+        |  FROM c)
+        |SELECT CAST(arm AS BIGINT) AS arm, n, successes,
+        |  CAST(floor(ph * 1000000.0) AS BIGINT) AS rate_ppm,
+        |  CAST(floor((center - half) * 1000000.0) AS BIGINT) AS lo_ppm,
+        |  CAST(floor((center + half) * 1000000.0) AS BIGINT) AS hi_ppm
+        |FROM h""".stripMargin
     },
 
     // q198: identical bucketing (one IEEE floor per value, clamped),

@@ -776,6 +776,35 @@ class OperatorsSpec extends SparkSpec {
     assert(t == t.sorted && t.last < 1152921504606846976L)
   }
 
+  test("proportionCI: Wilson bounds match the JVM replay of the exact chain; bounds bracket the rate") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = (Seq.fill(3)(("a", false)) ++ Seq(("a", true)) ++
+      Seq.fill(5)(("b", false))).toDF("g", "ok")
+    val out = Stats.proportionCI(df, "g", col("ok")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    def wilson(s: Double, n: Double): (Long, Long) = {
+      val z = Stats.z975; val z2 = z * z
+      val ph = s / n; val denom = 1.0 + z2 / n
+      val center = (ph + z2 / (2.0 * n)) / denom
+      val half = z * math.sqrt(ph * (1.0 - ph) / n + z2 / (4.0 * n * n)) / denom
+      (math.floor((center - half) * 1e6).toLong,
+        math.floor((center + half) * 1e6).toLong)
+    }
+    val (loA, hiA) = wilson(1.0, 4.0)
+    assert(out("a") == ((4L, 1L, 250000L, loA, hiA)))
+    // bounds bracket the rate and stay in [0, 1] even at p = 0
+    val (loB, hiB) = wilson(0.0, 5.0)
+    assert(out("b") == ((5L, 0L, 0L, loB, hiB)))
+    assert(loB >= 0L && hiB > 0L && hiB <= 1000000L,
+      "Wilson must not collapse at p=0 the way Wald does")
+    out.values.foreach { case (_, _, rate, lo, hi) =>
+      assert(lo <= rate && rate <= hi)
+    }
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
