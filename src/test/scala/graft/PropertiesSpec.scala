@@ -500,4 +500,51 @@ class PropertiesSpec extends SparkSpec {
     val ab = fused(Seq(a, b))
     assert(ab.take(2).map(_._2).toSeq == Seq(10L, 30L), s"got ${ab.toSeq}")
   }
+
+  test("property: rank statistics (Mann-Whitney, KS) are invariant under strictly monotone transforms") {
+    import graft.operators.Stats
+    // U, tie_cube, z and D depend only on the ORDER of pooled values —
+    // the defining property of a rank test. f(x) = x^3 + 2x is strictly
+    // increasing and exact on small-integer doubles.
+    val gen = for {
+      a <- Gen.nonEmptyListOf(Gen.choose(-20, 20))
+      b <- Gen.nonEmptyListOf(Gen.choose(-20, 20))
+    } yield (a, b)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val f = (x: Int) => { val d = x.toDouble; d * d * d + 2.0 * d }
+      val (da, db) = (a.map(_.toDouble).toDF("v"), b.map(_.toDouble).toDF("v"))
+      val (fa, fb) = (a.map(f).toDF("v"), b.map(f).toDF("v"))
+      val u0 = Stats.mannWhitney(da, db, "v").head()
+      val u1 = Stats.mannWhitney(fa, fb, "v").head()
+      val k0 = Stats.ksTwoSample(da, db, "v").head()
+      val k1 = Stats.ksTwoSample(fa, fb, "v").head()
+      u0.toSeq == u1.toSeq &&
+        (k0.getLong(0), k0.getLong(1), k0.getLong(2), k0.getLong(3)) ==
+          ((k1.getLong(0), k1.getLong(1), k1.getLong(2), k1.getLong(3)))
+    }, trials = 6)
+  }
+
+  test("property: robustMean is shift-equivariant on integer-valued data; constant data fixes everything") {
+    import graft.operators.Stats
+    // adding an integer constant shifts every output statistic by
+    // c*1e6 exactly (integer-valued doubles keep the micro grid exact)
+    val gen = for {
+      v <- Gen.listOfN(12, Gen.choose(0, 50)).suchThat(_.nonEmpty)
+      c <- Gen.choose(1, 30)
+    } yield (v, c)
+    check(Prop.forAll(gen) { case (v, c) =>
+      val r0 = Stats.robustMean(v.map(_.toDouble).toDF("v"), "v", 0.2).head()
+      val r1 = Stats.robustMean(v.map(x => (x + c).toDouble).toDF("v"), "v", 0.2).head()
+      val d = c.toLong * 1000000L
+      r1.getLong(2) == r0.getLong(2) + d && r1.getLong(3) == r0.getLong(3) + d &&
+        r1.getLong(4) == r0.getLong(4) + d && r1.getLong(5) == r0.getLong(5) + d &&
+        r1.getLong(0) == r0.getLong(0) && r1.getLong(1) == r0.getLong(1)
+    }, trials = 6)
+    // degenerate distribution: every bootstrap replicate mean is the value
+    val one = Seq.fill(40)(7.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("k", "v")
+    val bs = graft.operators.Stats.poissonBootstrap(one, col("k"), "v",
+      replicates = 20).collect()
+    assert(bs.filter(!_.isNullAt(2)).forall(_.getLong(2) == 7000000L))
+  }
 }
