@@ -147,20 +147,20 @@ object Stats {
     * N ≈ 3×10⁹ pooled rows. */
   def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val byV = labeledValueCounts(a, b, valueCol)
-    val s = graft.sources.PrefixSum.withPrefixSum(
-      graft.sources.PrefixSum.withPrefixSum(byV, Seq(col("__v")), "ct", "__lt"),
-      Seq(col("__v")), "ca", "__la")
-    val tot = byV.agg(sum(col("ca")).as("n_a"),
-      sum(col("ct") - col("ca")).as("n_b"))
+    // both sample sizes fall out of the two prefix scans' phase-1
+    // reductions — no totals frame, no second corpus derivation
+    val (s1, nPooled) = graft.sources.PrefixSum
+      .withPrefixSumTotal(byV, Seq(col("__v")), "ct", "__lt")
+    val (s, nA) = graft.sources.PrefixSum
+      .withPrefixSumTotal(s1, Seq(col("__v")), "ca", "__la")
+    val nB = nPooled - nA
     val cumA = col("__la") + col("ca")
     val cumB = col("__lt") + col("ct") - cumA
-    s.crossJoin(broadcast(tot))
-      .select(col("__v"), col("n_a"), col("n_b"),
-        abs(cumA * col("n_b") - cumB * col("n_a")).as("d"))
+    s.select(col("__v"), abs(cumA * lit(nB) - cumB * lit(nA)).as("d"))
       .orderBy(col("d").desc, col("__v").asc).limit(1)
-      .select(col("n_a"), col("n_b"), col("d").as("d_num"),
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("d").as("d_num"),
         floor(col("d").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")) *
+          (lit(nA).cast("double") * lit(nB).cast("double")) *
           lit(1000000.0)).cast("bigint").as("d_micro"),
         col("__v").as("ks_at"))
   }
@@ -188,29 +188,29 @@ object Stats {
     val byV = df.filter(col(valueCol).isNotNull)
       .select(floor(col(valueCol) * lit(scale.toDouble)).cast("bigint").as("__m"))
       .groupBy("__m").agg(count(lit(1)).as("ct"))
-    val tot = byV.agg(sum(col("ct")).as("__n"))
-      .select(col("__n"),
-        floor(col("__n").cast("double") * lit(alpha)).cast("bigint").as("__k"))
-    val kept = graft.sources.PrefixSum
-      .withPrefixSum(byV, Seq(col("__m")), "ct", "__less")
-      .crossJoin(broadcast(tot))
-      .withColumn("__w", greatest(
-        least(col("__less") + col("ct"), col("__n") - col("__k")) -
-          greatest(col("__less"), col("__k")), lit(0L)))
+    // n and k come EAGERLY from the prefix scan's phase-1 reduction —
+    // as literals, not a totals frame: a totals aggregation would
+    // re-scan the corpus (no exchange reuse across the RDD bridge).
+    // floor(n·alpha) is the same IEEE chain the oracle runs in SQL.
+    val (pre, n) = graft.sources.PrefixSum
+      .withPrefixSumTotal(byV, Seq(col("__m")), "ct", "__less")
+    val k = math.floor(n.toDouble * alpha).toLong
+    val kept = pre.withColumn("__w", greatest(
+      least(col("__less") + col("ct"), lit(n - k)) -
+        greatest(col("__less"), lit(k)), lit(0L)))
     val g = kept.agg(
-      max(col("__n")).as("n"), max(col("__k")).as("k"),
       sum(col("__m") * col("__w")).as("__tsum"),
       sum(col("__w")).as("__tcnt"),
-      max(when(col("__less") <= col("__k") &&
-        col("__k") < col("__less") + col("ct"), col("__m"))).as("lo_micro"),
-      max(when(col("__less") <= col("__n") - col("__k") - lit(1L) &&
-        col("__n") - col("__k") - lit(1L) < col("__less") + col("ct"),
+      max(when(col("__less") <= lit(k) &&
+        lit(k) < col("__less") + col("ct"), col("__m"))).as("lo_micro"),
+      max(when(col("__less") <= lit(n - k - 1) &&
+        lit(n - k - 1) < col("__less") + col("ct"),
         col("__m"))).as("hi_micro"))
-    g.select(col("n"), col("k"), col("lo_micro"), col("hi_micro"),
+    g.select(lit(n).as("n"), lit(k).as("k"), col("lo_micro"), col("hi_micro"),
       floor(col("__tsum").cast("double") / col("__tcnt").cast("double"))
         .cast("bigint").as("trimmed_mean_micro"),
-      floor((col("__tsum") + col("k") * col("lo_micro") +
-        col("k") * col("hi_micro")).cast("double") / col("n").cast("double"))
+      floor((col("__tsum") + lit(k) * col("lo_micro") +
+        lit(k) * col("hi_micro")).cast("double") / lit(n).cast("double"))
         .cast("bigint").as("winsor_mean_micro"))
   }
 

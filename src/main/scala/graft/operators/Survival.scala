@@ -58,11 +58,13 @@ object Survival {
       .agg(sum(col("__ev")).as("d"),
         sum(lit(1L) - col("__ev")).as("c"))
       .withColumn("__tc", col("d") + col("c"))
-    val tot = byDur.agg(sum(col("__tc")).as("__n"))
-    val risk = graft.sources.PrefixSum
-      .withPrefixSum(byDur, Seq(col("dur")), "__tc", "__less")
-      .crossJoin(broadcast(tot))
-      .withColumn("n_risk", col("__n") - col("__less"))
+    // N comes eagerly from the prefix scan's phase-1 reduction — as a
+    // literal, not a totals frame (which would re-derive the corpus
+    // aggregation: no exchange reuse across the RDD bridge)
+    val (pre, n) = graft.sources.PrefixSum
+      .withPrefixSumTotal(byDur, Seq(col("dur")), "__tc", "__less")
+    val risk = pre
+      .withColumn("n_risk", lit(n) - col("__less"))
       .withColumn("hazard_micro",
         floor(col("d").cast("double") / col("n_risk").cast("double") *
           lit(1000000.0)).cast("bigint"))

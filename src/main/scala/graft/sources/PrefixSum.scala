@@ -28,7 +28,20 @@ object PrefixSum {
     * `valueCol` must be a non-null LONG column name; the order must be
     * total (tie-free) for determinism. */
   def withPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
-      outName: String = "__offset"): DataFrame = {
+      outName: String = "__offset"): DataFrame =
+    withPrefixSumTotal(df, order, valueCol, outName)._1
+
+  /** [[withPrefixSum]] plus the EAGER grand total Σ`valueCol` — phase 1
+    * already reduces it driver-side, so handing it back is free. Use it
+    * whenever the caller needs the total alongside the running sums:
+    * deriving the total from a second aggregation would RE-SCAN the
+    * source, because the prefix frame is RDD-rooted and Spark's
+    * exchange reuse cannot deduplicate subtrees across that bridge
+    * (measured on the q204 plan: totals-as-literals removes a full
+    * corpus scan + a broadcast join from the robust-mean / KS /
+    * survival operators). */
+  def withPrefixSumTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+      outName: String = "__offset"): (DataFrame, Long) = {
     val sorted = df.sort(order: _*)
     val ordinal = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(ordinal).dataType == LongType,
@@ -60,7 +73,8 @@ object PrefixSum {
         joined(r, offRow): InternalRow
       }
     }
-    Bridge.internalCreateDataFrame(df.sparkSession, out, schema)
+    (Bridge.internalCreateDataFrame(df.sparkSession, out, schema),
+      partSums.sum)
   }
 
   /** GROUP-RESTARTING exclusive prefix sum: `outName` = sum of
