@@ -814,14 +814,17 @@ object TextOps {
     require(0 <= pLo && pLo < pHi && pHi <= 100,
       s"lengthPercentileGate: need 0 <= pLo < pHi <= 100, got [$pLo, $pHi]")
     val hist = df.groupBy(col(nTokCol)).agg(count(lit(1)).as("__c"))
-    val cum = graft.sources.PrefixSum.withPrefixSum(
-        hist, Seq(col(nTokCol).asc), "__c", "__cum_before")
-      .withColumn("__cum", col("__cum_before") + col("__c"))
+    // the doc total comes EAGERLY from the prefix scan's phase-1
+    // reduction: a totals aggregation over `hist` would re-derive the
+    // histogram from the corpus (no exchange reuse across the RDD
+    // bridge), making this a three-scan gate instead of two
+    val (pre, t) = graft.sources.PrefixSum.withPrefixSumTotal(
+      hist, Seq(col(nTokCol).asc), "__c", "__cum_before")
+    val cum = pre.withColumn("__cum", col("__cum_before") + col("__c"))
     val cuts = cum
-      .crossJoin(broadcast(hist.agg(coalesce(sum(col("__c")), lit(0L)).as("__t"))))
       .agg(
-        min(when(col("__cum") * 100 >= col("__t") * pLo, col(nTokCol))).as("__lo"),
-        min(when(col("__cum") * 100 >= col("__t") * pHi, col(nTokCol))).as("__hi"))
+        min(when(col("__cum") * 100 >= lit(t) * pLo, col(nTokCol))).as("__lo"),
+        min(when(col("__cum") * 100 >= lit(t) * pHi, col(nTokCol))).as("__hi"))
     df.crossJoin(broadcast(cuts))
       .filter(col(nTokCol) >= col("__lo") && col(nTokCol) <= col("__hi"))
       .drop("__lo", "__hi")
