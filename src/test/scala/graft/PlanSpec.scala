@@ -145,6 +145,25 @@ class PlanSpec extends SparkSpec {
       s"repetitionColumns should read documents once, saw $docScans scans")
   }
 
+  test("prefix-sum statistics execute as a SINGLE source pass (totals from the bridge, not a re-scan)") {
+    // withPrefixSumTotal hands the grand total back from phase 1, so
+    // robustMean / ksTwoSample / hazardCurve / lengthPercentileGate keep
+    // NO totals frame: a totals aggregation re-derives the source
+    // (exchange reuse cannot deduplicate across the RDD bridge — the
+    // pre-fix q204 plan carried a second FileScan + a broadcast join).
+    // The pin: no FileScan in the final plan tree at all (the source
+    // ride inside the eager RDD lineage), and no join node reintroduced.
+    for (q <- Seq("q204_robust_mean", "q201_ks_drift", "q200_rank_shift",
+        "q203_retention_hazard")) {
+      val p = plan(q)
+      assert(!p.contains("FileScan"),
+        s"$q: a FileScan re-appeared beside the RDD bridge — totals are " +
+          "being re-derived from the source again")
+      assert(!p.contains("Join"),
+        s"$q: a join re-appeared in the post-bridge plan")
+    }
+  }
+
   test("q51 curation: the Recompute reuse policy costs a PINNED number of corpus scans") {
     // Under Curation.Recompute every consumer of the gated frame re-derives
     // it from the pruned documents scan (measured faster than Persist at
