@@ -143,6 +143,25 @@ object Relational {
         t(s, dir, "events").select("event_id", "value"),
         col("event_id"), "value", replicates = 100, seed = 1L)),
 
+    // Windowed drift monitor ([[graft.streaming.Streaming
+    // .windowedHistogram]] + [[graft.operators.Drift
+    // .driftFromHistograms]]): per-day PSI of the value distribution
+    // against the corpus-wide reference — the STREAMING monitor's exact
+    // code path run on its batch twin (the same two functions a
+    // readStream would compose), which is how the stream output is
+    // oracled.
+    "q209_window_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hist = graft.streaming.Streaming.windowedHistogram(
+        ev, "ts", "value", "1 day", "1 hour", lo = 0.0, width = 40.0,
+        nBuckets = 8)
+      val ref = ev.filter(col("value").isNotNull)
+        .select(least(greatest(floor((col("value") - lit(0.0)) / lit(40.0))
+          .cast("long"), lit(0L)), lit(7L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+      graft.operators.Drift.driftFromHistograms(hist, ref, nBuckets = 8)
+    }),
+
     // Wilson score intervals ([[graft.operators.Stats.proportionCI]]):
     // per-arm user conversion rate with honest 95% bounds; counts from
     // one per-user collapse + one per-arm agg, z a shared literal.
@@ -595,6 +614,33 @@ object Relational {
         |  CASE WHEN n_b <= 0 THEN NULL ELSE CAST(floor(CAST(s AS DOUBLE)/CAST(n_b AS DOUBLE)) AS BIGINT) END AS mean_micro
         |FROM g""".stripMargin
     },
+
+    // q209: date_trunc('day') = the UTC-aligned tumbling window; same
+    // bucketing, complete per-window spine, integer shares, bit logs.
+    "q209_window_drift" ->
+      """WITH v AS (SELECT date_trunc('day', ts) AS win_start,
+        |    LEAST(GREATEST(CAST(floor((value - 0.0) / 40.0) AS BIGINT), 0), 7) AS bucket
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |hist AS (SELECT win_start, bucket, count(*) AS n FROM v GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT win_start FROM hist),
+        |ref AS (SELECT bucket, count(*) AS n_ref FROM v GROUP BY 1),
+        |rt AS (SELECT CAST(coalesce(sum(n_ref), 0) AS BIGINT) AS tb FROM ref),
+        |wt AS (SELECT win_start, CAST(sum(n) AS BIGINT) AS ta FROM hist GROUP BY 1),
+        |j AS (SELECT w.win_start, s.bucket, CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+        |        CAST(coalesce(r.n_ref, 0) AS BIGINT) AS n_ref, ta, tb
+        |      FROM wins w CROSS JOIN generate_series(0, 7) s(bucket)
+        |      LEFT JOIN hist h ON h.win_start = w.win_start AND h.bucket = s.bucket
+        |      LEFT JOIN ref r ON r.bucket = s.bucket
+        |      JOIN wt ON wt.win_start = w.win_start, rt),
+        |k AS (SELECT win_start, bucket, n, n_ref,
+        |        CASE WHEN ta > 0 THEN n * 1000000 // ta ELSE 0 END AS share_a,
+        |        CASE WHEN tb > 0 THEN n_ref * 1000000 // tb ELSE 0 END AS share_b
+        |      FROM j)
+        |SELECT win_start, CAST(bucket AS BIGINT) AS bucket, n, n_ref,
+        |  CAST(share_a AS BIGINT) AS share_a, CAST(share_b AS BIGINT) AS share_b,
+        |  CAST((share_a - share_b) * ((length(bin(share_a + 1)) - 1) -
+        |       (length(bin(share_b + 1)) - 1)) AS BIGINT) AS psi_term
+        |FROM k""".stripMargin,
 
     // q208: the same literal z (Double.toString round-trips), the same
     // center/half-width chains over exact counts.

@@ -30,6 +30,33 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("win_start"), col("n_events"))
 
+  /** Per-event-time-window value HISTOGRAM on a declared grid — the
+    * streaming half of the drift monitor: each tumbling window's values
+    * bucket exactly as [[graft.operators.Drift.histogramDrift]] buckets
+    * them (one IEEE floor, clamped to the declared [lo, lo+width·n)
+    * grid), aggregated under a watermark so state stays bounded. Emit
+    * to a sink table, then [[graft.operators.Drift.driftFromHistograms]]
+    * assembles PSI-vs-reference per window over the (tiny) histogram
+    * frame — the admitStream store-then-batch pattern applied to
+    * monitoring. Works identically on a batch frame (the q209 twin,
+    * which is how the stream output is oracled). Output: (win_start,
+    * bucket, n). */
+  def windowedHistogram(events: DataFrame, tsCol: String, valueCol: String,
+      windowLength: String, watermark: String,
+      lo: Double, width: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"windowedHistogram: nBuckets must be >= 2, got $nBuckets")
+    require(width > 0, s"windowedHistogram: width must be positive, got $width")
+    val raw = floor((col(valueCol) - lit(lo)) / lit(width)).cast("long")
+    events
+      .withWatermark(tsCol, watermark)
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(tsCol),
+        least(greatest(raw, lit(0L)), lit(nBuckets.toLong - 1)).as("bucket"))
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("bucket"), col("n"))
+  }
+
   /** Stream-stream event-time INTERVAL join — the two-unbounded-sides
     * capability (Spark buffers both sides in watermark-bounded state;
     * the time-range predicate is what lets it evict: without it the

@@ -396,6 +396,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHistogram: stream output == batch twin, and driftFromHistograms flags the shifted window") {
+    val input = MemoryStream[(Timestamp, Double)]
+    val hist = Streaming.windowedHistogram(
+      input.toDF().toDF("ts", "v"), "ts", "v", "10 minutes", "1 minute",
+      lo = 0.0, width = 10.0, nBuckets = 4)
+    val q = hist.writeStream.format("memory").queryName("win_hist")
+      .outputMode("update").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      // window 0: values in bucket 0; window 1: shifted into bucket 3
+      val rows = Seq((t(1), 1.0), (t(2), 5.0), (t(3), 8.0),
+        (t(11), 35.0), (t(12), 39.0), (t(13), 99.0)) // 99 clamps to bucket 3
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_hist")
+        .groupBy("win_start", "bucket").agg(max("n").as("n"))
+      val batch = Streaming.windowedHistogram(
+        rows.toDF("ts", "v"), "ts", "v", "10 minutes", "1 minute",
+        0.0, 10.0, 4)
+      assert(streamed.collect().map(_.toSeq).toSet ==
+        batch.collect().map(_.toSeq).toSet, "stream must equal the batch twin")
+      // drift assembly over the materialized histogram: reference = all
+      // values; the shifted window carries ALL the positive PSI terms in
+      // buckets where it diverges, and the spine is complete (4 buckets
+      // per window even where n = 0)
+      val ref = batch.groupBy("bucket").agg(sum("n").as("n_ref"))
+      val drift = graft.operators.Drift
+        .driftFromHistograms(streamed, ref, 4)
+        .collect()
+      assert(drift.length == 8, s"2 windows x 4 spine buckets, got ${drift.length}")
+      val byWin = drift.groupBy(_.getTimestamp(0).toString)
+      assert(byWin.forall(_._2.map(_.getLong(6)).forall(_ >= 0L)))
+      assert(byWin.values.forall(_.map(r => r.getLong(1)).toSet == Set(0L, 1L, 2L, 3L)))
+      assert(drift.map(_.getLong(6)).sum > 0L, "a shifted window must register drift")
+    } finally q.stop()
+  }
+
   test("text curation is streaming-transparent: stream results == batch twin") {
     // The LLM-ingest property: langId/quality/normalize are pure
     // projections, so the SAME columns run unchanged over an unbounded
