@@ -227,6 +227,57 @@ object Graphs {
     * the integer 10⁶·2t div d(d−1) (0 below degree 2). Output: one row
     * per NODE of the graph (complete spine, zero-triangle nodes
     * included) — (node, degree, triangles, clustering_ppm). */
+  /** k-core extraction — the link-farm / spam-cluster hygiene filter
+    * beside [[triangles]]' clustering card: iteratively peel nodes of
+    * degree < k until the remaining subgraph (the unique maximal one
+    * with min degree ≥ k) is stable. Trees, pendants and weakly-attached
+    * tendrils vanish; what survives is the densely-connected backbone a
+    * crawl frontier or dedup-cluster audit cares about.
+    *
+    * The [[graft.dedup.Components]] iteration discipline: every round
+    * `localCheckpoint`s its edge frame and releases the previous one
+    * (iterative plans double per round otherwise), convergence is a
+    * bounded emptiness probe on the weak-node frame, and non-convergence
+    * within `maxRounds` RAISES rather than returning a partial core —
+    * `maxRounds` is also the contract an external replayer unrolls
+    * (peeling depth = the longest weak chain, 3 rounds on the q131
+    * graph at sf0.1; the default 8 is headroom, not a tuning knob).
+    * Rounds are edge-keyed anti-joins + map-side degree aggs — nothing
+    * corpus-scale shuffles more than the live edge frame. Input
+    * normalizes like [[triangles]]. Output: one row per surviving node —
+    * (node, core_degree), its degree WITHIN the k-core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    var und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct().localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done) {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val weak = deg.filter(col("d") < k).select("node").localCheckpoint()
+      if (weak.isEmpty) done = true
+      else {
+        round += 1
+        if (round > maxRounds) throw new IllegalStateException(
+          s"kCore: no fixed point within $maxRounds peeling rounds — " +
+            "the graph has a longer weak chain than the declared " +
+            "contract; raise maxRounds (and the replayer's unroll) together")
+        val next = und
+          .join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
+          .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+        und.unpersist()
+        und = next
+      }
+    }
+    und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges.filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -1563,6 +1563,15 @@ object TextQueries {
       graft.operators.Graphs.triangles(syntheticLinkGraph(s, dir),
         "src", "dst")),
 
+    // 2-core backbone ([[graft.operators.Graphs.kCore]]): peel the
+    // pendant/tree fringe off the same link graph until min degree >= 2;
+    // the oracle unrolls the declared maxRounds of peeling (idempotent
+    // past the fixed point), so convergence-in-contract is what's
+    // verified.
+    "q211_kcore" -> ((s, dir) =>
+      graft.operators.Graphs.kCore(syntheticLinkGraph(s, dir),
+        "src", "dst", k = 2)),
+
     // Centrality-weighted selection ([[graft.operators.Graphs
     // .rankWeightedSample]] ∘ [[graft.operators.Graphs.pageRank]]):
     // q131's ranks turned into a curation gate — the most central doc
@@ -4015,6 +4024,28 @@ object TextQueries {
     "q131_pagerank" ->
       s"""WITH $DuckPageRank5
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin,
+
+    // q211: the same normalization, then maxRounds (8) UNROLLED peeling
+    // rounds — peeling is idempotent at the fixed point, so "Spark
+    // converged within the contract" and "8 unrolled rounds" agree
+    // exactly (and the operator raises if the contract is ever
+    // exceeded, which would also flunk this row loudly).
+    "q211_kcore" -> {
+      // MATERIALIZED: DuckDB inlines plain CTEs, and each round
+      // references the previous one three times — an unmaterialized
+      // unroll expands 3^8 copies of the base scan (observed as "too
+      // many open files" on the parquet source).
+      val rounds = (0 until 8).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT a AS node FROM u$i UNION ALL SELECT b FROM u$i) GROUP BY 1),
+           |u${i + 1} AS MATERIALIZED (SELECT u.* FROM u$i u JOIN d$i da ON da.node = u.a JOIN d$i db ON db.node = u.b
+           |        WHERE da.d >= 2 AND db.d >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $DuckLinkGraph,
+         |u0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM ed WHERE src <> dst),
+         |$rounds
+         |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM (SELECT a AS node FROM u8 UNION ALL SELECT b FROM u8) GROUP BY 1""".stripMargin
+    },
 
     // q210: the same edge generator, the same (degree, node) total
     // order and wedge closure; row-tuple compares spelled as the

@@ -825,6 +825,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("kCore: chain peels over multiple rounds, cycle survives, path cores to empty, contract raises") {
+    import graft.operators.Graphs
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // K3 {1,2,3} + pendant chain 3-4-5 (two peeling rounds: 5 first,
+    // then 4) + a 4-cycle {6,7,8,9} that survives at k=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (9L, 6L)).toDF("s", "d")
+    val core = Graphs.kCore(edges, "s", "d", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      6L -> 2L, 7L -> 2L, 8L -> 2L, 9L -> 2L),
+      s"got $core")
+    // a pure path has no 2-core at all
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    assert(Graphs.kCore(path, "s", "d", k = 2).isEmpty)
+    // the convergence contract raises loudly when the unroll is exceeded
+    intercept[IllegalStateException] {
+      Graphs.kCore(path, "s", "d", k = 2, maxRounds = 1)
+    }
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
