@@ -143,6 +143,17 @@ object Relational {
         t(s, dir, "events").select("event_id", "value"),
         col("event_id"), "value", replicates = 100, seed = 1L)),
 
+    // Privacy release audit ([[graft.operators.Privacy
+    // .anonymityAudit]]): k-anonymity + l-diversity over the
+    // (nation, segment) quasi-identifiers with the balance bucket as
+    // the sensitive attribute — one pass, all integers.
+    "q212_anonymity_audit" -> ((s, dir) =>
+      graft.operators.Privacy.anonymityAudit(
+        t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / lit(2000.0)).cast("bigint"),
+        k = 3, l = 2)),
+
     // Windowed drift monitor ([[graft.streaming.Streaming
     // .windowedHistogram]] + [[graft.operators.Drift
     // .driftFromHistograms]]): per-day PSI of the value distribution
@@ -614,6 +625,15 @@ object Relational {
         |  CASE WHEN n_b <= 0 THEN NULL ELSE CAST(floor(CAST(s AS DOUBLE)/CAST(n_b AS DOUBLE)) AS BIGINT) END AS mean_micro
         |FROM g""".stripMargin
     },
+
+    // q212: same grouped counts; count(DISTINCT) exact on both engines.
+    "q212_anonymity_audit" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS BIGINT) AS distinct_sensitive,
+        |  CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
+        |  CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS l_ok
+        |FROM customer GROUP BY 1, 2""".stripMargin,
 
     // q209: date_trunc('day') = the UTC-aligned tumbling window; same
     // bucketing, complete per-window spine, integer shares, bit logs.

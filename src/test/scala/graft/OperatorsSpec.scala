@@ -847,6 +847,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("anonymityAudit: k and l flags on hand classes; NULL QI is its own class; homogeneity caught") {
+    import graft.operators.Privacy
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val rows = Seq(
+      ("us", "a", 1L), ("us", "a", 2L), ("us", "a", 1L),   // size 3, 2 sensitive: both ok
+      ("fr", "b", 5L),                                     // singleton: k fails, l=1 fails
+      ("de", "c", 7L), ("de", "c", 7L), ("de", "c", 7L),   // size 3 but HOMOGENEOUS: l fails
+      (null, "d", 9L), (null, "d", 8L))                    // NULL QI class, size 2
+      .toDF("nation", "seg", "bal")
+    val out = Privacy.anonymityAudit(rows, Seq("nation", "seg"), col("bal"),
+        k = 3, l = 2).collect()
+      .map(r => (Option(r.getString(0)).getOrElse("~"), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("us", "a")) == ((3L, 2L, 1L, 1L)))
+    assert(out(("fr", "b")) == ((1L, 1L, 0L, 0L)))
+    assert(out(("de", "c")) == ((3L, 1L, 1L, 0L)),
+      "the homogeneity attack k-anonymity alone misses")
+    assert(out(("~", "d")) == ((2L, 2L, 0L, 1L)), "NULL QI forms its own class")
+    assert(out.size == 4)
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
