@@ -210,23 +210,6 @@ object Graphs {
     labels
   }
 
-  /** Exact triangle counting + local clustering coefficients — the
-    * community-structure card beside [[pageRank]]'s centrality (a
-    * crawl's link farms and a dedup graph's cliques both show up as
-    * clustering, not rank). The algorithm is degree-ORIENTED wedge
-    * closure (compact-forward): each undirected edge points from its
-    * lower- to its higher-ranked endpoint under the total order
-    * (degree, node), every triangle then materializes exactly once as
-    * two out-edges of its lowest-ranked vertex plus the closing edge —
-    * and, the 100 TB argument, the wedge fan-out is bounded by
-    * ORIENTED degrees (≤ √(2m) each, Σ wedges = O(m^1.5)) instead of a
-    * hub's full degree squared: a 10⁷-degree hub contributes no wedges
-    * at all unless its neighbors out-rank it. Input may be a directed
-    * multigraph — self-loops drop, directions collapse, duplicates
-    * dedup. Everything is exact integer; the clustering coefficient is
-    * the integer 10⁶·2t div d(d−1) (0 below degree 2). Output: one row
-    * per NODE of the graph (complete spine, zero-triangle nodes
-    * included) — (node, degree, triangles, clustering_ppm). */
   /** k-core extraction — the link-farm / spam-cluster hygiene filter
     * beside [[triangles]]' clustering card: iteratively peel nodes of
     * degree < k until the remaining subgraph (the unique maximal one
@@ -278,36 +261,4 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("core_degree"))
   }
 
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges.filter(col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val lower = col("__da") < col("__db") ||
-      (col("__da") === col("__db") && col("a") < col("b"))
-    val oriented = und
-      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
-      .select(when(lower, col("a")).otherwise(col("b")).as("u"),
-        when(lower, col("b")).otherwise(col("a")).as("v"),
-        when(lower, col("__db")).otherwise(col("__da")).as("__dv"))
-    val a1 = oriented.select(col("u"), col("v").as("v1"), col("__dv").as("__d1"))
-    val a2 = oriented.select(col("u"), col("v").as("v2"), col("__dv").as("__d2"))
-    val wedges = a1.join(a2, Seq("u"))
-      .filter(col("__d1") < col("__d2") ||
-        (col("__d1") === col("__d2") && col("v1") < col("v2")))
-    val tri = wedges.join(
-      oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
-    val perNode = tri
-      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("__t"))
-    deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("deg").as("degree"),
-        coalesce(col("__t"), lit(0L)).as("triangles"),
-        when(col("deg") >= 2, expr(
-          "1000000L * 2L * coalesce(__t, 0L) div (deg * (deg - 1L))"))
-          .otherwise(lit(0L)).as("clustering_ppm"))
-  }
 }

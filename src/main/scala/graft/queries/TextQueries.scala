@@ -1555,14 +1555,6 @@ object TextQueries {
       graft.operators.Graphs.pageRank(syntheticLinkGraph(s, dir),
         "src", "dst", iters = 5)),
 
-    // Triangle counting + clustering coefficients ([[graft.operators
-    // .Graphs.triangles]]): the community-structure card on the same
-    // seeded link graph — degree-oriented wedge closure, exact integer
-    // clustering ppm, complete node spine.
-    "q210_triangles" -> ((s, dir) =>
-      graft.operators.Graphs.triangles(syntheticLinkGraph(s, dir),
-        "src", "dst")),
-
     // 2-core backbone ([[graft.operators.Graphs.kCore]]): peel the
     // pendant/tree fringe off the same link graph until min degree >= 2;
     // the oracle unrolls the declared maxRounds of peeling (idempotent
@@ -4046,27 +4038,6 @@ object TextQueries {
          |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
          |FROM (SELECT a AS node FROM u8 UNION ALL SELECT b FROM u8) GROUP BY 1""".stripMargin
     },
-
-    // q210: the same edge generator, the same (degree, node) total
-    // order and wedge closure; row-tuple compares spelled as the
-    // two-clause boolean so both engines run identical integer logic.
-    "q210_triangles" ->
-      s"""WITH $DuckLinkGraph,
-         |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM ed WHERE src <> dst),
-         |deg AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
-         |ori AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
-         |               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS v,
-         |               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN db.deg ELSE da.deg END AS dv
-         |        FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
-         |w AS (SELECT a1.u, a1.v AS v1, a2.v AS v2
-         |      FROM ori a1 JOIN ori a2 ON a1.u = a2.u
-         |      WHERE a1.dv < a2.dv OR (a1.dv = a2.dv AND a1.v < a2.v)),
-         |tri AS (SELECT w.u, w.v1, w.v2 FROM w JOIN ori t ON t.u = w.v1 AND t.v = w.v2),
-         |pern AS (SELECT node, count(*) AS t FROM (SELECT u AS node FROM tri UNION ALL SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri) GROUP BY 1)
-         |SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS degree,
-         |  CAST(coalesce(p.t, 0) AS BIGINT) AS triangles,
-         |  CAST(CASE WHEN d.deg >= 2 THEN 1000000 * 2 * coalesce(p.t, 0) // (d.deg * (d.deg - 1)) ELSE 0 END AS BIGINT) AS clustering_ppm
-         |FROM deg d LEFT JOIN pern p ON p.node = d.node""".stripMargin,
 
     // q143: q131's r5 + the cross-multiplied seeded acceptance — the
     // max rides in from one scalar CTE.

@@ -805,26 +805,6 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("triangles: hand graph — triangle + pendant + 4-cycle; multigraph junk normalizes away") {
-    import graft.operators.Graphs
-    val spark = SparkSpec.spark
-    import spark.implicits._
-    // K3 {1,2,3}, pendant 4-1, a reversed duplicate, a self-loop, and a
-    // disconnected 4-cycle {5,6,7,8} (wedges everywhere, zero triangles)
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 1L), (3L, 3L),
-      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)).toDF("s", "d")
-    val out = Graphs.triangles(edges, "s", "d").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(out.size == 8, "complete node spine, including zero-triangle nodes")
-    assert(out(1L) == ((3L, 1L, 333333L)))   // 2*1 / (3*2)
-    assert(out(2L) == ((2L, 1L, 1000000L)))  // closed wedge: coefficient 1
-    assert(out(3L) == ((2L, 1L, 1000000L)))
-    assert(out(4L) == ((1L, 0L, 0L)))        // degree < 2: defined 0
-    Seq(5L, 6L, 7L, 8L).foreach { n =>
-      assert(out(n) == ((2L, 0L, 0L)), s"4-cycle node $n has wedges but no triangle")
-    }
-  }
-
   test("kCore: chain peels over multiple rounds, cycle survives, path cores to empty, contract raises") {
     import graft.operators.Graphs
     val spark = SparkSpec.spark
