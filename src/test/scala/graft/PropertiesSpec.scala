@@ -524,6 +524,34 @@ class PropertiesSpec extends SparkSpec {
     }, trials = 6)
   }
 
+  test("property: kCore output has min degree >= k and is a fixed point (idempotence)") {
+    import graft.operators.Graphs
+    val gen = for {
+      m <- Gen.choose(5, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L)
+      } yield (a, b))
+      k <- Gen.choose(2, 4)
+    } yield (es, k)
+    check(Prop.forAll(gen) { case (es, k) =>
+      val e = es.toDF("s", "d")
+      val core = Graphs.kCore(e, "s", "d", k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // defining postcondition: every survivor keeps >= k neighbors
+      val minDegOk = core.values.forall(_ >= k)
+      // idempotence: the core's induced edge set is already its own
+      // k-core (peeling a fixed point changes nothing)
+      val keep = core.keySet
+      val induced = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b && keep(a) && keep(b) }.distinct
+      val again =
+        if (induced.isEmpty) Map.empty[Long, Long]
+        else Graphs.kCore(induced.toDF("s", "d"), "s", "d", k).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      minDegOk && again == core
+    }, trials = 6)
+  }
+
   test("property: robustMean is shift-equivariant on integer-valued data; constant data fixes everything") {
     import graft.operators.Stats
     // adding an integer constant shifts every output statistic by
