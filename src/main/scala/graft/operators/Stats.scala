@@ -367,6 +367,57 @@ object Stats {
             .cast("bigint")).as("mean_micro"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * dataset-profiling card (pandas `df.corr()`) done the engine's way:
+    * values land once on the declared micro grid, then ONE map-side-
+    * combined aggregation produces every moment — n, k column sums
+    * (LONG), and k(k+1)/2 cross-products in DECIMAL(38,0) (a long Σxy
+    * wraps at corpus scale) — and each pair's r is one IEEE
+    * mul/div/sqrt chain over those exact sums, floored to micro units.
+    * Rows with a NULL in ANY profiled column are dropped (listwise
+    * completion: every pair sees the same n, so the matrix is positive
+    * semidefinite-consistent; run twice on column subsets if pairwise
+    * deletion is wanted). The pair fan-out is a literal-struct explode
+    * of the single aggregate row — no join, no second pass. Output: one
+    * row per unordered pair — (col_a, col_b, n, r_micro); r_micro NULL
+    * when either variance is 0. Guarded to ≤ 16 columns (the agg width
+    * is quadratic — a profiling card, not a feature pipeline). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Long = 1000000L): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"correlationMatrix: need 2..16 columns, got ${cols.size}")
+    require(scale >= 1000, s"correlationMatrix: scale too coarse, got $scale")
+    val k = cols.size
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        floor(col(c) * lit(scale.toDouble)).cast("bigint").as(s"__m$i")
+      }: _*)
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        (0 until k).map(i => sum(col(s"__m$i")).as(s"__s$i")) ++
+        (for (i <- 0 until k; j <- i until k) yield
+          sum((col(s"__m$i").cast(DecimalType(19, 0)) * col(s"__m$j"))
+            .cast(DecimalType(38, 0))).as(s"__p${i}_$j"))
+    val g = complete.agg(aggs.head, aggs.tail: _*)
+    val nd = (c: Column) => c.cast("double")
+    val pairs = for (i <- 0 until k; j <- (i + 1) until k) yield {
+      val covn = nd(col("__n")) * nd(col(s"__p${i}_$j")) -
+        nd(col(s"__s$i")) * nd(col(s"__s$j"))
+      val vin = nd(col("__n")) * nd(col(s"__p${i}_$i")) -
+        nd(col(s"__s$i")) * nd(col(s"__s$i"))
+      val vjn = nd(col("__n")) * nd(col(s"__p${j}_$j")) -
+        nd(col(s"__s$j")) * nd(col(s"__s$j"))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("__n").as("n"),
+        when(vin <= lit(0.0) || vjn <= lit(0.0), lit(null))
+          .otherwise(floor(covn / sqrt(vin * vjn) * lit(1000000.0))
+            .cast("bigint")).as("r_micro"))
+    }
+    g.select(explode(array(pairs: _*)).as("__pair"))
+      .select(col("__pair.col_a").as("col_a"), col("__pair.col_b").as("col_b"),
+        col("__pair.n").as("n"), col("__pair.r_micro").as("r_micro"))
+  }
+
   /** z for the two-sided 95% interval — a DRIVER-SIDE literal (the
     * inverse normal CDF never runs in-engine); Double.toString
     * round-trips, so the interpolated oracle literal is the same

@@ -143,6 +143,14 @@ object Relational {
         t(s, dir, "events").select("event_id", "value"),
         col("event_id"), "value", replicates = 100, seed = 1L)),
 
+    // Column correlation matrix ([[graft.operators.Stats
+    // .correlationMatrix]]): the pandas df.corr() profiling card over
+    // lineitem's numerics — one aggregation pass for all pairs, exact
+    // micro-grid moments, one IEEE chain per r.
+    "q213_corr_matrix" -> ((s, dir) =>
+      graft.operators.Stats.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Privacy release audit ([[graft.operators.Privacy
     // .anonymityAudit]]): k-anonymity + l-diversity over the
     // (nation, segment) quasi-identifiers with the balance bucket as
@@ -624,6 +632,32 @@ object Relational {
         |SELECT CAST(b AS BIGINT) AS b, n_b,
         |  CASE WHEN n_b <= 0 THEN NULL ELSE CAST(floor(CAST(s AS DOUBLE)/CAST(n_b AS DOUBLE)) AS BIGINT) END AS mean_micro
         |FROM g""".stripMargin
+    },
+
+    // q213: the same micro-grid moments (hugeint cross products ≡
+    // Spark's DECIMAL(38,0)), the same per-pair IEEE chains, one UNION
+    // branch per unordered pair off the single aggregate row.
+    "q213_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val ms = cs.zipWithIndex.map { case (c, i) =>
+        s"CAST(floor($c*1000000.0) AS BIGINT) AS m$i" }.mkString(", ")
+      val moments = (Seq("CAST(count(*) AS BIGINT) AS n") ++
+        cs.indices.map(i => s"CAST(sum(m$i) AS BIGINT) AS s$i") ++
+        (for (i <- cs.indices; j <- i until cs.size) yield
+          s"CAST(sum(CAST(m$i AS HUGEINT) * m$j) AS DOUBLE) AS p${i}_$j"))
+        .mkString(", ")
+      val rows = (for (i <- cs.indices; j <- (i + 1) until cs.size) yield {
+        val covn = s"(CAST(n AS DOUBLE)*p${i}_$j - CAST(s$i AS DOUBLE)*CAST(s$j AS DOUBLE))"
+        val vin = s"(CAST(n AS DOUBLE)*p${i}_$i - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE))"
+        val vjn = s"(CAST(n AS DOUBLE)*p${j}_$j - CAST(s$j AS DOUBLE)*CAST(s$j AS DOUBLE))"
+        s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, n, " +
+          s"CASE WHEN $vin <= 0.0 OR $vjn <= 0.0 THEN NULL ELSE " +
+          s"CAST(floor($covn / sqrt($vin * $vjn) * 1000000.0) AS BIGINT) END AS r_micro FROM g"
+      }).mkString("\nUNION ALL\n")
+      val nonNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      s"""WITH m AS (SELECT $ms FROM lineitem WHERE $nonNull),
+         |g AS (SELECT $moments FROM m)
+         |$rows""".stripMargin
     },
 
     // q212: same grouped counts; count(DISTINCT) exact on both engines.

@@ -849,6 +849,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("correlationMatrix: JVM replay of the exact chain; signs correct; constant column -> NULL") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // y = 2x (r ~ +1), z = 10 - x (r ~ -1), w constant (undefined r).
+    val rows = Seq(1.0, 2.0, 3.0, 5.0).map(x => (x, 2.0 * x, 10.0 - x, 7.0))
+    val df = rows.toDF("x", "y", "z", "w")
+    val out = Stats.correlationMatrix(df, Seq("x", "y", "z", "w")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // exact-replay oracle: BigInt moments -> the same IEEE chain
+    def m(v: Double) = BigInt(math.floor(v * 1e6).toLong)
+    val cols = Seq(rows.map(r => m(r._1)), rows.map(r => m(r._2)),
+      rows.map(r => m(r._3)), rows.map(r => m(r._4)))
+    def expect(i: Int, j: Int): Option[Long] = {
+      val n = rows.size.toDouble
+      val (a, b) = (cols(i), cols(j))
+      def s(v: Seq[BigInt]) = v.sum.toDouble
+      def p(u: Seq[BigInt], v: Seq[BigInt]) = u.zip(v).map { case (x, y) => x * y }.sum.toDouble
+      val covn = n * p(a, b) - s(a) * s(b)
+      val vin = n * p(a, a) - s(a) * s(a)
+      val vjn = n * p(b, b) - s(b) * s(b)
+      if (vin <= 0.0 || vjn <= 0.0) None
+      else Some(math.floor(covn / math.sqrt(vin * vjn) * 1e6).toLong)
+    }
+    val names = Seq("x", "y", "z", "w")
+    for (i <- 0 until 4; j <- (i + 1) until 4)
+      assert(out((names(i), names(j))) == expect(i, j),
+        s"pair (${names(i)}, ${names(j)})")
+    assert(out(("x", "y")).exists(_ >= 999999L), "y=2x is r ~ +1")
+    assert(out(("x", "z")).exists(_ <= -999999L), "z=10-x is r ~ -1")
+    assert(out(("x", "w")).isEmpty && out(("y", "w")).isEmpty)
+    assert(out.size == 6)
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
