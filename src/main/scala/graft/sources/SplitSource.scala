@@ -83,15 +83,19 @@ object SplitSource {
     df.withColumn("split", expr)
   }
 
-  /** Sink: split-partitioned parquet (fuel converter sink analog,
-    * fuel/converters/base.py:50-104 `fill_hdf5_file`). */
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").partitionBy("split").parquet(path)
+  /** Sink: split-partitioned columnar store (fuel converter sink analog,
+    * fuel/converters/base.py:50-104 `fill_hdf5_file`). `format` is any
+    * Spark columnar source with partition discovery — parquet (default)
+    * or orc; both carry the split column as a partition directory, so
+    * the pruned read below works identically. */
+  def write(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    df.write.mode("overwrite").partitionBy("split").format(format).save(path)
 
   /** Split-pruned scan: the `split = x` filter is a partition filter —
     * `.explain` shows PartitionFilters, not a post-scan Filter. */
-  def read(spark: SparkSession, path: String, split: String): DataFrame =
-    spark.read.parquet(path).filter(col("split") === split)
+  def read(spark: SparkSession, path: String, split: String,
+      format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path).filter(col("split") === split)
 
   /** Seeded deterministic Bernoulli sample by hashed key — the engine's
     * exposed sampling capability (SURVEY §2.6 "Sampling / seeded shuffle";

@@ -146,6 +146,16 @@ class SubsetSpec extends SparkSpec {
     val back = SplitSource.read(spark, out, "valid")
     assert(back.count() == 2)
     assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(split"))
+    // ORC carries the same partition-discovery contract: identical
+    // round trip, identical pruning, same rows as the parquet store
+    val orcOut = java.nio.file.Files.createTempDirectory("graft_split_orc").toString
+    SplitSource.write(assigned, orcOut, format = "orc")
+    val orcBack = SplitSource.read(spark, orcOut, "valid", format = "orc")
+    assert(orcBack.count() == 2)
+    assert(orcBack.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(split"))
+    assert(orcBack.select("__idx").collect().map(_.getLong(0)).sorted.toSeq ==
+      back.select("__idx").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
   test("apply: large-list path is a broadcast semi-join, same rows as isin") {
