@@ -367,6 +367,79 @@ object Stats {
             .cast("bigint")).as("mean_micro"))
   }
 
+  /** Group-sequential interim monitoring — the "can we stop the
+    * experiment yet?" trajectory that completes the A/B kit (fixed-
+    * horizon tests, CIs and CUPED say what happened at the END; interim
+    * peeking without a corrected boundary is how false positives ship).
+    * For every day on which the experiment's state changed, the card
+    * reports cumulative per-arm enrollment and conversion, the pooled
+    * two-proportion z, the information fraction, and an O'Brien–
+    * Fleming-SHAPED boundary z·(1/√frac) (z is the [[z975]]-style
+    * literal — conservative early, nominal at full information; exact
+    * alpha-spending needs iterated normal integrals, which belong in
+    * the analysis notebook, not the engine; the SHAPE is what makes
+    * early peeks safe-by-default).
+    *
+    * Scale shape: per-subject first-enroll/first-convert days arrive
+    * pre-reduced (one map-side agg in the caller); deltas collapse to
+    * the bounded (arm × day) frame; cumulatives are a window
+    * PARTITIONED by arm over that bounded frame; the grand enrollment
+    * rides in broadcast. Exactly two arm values, enforced. Output per
+    * day: (day, n_a, x_a, n_b, x_b, frac_ppm, z_micro, bound_micro,
+    * crossed) — arm "a" is the smaller arm value; z NULL (crossed 0)
+    * while either arm is empty or the pooled rate is degenerate. */
+  def sequentialMonitor(perSubject: DataFrame, armCol: String,
+      enrollDayCol: String, convertDayCol: String,
+      z: Double = z975): DataFrame = {
+    val spark = perSubject.sparkSession
+    import spark.implicits._
+    val arms = perSubject.select(col(armCol)).distinct().limit(3)
+      .collect().map(_.getLong(0)).sorted
+    require(arms.length == 2,
+      s"sequentialMonitor: need exactly 2 arms, got ${arms.mkString(",")}")
+    val dn = perSubject.groupBy(col(armCol).as("__arm"),
+      col(enrollDayCol).as("day")).agg(count(lit(1)).as("__dn"))
+    val dx = perSubject.filter(col(convertDayCol).isNotNull)
+      .groupBy(col(armCol).as("__arm"), col(convertDayCol).as("day"))
+      .agg(count(lit(1)).as("__dx"))
+    val days = dn.select(col("day")).unionByName(dx.select(col("day"))).distinct()
+    val spine = days.crossJoin(
+      broadcast(arms.toSeq.toDF("__arm")))
+    val de = spine
+      .join(dn, Seq("__arm", "day"), "left")
+      .join(dx, Seq("__arm", "day"), "left")
+      .select(col("__arm"), col("day"),
+        coalesce(col("__dn"), lit(0L)).as("__dn"),
+        coalesce(col("__dx"), lit(0L)).as("__dx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__arm").orderBy("day")
+    val cum = de.select(col("__arm"), col("day"),
+      sum(col("__dn")).over(w).as("__cn"), sum(col("__dx")).over(w).as("__cx"))
+    val tot = de.agg(sum(col("__dn")).as("__nt"))
+    val byDay = cum.groupBy("day").agg(
+      max(when(col("__arm") === arms(0), col("__cn"))).as("n_a"),
+      max(when(col("__arm") === arms(0), col("__cx"))).as("x_a"),
+      max(when(col("__arm") === arms(1), col("__cn"))).as("n_b"),
+      max(when(col("__arm") === arms(1), col("__cx"))).as("x_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .crossJoin(broadcast(tot))
+    val nd = (c: Column) => c.cast("double")
+    val pp = nd(col("x_a") + col("x_b")) / nd(col("n_a") + col("n_b"))
+    val frac = nd(col("n_a") + col("n_b")) / nd(col("__nt"))
+    val zc = (nd(col("x_a")) / nd(col("n_a")) - nd(col("x_b")) / nd(col("n_b"))) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / nd(col("n_a")) + lit(1.0) / nd(col("n_b"))))
+    val bound = lit(z) / sqrt(frac)
+    val degenerate = pp <= lit(0.0) || pp >= lit(1.0)
+    byDay.select(col("day"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      floor(frac * lit(1000000.0)).cast("bigint").as("frac_ppm"),
+      when(degenerate, lit(null))
+        .otherwise(floor(zc * lit(1000000.0)).cast("bigint")).as("z_micro"),
+      floor(bound * lit(1000000.0)).cast("bigint").as("bound_micro"),
+      when(degenerate, lit(0L))
+        .otherwise((abs(zc) >= bound).cast("bigint")).as("crossed"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns — the
     * dataset-profiling card (pandas `df.corr()`) done the engine's way:
     * values land once on the declared micro grid, then ONE map-side-

@@ -143,6 +143,19 @@ object Relational {
         t(s, dir, "events").select("event_id", "value"),
         col("event_id"), "value", replicates = 100, seed = 1L)),
 
+    // Group-sequential monitoring ([[graft.operators.Stats
+    // .sequentialMonitor]]): daily cumulative two-proportion z against
+    // the OBF-shaped boundary — the interim-peeking card over the same
+    // arms/conversion definition as q208.
+    "q214_sequential_monitor" -> ((s, dir) => {
+      val day = expr("unix_micros(ts) div 86400000000")
+      val perUser = t(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+        .agg(min(day).as("fs"),
+          min(when(col("event_type") === "purchase", day)).as("fp"))
+      graft.operators.Stats.sequentialMonitor(perUser, "arm", "fs", "fp")
+    }),
+
     // Column correlation matrix ([[graft.operators.Stats
     // .correlationMatrix]]): the pandas df.corr() profiling card over
     // lineitem's numerics — one aggregation pass for all pairs, exact
@@ -632,6 +645,47 @@ object Relational {
         |SELECT CAST(b AS BIGINT) AS b, n_b,
         |  CASE WHEN n_b <= 0 THEN NULL ELSE CAST(floor(CAST(s AS DOUBLE)/CAST(n_b AS DOUBLE)) AS BIGINT) END AS mean_micro
         |FROM g""".stripMargin
+    },
+
+    // q214: same epoch-day grid, same cumulative windows over the
+    // bounded (arm × day) frame, same z/boundary chains with the shared
+    // CAST DOUBLE literal.
+    "q214_sequential_monitor" -> {
+      val z = s"CAST(${graft.operators.Stats.z975} AS DOUBLE)"
+      s"""WITH pu AS (
+        |  SELECT user_id % 2 AS arm,
+        |    min(epoch_us(ts) // 86400000000) AS fs,
+        |    min(CASE WHEN event_type='purchase' THEN epoch_us(ts) // 86400000000 END) AS fp
+        |  FROM events GROUP BY user_id),
+        |dn AS (SELECT arm, fs AS day, count(*) AS dn FROM pu GROUP BY 1, 2),
+        |dx AS (SELECT arm, fp AS day, count(*) AS dx FROM pu WHERE fp IS NOT NULL GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM (SELECT day FROM dn UNION ALL SELECT day FROM dx)),
+        |sp AS (SELECT a.arm, d.day FROM (VALUES (0), (1)) a(arm) CROSS JOIN days d),
+        |de AS (SELECT sp.arm, sp.day, coalesce(dn.dn, 0) AS dn, coalesce(dx.dx, 0) AS dx
+        |       FROM sp LEFT JOIN dn ON dn.arm = sp.arm AND dn.day = sp.day
+        |               LEFT JOIN dx ON dx.arm = sp.arm AND dx.day = sp.day),
+        |cum AS (SELECT arm, day, CAST(sum(dn) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cn,
+        |               CAST(sum(dx) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cx FROM de),
+        |tot AS (SELECT CAST(sum(dn) AS BIGINT) AS nt FROM de),
+        |w AS (SELECT day,
+        |        max(CASE WHEN arm = 0 THEN cn END) AS n_a, max(CASE WHEN arm = 0 THEN cx END) AS x_a,
+        |        max(CASE WHEN arm = 1 THEN cn END) AS n_b, max(CASE WHEN arm = 1 THEN cx END) AS x_b
+        |      FROM cum GROUP BY 1),
+        |c AS (SELECT w.*, nt,
+        |        CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE) AS pp,
+        |        CAST(n_a + n_b AS DOUBLE)/CAST(nt AS DOUBLE) AS frac,
+        |        (CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE)) AS pd
+        |      FROM w, tot WHERE n_a > 0 AND n_b > 0)
+        |SELECT CAST(day AS BIGINT) AS day, n_a, x_a, n_b, x_b,
+        |  CAST(floor(frac * 1000000.0) AS BIGINT) AS frac_ppm,
+        |  CASE WHEN pp <= 0.0 OR pp >= 1.0 THEN NULL ELSE
+        |    CAST(floor(pd / sqrt(pp*(1.0-pp)*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |  END AS z_micro,
+        |  CAST(floor(${z}/sqrt(frac) * 1000000.0) AS BIGINT) AS bound_micro,
+        |  CAST(CASE WHEN pp <= 0.0 OR pp >= 1.0 THEN 0 WHEN
+        |    abs(pd / sqrt(pp*(1.0-pp)*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE)))) >= ${z}/sqrt(frac)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS crossed
+        |FROM c""".stripMargin
     },
 
     // q213: the same micro-grid moments (hugeint cross products ≡

@@ -884,6 +884,52 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("sequentialMonitor: boundary shrinks with information, crossing flips exactly once, guards hold") {
+    import graft.operators.Stats
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // day 0: half enrolled, strong-but-early effect stays UNDER the
+    // inflated early boundary; day 1: full information, z crosses.
+    val subjects =
+      (0 until 5).map(i => (0L, 100L + i, 0L, if (i < 4) Some(0L) else None)) ++
+      (0 until 5).map(i => (0L, 200L + i, 1L, Some(1L))) ++
+      (0 until 5).map(i => (1L, 300L + i, 0L, None)) ++
+      (0 until 5).map(i => (1L, 400L + i, 1L, if (i < 1) Some(1L) else None))
+    val pu = subjects.map { case (arm, id, d, c) =>
+      (arm, id, d, c.map(java.lang.Long.valueOf).orNull) }
+      .toDF("arm", "id", "fs", "fp")
+    val out = Stats.sequentialMonitor(pu, "arm", "fs", "fp").orderBy("day")
+      .collect()
+    assert(out.length == 2)
+    def replay(na: Long, xa: Long, nb: Long, xb: Long, nt: Long) = {
+      val pp = (xa + xb).toDouble / (na + nb).toDouble
+      val frac = (na + nb).toDouble / nt.toDouble
+      val zc = (xa.toDouble / na.toDouble - xb.toDouble / nb.toDouble) /
+        math.sqrt(pp * (1.0 - pp) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+      val bound = Stats.z975 / math.sqrt(frac)
+      (math.floor(frac * 1e6).toLong, math.floor(zc * 1e6).toLong,
+        math.floor(bound * 1e6).toLong, if (math.abs(zc) >= bound) 1L else 0L)
+    }
+    val d0 = out(0)
+    assert((d0.getLong(1), d0.getLong(2), d0.getLong(3), d0.getLong(4)) ==
+      ((5L, 4L, 5L, 0L)))
+    val (f0, z0, b0, c0) = replay(5, 4, 5, 0, 20)
+    assert((d0.getLong(5), d0.getLong(6), d0.getLong(7), d0.getLong(8)) ==
+      ((f0, z0, b0, c0)))
+    assert(c0 == 0L, "early peek with half information must NOT cross")
+    val d1 = out(1)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3), d1.getLong(4)) ==
+      ((10L, 9L, 10L, 1L)))
+    val (f1, z1, b1, c1) = replay(10, 9, 10, 1, 20)
+    assert((d1.getLong(5), d1.getLong(6), d1.getLong(7), d1.getLong(8)) ==
+      ((f1, z1, b1, c1)))
+    assert(c1 == 1L && b1 < b0, "full information crosses under the shrunken boundary")
+    // three arms are rejected loudly
+    intercept[IllegalArgumentException] {
+      Stats.sequentialMonitor(pu.withColumn("arm", col("id") % 3), "arm", "fs", "fp")
+    }
+  }
+
   test("saltedJoin rejects inputs that already carry the reserved __salt column") {
     import graft.operators.Skew
     val facts = SparkSpec.spark.range(10).selectExpr("id AS k", "id AS fid")
