@@ -10,11 +10,17 @@
 #      sf0.01 gate scale — the sweep caught the q186 overflow class at r7.
 #      Result lands in ORACLE_SF01_r<N>.json for the round record.
 #
+# Each stage writes its own log; all stage logs are removed up front so a
+# failed sbt run can never leave the gate grepping a stale PASS count from
+# a previous invocation (a false-green gate — ADVICE r9 medium).
+#
 # Usage: tools/round_close.sh <round-number>
 set -u
 cd "$(dirname "$0")/.."
 ROUND="${1:?usage: tools/round_close.sh <round-number>}"
 FAIL=0
+rm -f /tmp/round_close_test.log /tmp/round_close_v001.log /tmp/round_close_o001.log \
+      /tmp/round_close_v01.log /tmp/round_close_o01.log
 
 echo "=== 1/3 sbt test ==="
 sbt -batch test > /tmp/round_close_test.log 2>&1
@@ -24,24 +30,38 @@ grep -E "Tests: succeeded|All tests passed|TESTS FAILED" /tmp/round_close_test.l
 
 echo "=== 2/3 Verify + oracle @ sf0.01 (driver gate scale) ==="
 sbt -batch 'runMain graft.Verify /root/testdata/sf0.01 /tmp/rc_v001' \
-  > /tmp/round_close_v001.log 2>&1 \
-  && python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/rc_v001 \
-  | tee /tmp/round_close_o001.log | tail -2
-grep -q " 0 fail" /tmp/round_close_o001.log || { echo "sf0.01 oracle FAILED"; FAIL=1; }
+  > /tmp/round_close_v001.log 2>&1
+if [ $? -ne 0 ]; then
+  echo "sf0.01 Verify run FAILED (log: /tmp/round_close_v001.log)"; FAIL=1
+else
+  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/rc_v001 \
+    | tee /tmp/round_close_o001.log | tail -2
+  grep -q " 0 fail" /tmp/round_close_o001.log || { echo "sf0.01 oracle FAILED"; FAIL=1; }
+fi
 
 echo "=== 3/3 Verify + oracle @ sf0.1 (10x robustness sweep) ==="
 sbt -batch 'runMain graft.Verify /root/testdata/sf0.1 /tmp/rc_v01' \
-  > /tmp/round_close_v01.log 2>&1 \
-  && python3 tools/check_oracle.py /root/testdata/sf0.1 /tmp/rc_v01 \
-  | tee /tmp/round_close_o01.log | tail -2
+  > /tmp/round_close_v01.log 2>&1
+if [ $? -ne 0 ]; then
+  echo "sf0.1 Verify run FAILED (log: /tmp/round_close_v01.log)"; FAIL=1
+  touch /tmp/round_close_o01.log
+else
+  python3 tools/check_oracle.py /root/testdata/sf0.1 /tmp/rc_v01 \
+    | tee /tmp/round_close_o01.log | tail -2
+  grep -q " 0 fail" /tmp/round_close_o01.log || { echo "sf0.1 sweep FAILED"; FAIL=1; }
+fi
 N_PASS=$(grep -c '^PASS' /tmp/round_close_o01.log)
 N_FAIL=$(grep -c '^FAIL' /tmp/round_close_o01.log)
-grep -q " 0 fail" /tmp/round_close_o01.log || { echo "sf0.1 sweep FAILED"; FAIL=1; }
-printf '{"round":%s,"sf":"0.1","n_pass":%s,"n_fail":%s,"fail_names":[%s]}\n' \
-  "$ROUND" "$N_PASS" "$N_FAIL" \
+printf '{"round":%s,"sf":"0.1","n_pass":%s,"n_fail":%s,"verify_rc_fail":%s,"fail_names":[%s]}\n' \
+  "$ROUND" "$N_PASS" "$N_FAIL" "$FAIL" \
   "$(grep '^FAIL' /tmp/round_close_o01.log | awk '{printf "%s\"%s\"", sep, $2; sep=","}')" \
   > "ORACLE_SF01_r${ROUND}.json"
 echo "wrote ORACLE_SF01_r${ROUND}.json"
+
+# BENCH_LOCAL.json is the only full per-query bench record (the driver's
+# artifact truncates); keep it committed so cross-round per-query diffs
+# survive (VERDICT r9 #2). Staging here makes the round-close commit carry it.
+[ -f BENCH_LOCAL.json ] && git add BENCH_LOCAL.json ORACLE_SF01_r"${ROUND}".json 2>/dev/null
 
 [ $FAIL -eq 0 ] && echo "ROUND CLOSE: all gates green" || echo "ROUND CLOSE: FAILURES (see logs)"
 exit $FAIL
