@@ -21,6 +21,22 @@ object Bench {
   private def runFull(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Box state snapshot — 1-min load average and MemAvailable (MB) from
+    * /proc. Both the r5 and r9 round-over-round "regressions" were
+    * adjudicated (via worktree A/B reruns) as machine contention, each
+    * costing a multi-run investigation; recording the environment IN the
+    * artifact lets future ratio anomalies carry their own context
+    * (VERDICT r9 #7). Returns compact JSON; "?" fields off-Linux. */
+  private def boxState(): String = {
+    def readOr(p: String, default: String): String =
+      try Files.readString(Paths.get(p)) catch { case _: Exception => default }
+    val load = readOr("/proc/loadavg", "?").split(' ').headOption.getOrElse("?")
+    val memMb = readOr("/proc/meminfo", "").linesIterator
+      .find(_.startsWith("MemAvailable:"))
+      .map(_.split("\\s+")(1).toLong / 1024).map(_.toString).getOrElse("?")
+    s"""{"load":"$load","mem_avail_mb":"$memMb"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,6 +55,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val envStart = boxState()
     // Warm-up: run everything once, untimed.
     names.foreach(n => runFull(SparkEntry.queries(n)(spark, sfDir)))
     // Timed passes. Queries that persist() intermediates (q28) would
@@ -55,6 +72,11 @@ object Bench {
     // — read BEFORE this run overwrites it, so the round-over-round ratio
     // on the shared query subset is computed by the bench itself, not
     // hand-assembled from truncated driver artifacts (VERDICT r8 #8).
+    // The parse is strict (ADVICE r9): every comma-separated entry must be
+    // exactly `"name":d.ddd` and the count must match. On ANY drift the
+    // whole map is dropped with a loud stderr warning — shared_prev then
+    // reports n:0 instead of a silently-partial (and therefore skewed)
+    // round-over-round ratio, and the bench itself still completes.
     val prevQueries: Map[String, Double] = {
       val p = Paths.get("BENCH_LOCAL.json")
       if (!Files.exists(p)) Map.empty
@@ -64,8 +86,18 @@ object Bench {
         if (body < 0) Map.empty
         else {
           val sub = txt.substring(body + 11, txt.indexOf('}', body))
-          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(sub)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val entryRe = "^\"([^\"]+)\":(-?[0-9]+\\.[0-9]+)$".r
+          val entries = sub.split(',').map {
+            case entryRe(k, v) => Some(k -> v.toDouble)
+            case bad =>
+              System.err.println(
+                s"WARN Bench: BENCH_LOCAL.json queries entry '$bad' does not " +
+                  "match \"name\":d.ddd — format drift; dropping the previous " +
+                  "record entirely (shared_prev will report n:0)")
+              None
+          }
+          if (entries.contains(None)) Map.empty
+          else entries.flatten.toMap
         }
       }
     }
@@ -90,7 +122,8 @@ object Bench {
     // truncation is harmless) and the LAST line is a compact summary —
     // bounded at the 10 slowest queries, well under 1 kB at any future query
     // count — so the tail window always ends on a parseable object.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shared_prev":$sharedPrev,"sf":"$sfDir"}"""
+    val env = s"""{"start":$envStart,"end":${boxState()}}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shared_prev":$sharedPrev,"env":$env,"sf":"$sfDir"}"""
     // Subset dev runs (SPARK_GRAFT_BENCH_ONLY) must not overwrite the
     // committed full-suite baseline the next round's ratio is computed from.
     if (only.isEmpty) Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
@@ -103,7 +136,7 @@ object Bench {
     // mistake it for the full per-query set (that shape-identity was an
     // r8 advice finding). The full set is the detail line above and
     // BENCH_LOCAL.json, which carry no truncated marker.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"truncated":true,"queries":$slowest,"shared_prev":$sharedPrev,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"truncated":true,"queries":$slowest,"shared_prev":$sharedPrev,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,10 +16,12 @@ import graft.image.ImageOps
   *   audio:  WAV files → parquet of decoded clips (the YouTubeAudio
   *           converter analog, fuel/converters/youtube_audio.py)
   *           `runMain graft.Convert audio <inGlob> <outDir>`
-  *   video:  clips → parquet of evenly-sampled 64×64 RGB24 frames via
-  *           one executor-side ffmpeg-CLI subprocess per clip
-  *           ([[graft.image.Ffmpeg]] — the converter-edge codec tier);
-  *           fails fast with a clear message when ffmpeg is absent
+  *   video:  clips → parquet of evenly-sampled RGB24 frames via one
+  *           executor-side ffmpeg-CLI subprocess per clip
+  *           ([[graft.image.Ffmpeg]] — the converter-edge codec tier,
+  *           64×64 scaled); when ffmpeg is absent, falls back to the
+  *           pure-JVM uncompressed-AVI decoder ([[graft.image.RawAvi]],
+  *           native geometry) and warns
   *           `runMain graft.Convert video <inGlob> <outDir>`
   *
   * All are distributed jobs (binaryFile/text scans + columnar projection),
@@ -51,15 +53,25 @@ object Convert {
           .filter(col("clip").isNotNull) // skip undecodable files, keep going
           .write.mode("overwrite").parquet(outDir)
       case "video" =>
+        // Kernel selection: the ffmpeg CLI when runnable (any container,
+        // scaled to the 64x64 ingest geometry); otherwise the pure-JVM
+        // rawvideo decoder (uncompressed AVI only, NATIVE geometry — that
+        // path ships no scaler, see [[graft.image.RawAvi]]). The two
+        // kernels are bit-identical on uncompressed AVI at identity scale
+        // (VideoSpec cross-checks them whenever a real ffmpeg exists).
         val binary = sys.env.getOrElse("SPARK_GRAFT_FFMPEG", "ffmpeg")
-        require(graft.image.Ffmpeg.available(binary),
-          s"video ingest needs the ffmpeg CLI ('$binary' not runnable — " +
-            "install ffmpeg or point SPARK_GRAFT_FFMPEG at it)")
-        spark.read.format("binaryFile").load(inGlob)
-          .select(col("path"), posexplode(
+        val sampled =
+          if (graft.image.Ffmpeg.available(binary))
             graft.image.Ffmpeg.sampleFramesCli(col("content"),
-              n = 8, w = 64, h = 64, binary))
-            .as(Seq("k", "sampled")))
+              n = 8, w = 64, h = 64, binary)
+          else {
+            System.err.println(s"WARN Convert: '$binary' not runnable — " +
+              "falling back to the pure-JVM rawvideo decoder (uncompressed " +
+              "AVI only, native geometry)")
+            graft.image.RawAvi.sampleFramesJvm(col("content"), n = 8)
+          }
+        spark.read.format("binaryFile").load(inGlob)
+          .select(col("path"), posexplode(sampled).as(Seq("k", "sampled")))
           .select(col("path"), col("sampled._1").as("frame_idx"),
             col("sampled._2").as("frame"))
           .write.mode("overwrite").parquet(outDir)

@@ -339,7 +339,17 @@ object Stats {
     * Headroom: Σw·|m| ≤ 6·N·|m| — the [[welchT]] Σm contract. CPU is
     * `replicates` md5s per row — the honest price of replicate-
     * independent draws; at corpus scale bound it with a pre-sampled
-    * frame or fewer replicates. */
+    * frame or fewer replicates.
+    *
+    * CONTRACT: `keyCol` must be row-unique among non-null-value rows —
+    * the draw for row r in replicate b is hash(seed, key(r), b), so two
+    * rows sharing a key get IDENTICAL weights in every replicate,
+    * silently correlating their draws and biasing every replicate
+    * statistic while staying deterministic and oracle-consistent (the
+    * one failure class the oracle can't catch). Enforced by a one-scan
+    * count-vs-countDistinct probe (the [[graft.ann.Ann.mmrSelect]]
+    * pool-probe pattern); the probe is one extra pass over the input —
+    * negligible next to `replicates` md5s per row. */
   def poissonBootstrap(df: DataFrame, keyCol: Column, valueCol: String,
       replicates: Int = 100, seed: Long = 1L,
       scale: Long = 1000000L): DataFrame = {
@@ -352,6 +362,13 @@ object Stats {
     val rows = df.filter(col(valueCol).isNotNull)
       .select(keyCol.as("__k"),
         floor(col(valueCol) * lit(scale.toDouble)).cast("bigint").as("__m"))
+    val probe = rows.agg(count(lit(1)).as("n"),
+      countDistinct(col("__k")).as("nd")).head()
+    require(probe.getLong(0) == probe.getLong(1),
+      s"poissonBootstrap: keyCol must be row-unique — got ${probe.getLong(0)} " +
+        s"rows but only ${probe.getLong(1)} distinct keys; duplicate keys give " +
+        "identical per-replicate weights to all rows sharing the key, " +
+        "correlating draws and biasing the bootstrap distribution")
     val h = graft.functions.Stable.seededHash(seed, col("__k"), col("b"))
     val w = when(h < t(0), lit(0L)).when(h < t(1), lit(1L))
       .when(h < t(2), lit(2L)).when(h < t(3), lit(3L))
@@ -393,7 +410,15 @@ object Stats {
       z: Double = z975): DataFrame = {
     val spark = perSubject.sparkSession
     import spark.implicits._
-    val arms = perSubject.select(col(armCol)).distinct().limit(3)
+    // Integral contract enforced up front: a string/double arm column
+    // would otherwise surface as an opaque ClassCastException from the
+    // driver-side getLong below (ADVICE r9); the bigint cast also keeps
+    // the spine join key type-aligned for byte/short/int arm columns.
+    val armType = perSubject.schema(armCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(armType.simpleString),
+      s"sequentialMonitor: arm column '$armCol' must be an integral type, " +
+        s"got ${armType.simpleString}")
+    val arms = perSubject.select(col(armCol).cast("bigint")).distinct().limit(3)
       .collect().map(_.getLong(0)).sorted
     require(arms.length == 2,
       s"sequentialMonitor: need exactly 2 arms, got ${arms.mkString(",")}")

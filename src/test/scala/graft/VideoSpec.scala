@@ -112,62 +112,167 @@ class VideoSpec extends SparkSpec {
     }
   }
 
-  /** Hand-authored uncompressed AVI (RIFF + 'DIB ' vids stream, BGR24
-    * bottom-up, no index): pure byte assembly — no codec library needed to
-    * WRITE it, while any real ffmpeg can DECODE it. Each frame is a single
-    * constant gray value, so the pixel assertion is immune to every
-    * codec-side representation choice (bottom-up vs top-down rows, BGR vs
-    * RGB order, identity-scale resampling): all bytes of decoded frame i
-    * must equal `grays(i)`, full stop. Width 8 keeps rows 4-byte aligned
-    * (8·3 = 24), so no DIB row padding enters the picture. */
-  private def uncompressedAvi(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Hand-authored uncompressed AVI (RIFF + 'DIB ' vids stream, BGR24,
+    * no index): pure byte assembly — no codec library needed to WRITE it,
+    * while any real ffmpeg (and [[graft.image.RawAvi]]) can DECODE it.
+    * `payloads` are the raw per-frame DIB chunk bytes (caller owns row
+    * order, BGR layout and 4-byte row padding); `biHeight` is written as
+    * given, so a negative value authors a top-down clip. */
+  private def aviFromPayloads(w: Int, biHeight: Int,
+      payloads: Seq[Array[Byte]]): Array[Byte] = {
     val bb = new java.io.ByteArrayOutputStream()
-    def le32(v: Int): Array[Byte] =
-      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
-    def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte)
-    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-    val frameBytes = w * h * 3
-    val strh = Array.concat(fcc("vids"), fcc("DIB "), le32(0), le16(0), le16(0),
-      le32(0), le32(1), le32(25), le32(0), le32(grays.length), le32(frameBytes),
+    val h = math.abs(biHeight)
+    val frameBytes = ((w * 3 + 3) / 4) * 4 * h
+    val strh = Array.concat(fourcc("vids"), fourcc("DIB "), le32(0), le16(0), le16(0),
+      le32(0), le32(1), le32(25), le32(0), le32(payloads.length), le32(frameBytes),
       le32(0xffffffff), le32(0), le16(0), le16(0), le16(w), le16(h))
-    val strf = Array.concat(le32(40), le32(w), le32(h), le16(1), le16(24),
+    val strf = Array.concat(le32(40), le32(w), le32(biHeight), le16(1), le16(24),
       le32(0), le32(frameBytes), le32(0), le32(0), le32(0), le32(0))
-    val strl = Array.concat(fcc("LIST"), le32(4 + 8 + strh.length + 8 + strf.length),
-      fcc("strl"), fcc("strh"), le32(strh.length), strh,
-      fcc("strf"), le32(strf.length), strf)
+    val strl = Array.concat(fourcc("LIST"), le32(4 + 8 + strh.length + 8 + strf.length),
+      fourcc("strl"), fourcc("strh"), le32(strh.length), strh,
+      fourcc("strf"), le32(strf.length), strf)
     val avih = Array.concat(le32(40000), le32(frameBytes * 25), le32(0), le32(0),
-      le32(grays.length), le32(0), le32(1), le32(frameBytes),
+      le32(payloads.length), le32(0), le32(1), le32(frameBytes),
       le32(w), le32(h), le32(0), le32(0), le32(0), le32(0))
-    val hdrl = Array.concat(fcc("LIST"), le32(4 + 8 + avih.length + strl.length),
-      fcc("hdrl"), fcc("avih"), le32(avih.length), avih, strl)
-    val frames = grays.flatMap { g =>
-      fcc("00db") ++ le32(frameBytes) ++ Array.fill[Byte](frameBytes)(g.toByte)
+    val hdrl = Array.concat(fourcc("LIST"), le32(4 + 8 + avih.length + strl.length),
+      fourcc("hdrl"), fourcc("avih"), le32(avih.length), avih, strl)
+    val frames = payloads.flatMap { p =>
+      fourcc("00db") ++ le32(p.length) ++ p ++
+        (if (p.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
     }.toArray
-    val movi = Array.concat(fcc("LIST"), le32(4 + frames.length), fcc("movi"), frames)
-    val body = Array.concat(fcc("AVI "), hdrl, movi)
-    bb.write(fcc("RIFF")); bb.write(le32(body.length)); bb.write(body)
+    val movi = Array.concat(fourcc("LIST"), le32(4 + frames.length), fourcc("movi"), frames)
+    val body = Array.concat(fourcc("AVI "), hdrl, movi)
+    bb.write(fourcc("RIFF")); bb.write(le32(body.length)); bb.write(body)
     bb.toByteArray
   }
 
-  test("real-ffmpeg kernel: decodes a hand-authored uncompressed AVI when the binary exists (mode recorded)") {
-    // Round-artifact record of WHICH kernel this round exercised: "real"
-    // when a system ffmpeg decoded actual container bytes, "stub" when
-    // only the CLI-contract double ran (this container ships no ffmpeg).
+  /** Constant-gray frames: each frame is one gray value, so pixel
+    * assertions are immune to every raster-convention choice (bottom-up
+    * vs top-down, BGR vs RGB, identity-scale resampling). Width 8 keeps
+    * rows 4-byte aligned (8·3 = 24) — no DIB row padding. */
+  private def uncompressedAvi(w: Int, h: Int, grays: Seq[Int]): Array[Byte] =
+    aviFromPayloads(w, h,
+      grays.map(g => Array.fill[Byte](w * h * 3)(g.toByte)))
+
+  test("video content path: the pure-JVM rawvideo kernel decodes real container bytes (mode recorded)") {
+    // Round-artifact record of WHICH kernel decoded real container bytes
+    // this run: "real" when a system ffmpeg exists (and is cross-checked
+    // bit-for-bit against the JVM kernel below), "jvm-rawvideo" when only
+    // the pure-JVM decoder ran (this container ships no ffmpeg). Either
+    // way the content path is EXERCISED — the pre-r10 "stub" mode (codec
+    // never runs in CI) no longer exists.
     val real = Ffmpeg.available("ffmpeg")
-    val mode = if (real) "real" else "stub"
+    val mode = if (real) "real" else "jvm-rawvideo"
     Files.write(java.nio.file.Paths.get("VIDEO_MODE.txt"),
       s"ffmpeg_kernel_mode=$mode\n".getBytes("UTF-8"))
-    info(s"ffmpeg kernel mode this run: $mode")
-    assume(real, "no system ffmpeg on PATH - real-kernel path recorded as stub")
+    info(s"video kernel mode this run: $mode")
     val grays = Seq(20, 60, 180, 240)
     val clip = uncompressedAvi(w = 8, h = 6, grays)
-    val frames = Ffmpeg.decodeFrames(clip, w = 8, h = 6, binary = "ffmpeg")
+    val frames = graft.image.RawAvi.decodeFrames(clip)
     assert(frames.length == grays.length)
     frames.zip(grays).foreach { case (f, g) =>
       assert(f.w == 8 && f.h == 6 && f.c == 3)
       assert(f.px.forall(b => (b & 0xff) == g),
         s"expected constant gray $g, got ${f.px.take(12).map(_ & 0xff).toSeq}")
     }
+    if (real) {
+      // Cross-check: two independent decoders, one clip, identity scale —
+      // every byte of every frame must agree.
+      val viaFfmpeg = Ffmpeg.decodeFrames(clip, w = 8, h = 6, binary = "ffmpeg")
+      assert(viaFfmpeg.length == frames.length)
+      frames.zip(viaFfmpeg).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.h == b.h && a.w == b.w && a.c == b.c, s"frame $i geometry")
+        assert(java.util.Arrays.equals(a.px, b.px), s"frame $i bytes differ")
+      }
+    }
+  }
+
+  test("RawAvi undoes bottom-up row order, BGR byte order and the 4-byte row stride") {
+    // w=3: row bytes 9, stride 12 — 3 padding bytes per row that must NOT
+    // leak into the frame. Author a 3x2 frame whose every pixel is unique:
+    // pixel (y,x) = (r=10y+x, g=100+10y+x, b=200+10y+x), rows written
+    // bottom-up (row 1 first) in BGR with padding.
+    val w = 3; val h = 2
+    def pix(y: Int, x: Int): (Int, Int, Int) = (10 * y + x, 100 + 10 * y + x, 200 + 10 * y + x)
+    val payload = new java.io.ByteArrayOutputStream()
+    for (y <- (h - 1) to 0 by -1) { // bottom-up
+      for (x <- 0 until w) {
+        val (r, g, b) = pix(y, x)
+        payload.write(b); payload.write(g); payload.write(r) // BGR
+      }
+      payload.write(Array[Byte](0x7f, 0x7f, 0x7f)) // stride padding (junk)
+    }
+    val clip = aviFromPayloads(w, h, Seq(payload.toByteArray))
+    val frames = graft.image.RawAvi.decodeFrames(clip)
+    assert(frames.length == 1)
+    val f = frames.head
+    assert(f.w == w && f.h == h && f.c == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(y, x)
+      val d = 3 * (y * w + x)
+      assert((f.px(d) & 0xff, f.px(d + 1) & 0xff, f.px(d + 2) & 0xff) == ((r, g, b)),
+        s"pixel ($y,$x)")
+    }
+  }
+
+  test("RawAvi honors negative biHeight (top-down rows, no flip)") {
+    val w = 3; val h = 2
+    val payload = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) { // top-down: row 0 first
+      for (x <- 0 until w) {
+        payload.write(50 + y); payload.write(40 + y); payload.write(30 + y) // BGR
+      }
+      payload.write(Array[Byte](0, 0, 0))
+    }
+    val clip = aviFromPayloads(w, -h, Seq(payload.toByteArray))
+    val f = graft.image.RawAvi.decodeFrames(clip).head
+    for (y <- 0 until h) {
+      val d = 3 * (y * w) // first pixel of row y: RGB = (30+y, 40+y, 50+y)
+      assert((f.px(d) & 0xff) == 30 + y && (f.px(d + 1) & 0xff) == 40 + y &&
+        (f.px(d + 2) & 0xff) == 50 + y, s"row $y")
+    }
+  }
+
+  test("RawAvi rejects non-AVI bytes and compressed streams loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      graft.image.RawAvi.decodeFrames("not a container at all".getBytes("UTF-8"))
+    }
+    assert(e1.getMessage.contains("RIFF/AVI"), e1.getMessage)
+    // Flip biCompression to a nonzero codec tag: must refuse, not guess.
+    val clip = uncompressedAvi(8, 6, Seq(7))
+    val strfAt = {
+      var i = 0
+      while (!(clip(i) == 's' && clip(i + 1) == 't' && clip(i + 2) == 'r' && clip(i + 3) == 'f')) i += 1
+      i + 8 // chunk data start
+    }
+    clip(strfAt + 16) = 1 // biCompression = 1 (BI_RLE8)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.image.RawAvi.decodeFrames(clip)
+    }
+    assert(e2.getMessage.contains("biCompression"), e2.getMessage)
+  }
+
+  test("sampleFramesJvm: executor-side decode, even indices, native geometry") {
+    import SparkSpec.spark.implicits._
+    val clips = Seq(
+      (1L, uncompressedAvi(8, 6, Seq(10, 20))),
+      (2L, uncompressedAvi(8, 6, Seq(1, 2, 3, 4))))
+      .toDF("clip_id", "bytes")
+    val out = clips.select(col("clip_id"), posexplode(
+        graft.image.RawAvi.sampleFramesJvm(col("bytes"), n = 3))
+        .as(Seq("k", "s")))
+      .select(col("clip_id"), col("s._1").as("frame_idx"), col("s._2").as("frame"))
+      .collect()
+    val byClip = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSeq).toMap
+    assert(byClip(1L) == Seq(0, 1))     // 2 frames, n=3 -> both
+    assert(byClip(2L) == Seq(0, 1, 3))  // evenIndices(4, 3)
+    val f = out.head.getStruct(2)
+    assert(f.getAs[Int]("w") == 8 && f.getAs[Int]("h") == 6)
   }
 
   test("sampleFramesCli: one subprocess per clip, executor-side, even indices") {
