@@ -110,6 +110,77 @@ object RawAvi {
     Frame(h, w, 3, px)
   }
 
+  private def w32(bb: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+    bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff)
+  }
+  private def w16(bb: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+  }
+  private def wfcc(bb: java.io.ByteArrayOutputStream, s: String): Unit =
+    bb.write(s.getBytes("US-ASCII"))
+
+  /** Encode RGB24 frames as an uncompressed (BI_RGB 24-bit, bottom-up
+    * BGR, 4-byte row stride) AVI — the sink side of this codec tier:
+    * [[decodeFrames]]∘encode is the identity on pixel bytes (spec'd), and
+    * the emitted container is decodable by any stock player or ffmpeg.
+    * All frames must share one geometry (the AVI stream header declares
+    * it once). Pure function, executor-side safe; output size is
+    * `nFrames · stride · h` plus fixed headers. */
+  def encode(frames: Seq[Frame], fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty, "encode needs at least one frame")
+    require(fps > 0, s"fps must be positive: $fps")
+    val w = frames.head.w; val h = frames.head.h
+    require(frames.forall(f => f.w == w && f.h == h && f.c == 3),
+      "all frames must share one geometry with c=3")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    val bb = new java.io.ByteArrayOutputStream()
+    // strh: fccType vids, handler 'DIB ', rate fps/1, length nFrames
+    val strh = new java.io.ByteArrayOutputStream()
+    wfcc(strh, "vids"); wfcc(strh, "DIB "); w32(strh, 0); w16(strh, 0); w16(strh, 0)
+    w32(strh, 0); w32(strh, 1); w32(strh, fps); w32(strh, 0)
+    w32(strh, frames.length); w32(strh, frameBytes); w32(strh, 0xffffffff)
+    w32(strh, 0); w16(strh, 0); w16(strh, 0); w16(strh, w); w16(strh, h)
+    // strf: BITMAPINFOHEADER, BI_RGB 24-bit, positive height = bottom-up
+    val strf = new java.io.ByteArrayOutputStream()
+    w32(strf, 40); w32(strf, w); w32(strf, h); w16(strf, 1); w16(strf, 24)
+    w32(strf, 0); w32(strf, frameBytes); w32(strf, 0); w32(strf, 0)
+    w32(strf, 0); w32(strf, 0)
+    val avih = new java.io.ByteArrayOutputStream()
+    w32(avih, 1000000 / fps); w32(avih, (frameBytes.toLong * fps).toInt)
+    w32(avih, 0); w32(avih, 0); w32(avih, frames.length); w32(avih, 0)
+    w32(avih, 1); w32(avih, frameBytes); w32(avih, w); w32(avih, h)
+    w32(avih, 0); w32(avih, 0); w32(avih, 0); w32(avih, 0)
+    val strlLen = 4 + 8 + strh.size() + 8 + strf.size()
+    val hdrlLen = 4 + 8 + avih.size() + 8 + strlLen
+    val moviLen = 4 + frames.length * (8 + frameBytes)
+    wfcc(bb, "RIFF"); w32(bb, 4 + 8 + hdrlLen + 8 + moviLen); wfcc(bb, "AVI ")
+    wfcc(bb, "LIST"); w32(bb, hdrlLen); wfcc(bb, "hdrl")
+    wfcc(bb, "avih"); w32(bb, avih.size()); avih.writeTo(bb)
+    wfcc(bb, "LIST"); w32(bb, strlLen); wfcc(bb, "strl")
+    wfcc(bb, "strh"); w32(bb, strh.size()); strh.writeTo(bb)
+    wfcc(bb, "strf"); w32(bb, strf.size()); strf.writeTo(bb)
+    wfcc(bb, "LIST"); w32(bb, moviLen); wfcc(bb, "movi")
+    frames.foreach { f =>
+      wfcc(bb, "00db"); w32(bb, frameBytes)
+      var y = h - 1 // bottom-up rows
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val s = 3 * (y * w + x)
+          bb.write(f.px(s + 2) & 0xff); bb.write(f.px(s + 1) & 0xff)
+          bb.write(f.px(s) & 0xff) // RGB frame -> BGR raster
+          x += 1
+        }
+        var p = w * 3
+        while (p < stride) { bb.write(0); p += 1 } // row stride padding
+        y -= 1
+      }
+    }
+    bb.toByteArray
+  }
+
   /** The Spark-side ingest column for the no-ffmpeg path: decode ONCE per
     * clip executor-side, sample `n` frames evenly — (frame_idx, frame)
     * pairs, the same [[Ffmpeg.evenIndices]] sampling contract and the

@@ -77,6 +77,37 @@ object ImageQueries {
         col("clip.sample_rate").as("sample_rate"),
         col("clip.n").as("n_samples"),
         size(AudioOps.frames(col("clip.pcm"), frameLen = 16, hop = 8)).cast("bigint").as("n_frames"))
+    }),
+
+    // Video modality round trip, pixel-oracled (the q36 recipe on the
+    // third modality): closed-form RGB frames -> REAL AVI container bytes
+    // ([[graft.image.RawAvi.encode]]: BI_RGB, bottom-up BGR rows, 4-byte
+    // stride) -> RIFF demux + raster decode ([[RawAvi.decodeFrames]], the
+    // no-ffmpeg production kernel) -> even 3-of-t frame sampling -> pixel
+    // hash. Every stage is integer-exact, so the DuckDB oracle replays
+    // the pixel formula AND the sampling indices in closed form — a byte
+    // slip anywhere in the container writer, the demuxer, the
+    // BGR/bottom-up/stride undo or the sampler breaks the hash.
+    // w=5 forces a 1-byte row stride pad through the round trip.
+    "q215_video_pipeline" -> ((s, dir) => {
+      import graft.functions.Stable
+      import graft.image.RawAvi
+      val emb = Tables.load(s, dir, "embeddings")
+      val clipUdf = udf { (id: Long) =>
+        val t = 3 + (id % 3).toInt // 3..5 frames per clip
+        RawAvi.encode((0 until t).map { i =>
+          ImageOps.Frame(4, 5, 3, Array.tabulate[Byte](4 * 5 * 3) { j =>
+            ((id * 31 + i * 17 + j * 7) % 256).toByte
+          })
+        })
+      }
+      val clips = emb.select(col("vec_id"), clipUdf(col("vec_id")).as("clip"))
+      clips.select(col("vec_id"), posexplode(
+          RawAvi.sampleFramesJvm(col("clip"), n = 3)).as(Seq("k", "s")))
+        .select(col("vec_id"), col("s._1").as("frame_idx"),
+          col("s._2.h").as("h"), col("s._2.w").as("w"), col("s._2.c").as("c"),
+          ImageOps.pxSum(col("s._2")).as("px_sum"),
+          Stable.hash64(ImageOps.pxString(col("s._2"))).as("px_hash"))
     })
   )
 
@@ -119,6 +150,27 @@ object ImageQueries {
         |  CAST(len(embedding) AS BIGINT) AS n_samples,
         |  CAST(CASE WHEN len(embedding) >= 16 THEN (len(embedding) - 16) // 8 + 1
         |       ELSE 0 END AS BIGINT) AS n_frames
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    // Video round trip: the pixel formula is integer-exact, the AVI
+    // encode/decode pair is identity on pixel bytes, and the even-sample
+    // indices for n=3 of t>=3 frames are [0, (t-1)//2, t-1] — all
+    // replayable in SQL. px_hash = md5-hash64 of the same space-joined
+    // decimal serialization the engine hashes (the q36 convention).
+    "q215_video_pipeline" ->
+      """WITH f AS (
+        |  SELECT vec_id, 3 + vec_id % 3 AS t FROM embeddings
+        |), idx AS (
+        |  SELECT vec_id, unnest([CAST(0 AS BIGINT), (t-1)//2, t-1]) AS fi FROM f
+        |), px AS (
+        |  SELECT vec_id, fi,
+        |    [ (vec_id*31 + fi*17 + j*7) % 256 FOR j IN range(60) ] AS rgb
+        |  FROM idx
+        |)
+        |SELECT vec_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(4 AS INTEGER) AS h, CAST(5 AS INTEGER) AS w, CAST(3 AS INTEGER) AS c,
+        |  CAST(list_sum(rgb) AS BIGINT) AS px_sum,
+        |  CAST(('0x' || substr(md5(array_to_string(rgb, ' ')), 1, 15)) AS BIGINT) AS px_hash
+        |FROM px""".stripMargin
   )
 }

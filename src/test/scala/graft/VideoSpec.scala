@@ -238,6 +238,24 @@ class VideoSpec extends SparkSpec {
     }
   }
 
+  test("RawAvi.encode round-trips: decode(encode(frames)) is identity on pixel bytes") {
+    // Odd width (5) forces a row-stride pad byte through BOTH directions;
+    // per-pixel-unique values catch any row/channel permutation.
+    val rnd = new scala.util.Random(42)
+    for (w <- Seq(5, 8); nFrames <- Seq(1, 4)) {
+      val frames = (0 until nFrames).map { _ =>
+        val px = new Array[Byte](w * 6 * 3); rnd.nextBytes(px)
+        graft.image.ImageOps.Frame(6, w, 3, px)
+      }
+      val decoded = graft.image.RawAvi.decodeFrames(graft.image.RawAvi.encode(frames))
+      assert(decoded.length == nFrames, s"w=$w n=$nFrames")
+      frames.zip(decoded).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.h == b.h && a.w == b.w && a.c == b.c, s"w=$w frame $i geometry")
+        assert(java.util.Arrays.equals(a.px, b.px), s"w=$w frame $i bytes differ")
+      }
+    }
+  }
+
   test("RawAvi rejects non-AVI bytes and compressed streams loudly") {
     val e1 = intercept[IllegalArgumentException] {
       graft.image.RawAvi.decodeFrames("not a container at all".getBytes("UTF-8"))
