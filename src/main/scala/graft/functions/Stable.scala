@@ -31,7 +31,7 @@ object Stable {
   def hash64Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
-  /** Seeded hash of one or more key columns. Separator  cannot occur
+  /** Seeded hash of one or more key columns. Separator \u0001 cannot occur
     * in the numeric/key columns this is used on, so the combination is
     * injective. DuckDB: `md5(concat_ws(chr(1), 'seed', cols...))`. */
   def seededHash(seed: Long, cols: Column*): Column =
@@ -88,4 +88,53 @@ object Stable {
   /** DuckDB fragment equivalent to [[seededHash]]. */
   def duckSeededHash(seed: Long, sqlExprs: String*): String =
     duckHash64(s"concat_ws(chr(1), '$seed', ${sqlExprs.map(e => s"CAST($e AS VARCHAR)").mkString(", ")})")
+
+  // ------------------------------------------------- paired 60-bit draws
+  // One md5 digest is 128 bits; [[hash64]]/[[seededHash]] use only the top
+  // 60. When a consumer needs MANY independent draws per row (the Poisson
+  // bootstrap runs `replicates` of them), deriving TWO draws from each
+  // digest's disjoint hex ranges (chars 1-15 and 17-31 = bits 127-68 and
+  // 63-4) halves the dominant md5 cost. Independence argument: the draws
+  // rest on the same modeling assumption [[hash64]] already makes — md5
+  // behaves as a random oracle, so any fixed disjoint bit ranges of one
+  // digest are as independent as two digests.
+
+  /** Both draws of (seed, cols...) as `array<bigint>`: element 0 is
+    * bit-equal to [[seededHash]] of the same inputs, element 1 is the
+    * disjoint second half. Runs as the native codegen expression
+    * [[Hash64PairExpr]] (digest bytes → two longs; the hex-string
+    * `conv(substring(md5))` composition was measured 2.4× SLOWER than
+    * the plain per-draw [[seededHash]] on the q207 card — string
+    * allocation and radix parsing cost more than the saved md5s, so the
+    * portable form below exists only as the contract definition). */
+  def seededHashPair(seed: Long, cols: Column*): Column =
+    Hash64PairExpr.hashPair64(
+      concat_ws("\u0001", (lit(seed.toString) +: cols.map(_.cast("string"))): _*))
+
+  /** The shared md5 digest (hex string) of (seed, cols...) — the same
+    * serialization convention as [[seededHash]]. With [[digestLo]]/
+    * [[digestHi]] this is the PORTABLE contract form of
+    * [[seededHashPair]] (the form the DuckDB oracles replay); the hot
+    * path uses the native expression. */
+  def seededDigest(seed: Long, cols: Column*): Column =
+    md5(concat_ws("\u0001", (lit(seed.toString) +: cols.map(_.cast("string"))): _*))
+
+  /** Draw 1 of 2: the digest's top 60 bits — bit-equal to [[seededHash]]
+    * of the same inputs (pinned in StableSpec). */
+  def digestLo(digest: Column): Column =
+    conv(substring(digest, 1, 15), 16, 10).cast("bigint")
+
+  /** Draw 2 of 2: 60 bits from hex chars 17-31, disjoint from
+    * [[digestLo]]'s range (char 16 is deliberately skipped so both draws
+    * are 15 hex chars = 60 bits on the identical [0, 2^60) grid). */
+  def digestHi(digest: Column): Column =
+    conv(substring(digest, 17, 15), 16, 10).cast("bigint")
+
+  /** DuckDB fragments equivalent to [[seededDigest]]/[[digestLo]]/[[digestHi]]. */
+  def duckSeededDigest(seed: Long, sqlExprs: String*): String =
+    s"md5(concat_ws(chr(1), '$seed', ${sqlExprs.map(e => s"CAST($e AS VARCHAR)").mkString(", ")}))"
+  def duckDigestLo(digestExpr: String): String =
+    s"CAST(('0x' || substr($digestExpr, 1, 15)) AS BIGINT)"
+  def duckDigestHi(digestExpr: String): String =
+    s"CAST(('0x' || substr($digestExpr, 17, 15)) AS BIGINT)"
 }

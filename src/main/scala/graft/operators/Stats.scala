@@ -337,9 +337,12 @@ object Stats {
     * declared micro grid — the bootstrap distribution of the mean;
     * percentiles of it are the CI (client-side: `replicates` rows).
     * Headroom: Σw·|m| ≤ 6·N·|m| — the [[welchT]] Σm contract. CPU is
-    * `replicates` md5s per row — the honest price of replicate-
-    * independent draws; at corpus scale bound it with a pre-sampled
-    * frame or fewer replicates.
+    * ⌈replicates/2⌉ md5s per row: one digest is 128 bits and a draw
+    * needs 60, so replicates 2q and 2q+1 take DISJOINT 60-bit halves of
+    * digest(seed, key, q) ([[graft.functions.Stable.seededDigest]] —
+    * same random-oracle assumption, half the md5 cost; measured 1.9×
+    * on the q207 card at sf0.1). At corpus scale bound the remaining
+    * cost with a pre-sampled frame or fewer replicates.
     *
     * CONTRACT: `keyCol` must be row-unique among non-null-value rows —
     * the draw for row r in replicate b is hash(seed, key(r), b), so two
@@ -357,7 +360,8 @@ object Stats {
       s"poissonBootstrap: replicates must be in [2, 10000], got $replicates")
     val spark = df.sparkSession
     import spark.implicits._
-    val spine = (0L until replicates.toLong).toDF("b")
+    val pairs = (replicates + 1) / 2
+    val spine = (0L until pairs.toLong).toDF("q")
     val t = poissonThresholds
     val rows = df.filter(col(valueCol).isNotNull)
       .select(keyCol.as("__k"),
@@ -369,18 +373,34 @@ object Stats {
         s"rows but only ${probe.getLong(1)} distinct keys; duplicate keys give " +
         "identical per-replicate weights to all rows sharing the key, " +
         "correlating draws and biasing the bootstrap distribution")
-    val h = graft.functions.Stable.seededHash(seed, col("__k"), col("b"))
-    val w = when(h < t(0), lit(0L)).when(h < t(1), lit(1L))
+    import graft.functions.Stable
+    def wOf(h: Column): Column = when(h < t(0), lit(0L)).when(h < t(1), lit(1L))
       .when(h < t(2), lit(2L)).when(h < t(3), lit(3L))
       .when(h < t(4), lit(4L)).when(h < t(5), lit(5L)).otherwise(lit(6L))
+    // One NATIVE pair expression per (row, q) — digest bytes straight to
+    // two longs (Hash64PairExpr). __hp aliased in its own projection:
+    // CollapseProject never inlines a non-cheap alias referenced twice.
+    // Both replicates of a pair aggregate IN THE SAME GROUP (by q, with
+    // separate lo/hi sums), so the big frame is never doubled by an
+    // explode — the pair splits into rows 2q/2q+1 only on the
+    // `pairs`-row aggregate output.
     rows.crossJoin(broadcast(spine))
-      .select(col("b"), w.as("__w"), col("__m"))
-      .groupBy(col("b"))
-      .agg(sum(col("__w")).as("n_b"),
-        sum(col("__w") * col("__m")).as("__s"))
-      .select(col("b"), col("n_b"),
-        when(col("n_b") <= 0L, lit(null)).otherwise(
-          floor(col("__s").cast("double") / col("n_b").cast("double"))
+      .select(col("__m"), col("q"),
+        Stable.seededHashPair(seed, col("__k"), col("q")).as("__hp"))
+      .select(col("__m"), col("q"),
+        wOf(col("__hp").getItem(0)).as("__wl"),
+        wOf(col("__hp").getItem(1)).as("__wh"))
+      .groupBy(col("q"))
+      .agg(sum(col("__wl")).as("__nl"), sum(col("__wl") * col("__m")).as("__sl"),
+        sum(col("__wh")).as("__nh"), sum(col("__wh") * col("__m")).as("__sh"))
+      .select(explode(array(
+        struct((col("q") * 2).as("b"), col("__nl").as("n_b"), col("__sl").as("__s")),
+        struct((col("q") * 2 + 1).as("b"), col("__nh").as("n_b"), col("__sh").as("__s"))))
+        .as("s"))
+      .filter(col("s.b") < replicates) // odd replicate counts drop the last hi draw
+      .select(col("s.b").as("b"), col("s.n_b").as("n_b"),
+        when(col("s.n_b") <= 0L, lit(null)).otherwise(
+          floor(col("s.__s").cast("double") / col("s.n_b").cast("double"))
             .cast("bigint")).as("mean_micro"))
   }
 

@@ -627,17 +627,21 @@ object Relational {
         |  CASE WHEN varxn <= 0.0 OR varyn <= 0.0 THEN NULL ELSE CAST(floor(covn*covn/(varxn*varyn) * 1000000.0) AS BIGINT) END AS var_reduction_ppm
         |FROM j""".stripMargin,
 
-    // q207: the same md5 of (seed, key, replicate) and the same Poisson
-    // thresholds interpolated as literals (exp/md5 arithmetic agreed by
-    // construction, not by luck).
+    // q207: the same md5 digest of (seed, key, pair) with replicates 2q
+    // and 2q+1 drawn from the digest's disjoint 60-bit halves, and the
+    // same Poisson thresholds interpolated as literals (exp/md5
+    // arithmetic agreed by construction, not by luck).
     "q207_bootstrap_ci" -> {
       import graft.functions.Stable
       val t = graft.operators.Stats.poissonThresholds
-      s"""WITH sp AS (SELECT unnest(generate_series(0, 99)) AS b),
+      s"""WITH sp AS (SELECT unnest(generate_series(0, 49)) AS q),
         |rows AS (SELECT event_id AS k, CAST(floor(value*1000000.0) AS BIGINT) AS m
         |  FROM events WHERE value IS NOT NULL),
-        |x AS (SELECT b, ${Stable.duckSeededHash(1L, "k", "b")} AS h, m
+        |d AS (SELECT q, ${Stable.duckSeededDigest(1L, "k", "q")} AS d, m
         |      FROM rows CROSS JOIN sp),
+        |x AS (SELECT 2*q AS b, ${Stable.duckDigestLo("d")} AS h, m FROM d
+        |      UNION ALL
+        |      SELECT 2*q+1 AS b, ${Stable.duckDigestHi("d")} AS h, m FROM d),
         |w AS (SELECT b, m, CASE WHEN h < ${t(0)} THEN 0 WHEN h < ${t(1)} THEN 1
         |        WHEN h < ${t(2)} THEN 2 WHEN h < ${t(3)} THEN 3
         |        WHEN h < ${t(4)} THEN 4 WHEN h < ${t(5)} THEN 5 ELSE 6 END AS w FROM x),

@@ -86,6 +86,30 @@ class StableSpec extends SparkSpec {
     assert(r.getLong(2) == 0L) // families don't collide pointwise here
   }
 
+  test("digest pair: native Hash64PairExpr == portable composition; lo == seededHash; hi 60-bit disjoint") {
+    val df = SparkSpec.spark.range(500).select(col("id"))
+    val d = Stable.seededDigest(7L, col("id"), col("id") * 3)
+    val pair = Stable.seededHashPair(7L, col("id"), col("id") * 3)
+    val out = df.select(
+      Stable.seededHash(7L, col("id"), col("id") * 3).as("sh"),
+      Stable.digestLo(d).as("lo"), Stable.digestHi(d).as("hi"),
+      pair.getItem(0).as("nlo"), pair.getItem(1).as("nhi")).collect()
+    out.foreach { r =>
+      // lo IS seededHash of the same inputs — one definition, two forms —
+      // and the native pair expression matches the portable
+      // conv(substring(md5)) composition bit-for-bit on both halves
+      // (the DuckDB-oracle contract).
+      assert(r.getLong(0) == r.getLong(1), s"lo != seededHash: $r")
+      assert(r.getLong(3) == r.getLong(1), s"native lo != portable lo: $r")
+      assert(r.getLong(4) == r.getLong(2), s"native hi != portable hi: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 60), s"hi out of range: $r")
+    }
+    // The two draws come from disjoint digest bits: across 500 rows they
+    // must not be correlated enough to collide more than rarely (an
+    // identical-bits bug would make every pair equal).
+    assert(out.count(r => r.getLong(1) == r.getLong(2)) <= 1)
+  }
+
   test("optimizer rule rewrites the portable md5 composition to Hash64Expr") {
     // A SQL user writing the documented portable form gets the native
     // codegen expression automatically (GraftExtensions injectOptimizerRule).
