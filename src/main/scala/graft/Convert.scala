@@ -21,7 +21,9 @@ import graft.image.ImageOps
   *           ([[graft.image.Ffmpeg]] — the converter-edge codec tier,
   *           64×64 scaled); when ffmpeg is absent, falls back to the
   *           pure-JVM uncompressed-AVI decoder ([[graft.image.RawAvi]],
-  *           native geometry) and warns
+  *           native geometry), warns, and stamps every output row with a
+  *           `codec` column so the kernel/geometry divergence is
+  *           machine-checkable downstream
   *           `runMain graft.Convert video <inGlob> <outDir>`
   *
   * All are distributed jobs (binaryFile/text scans + columnar projection),
@@ -60,20 +62,26 @@ object Convert {
         // kernels are bit-identical on uncompressed AVI at identity scale
         // (VideoSpec cross-checks them whenever a real ffmpeg exists).
         val binary = sys.env.getOrElse("SPARK_GRAFT_FFMPEG", "ffmpeg")
-        val sampled =
+        val (sampled, kernel) =
           if (graft.image.Ffmpeg.available(binary))
-            graft.image.Ffmpeg.sampleFramesCli(col("content"),
-              n = 8, w = 64, h = 64, binary)
+            (graft.image.Ffmpeg.sampleFramesCli(col("content"),
+              n = 8, w = 64, h = 64, binary), "ffmpeg-scaled-64x64")
           else {
             System.err.println(s"WARN Convert: '$binary' not runnable — " +
               "falling back to the pure-JVM rawvideo decoder (uncompressed " +
               "AVI only, native geometry)")
-            graft.image.RawAvi.sampleFramesJvm(col("content"), n = 8)
+            (graft.image.RawAvi.sampleFramesJvm(col("content"), n = 8),
+              "jvm-rawvideo-native")
           }
+        // Record which kernel produced each row: the two paths differ in
+        // output geometry (scaled 64x64 vs native), so the divergence must
+        // be machine-checkable in the data itself, not stderr-only —
+        // downstream jobs can assert codec='ffmpeg-scaled-64x64' (or group
+        // by it) instead of trusting that every ingest box had ffmpeg.
         spark.read.format("binaryFile").load(inGlob)
           .select(col("path"), posexplode(sampled).as(Seq("k", "sampled")))
           .select(col("path"), col("sampled._1").as("frame_idx"),
-            col("sampled._2").as("frame"))
+            col("sampled._2").as("frame"), lit(kernel).as("codec"))
           .write.mode("overwrite").parquet(outDir)
       case other =>
         throw new IllegalArgumentException(s"unknown converter '$other' (images|text|audio|video)")

@@ -53,7 +53,10 @@ object RawAvi {
       var o = from
       while (o + 8 <= to) {
         val id = fcc(bytes, o)
-        val sz = u32(bytes, o + 4).toInt
+        // Chunk size is an unsigned 32-bit field: keep it as Long — a
+        // declared size above Int.MaxValue in a corrupt file must reject
+        // loudly below, not wrap negative and walk the offset backwards.
+        val sz = u32(bytes, o + 4)
         val body = o + 8
         val end = math.min(body.toLong + sz, to.toLong).toInt
         if (id == "LIST") walk(body + 4, end) // skip the 4-byte list type
@@ -73,14 +76,25 @@ object RawAvi {
           require(comp == 0 && bpp == 24,
             s"vids stream is biCompression=$comp biBitCount=$bpp — the " +
               "pure-JVM fallback decodes BI_RGB 24-bit only; use ffmpeg")
+          // Bound geometry so stride*h arithmetic below can never overflow
+          // Int on a corrupt header (16384^2 * 3 < 2^31).
+          require(w > 0 && h > 0 && w <= 16384 && h <= 16384,
+            s"vids geometry ${w}x$h out of the supported (0, 16384] range")
           lastWasVids = false
         } else if (vidsStream >= 0 && id.length == 4 &&
             id.startsWith(f"$vidsStream%02d") &&
             (id.endsWith("db") || id.endsWith("dc"))) {
           require(w > 0 && h > 0, "frame chunk before the vids strf header")
-          frames += dibToFrame(bytes, body, sz, w, h, topDown)
+          // Bound the frame by the bytes ACTUALLY present (end is clamped
+          // to the walk window), not the declared size: a truncated file
+          // must hit dibToFrame's clear require, not an array bounds trap.
+          frames += dibToFrame(bytes, body, end - body, w, h, topDown)
         }
-        o = body + sz + (sz & 1) // chunks are word-aligned
+        // Word-aligned chunks; Long arithmetic on a u32 size means the
+        // offset always strictly advances (next >= o + 8), and a declared
+        // size that overruns the window clamps to `to` and ends the walk.
+        val next = body.toLong + sz + (sz & 1L)
+        o = if (next > to) to else next.toInt
       }
     }
     walk(12, riffEnd)
@@ -89,12 +103,15 @@ object RawAvi {
   }
 
   /** One DIB frame payload → RGB24 top-down: undo the 4-byte row stride,
-    * the bottom-up row order (unless `topDown`) and the BGR byte order. */
-  private def dibToFrame(b: Array[Byte], off: Int, sz: Int,
+    * the bottom-up row order (unless `topDown`) and the BGR byte order.
+    * `avail` is the bytes actually present in the buffer for this chunk
+    * (declared size clamped to the container window), so a truncated file
+    * fails here with a clear message rather than an array bounds trap. */
+  private def dibToFrame(b: Array[Byte], off: Int, avail: Int,
       w: Int, h: Int, topDown: Boolean): Frame = {
     val stride = ((w * 3 + 3) / 4) * 4
-    require(sz >= stride * h,
-      s"frame chunk of $sz bytes < ${stride * h} (${w}x$h, stride $stride)")
+    require(avail >= stride * h,
+      s"frame chunk has $avail bytes < ${stride * h} (${w}x$h, stride $stride) — truncated or corrupt clip")
     val px = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -147,8 +164,12 @@ object RawAvi {
     w32(strf, 40); w32(strf, w); w32(strf, h); w16(strf, 1); w16(strf, 24)
     w32(strf, 0); w32(strf, frameBytes); w32(strf, 0); w32(strf, 0)
     w32(strf, 0); w32(strf, 0)
+    // dwMaxBytesPerSec is a u32 advisory field players may ignore; it must
+    // not silently wrap for huge frame×fps products — saturate instead.
+    val maxBytesPerSec =
+      math.min(frameBytes.toLong * fps, 0xffffffffL).toInt
     val avih = new java.io.ByteArrayOutputStream()
-    w32(avih, 1000000 / fps); w32(avih, (frameBytes.toLong * fps).toInt)
+    w32(avih, 1000000 / fps); w32(avih, maxBytesPerSec)
     w32(avih, 0); w32(avih, 0); w32(avih, frames.length); w32(avih, 0)
     w32(avih, 1); w32(avih, frameBytes); w32(avih, w); w32(avih, h)
     w32(avih, 0); w32(avih, 0); w32(avih, 0); w32(avih, 0)

@@ -350,9 +350,13 @@ object Stats {
     * silently correlating their draws and biasing every replicate
     * statistic while staying deterministic and oracle-consistent (the
     * one failure class the oracle can't catch). Enforced by a one-scan
-    * count-vs-countDistinct probe (the [[graft.ann.Ann.mmrSelect]]
-    * pool-probe pattern); the probe is one extra pass over the input —
-    * negligible next to `replicates` md5s per row. */
+    * probe that distinguishes NULL keys (rejected by name — countDistinct
+    * alone would blame "duplicates") from genuine duplicates (the
+    * [[graft.ann.Ann.mmrSelect]] pool-probe pattern); the probe is one
+    * extra pass over the input — negligible next to `replicates` md5s
+    * per row. NOTE: the probe makes this call EAGER — it runs a Spark
+    * job at DataFrame-construction time, unlike the engine's otherwise
+    * lazy builders. */
   def poissonBootstrap(df: DataFrame, keyCol: Column, valueCol: String,
       replicates: Int = 100, seed: Long = 1L,
       scale: Long = 1000000L): DataFrame = {
@@ -366,8 +370,15 @@ object Stats {
     val rows = df.filter(col(valueCol).isNotNull)
       .select(keyCol.as("__k"),
         floor(col(valueCol) * lit(scale.toDouble)).cast("bigint").as("__m"))
+    // countDistinct excludes NULLs, so count the NULL keys separately:
+    // a NULL key must be rejected by name, not blamed on "duplicates".
     val probe = rows.agg(count(lit(1)).as("n"),
-      countDistinct(col("__k")).as("nd")).head()
+      countDistinct(col("__k")).as("nd"),
+      count(when(col("__k").isNull, 1)).as("nNull")).head()
+    require(probe.getLong(2) == 0L,
+      s"poissonBootstrap: keyCol has ${probe.getLong(2)} NULL key(s) — the " +
+        "per-row draw is hash(seed, key, b), so NULL keys cannot get " +
+        "independent weights; supply a non-null row-unique key")
     require(probe.getLong(0) == probe.getLong(1),
       s"poissonBootstrap: keyCol must be row-unique — got ${probe.getLong(0)} " +
         s"rows but only ${probe.getLong(1)} distinct keys; duplicate keys give " +

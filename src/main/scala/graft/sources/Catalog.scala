@@ -115,6 +115,24 @@ final class Catalog(spark: SparkSession) {
         Cast("floatX", Seq("features"))))
   }
 
+  /** fuel's TABULAR bindings — Adult/Iris (fuel/datasets/adult.py:5,
+    * iris.py:27) — re-expressed over a split-partitioned parquet
+    * fixture. These are the catalog's null case and complete the
+    * `default_transformers` contract matrix: where MNIST/CIFAR/audio
+    * attach codec-or-rescale chains, Adult binds its splits with an
+    * EMPTY default chain (the `Dataset.default_transformers = ()` base
+    * contract, fuel/datasets/base.py:43-49), so `default_stream` must
+    * be the identity on the raw split-pruned scan — no extra
+    * projection, no cast, nothing. Expected storage at `path`: any
+    * tabular schema with an `idx` key, partitioned by `split`
+    * (train/test — Adult's `which_sets`). */
+  def registerAdult(path: String, name: String = "adult-mini"): this.type = {
+    Seq("train", "test").foreach { s =>
+      registerSplit(s"$name/$s", path, s, Seq(col("idx")), defaults = Nil)
+    }
+    this
+  }
+
   def names: Seq[String] = entries.keys.toSeq
 
   /** Raw load (no defaults). */

@@ -155,6 +155,33 @@ class RelationalSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType)
   }
 
+  test("adult-mini: tabular binding with an EMPTY default chain (fuel adult.py:5, base.py:43-49)") {
+    // The catalog's null case: Adult/Iris bind splits with NO default
+    // transformers, so default_stream must be the raw split-pruned scan —
+    // identity content, identity schema, and still partition-pruned.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("adult-mini").toString
+    val rows = spark.range(40).select(col("id").as("idx"),
+      (col("id") % 60 + 17).as("age"),
+      (col("id") % 2).cast("int").as("label"),
+      when(col("id") < 30, "train").otherwise("test").as("split"))
+    graft.sources.SplitSource.write(rows, dir)
+    val cat = new graft.sources.Catalog(spark).registerAdult(dir)
+    assert(cat.names.contains("adult-mini/train") && cat.names.contains("adult-mini/test"))
+    val stream = cat.defaultStream("adult-mini/train")
+    val raw = cat.load("adult-mini/train")
+    // empty chain => defaultStream IS the raw load: same schema, same rows
+    assert(stream.schema == raw.schema)
+    assert(stream.count() == 30 && raw.count() == 30)
+    assert(stream.agg(sum(col("age"))).head().getLong(0) ==
+      raw.agg(sum(col("age"))).head().getLong(0))
+    assert(cat.defaultStream("adult-mini/test").count() == 10)
+    // and the split selection stays a PARTITION filter at the scan
+    val plan = stream.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      s"split must prune partitions, not post-filter:\n$plan")
+  }
+
   test("approximate aggregates: HLL distinct near exact, quantile sketch brackets exact") {
     // The sketch tier of the aggregation surface (SURVEY §2.6): at 100 TB
     // an exact distinct is a full shuffle of the keys; the HLL sketch is a

@@ -311,4 +311,62 @@ class VideoSpec extends SparkSpec {
     val f = out.head.getStruct(2)
     assert(f.getAs[Int]("w") == 2 && f.getAs[Int]("h") == 2)
   }
+
+  private def chunkAt(b: Array[Byte], id: String): Int = {
+    val want = id.getBytes("US-ASCII")
+    var i = 0
+    while (!(b(i) == want(0) && b(i + 1) == want(1) &&
+      b(i + 2) == want(2) && b(i + 3) == want(3))) i += 1
+    i
+  }
+
+  test("RawAvi: corrupt chunk sizes and truncated clips fail loudly, never hang or trap") {
+    // (a) a u32 size above Int.MaxValue must not wrap negative and walk
+    // the offset backwards (the pre-fix executor-hang class). Corrupt the
+    // avih size to 0xFFFFFFF0: the walk clamps to the window, the strl
+    // list is never reached, and the decoder rejects by name.
+    val clipA = uncompressedAvi(8, 6, Seq(7))
+    val avihAt = chunkAt(clipA, "avih")
+    Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+      .copyToArray(clipA, avihAt + 4)
+    val eA = intercept[IllegalArgumentException] {
+      graft.image.RawAvi.decodeFrames(clipA)
+    }
+    assert(eA.getMessage.contains("vids"), eA.getMessage)
+
+    // (b) a truncated file with an intact declared frame size: the bounds
+    // check must use the bytes ACTUALLY present and reject with the clear
+    // message, not die in an ArrayIndexOutOfBoundsException.
+    val clipB = uncompressedAvi(8, 6, Seq(7)).dropRight(8)
+    val eB = intercept[IllegalArgumentException] {
+      graft.image.RawAvi.decodeFrames(clipB)
+    }
+    assert(eB.getMessage.contains("truncated"), eB.getMessage)
+
+    // (c) an insane strf geometry (width 65536) must be rejected before
+    // any stride*h arithmetic can overflow Int.
+    val clipC = uncompressedAvi(8, 6, Seq(7))
+    val strfBody = chunkAt(clipC, "strf") + 8
+    Array[Byte](0, 0, 1, 0).copyToArray(clipC, strfBody + 4) // biWidth = 65536
+    val eC = intercept[IllegalArgumentException] {
+      graft.image.RawAvi.decodeFrames(clipC)
+    }
+    assert(eC.getMessage.contains("geometry"), eC.getMessage)
+  }
+
+  test("RawAvi.encode: dwMaxBytesPerSec saturates instead of wrapping; clip still round-trips") {
+    // frameBytes(2x2) = 16, fps = 400e6 -> product 6.4e9 > u32 max: the
+    // advisory header field must saturate, not wrap negative, and the
+    // emitted container must still demux to the same pixels.
+    val px = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 11).toByte)
+    val frame = graft.image.ImageOps.Frame(2, 2, 3, px)
+    val clip = graft.image.RawAvi.encode(Seq(frame), fps = 400000000)
+    val avihBody = chunkAt(clip, "avih") + 8
+    def u32(o: Int): Long = ((clip(o) & 0xffL)) | ((clip(o + 1) & 0xffL) << 8) |
+      ((clip(o + 2) & 0xffL) << 16) | ((clip(o + 3) & 0xffL) << 24)
+    assert(u32(avihBody + 4) == 0xffffffffL, "dwMaxBytesPerSec should saturate")
+    val decoded = graft.image.RawAvi.decodeFrames(clip)
+    assert(decoded.length == 1)
+    assert(java.util.Arrays.equals(decoded.head.px, px))
+  }
 }

@@ -60,8 +60,15 @@ echo "wrote ORACLE_SF01_r${ROUND}.json"
 
 # BENCH_LOCAL.json is the only full per-query bench record (the driver's
 # artifact truncates); keep it committed so cross-round per-query diffs
-# survive (VERDICT r9 #2). Staging here makes the round-close commit carry it.
-[ -f BENCH_LOCAL.json ] && git add BENCH_LOCAL.json ORACLE_SF01_r"${ROUND}".json 2>/dev/null
+# survive (VERDICT r9 #2). Staging here makes the round-close commit carry
+# it — but ONLY on a green close: a red round must not silently stage its
+# artifacts into the next commit (ADVICE r10).
+if [ $FAIL -eq 0 ]; then
+  [ -f BENCH_LOCAL.json ] && git add BENCH_LOCAL.json 2>/dev/null
+  git add ORACLE_SF01_r"${ROUND}".json 2>/dev/null
+else
+  echo "NOT staging round artifacts: gates red (fix, then re-run the close)"
+fi
 
 [ $FAIL -eq 0 ] && echo "ROUND CLOSE: all gates green" || echo "ROUND CLOSE: FAILURES (see logs)"
 exit $FAIL
