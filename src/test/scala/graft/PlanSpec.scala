@@ -384,6 +384,61 @@ class PlanSpec extends SparkSpec {
         s"a corpus repartition; re-justify and re-pin:\n${diffs.mkString("\n")}")
   }
 
+  test("iterative graph operators: PINNED per-iteration shuffle budgets (pageRank, k-core peel)") {
+    // The flagship-chain pins above freeze one-shot compositions; the
+    // iterative operators have a sharper failure mode — an accidental
+    // SECOND consumer of the rank frame (or a lost partitioning on the
+    // cached edge frame) multiplies per-ITERATION shuffles, and the cost
+    // scales with iters × corpus. Pin (a) pageRank's marginal cost of one
+    // extra iteration, (b) its total at iters=2, and (c) one k-core peel
+    // round's composition (built exactly as kCore's loop builds it — the
+    // loop itself is eager, so the round is reconstructed lazily here).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.{array, col, count, explode, least, greatest, lit}
+    spark.catalog.clearCache()
+    def shuffles(df: DataFrame): Int =
+      allNodes(df.queryExecution.executedPlan).count(_.isInstanceOf[ShuffleExchangeLike])
+    val edges = spark.range(200).selectExpr(
+      "id % 50 AS src", "(id * 7 + 13) % 50 AS dst")
+    val s1 = shuffles(graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 1))
+    val s2 = shuffles(graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 2))
+    info(s"pageRank shuffle exchanges: iters=1 -> $s1, iters=2 -> $s2")
+    // one k-core peel round, lazily (kCore's own loop localCheckpoints
+    // eagerly, which roots each round in an RDD scan and hides the tree)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val weak = deg.filter(col("d") < 2).select("node")
+    val next = und
+      .join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
+      .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
+    val sk = shuffles(next)
+    info(s"k-core one peel round: $sk shuffle exchanges")
+    // Budgets measured at this fixture (ewd broadcasts at test scale — at
+    // corpus scale the same join goes sort-merge with the RANK table as
+    // the only shuffled side, which is the documented contract). Per
+    // pageRank iteration: the contribution agg (node-keyed), the rank
+    // frame into the base-term join, and the one-row N re-agg
+    // (SinglePartition — bytes, not corpus). k-core's lazily-rebuilt
+    // round: distinct edge canon + degree agg + und-by-a + weak-by-b +
+    // und-by-b (the eager loop's localCheckpoint hides the distinct,
+    // paying it once, not per round).
+    val diffs = Seq(
+      ("pageRank marginal per-iteration", s2 - s1, 3),
+      ("pageRank iters=2 total", s2, 7),
+      ("k-core one peel round", sk, 5)
+    ).collect { case (name, got, pinned) if got != pinned =>
+      s"$name: $got shuffle exchanges (pinned $pinned)"
+    }
+    assert(diffs.isEmpty,
+      "iterative-operator shuffle budget changed — an edit added/removed a " +
+        s"per-iteration corpus shuffle; re-justify and re-pin:\n${diffs.mkString("\n")}")
+  }
+
   test("global audit: no unpartitioned Window, no CartesianProduct, in any query") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec
