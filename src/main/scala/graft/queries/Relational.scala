@@ -156,6 +156,51 @@ object Relational {
       graft.operators.Stats.sequentialMonitor(perUser, "arm", "fs", "fp")
     }),
 
+    // The experimentation kit composed END-TO-END as one readout — the
+    // q59→q73 composition pattern applied to the stats tier: hashed
+    // assignment ([[graft.sources.SplitSource.assignSplit]], the
+    // production randomizer, not a modulo) → CUPED adjusted means
+    // ([[graft.operators.Stats.cuped]]) → Wilson conversion CI
+    // ([[graft.operators.Stats.proportionCI]]) → the group-sequential
+    // monitor's FINAL-day state ([[graft.operators.Stats
+    // .sequentialMonitor]]). One per-user collapse (a single map-side
+    // agg over the corpus) carries every per-subject fact — pre-period
+    // activity x, post-period purchase value y, first enrollment day,
+    // first QUALIFYING conversion day (purchase ≥ 200, so the rate is
+    // non-degenerate) — then is persisted once for its three analysis
+    // consumers, each of which reduces to an arm-bounded frame before
+    // the final broadcast joins. Output: one row per arm with the full
+    // card (CUPED means/θ/ρ², Wilson bounds, monitor end state).
+    "q216_experiment_readout" -> ((s, dir) => {
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val m = floor(col("value") * lit(1000000.0)).cast("bigint")
+      val day = expr("unix_micros(ts) div 86400000000")
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < cut, m)), lit(0L)).as("x"),
+          coalesce(sum(when(col("ts") >= cut &&
+            col("event_type") === "purchase", m)), lit(0L)).as("y"),
+          min(day).as("fs"),
+          min(when(col("event_type") === "purchase" && col("value") >= 200, day))
+            .as("fp"))
+      val assigned = graft.sources.SplitSource.assignSplit(
+          perUser, col("user_id"), seed = 216,
+          weights = Seq("control" -> 0.5, "treatment" -> 0.5))
+        .withColumn("arm", when(col("split") === "treatment", 1L).otherwise(0L))
+        .persist()
+      val cupedCard = graft.operators.Stats.cuped(assigned, "arm", "x", "y")
+      val wilson = graft.operators.Stats
+        .proportionCI(assigned, "arm", col("fp").isNotNull).drop("n")
+      val monitorFinal = graft.operators.Stats
+        .sequentialMonitor(assigned, "arm", "fs", "fp")
+        .orderBy(col("day").desc).limit(1)
+        .select(col("day").as("final_day"), col("z_micro"),
+          col("bound_micro"), col("crossed"))
+      cupedCard.join(wilson, Seq("arm"))
+        .crossJoin(broadcast(monitorFinal))
+    }),
+
     // Column correlation matrix ([[graft.operators.Stats
     // .correlationMatrix]]): the pandas df.corr() profiling card over
     // lineitem's numerics — one aggregation pass for all pairs, exact
@@ -690,6 +735,78 @@ object Relational {
         |    abs(pd / sqrt(pp*(1.0-pp)*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE)))) >= ${z}/sqrt(frac)
         |    THEN 1 ELSE 0 END AS BIGINT) AS crossed
         |FROM c""".stripMargin
+    },
+
+    // q216: the FULL composition replayed — same hashed assignment
+    // (md5 fragment ≡ assignSplit's seededHash), same CUPED moment
+    // chains as q206, same Wilson chains as q208, same monitor chains
+    // as q214, final-day row by ORDER BY day DESC LIMIT 1.
+    "q216_experiment_readout" -> {
+      val z = s"CAST(${graft.operators.Stats.z975} AS DOUBLE)"
+      val h = graft.functions.Stable.duckSeededHash(216, "user_id")
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN CAST(floor(value*1000000.0) AS BIGINT) END), 0) AS x,
+        |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type='purchase' THEN CAST(floor(value*1000000.0) AS BIGINT) END), 0) AS y,
+        |    min(epoch_us(ts) // 86400000000) AS fs,
+        |    min(CASE WHEN event_type='purchase' AND value >= 200 THEN epoch_us(ts) // 86400000000 END) AS fp
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT *, CASE WHEN $h % 1000 < 500 THEN 0 ELSE 1 END AS arm FROM pu),
+        |pool AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+        |  CAST(sum(CAST(x AS HUGEINT)*y) AS DOUBLE) sxy, CAST(sum(CAST(x AS HUGEINT)*x) AS DOUBLE) sxx, CAST(sum(CAST(y AS HUGEINT)*y) AS DOUBLE) syy FROM a),
+        |byarm AS (SELECT arm, CAST(count(*) AS BIGINT) ng, CAST(sum(x) AS BIGINT) sxg, CAST(sum(y) AS BIGINT) syg FROM a GROUP BY 1),
+        |cu AS (SELECT arm, ng, sxg, syg, n, sx,
+        |  CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS covn,
+        |  CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varxn,
+        |  CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS varyn
+        |  FROM byarm, pool),
+        |cuc AS (SELECT CAST(arm AS BIGINT) AS arm, ng AS n,
+        |  CAST(floor(CAST(syg AS DOUBLE)/CAST(ng AS DOUBLE)) AS BIGINT) AS mean_y_micro,
+        |  CASE WHEN varxn <= 0.0 THEN NULL ELSE
+        |    CAST(floor(CAST(syg AS DOUBLE)/CAST(ng AS DOUBLE) - covn/varxn * (CAST(sxg AS DOUBLE)/CAST(ng AS DOUBLE) - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) AS BIGINT)
+        |  END AS mean_adj_micro,
+        |  CASE WHEN varxn <= 0.0 THEN NULL ELSE CAST(floor(covn/varxn * 1000000.0) AS BIGINT) END AS theta_micro,
+        |  CASE WHEN varxn <= 0.0 OR varyn <= 0.0 THEN NULL ELSE CAST(floor(covn*covn/(varxn*varyn) * 1000000.0) AS BIGINT) END AS var_reduction_ppm
+        |  FROM cu),
+        |wg AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS successes FROM a GROUP BY 1),
+        |wc AS (SELECT *, CAST(successes AS DOUBLE)/CAST(n AS DOUBLE) AS ph, 1.0 + ${z}*${z}/CAST(n AS DOUBLE) AS denom FROM wg),
+        |wh AS (SELECT *, (ph + ${z}*${z}/(2.0*CAST(n AS DOUBLE)))/denom AS center,
+        |  ${z}*sqrt(ph*(1.0-ph)/CAST(n AS DOUBLE) + ${z}*${z}/(4.0*CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))/denom AS half FROM wc),
+        |wil AS (SELECT CAST(arm AS BIGINT) AS arm, successes,
+        |  CAST(floor(ph * 1000000.0) AS BIGINT) AS rate_ppm,
+        |  CAST(floor((center - half) * 1000000.0) AS BIGINT) AS lo_ppm,
+        |  CAST(floor((center + half) * 1000000.0) AS BIGINT) AS hi_ppm FROM wh),
+        |dn AS (SELECT arm, fs AS day, count(*) AS dn FROM a GROUP BY 1, 2),
+        |dx AS (SELECT arm, fp AS day, count(*) AS dx FROM a WHERE fp IS NOT NULL GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM (SELECT day FROM dn UNION ALL SELECT day FROM dx)),
+        |sp AS (SELECT s.arm, d.day FROM (VALUES (0), (1)) s(arm) CROSS JOIN days d),
+        |de AS (SELECT sp.arm, sp.day, coalesce(dn.dn, 0) AS dn, coalesce(dx.dx, 0) AS dx
+        |       FROM sp LEFT JOIN dn ON dn.arm = sp.arm AND dn.day = sp.day
+        |               LEFT JOIN dx ON dx.arm = sp.arm AND dx.day = sp.day),
+        |cum AS (SELECT arm, day, CAST(sum(dn) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cn,
+        |               CAST(sum(dx) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cx FROM de),
+        |tot AS (SELECT CAST(sum(dn) AS BIGINT) AS nt FROM de),
+        |byday AS (SELECT day,
+        |        max(CASE WHEN arm = 0 THEN cn END) AS n_a, max(CASE WHEN arm = 0 THEN cx END) AS x_a,
+        |        max(CASE WHEN arm = 1 THEN cn END) AS n_b, max(CASE WHEN arm = 1 THEN cx END) AS x_b
+        |      FROM cum GROUP BY 1),
+        |mc AS (SELECT byday.*, nt,
+        |        CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE) AS pp,
+        |        CAST(n_a + n_b AS DOUBLE)/CAST(nt AS DOUBLE) AS frac,
+        |        (CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE)) AS pd
+        |      FROM byday, tot WHERE n_a > 0 AND n_b > 0),
+        |mon AS (SELECT CAST(day AS BIGINT) AS final_day,
+        |  CASE WHEN pp <= 0.0 OR pp >= 1.0 THEN NULL ELSE
+        |    CAST(floor(pd / sqrt(pp*(1.0-pp)*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |  END AS z_micro,
+        |  CAST(floor(${z}/sqrt(frac) * 1000000.0) AS BIGINT) AS bound_micro,
+        |  CAST(CASE WHEN pp <= 0.0 OR pp >= 1.0 THEN 0 WHEN
+        |    abs(pd / sqrt(pp*(1.0-pp)*(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE)))) >= ${z}/sqrt(frac)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS crossed
+        |  FROM mc ORDER BY day DESC LIMIT 1)
+        |SELECT cuc.*, wil.successes, wil.rate_ppm, wil.lo_ppm, wil.hi_ppm,
+        |       mon.final_day, mon.z_micro, mon.bound_micro, mon.crossed
+        |FROM cuc JOIN wil ON cuc.arm = wil.arm, mon""".stripMargin
     },
 
     // q213: the same micro-grid moments (hugeint cross products ≡
