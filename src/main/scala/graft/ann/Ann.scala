@@ -228,6 +228,90 @@ object Ann {
         col("__sx").as("knn_sum_src"), col("__sy").as("knn_sum_dst"))
   }
 
+  /** Banded margin mining — the corpus×corpus SCALE path that
+    * [[marginMine]]'s guard names (and that the round-11 sf1 probe made
+    * concrete: the exact tier measured 71.7× wall for 10× data because
+    * BOTH sides scale, ~100× cosine work by design). Candidates come
+    * from a sign-LSH band-bucket join between the two sides (shared
+    * seed-derived hyperplanes, key-partitioned on (table, bucket) —
+    * neither side broadcasts, neither side crosses), and the IDENTICAL
+    * cross-multiplied integer margin criterion is then evaluated on the
+    * CANDIDATE neighborhood: per-src / per-dst top-k cosine sums among
+    * candidates, forward-best per src, accept iff
+    * `cos_micro·2k·tauDen > (Σx + Σy)·tauNum`.
+    *
+    * Semantics vs the exact tier, stated honestly: a pair exists iff
+    * the two vectors share ANY band bucket — the standard LSH recall
+    * trade, tuned by (tables, planes) — and the margin denominator sums
+    * the k best CANDIDATES, not the k globally-nearest. Both
+    * differences push the same direction as the criterion itself (the
+    * buckets surface exactly the high-cosine neighborhood the
+    * denominator needs; a missed far neighbor only lowers the sum, and
+    * hub vectors fill their buckets and still self-penalize), which is
+    * why candidate-restricted margins are the CCMatrix practice at
+    * corpus scale. Determinism: hyperplanes are seed-derived constants,
+    * cosines are micro-floored before any sum — an external engine
+    * rebuilds buckets, candidates, and the margin chain exactly.
+    *
+    * Scale shape: bucket explode (`tables` rows per vector), one
+    * occupancy-GUARDED (table, bucket) key join (pairs grow
+    * quadratically in occupancy — the guard raises rather than letting
+    * one crowded bucket go quadratic), exact cosines on the bounded
+    * candidate frame only, bounded [[TopK]] sums, and two id-keyed
+    * joins of collapsed frames. The candidate frame has its three
+    * consumers (x-sums, y-sums, forward-best) recomputed, not
+    * persisted — same trade as [[marginMine]], now on a near-linear
+    * frame. Output schema = [[marginMine]]'s. */
+  def marginMineLsh(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, tauNum: Long = 105, tauDen: Long = 100,
+      seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64,
+      maxBucket: Int = 100000): DataFrame = {
+    require(k >= 1, s"marginMineLsh: k must be >= 1, got $k")
+    require(tables >= 1 && planes >= 1 && planes <= 30,
+      s"marginMineLsh: need tables >= 1 and 1 <= planes <= 30, got $tables/$planes")
+    val hp = hyperplanes(seed, tables, planes, dim)
+    def bucketed(df: DataFrame, idAs: String, vAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vAs))
+        .select(col(idAs), col(vAs),
+          posexplode(graft.functions.SignBuckets(col(vAs), hp)).as(Seq("table", "bucket")))
+    // Occupancy guard on ONE side suffices (every candidate pair has one
+    // row in the guarded stream) — the Dedup.guardOccupancy pattern on
+    // the join's own (table, bucket) partitioning, no extra exchange.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
+    val ab = bucketed(a, "src_id", "__av")
+      .withColumn("__occ", count(lit(1)).over(w))
+      .withColumn("src_id",
+        when(col("__occ") <= maxBucket, col("src_id")).otherwise(raise_error(concat(
+          lit("marginMineLsh: bucket occupancy "), col("__occ"),
+          lit(s" exceeds maxBucket=$maxBucket (table "), col("table"),
+          lit(") — candidate pairs grow quadratically in occupancy; " +
+            "add planes (halves expected occupancy per plane) or raise maxBucket")))))
+      .drop("__occ")
+    val bb = bucketed(b, "dst_id", "__bv")
+    val pairs = ab.join(bb, Seq("table", "bucket"))
+      .select(col("src_id"), col("dst_id"),
+        floor(cosine(col("__av"), col("__bv")) * 1000000).cast("bigint").as("__cq"))
+      .filter(col("__cq").isNotNull)
+      .distinct() // a pair sharing buckets in several tables counts once
+    def topSum(key: String, other: String): DataFrame =
+      pairs.groupBy(col(key))
+        .agg(TopK.topK(k)(col("__cq").cast("double"), col(other)).as("__top"))
+        .select(col(key),
+          aggregate(col("__top"), lit(0L),
+            (acc, e) => acc + e.getField("_1").cast("bigint")).as("__s"))
+    val sx = topSum("src_id", "dst_id").withColumnRenamed("__s", "__sx")
+    val sy = topSum("dst_id", "src_id").withColumnRenamed("__s", "__sy")
+    val best = pairs.groupBy("src_id")
+      .agg(TopK.topK(1)(col("__cq").cast("double"), col("dst_id")).as("__t"))
+      .select(col("src_id"), col("__t")(0).getField("_2").as("dst_id"),
+        col("__t")(0).getField("_1").cast("bigint").as("cos_micro"))
+    best.join(sx, Seq("src_id")).join(sy, Seq("dst_id"))
+      .filter(col("cos_micro") * lit(2L * k) * lit(tauDen) >
+        (col("__sx") + col("__sy")) * lit(tauNum))
+      .select(col("src_id"), col("dst_id"), col("cos_micro"),
+        col("__sx").as("knn_sum_src"), col("__sy").as("knn_sum_dst"))
+  }
+
   /** Deterministic ±1 sign matrix for [[signProject]]: outDim × dim
     * entries from the sign bit of splitmix(seed, j, i) — pure Scala, so
     * an external engine inlines the same constants. */

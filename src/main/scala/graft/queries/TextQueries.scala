@@ -1617,6 +1617,21 @@ object TextQueries {
         "vec_id", "embedding", k = 4, tauNum = 105, tauDen = 100)
     }),
 
+    // Banded margin mining ([[Ann.marginMineLsh]]): q134's ratio-margin
+    // criterion at corpus×corpus scale — sign-LSH band-bucket candidates
+    // between the halves (key-partitioned, occupancy-guarded; neither
+    // side broadcasts or crosses), margins evaluated on the candidate
+    // neighborhood. The scale path the exact tier's guard names,
+    // measured against it by the sf1 probe (exact: 71.7× wall for 10×
+    // data; banded: near-linear).
+    "q217_bitext_margin_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.marginMineLsh(
+        e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, tauNum = 105, tauDen = 100,
+        seed = 42, tables = 4, planes = 8, dim = 64)
+    }),
+
     // Served retrieval ([[TextOps.writePostings]] →
     // [[TextOps.bm25TopKFromIndex]]): q130's queries answered from the
     // MATERIALIZED term-bucketed posting index (the q78 loop-closure
@@ -2263,13 +2278,14 @@ object TextQueries {
   /** Sign-LSH bucket CTE body over a source CTE `e(vec_id, v)`: one SELECT
     * per table with the hyperplane sign bits packed into `bucket` — the SQL
     * twin of [[Ann.bucketKey]], shared by the q31 and q50 oracles. */
-  private def duckBucketUnion(hp: Array[Array[Array[Double]]]): String = {
+  private def duckBucketUnion(hp: Array[Array[Array[Double]]],
+      from: String = "e"): String = {
     def bucketExpr(tp: Array[Array[Double]]): String =
       tp.zipWithIndex.map { case (plane, p) =>
         s"(CASE WHEN list_dot_product(v, ${plane.mkString("[", ",", "]")}) >= 0 THEN ${1L << p} ELSE 0 END)"
       }.mkString(" + ")
     hp.indices.map(t =>
-      s"SELECT vec_id, v, $t AS tbl, ${bucketExpr(hp(t))} AS bucket FROM e").mkString("\nUNION ALL ")
+      s"SELECT vec_id, v, $t AS tbl, ${bucketExpr(hp(t))} AS bucket FROM $from").mkString("\nUNION ALL ")
   }
 
   /** q31 oracle: the sign-LSH hyperplanes are seed-derived constants
@@ -4503,6 +4519,42 @@ object TextQueries {
          |  CAST(y.sys AS BIGINT) AS knn_sum_dst
          |FROM bst b JOIN sx x USING (src_id) JOIN sy y USING (dst_id)
          |WHERE b.cq * 8 * 100 > (x.sxs + y.sys) * 105""".stripMargin,
+
+    // q217: q134's margin chain with the pair CTE swapped for the
+    // sign-LSH candidate join — the hyperplanes are seed-derived
+    // constants (Ann.hyperplanes(42, 4, 8, 64)) inlined as literals,
+    // per-table buckets rebuilt per side, DISTINCT pairs, then the
+    // identical rank-bounded sums and cross-multiplied margin test.
+    "q217_bitext_margin_lsh" -> {
+      val buckets = duckBucketUnion(
+        Ann.hyperplanes(42, tables = 4, planes = 8, dim = 64), from = "ev")
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+         |b AS ($buckets),
+         |ba AS (SELECT b.vec_id AS src_id, b.v AS av, tbl, bucket
+         |       FROM b JOIN ev USING (vec_id) WHERE ev.label % 2 = 0),
+         |bb AS (SELECT b.vec_id AS dst_id, b.v AS bv, tbl, bucket
+         |       FROM b JOIN ev USING (vec_id) WHERE ev.label % 2 = 1),
+         |p AS (SELECT DISTINCT src_id, dst_id,
+         |        CAST(floor(${duckCosine("av", "bv")} * 1000000) AS BIGINT) AS cq
+         |      FROM ba JOIN bb USING (tbl, bucket)),
+         |sx AS (SELECT src_id, sum(cq) AS sxs FROM (
+         |         SELECT src_id, cq, row_number() OVER (PARTITION BY src_id
+         |           ORDER BY cq DESC, dst_id ASC) AS rn FROM p)
+         |       WHERE rn <= 4 GROUP BY 1),
+         |sy AS (SELECT dst_id, sum(cq) AS sys FROM (
+         |         SELECT dst_id, cq, row_number() OVER (PARTITION BY dst_id
+         |           ORDER BY cq DESC, src_id ASC) AS rn FROM p)
+         |       WHERE rn <= 4 GROUP BY 1),
+         |bst AS (SELECT src_id, dst_id, cq FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY src_id
+         |           ORDER BY cq DESC, dst_id ASC) AS rn FROM p)
+         |        WHERE rn = 1)
+         |SELECT b.src_id, b.dst_id, b.cq AS cos_micro,
+         |  CAST(x.sxs AS BIGINT) AS knn_sum_src,
+         |  CAST(y.sys AS BIGINT) AS knn_sum_dst
+         |FROM bst b JOIN sx x USING (src_id) JOIN sy y USING (dst_id)
+         |WHERE b.cq * 8 * 100 > (x.sxs + y.sys) * 105""".stripMargin
+    },
 
     // q133: the full train → pack → score chain replayed — add-one
     // counts, bit-quantized log-odds, hash64 % 256 bucket packing with
