@@ -963,6 +963,72 @@ object Ann {
       .select(col(idCol), col("lab").as("label_pred"), col("n_votes"))
   }
 
+  /** Banded kNN label propagation — [[knnPropagate]] for a labeled set
+    * too large to broadcast (weak supervision at corpus scale: millions
+    * of machine-labeled seeds instead of a bounded hand-labeled set,
+    * the regime [[knnPropagate]]'s probe deliberately REJECTS). Both
+    * sides bucket through shared seed-derived sign-LSH hyperplanes;
+    * candidates are the (table, bucket) key join (occupancy-guarded on
+    * the labeled side — candidate pairs grow quadratically in
+    * occupancy), ids-only and deduped BEFORE the vector rejoin (the
+    * [[lshTopK]] shape: vectors cross the shuffle once per surviving
+    * candidate, not once per table). The vote is [[knnPropagate]]'s
+    * verbatim: TopK(k) by (sim DESC, label ASC), majority with count
+    * ties to the smaller label.
+    *
+    * Semantics vs the exact tier: a corpus row only votes among seeds
+    * sharing ANY band bucket (tuned by tables/planes — the standard
+    * LSH recall trade), and rows with NO candidate seed are ABSENT
+    * from the output (no vote, no guess) rather than silently labeled
+    * from nothing — the honest contract for a recall-bounded
+    * propagator. Deterministic end-to-end: hyperplanes are seed-derived
+    * constants, so an external engine rebuilds buckets, candidates,
+    * ranks and votes exactly. Output: (idCol, label_pred, n_votes). */
+  def knnPropagateLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      labeled: DataFrame, labeledIdCol: String, labeledVecCol: String,
+      labelCol: String, k: Int = 5, seed: Long = 42, tables: Int = 4,
+      planes: Int = 12, dim: Int = 64, maxBucket: Int = 100000): DataFrame = {
+    require(k >= 1, s"knnPropagateLsh: k must be >= 1, got $k")
+    require(tables >= 1 && planes >= 1 && planes <= 30,
+      s"knnPropagateLsh: need tables >= 1 and 1 <= planes <= 30, got $tables/$planes")
+    val hp = hyperplanes(seed, tables, planes, dim)
+    def bucketed(df: DataFrame, id: Column, idAs: String, vec: Column): DataFrame =
+      df.select(id.as(idAs),
+        posexplode(graft.functions.SignBuckets(vec.cast("array<double>"), hp))
+          .as(Seq("table", "bucket")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("table", "bucket")
+    val lb = bucketed(labeled, col(labeledIdCol), "__lid", col(labeledVecCol))
+      .withColumn("__occ", count(lit(1)).over(w))
+      .withColumn("__lid",
+        when(col("__occ") <= maxBucket, col("__lid")).otherwise(raise_error(concat(
+          lit("knnPropagateLsh: labeled-bucket occupancy "), col("__occ"),
+          lit(s" exceeds maxBucket=$maxBucket (table "), col("table"),
+          lit(") — candidate pairs grow quadratically in occupancy; " +
+            "add planes (halves expected occupancy per plane) or raise maxBucket")))))
+      .drop("__occ")
+    val cb = bucketed(corpus, col(idCol), idCol, col(vecCol))
+    val cand = cb.join(lb, Seq("table", "bucket"))
+      .filter(col(idCol) =!= col("__lid"))
+      .select(col(idCol), col("__lid")).distinct()
+    val votes = cand
+      .join(corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv")),
+        Seq(idCol))
+      .join(labeled.select(col(labeledIdCol).as("__lid"),
+        col(labeledVecCol).cast("array<double>").as("__lv"),
+        col(labelCol).cast("long").as("__lab")), Seq("__lid"))
+      .select(col(idCol), col("__lab"), cosine(col("__cv"), col("__lv")).as("sim"))
+      .groupBy(idCol).agg(TopK.topK(k)(col("sim"), col("__lab")).as("top"))
+      .select(col(idCol), explode(col("top")).as("e"))
+      .select(col(idCol), col("e._2").as("lab"))
+      .groupBy(col(idCol), col("lab")).agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("n_votes").desc, col("lab").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lab").as("label_pred"), col("n_votes"))
+  }
+
   /** One Lloyd assignment's sufficient statistics over int8-quantized
     * vectors: every vector goes to its nearest centroid by cosine
     * ([[withNearestCentroids]]' tie-break), and the output is the

@@ -771,6 +771,19 @@ object TextQueries {
         "label", k = 5)
     }),
 
+    // Banded kNN label propagation ([[Ann.knnPropagateLsh]]): q91's
+    // transfer when the labeled set is too large to broadcast — sign-LSH
+    // band-bucket candidates between corpus and seeds (key-partitioned,
+    // occupancy-guarded), then the identical TopK(sim, label) vote.
+    // Rows with no candidate seed are absent (recall-bounded, no guess).
+    "q218_knn_propagate_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      Ann.knnPropagateLsh(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        "label", k = 5, seed = 42, tables = 4, planes = 8, dim = 64)
+    }),
+
     // The CCNet order end-to-end ([[graft.text.Curation.curateCCNet]]):
     // line dedup → language ID (every language kept, tagged) → the
     // bigram-LM perplexity tier trained on the separately-scrubbed
@@ -5502,6 +5515,31 @@ object TextQueries {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                              ORDER BY n_votes DESC, lab ASC) AS rn FROM votes)
          |WHERE rn = 1""".stripMargin,
+    // q218: q91's rank/vote chains with the all-pairs CTE swapped for
+    // the sign-LSH candidate join (hyperplanes inlined as literals,
+    // same per-side bucket rebuild as q217).
+    "q218_knn_propagate_lsh" -> {
+      val buckets = duckBucketUnion(
+        Ann.hyperplanes(42, tables = 4, planes = 8, dim = 64), from = "ev")
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+         |b AS ($buckets),
+         |lb AS (SELECT b.vec_id AS lid, b.v AS lv, CAST(ev.label AS BIGINT) AS lab, tbl, bucket
+         |       FROM b JOIN ev USING (vec_id) WHERE ev.vec_id % 10 = 0),
+         |cb AS (SELECT vec_id, v, tbl, bucket FROM b WHERE vec_id % 10 <> 0),
+         |cand AS (SELECT DISTINCT cb.vec_id, lb.lid, lb.lab, cb.v AS cv, lb.lv
+         |         FROM cb JOIN lb USING (tbl, bucket) WHERE cb.vec_id <> lb.lid),
+         |scored AS (SELECT vec_id, lab, ${duckCosine("cv", "lv")} AS sim FROM cand),
+         |top AS (SELECT vec_id, lab FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, lab ASC) AS rn FROM scored)
+         |  WHERE rn <= 5),
+         |votes AS (SELECT vec_id, lab, count(*) AS n_votes FROM top GROUP BY 1, 2)
+         |SELECT vec_id, lab AS label_pred, n_votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY n_votes DESC, lab ASC) AS rn FROM votes)
+         |WHERE rn = 1""".stripMargin
+    },
+
     "q79_ccnet_curation" -> duckCCNetOracle,
     "q80_ccnet_report" -> duckCCNetReportOracle,
     "q82_embedding_admit" -> duckEmbeddingAdmitOracle,
