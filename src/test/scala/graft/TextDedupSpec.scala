@@ -1054,4 +1054,49 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(strict == Set((2L, 12L)), s"got $strict")
   }
+
+  test("marginMineLsh: exact copies are always candidates; occupancy guard trips") {
+    // SignBuckets is a pure function of the vector, so a vector and its
+    // exact copy land in the SAME bucket in EVERY table — the recall
+    // floor: copy pairs can never be missed, whatever the tuning.
+    val va = Seq(0.5, -0.25, 0.75, -1.0)
+    val vb = Seq(-1.0, 0.5, 0.25, 0.125)
+    val a = Seq((1L, va), (2L, vb)).toDF("vec_id", "embedding")
+    val b = Seq((11L, va), (12L, vb)).toDF("vec_id", "embedding")
+    val got = Ann.marginMineLsh(a, b, "vec_id", "embedding", k = 2,
+        tauNum = 100, tauDen = 100, seed = 9, tables = 2, planes = 6, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // each src's copy scores cos_micro = 1e6 and must be its forward best
+    assert(got.contains((1L, 11L, 1000000L)) && got.contains((2L, 12L, 1000000L)),
+      s"copy pairs must survive the banded candidate join: $got")
+    // occupancy guard: three identical a-side vectors crowd one bucket
+    val crowded = Seq((1L, va), (2L, va), (3L, va)).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.marginMineLsh(crowded, b, "vec_id", "embedding", k = 2,
+        seed = 9, tables = 2, planes = 6, dim = 4, maxBucket = 2).count()
+    }
+    assert(e.getMessage.contains("occupancy"), e.getMessage)
+  }
+
+  test("knnPropagateLsh: duplicate seed wins the vote; bucketless rows are absent; guard trips") {
+    // corpus c1 duplicates seed s1 (label 7) -> same bucket every table,
+    // cosine 1.0, the k=1 vote. c2 = -s1: every plane dot flips sign, so
+    // c2 shares NO bucket with s1 and is ABSENT (recall-bounded, no guess).
+    val v = Seq(0.5, -0.25, 0.75, -1.0)
+    val corpus = Seq((1L, v), (2L, v.map(-_))).toDF("vec_id", "embedding")
+    val seeds = Seq((11L, v, 7)).toDF("vec_id", "embedding", "label")
+    val got = Ann.knnPropagateLsh(corpus, "vec_id", "embedding",
+        seeds, "vec_id", "embedding", "label", k = 1,
+        seed = 9, tables = 2, planes = 6, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 7L, 1L)), s"got $got")
+    val crowdedSeeds = Seq((11L, v, 7), (12L, v, 7), (13L, v, 7))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Ann.knnPropagateLsh(corpus, "vec_id", "embedding",
+        crowdedSeeds, "vec_id", "embedding", "label", k = 1,
+        seed = 9, tables = 2, planes = 6, dim = 4, maxBucket = 2).count()
+    }
+    assert(e.getMessage.contains("occupancy"), e.getMessage)
+  }
 }
