@@ -312,6 +312,28 @@ object Ann {
         col("__sx").as("knn_sum_src"), col("__sy").as("knn_sum_dst"))
   }
 
+  /** Plane count for a target expected bucket occupancy — the tuning
+    * rule the round-11 sf1 probe made quantitative: banded candidate
+    * joins ([[lshTopK]], [[marginMineLsh]], [[knnPropagateLsh]],
+    * simhash/minhash banding) do work ∝ Σ occupancy² per bucket, and
+    * with the bucket count FIXED, occupancy grows linearly in the
+    * corpus — candidates quadratically (q52 measured 24.5× wall for
+    * 10× data at fixed 16-bit bands). Each added plane halves expected
+    * occupancy for sign-LSH's ~uniform buckets, so holding occupancy
+    * at a target across corpus growth means planes ≈ log2(n / target):
+    * one extra plane per corpus doubling. Clamped to [1, 30] (the
+    * bucket id is built in a long; 2³⁰ buckets ≫ any executor count).
+    * This is the knob to re-derive at every scale decade — the
+    * occupancy GUARDS catch the hot-bucket failure loudly, this helper
+    * keeps the typical bucket from drifting quadratic silently. */
+  def planesForOccupancy(nRows: Long, targetOccupancy: Long = 16): Int = {
+    require(nRows >= 1, s"planesForOccupancy: nRows must be >= 1, got $nRows")
+    require(targetOccupancy >= 1,
+      s"planesForOccupancy: targetOccupancy must be >= 1, got $targetOccupancy")
+    val ratio = math.max(1.0, nRows.toDouble / targetOccupancy)
+    math.min(30, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
   /** Deterministic ±1 sign matrix for [[signProject]]: outDim × dim
     * entries from the sign bit of splitmix(seed, j, i) — pure Scala, so
     * an external engine inlines the same constants. */

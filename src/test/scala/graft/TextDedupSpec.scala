@@ -1099,4 +1099,20 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("occupancy"), e.getMessage)
   }
+
+  test("planesForOccupancy: one plane per corpus doubling, clamped [1, 30]") {
+    // 2^20 rows at target 16 -> 2^16 buckets -> 16 planes exactly
+    assert(Ann.planesForOccupancy(1L << 20, 16) == 16)
+    // doubling the corpus adds exactly one plane
+    assert(Ann.planesForOccupancy(2L << 20, 16) == 17)
+    // non-powers round UP (occupancy at most the target, never above)
+    assert(Ann.planesForOccupancy((1L << 20) + 1, 16) == 17)
+    // tiny corpora clamp to 1; huge ones to 30
+    assert(Ann.planesForOccupancy(8, 16) == 1)
+    assert(Ann.planesForOccupancy(Long.MaxValue, 1) == 30)
+    // the sf1 probe's regime: 10x rows at the same target costs ~3-4 planes
+    val p01 = Ann.planesForOccupancy(2000, 16)
+    val p1 = Ann.planesForOccupancy(20000, 16)
+    assert(p1 - p01 == 4 && p01 == 7, s"got $p01 -> $p1")
+  }
 }
