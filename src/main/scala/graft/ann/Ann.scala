@@ -334,6 +334,42 @@ object Ann {
     math.min(30, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
 
+  /** Bucket-occupancy histogram for a candidate banding — the
+    * MEASUREMENT behind [[planesForOccupancy]]'s rule: before running a
+    * banded join over a new corpus (or a decade-bigger one), run this
+    * card with the candidate (seed, tables, planes) and read the
+    * distribution the quadratic term will actually see. Output: one row
+    * per observed occupancy value — (occupancy, n_buckets, pair_share_ppm)
+    * where pair_share_ppm is that occupancy class's share of the total
+    * candidate-pair work Σ occ·(occ−1)/2 — the column that tells you
+    * whether cost lives in the typical bucket (re-tune planes) or in a
+    * few hot ones (dedup exact clones first / rely on the guards).
+    * Scale shape: bucket explode (`tables` rows per vector), one
+    * (table, bucket)-keyed count agg (map-side combined), then aggs
+    * over the BOUNDED bucket table; the corpus never shuffles twice.
+    * Deterministic: hyperplanes are seed-derived — the oracle rebuilds
+    * the histogram exactly. */
+  def bucketOccupancyCard(df: DataFrame, vecCol: String, seed: Long = 42,
+      tables: Int = 4, planes: Int = 12, dim: Int = 64): DataFrame = {
+    require(tables >= 1 && planes >= 1 && planes <= 30,
+      s"bucketOccupancyCard: need tables >= 1 and 1 <= planes <= 30, got $tables/$planes")
+    val hp = hyperplanes(seed, tables, planes, dim)
+    val occ = df
+      .select(posexplode(graft.functions.SignBuckets(
+        col(vecCol).cast("array<double>"), hp)).as(Seq("table", "bucket")))
+      .groupBy("table", "bucket").agg(count(lit(1)).as("occupancy"))
+    // All-LONG arithmetic (occ·(occ−1) is even, div 2 exact); headroom:
+    // pairs·n_buckets·10⁶ < 2⁶³ holds through ~9·10¹² pairs per
+    // occupancy class — far past any guarded banding.
+    val hist = occ.groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("__p", expr("occupancy * (occupancy - 1) div 2 * n_buckets"))
+    val tot = hist.agg(sum(col("__p")).as("__tp"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("occupancy"), col("n_buckets"),
+        when(col("__tp") <= 0L, lit(0L))
+          .otherwise(expr("__p * 1000000 div __tp")).as("pair_share_ppm"))
+  }
+
   /** Deterministic ±1 sign matrix for [[signProject]]: outDim × dim
     * entries from the sign bit of splitmix(seed, j, i) — pure Scala, so
     * an external engine inlines the same constants. */

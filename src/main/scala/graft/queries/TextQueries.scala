@@ -771,6 +771,15 @@ object TextQueries {
         "label", k = 5)
     }),
 
+    // Bucket-occupancy card ([[Ann.bucketOccupancyCard]]): the
+    // measurement behind the planesForOccupancy tuning rule — the
+    // occupancy histogram a candidate banding would see on this corpus,
+    // with each class's share of the quadratic candidate-pair work.
+    // Run before any banded join at a new scale decade.
+    "q219_occupancy_card" -> ((s, dir) =>
+      Ann.bucketOccupancyCard(t(s, dir, "embeddings"), "embedding",
+        seed = 42, tables = 4, planes = 8, dim = 64)),
+
     // Banded kNN label propagation ([[Ann.knnPropagateLsh]]): q91's
     // transfer when the labeled set is too large to broadcast — sign-LSH
     // band-bucket candidates between corpus and seeds (key-partitioned,
@@ -5515,6 +5524,25 @@ object TextQueries {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |                              ORDER BY n_votes DESC, lab ASC) AS rn FROM votes)
          |WHERE rn = 1""".stripMargin,
+    // q219: the same bucket rebuild as q217/q218, per-(table, bucket)
+    // counts, histogram over the bucket table, integer pair-work shares.
+    "q219_occupancy_card" -> {
+      val buckets = duckBucketUnion(
+        Ann.hyperplanes(42, tables = 4, planes = 8, dim = 64), from = "ev")
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |b AS ($buckets),
+         |occ AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS occupancy
+         |        FROM b GROUP BY 1, 2),
+         |hist AS (SELECT occupancy, CAST(count(*) AS BIGINT) AS n_buckets,
+         |           CAST(occupancy * (occupancy - 1) // 2 * count(*) AS BIGINT) AS p
+         |         FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp FROM hist)
+         |SELECT occupancy, n_buckets,
+         |  CAST(CASE WHEN tp <= 0 THEN 0 ELSE p * 1000000 // tp END AS BIGINT)
+         |    AS pair_share_ppm
+         |FROM hist, tot""".stripMargin
+    },
+
     // q218: q91's rank/vote chains with the all-pairs CTE swapped for
     // the sign-LSH candidate join (hyperplanes inlined as literals,
     // same per-side bucket rebuild as q217).
