@@ -38,17 +38,36 @@ object RawAvi {
   private def fcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
 
+  /** Demuxed-but-not-decoded clip: geometry + the byte window of every
+    * vids frame chunk. Produced by the header-only [[scanChunks]] walk so
+    * frame SAMPLING can decode just the sampled frames — the walk reads
+    * 8-byte chunk headers (O(frames) header reads), never pixel bytes.
+    * This deliberately does NOT use the optional 'idx1' index chunk: idx1
+    * may be absent (our own [[encode]] emits none) or truncated, so the
+    * chunk walk is the mandatory fallback anyway, and it already costs
+    * ~nothing relative to one frame decode. Every frame window is
+    * size-validated at scan time, so a truncated clip fails loudly here
+    * even when the truncated frame is not among the sampled ones. */
+  private case class ClipIndex(w: Int, h: Int, topDown: Boolean,
+      chunks: IndexedSeq[(Int, Int)]) // (bodyOffset, bytesAvailable)
+
   /** Demux + decode every video frame ('NNdb'/'NNdc' chunks of the first
     * 'vids' stream) to RGB24 top-down [[Frame]]s. Fails with a clear
     * message on anything that is not an uncompressed 24-bit AVI. */
   def decodeFrames(bytes: Array[Byte]): IndexedSeq[Frame] = {
+    val ix = scanChunks(bytes)
+    ix.chunks.map { case (o, avail) =>
+      dibToFrame(bytes, o, avail, ix.w, ix.h, ix.topDown) }
+  }
+
+  private def scanChunks(bytes: Array[Byte]): ClipIndex = {
     require(bytes.length >= 12 && fcc(bytes, 0) == "RIFF" && fcc(bytes, 8) == "AVI ",
       s"not a RIFF/AVI container (${bytes.length} bytes) — the pure-JVM " +
         "fallback decodes uncompressed AVI only; other containers need ffmpeg")
     val riffEnd = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
     var w = 0; var h = 0; var topDown = false
     var streamIdx = -1; var vidsStream = -1; var lastWasVids = false
-    val frames = IndexedSeq.newBuilder[Frame]
+    val frames = IndexedSeq.newBuilder[(Int, Int)]
     def walk(from: Int, to: Int): Unit = {
       var o = from
       while (o + 8 <= to) {
@@ -61,10 +80,16 @@ object RawAvi {
         val end = math.min(body.toLong + sz, to.toLong).toInt
         if (id == "LIST") walk(body + 4, end) // skip the 4-byte list type
         else if (id == "strh") {
+          // end is clamped to the bytes actually present: a file truncated
+          // mid-header must fail with this message, not an array trap.
+          require(end - body >= 4,
+            s"truncated strh header (${end - body} of 4+ bytes present)")
           streamIdx += 1
           lastWasVids = fcc(bytes, body) == "vids"
           if (lastWasVids && vidsStream < 0) vidsStream = streamIdx
         } else if (id == "strf" && lastWasVids) {
+          require(end - body >= 20,
+            s"truncated strf header (${end - body} of 20+ bytes present)")
           // BITMAPINFOHEADER: biWidth @4, biHeight @8 (negative = top-down),
           // biBitCount @14, biCompression @16 (0 = BI_RGB, the only kind
           // this decoder handles).
@@ -86,9 +111,14 @@ object RawAvi {
             (id.endsWith("db") || id.endsWith("dc"))) {
           require(w > 0 && h > 0, "frame chunk before the vids strf header")
           // Bound the frame by the bytes ACTUALLY present (end is clamped
-          // to the walk window), not the declared size: a truncated file
-          // must hit dibToFrame's clear require, not an array bounds trap.
-          frames += dibToFrame(bytes, body, end - body, w, h, topDown)
+          // to the walk window), not the declared size, and validate the
+          // window size HERE — so a truncated clip fails loudly at scan
+          // time even if the truncated frame is never decoded (sampling).
+          val stride = ((w * 3 + 3) / 4) * 4
+          require(end - body >= stride * h,
+            s"frame chunk has ${end - body} bytes < ${stride * h} " +
+              s"(${w}x$h, stride $stride) — truncated or corrupt clip")
+          frames += ((body, end - body))
         }
         // Word-aligned chunks; Long arithmetic on a u32 size means the
         // offset always strictly advances (next >= o + 8), and a declared
@@ -99,7 +129,20 @@ object RawAvi {
     }
     walk(12, riffEnd)
     require(vidsStream >= 0, "AVI has no 'vids' stream")
-    frames.result()
+    ClipIndex(w, h, topDown, frames.result())
+  }
+
+  /** Sample `n` frames evenly WITHOUT decoding the rest: one header-only
+    * [[scanChunks]] pass finds every frame's byte window (validating all
+    * of them), then only the [[Ffmpeg.evenIndices]] picks are decoded —
+    * O(scan + n·pixels) instead of O(frames·pixels). Same (index, frame)
+    * contract as decode-then-sample, spec'd equal to it. */
+  def sampleDecodedFrames(bytes: Array[Byte], n: Int): Seq[(Int, Frame)] = {
+    val ix = scanChunks(bytes)
+    Ffmpeg.evenIndices(ix.chunks.length, n).map { i =>
+      val (o, avail) = ix.chunks(i)
+      (i, dibToFrame(bytes, o, avail, ix.w, ix.h, ix.topDown))
+    }
   }
 
   /** One DIB frame payload → RGB24 top-down: undo the 4-byte row stride,
@@ -208,13 +251,13 @@ object RawAvi {
     * same posexplode shape as [[Ffmpeg.sampleFramesCli]]. Frames keep the
     * clip's NATIVE geometry: this path deliberately ships no scaler — a
     * JVM resampler would silently diverge from ffmpeg's scaler, and the
-    * Frame's own (h, w) columns make the geometry explicit downstream. */
+    * Frame's own (h, w) columns make the geometry explicit downstream.
+    * Decodes ONLY the sampled frames ([[sampleDecodedFrames]]): the
+    * header-only chunk scan finds and validates every frame window, then
+    * n pixel decodes run instead of all of them. */
   def sampleFramesJvm(bytes: Column, n: Int): Column = {
     require(n > 0, s"frame sample count must be positive: $n")
-    val sample = udf { (b: Array[Byte]) =>
-      val frames = decodeFrames(b)
-      Ffmpeg.evenIndices(frames.length, n).map(i => (i, frames(i)))
-    }
+    val sample = udf { (b: Array[Byte]) => sampleDecodedFrames(b, n) }
     sample(bytes)
   }
 }

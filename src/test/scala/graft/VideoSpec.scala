@@ -354,6 +354,41 @@ class VideoSpec extends SparkSpec {
     assert(eC.getMessage.contains("geometry"), eC.getMessage)
   }
 
+  test("RawAvi: files truncated MID-HEADER (strh/strf) fail loudly, not with an array trap") {
+    // The corrupt-clip test above truncates frame DATA; these truncate the
+    // stream headers themselves, so the header field reads (fcc at body,
+    // u32 at body+4..16) must be bounds-checked against the clamped window.
+    val full = uncompressedAvi(8, 6, Seq(7))
+    val strhClip = full.take(chunkAt(full, "strh") + 8 + 2) // 2 of 4+ body bytes
+    val eH = intercept[IllegalArgumentException] {
+      graft.image.RawAvi.decodeFrames(strhClip)
+    }
+    assert(eH.getMessage.contains("truncated strh"), eH.getMessage)
+    val strfClip = full.take(chunkAt(full, "strf") + 8 + 12) // 12 of 20+ body bytes
+    val eF = intercept[IllegalArgumentException] {
+      graft.image.RawAvi.decodeFrames(strfClip)
+    }
+    assert(eF.getMessage.contains("truncated strf"), eF.getMessage)
+  }
+
+  test("RawAvi.sampleDecodedFrames: decodes only the picks, equal to decode-then-sample") {
+    val clip = uncompressedAvi(8, 6, Seq(10, 20, 30, 40, 50))
+    val sampled = graft.image.RawAvi.sampleDecodedFrames(clip, n = 3)
+    val all = graft.image.RawAvi.decodeFrames(clip)
+    val expectIdx = graft.image.Ffmpeg.evenIndices(all.length, 3)
+    assert(sampled.map(_._1) == expectIdx)
+    sampled.foreach { case (i, f) =>
+      assert(java.util.Arrays.equals(f.px, all(i).px), s"frame $i bytes differ")
+    }
+    // The scan still validates EVERY frame window: truncating the last
+    // frame fails the sample call even when n picks only earlier frames.
+    val truncated = clip.dropRight(8)
+    val eT = intercept[IllegalArgumentException] {
+      graft.image.RawAvi.sampleDecodedFrames(truncated, n = 1)
+    }
+    assert(eT.getMessage.contains("truncated"), eT.getMessage)
+  }
+
   test("RawAvi.encode: dwMaxBytesPerSec saturates instead of wrapping; clip still round-trips") {
     // frameBytes(2x2) = 16, fps = 400e6 -> product 6.4e9 > u32 max: the
     // advisory header field must saturate, not wrap negative, and the

@@ -61,6 +61,22 @@ def main():
         "events":   [("event_id", per_tab["events"]),
                      ("user_id", n_users)],
     }
+    # Key-shifting is only collision-free if every shifted key lies in
+    # [0, stride): a value outside that window would let copy i land on
+    # copy j's key range, silently distorting join fan-outs and duplicate
+    # rates. (Containment is the safety condition; exact density is not
+    # required — a foreign key may legitimately skip parent keys.) Assert
+    # loudly per key before any copy is written.
+    for tab, keys in shifted.items():
+        for col, stride in keys:
+            lo, hi = con.execute(
+                f"SELECT min({col}), max({col}) FROM '{src}/{tab}.parquet'"
+            ).fetchone()
+            if lo < 0 or hi >= stride:
+                sys.exit(
+                    f"gen_sf: {tab}.{col} not contained in [0, {stride}): "
+                    f"min={lo}, max={hi}. Key-shifted replication would "
+                    f"collide; fix the stride or the fixture first.")
     for tab, keys in shifted.items():
         cols = con.execute(
             f"DESCRIBE SELECT * FROM '{src}/{tab}.parquet'").df()

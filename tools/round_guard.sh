@@ -17,8 +17,16 @@ if ! git ls-files --error-unmatch "$F" >/dev/null 2>&1; then
   echo "ROUND GUARD: $F exists but is not tracked — commit the round close first" >&2
   exit 1
 fi
-if ! grep -q '"n_fail":0' "$F"; then
-  echo "ROUND GUARD: $F records failures — the sweep is red, fix before closing" >&2
+# Parse the record as JSON (a literal grep breaks on any formatting change
+# and ignores verify_rc_fail — ADVICE r11): green means zero oracle
+# failures AND a zero Verify/gate return code.
+if ! python3 - "$F" <<'PY'
+import json, sys
+d = json.load(open(sys.argv[1]))
+sys.exit(0 if d.get("n_fail") == 0 and d.get("verify_rc_fail") == 0 else 1)
+PY
+then
+  echo "ROUND GUARD: $F records failures (n_fail or verify_rc_fail nonzero) — fix before closing" >&2
   exit 1
 fi
 echo "ROUND GUARD: $F present, tracked, green"
