@@ -37,6 +37,26 @@ object Bench {
     s"""{"load":"$load","mem_avail_mb":"$memMb"}"""
   }
 
+  /** Fixed calibration workload (VERDICT r11 #7): a pinned hash-agg over
+    * spark.range — same size, same partition count, every run, every
+    * box — timed at bench start so each record carries a SAME-PROCESS
+    * normalizer. The r5/r9/r11 "regression" adjudications all concluded
+    * environment drift between record epochs; this number lets the next
+    * one be read off the artifact (record A calib 2.0s vs record B
+    * calib 3.1s => the box got 1.5x slower, not the code). min of two
+    * runs: the first absorbs codegen/init, which is not box speed. */
+  private def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L, 1, 8)
+        .selectExpr("xxhash64(id) AS h")
+        .agg(org.apache.spark.sql.functions.sum("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +76,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val envStart = boxState()
+    val calibSec = calibrate(spark)
     // Warm-up: run everything once, untimed.
     names.foreach(n => runFull(SparkEntry.queries(n)(spark, sfDir)))
     // Timed passes. Queries that persist() intermediates (q28) would
@@ -122,7 +143,7 @@ object Bench {
     // truncation is harmless) and the LAST line is a compact summary —
     // bounded at the 10 slowest queries, well under 1 kB at any future query
     // count — so the tail window always ends on a parseable object.
-    val env = s"""{"start":$envStart,"end":${boxState()}}"""
+    val env = s"""{"start":$envStart,"end":${boxState()},"calib_sec":${fmt(calibSec)}}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shared_prev":$sharedPrev,"env":$env,"sf":"$sfDir"}"""
     // Subset dev runs (SPARK_GRAFT_BENCH_ONLY) must not overwrite the
     // committed full-suite baseline the next round's ratio is computed from.

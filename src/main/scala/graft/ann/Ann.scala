@@ -267,9 +267,12 @@ object Ann {
       seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64,
       maxBucket: Int = 100000): DataFrame = {
     require(k >= 1, s"marginMineLsh: k must be >= 1, got $k")
-    require(tables >= 1 && planes >= 1 && planes <= 30,
-      s"marginMineLsh: need tables >= 1 and 1 <= planes <= 30, got $tables/$planes")
-    val hp = hyperplanes(seed, tables, planes, dim)
+    require(tables >= 1, s"marginMineLsh: tables must be >= 1, got $tables")
+    // planes = 0 auto-derives from the LARGER side: per-bucket work is
+    // occ_a·occ_b, so the side that overfills buckets first governs.
+    val np = resolvePlanes("marginMineLsh", planes,
+      math.max(a.count(), b.count()))
+    val hp = hyperplanes(seed, tables, np, dim)
     def bucketed(df: DataFrame, idAs: String, vAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(vAs))
         .select(col(idAs), col(vAs),
@@ -330,8 +333,31 @@ object Ann {
     require(nRows >= 1, s"planesForOccupancy: nRows must be >= 1, got $nRows")
     require(targetOccupancy >= 1,
       s"planesForOccupancy: targetOccupancy must be >= 1, got $targetOccupancy")
-    val ratio = math.max(1.0, nRows.toDouble / targetOccupancy)
-    math.min(30, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+    // ceil(log2(ceil(n / target))) in pure INTEGER arithmetic: float log
+    // is not correctly rounded, so at exact powers of two the double
+    // chain can land a hair above the integer and ceil one plane too
+    // high — and the q220 oracle re-derives this number in SQL, where
+    // both engines must agree bit-for-bit.
+    val m = (nRows - 1) / targetOccupancy + 1 // ceil(n / target), no overflow
+    val p = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(30, math.max(1, p))
+  }
+
+  /** Resolve a banded operator's `planes` argument: positive = the
+    * caller's hand-picked constant (bit-compatible with every r11 call
+    * site); 0 = AUTO — derive from the corpus cardinality via
+    * [[planesForOccupancy]], so the one-plane-per-corpus-doubling rule
+    * is enforced behavior at the call site instead of README knowledge
+    * a human re-reads each scale decade. The cardinality probe is an
+    * EAGER bounded action at plan-construction time (one column-pruned
+    * count job — the same opt-in eagerness contract as
+    * [[graft.operators.Stats.poissonBootstrap]]'s probe); callers who
+    * need a fully lazy plan pass `planes` explicitly. */
+  private def resolvePlanes(op: String, planes: Int, corpusRows: => Long): Int = {
+    require(planes >= 0 && planes <= 30,
+      s"$op: need planes in [1, 30], or 0 to auto-derive from the corpus " +
+        s"cardinality (planesForOccupancy), got $planes")
+    if (planes > 0) planes else planesForOccupancy(math.max(1L, corpusRows))
   }
 
   /** Bucket-occupancy histogram for a candidate banding — the
@@ -351,9 +377,10 @@ object Ann {
     * the histogram exactly. */
   def bucketOccupancyCard(df: DataFrame, vecCol: String, seed: Long = 42,
       tables: Int = 4, planes: Int = 12, dim: Int = 64): DataFrame = {
-    require(tables >= 1 && planes >= 1 && planes <= 30,
-      s"bucketOccupancyCard: need tables >= 1 and 1 <= planes <= 30, got $tables/$planes")
-    val hp = hyperplanes(seed, tables, planes, dim)
+    require(tables >= 1,
+      s"bucketOccupancyCard: tables must be >= 1, got $tables")
+    val np = resolvePlanes("bucketOccupancyCard", planes, df.count())
+    val hp = hyperplanes(seed, tables, np, dim)
     val occ = df
       .select(posexplode(graft.functions.SignBuckets(
         col(vecCol).cast("array<double>"), hp)).as(Seq("table", "bucket")))
@@ -368,6 +395,60 @@ object Ann {
       .select(col("occupancy"), col("n_buckets"),
         when(col("__tp") <= 0L, lit(0L))
           .otherwise(expr("__p * 1000000 div __tp")).as("pair_share_ppm"))
+  }
+
+  /** Candidate-coverage card for the banded propagators — the RECALL
+    * twin of [[bucketOccupancyCard]]'s cost card: [[knnPropagateLsh]]
+    * (and [[marginMineLsh]]) honestly DROP rows that share no band
+    * bucket with the other side, and this measures how many, per
+    * cumulative table count. Output: one row per `tables_used` in
+    * [1, tables] — (tables_used, n_covered, coverage_ppm, n_corpus)
+    * where n_covered counts corpus rows sharing ≥ 1 bucket with a
+    * labeled row (id-inequality filtered, exactly the propagator's
+    * candidate definition) in ANY of the first `tables_used` tables.
+    * The marginal gain column-to-column is what each added table buys —
+    * the knob that turns the recall trade into a monitored number
+    * (VERDICT r11 #5) instead of a scaladoc caveat.
+    *
+    * Scale shape: both sides explode to (id, table, bucket); the
+    * (table, bucket) key join is the propagator's own candidate join
+    * MINUS the vector rejoin, collapsed immediately by a map-side
+    * min(table) agg per corpus id — ids-only end to end. The per-table
+    * rollup is a bounded (≤ tables rows) frame joined to a
+    * spark.range(tables) index, never an unpartitioned window. All
+    * integers — oracle hash-exact. Run it with the EXACT (seed, tables,
+    * planes) of the propagator call it audits; `planes = 0` auto-derives
+    * like the propagators themselves. */
+  def propagateCoverageCard(corpus: DataFrame, idCol: String, vecCol: String,
+      labeled: DataFrame, labeledIdCol: String, labeledVecCol: String,
+      seed: Long = 42, tables: Int = 4, planes: Int = 12,
+      dim: Int = 64): DataFrame = {
+    require(tables >= 1, s"propagateCoverageCard: tables must be >= 1, got $tables")
+    val np = resolvePlanes("propagateCoverageCard", planes,
+      math.max(corpus.count(), labeled.count()))
+    val hp = hyperplanes(seed, tables, np, dim)
+    def bucketed(df: DataFrame, id: Column, idAs: String, vec: Column): DataFrame =
+      df.select(id.as(idAs),
+        posexplode(graft.functions.SignBuckets(vec.cast("array<double>"), hp))
+          .as(Seq("table", "bucket")))
+    val cb = bucketed(corpus, col(idCol), "__cid", col(vecCol))
+    val lb = bucketed(labeled, col(labeledIdCol), "__lid", col(labeledVecCol))
+    val firstHit = cb.join(lb, Seq("table", "bucket"))
+      .filter(col("__cid") =!= col("__lid"))
+      .groupBy("__cid").agg(min(col("table")).as("__first_t"))
+    val perFirst = firstHit.groupBy("__first_t")
+      .agg(count(lit(1)).as("__n_first"))
+    val tot = corpus.agg(count(lit(1)).as("n_corpus"))
+    val spark = corpus.sparkSession
+    val idx = spark.range(1, tables + 1).toDF("tables_used")
+    idx.join(perFirst, col("__first_t") < col("tables_used"), "left")
+      .groupBy("tables_used")
+      .agg(coalesce(sum(col("__n_first")), lit(0L)).as("n_covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("tables_used"), col("n_covered"),
+        when(col("n_corpus") <= 0L, lit(0L))
+          .otherwise(expr("n_covered * 1000000 div n_corpus")).as("coverage_ppm"),
+        col("n_corpus"))
   }
 
   /** Deterministic ±1 sign matrix for [[signProject]]: outDim × dim
@@ -1047,9 +1128,12 @@ object Ann {
       labelCol: String, k: Int = 5, seed: Long = 42, tables: Int = 4,
       planes: Int = 12, dim: Int = 64, maxBucket: Int = 100000): DataFrame = {
     require(k >= 1, s"knnPropagateLsh: k must be >= 1, got $k")
-    require(tables >= 1 && planes >= 1 && planes <= 30,
-      s"knnPropagateLsh: need tables >= 1 and 1 <= planes <= 30, got $tables/$planes")
-    val hp = hyperplanes(seed, tables, planes, dim)
+    require(tables >= 1, s"knnPropagateLsh: tables must be >= 1, got $tables")
+    // planes = 0 auto-derives from the larger side (the corpus usually,
+    // but a labeled set bigger than the corpus also overfills buckets).
+    val np = resolvePlanes("knnPropagateLsh", planes,
+      math.max(corpus.count(), labeled.count()))
+    val hp = hyperplanes(seed, tables, np, dim)
     def bucketed(df: DataFrame, id: Column, idAs: String, vec: Column): DataFrame =
       df.select(id.as(idAs),
         posexplode(graft.functions.SignBuckets(vec.cast("array<double>"), hp))
@@ -1202,7 +1286,8 @@ object Ann {
     * ~10^4-10^5 rows. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       seed: Long = 42, tables: Int = 6, planes: Int = 8, dim: Int = 64): DataFrame = {
-    val hp = hyperplanes(seed, tables, planes, dim)
+    val np = resolvePlanes("nearDupPairs", planes, df.count())
+    val hp = hyperplanes(seed, tables, np, dim)
     // Bucket join and pair-dedup on IDS ONLY (16 bytes/row through the
     // shuffles), then fetch each side's vector once per surviving pair for
     // the exact verify — carrying the vectors through the bucket join and
@@ -1244,7 +1329,10 @@ object Ann {
         probeQueries(queries, idCol, "lshTopK", maxQueryRows,
           "pass broadcastQueries = false to plan key-partitioned shuffle joins")
       else queries
-    val hp = hyperplanes(seed, tables, planes, dim)
+    // planes = 0 auto-derives from the corpus (queries are the bounded
+    // side by the broadcast contract; corpus occupancy governs the work).
+    val np = resolvePlanes("lshTopK", planes, corpus.count())
+    val hp = hyperplanes(seed, tables, np, dim)
     def maybeBcast(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     def bucketed(df: DataFrame, idAs: String): DataFrame =
       df.select(col(idCol).as(idAs),

@@ -780,6 +780,35 @@ object TextQueries {
       Ann.bucketOccupancyCard(t(s, dir, "embeddings"), "embedding",
         seed = 42, tables = 4, planes = 8, dim = 64)),
 
+    // AUTO-TUNED banding ([[Ann.lshTopK]] with planes = 0): the
+    // one-plane-per-corpus-doubling rule enforced as behavior — the
+    // plane count is derived from the corpus cardinality at call time
+    // ([[Ann.planesForOccupancy]], integer-exact), so a decade of
+    // corpus growth re-tunes the banding instead of silently drifting
+    // the typical bucket quadratic. The oracle re-derives the SAME
+    // plane count from count(*) in SQL and selects that prefix of the
+    // inlined hyperplane literals — hash-exact at every scale factor
+    // even though the banding itself differs per scale.
+    "q220_auto_banded_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 5, seed = 42, tables = 2, planes = 0, dim = 64)
+    }),
+
+    // Coverage card for the banded propagators
+    // ([[Ann.propagateCoverageCard]]): q218 drops corpus rows sharing no
+    // band bucket with any seed — this measures how many, per cumulative
+    // table count, with q218's EXACT banding (seed 42, 4 tables x 8
+    // planes, same corpus/seed split). The marginal row-to-row gain is
+    // what each added table buys in recall.
+    "q221_propagate_coverage" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Ann.propagateCoverageCard(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        seed = 42, tables = 4, planes = 8, dim = 64)
+    }),
+
     // Banded kNN label propagation ([[Ann.knnPropagateLsh]]): q91's
     // transfer when the labeled set is too large to broadcast — sign-LSH
     // band-bucket candidates between corpus and seeds (key-partitioned,
@@ -5541,6 +5570,70 @@ object TextQueries {
          |  CAST(CASE WHEN tp <= 0 THEN 0 ELSE p * 1000000 // tp END AS BIGINT)
          |    AS pair_share_ppm
          |FROM hist, tot""".stripMargin
+    },
+
+    // q220: the auto-tuned banding, cross-engine. The oracle re-derives
+    // the plane count from count(*) with the SAME integer-exact rule as
+    // [[Ann.planesForOccupancy]] (smallest p in [1,30] with
+    // ceil(n/16) <= 2^p — no float log on either engine), then selects
+    // that prefix of the 24 inlined hyperplane rows per table (24
+    // planes cover corpora to 16·2^24 ≈ 268M rows; the error() guard
+    // fires loudly past that instead of silently under-banding). Same
+    // candidate/rerank chain as the q31 oracle. Because BOTH engines
+    // derive the plane count from the data, this one query is
+    // hash-exact at every scale factor with a DIFFERENT banding at
+    // each — the enforcement evidence for the tuning rule.
+    "q220_auto_banded_topk" -> {
+      val hp = Ann.hyperplanes(42, tables = 2, planes = 24, dim = 64)
+      val vals = (for (t <- hp.indices; p <- hp(t).indices) yield
+        s"($t, $p, ${hp(t)(p).mkString("[", ",", "]")})").mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |np AS (SELECT CASE WHEN coalesce(min(pp), 30) > 24
+         |         THEN CAST(error('q220 oracle inlines 24 planes; corpus needs more') AS BIGINT)
+         |         ELSE coalesce(min(pp), 30) END AS p
+         |       FROM range(1, 31) t(pp)
+         |       WHERE (SELECT (count(*) - 1) // 16 + 1 FROM e) <= (1::BIGINT << pp)),
+         |hp(tbl, pp, pv) AS (VALUES $vals),
+         |b0 AS (SELECT e.vec_id, h.tbl,
+         |         sum(CASE WHEN list_dot_product(e.v, h.pv) >= 0
+         |                  THEN (1::BIGINT << h.pp) ELSE 0 END) AS bucket
+         |       FROM e, hp h, np WHERE h.pp < np.p GROUP BY 1, 2),
+         |b AS (SELECT b0.vec_id, b0.tbl, b0.bucket, e.v FROM b0 JOIN e USING (vec_id)),
+         |qb AS (SELECT * FROM b WHERE vec_id < 50),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |                qb.v AS qv, b.v AS cv
+         |         FROM b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+         |                       AND b.vec_id <> qb.vec_id),
+         |scored AS (SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim FROM cand)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin
+    },
+
+    // q221: q218's bucket rebuild, corpus-side min(first hit table) per
+    // id, cumulative coverage per tables_used — all integers.
+    "q221_propagate_coverage" -> {
+      val buckets = duckBucketUnion(
+        Ann.hyperplanes(42, tables = 4, planes = 8, dim = 64), from = "ev")
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |b AS ($buckets),
+         |lb AS (SELECT vec_id AS lid, tbl, bucket FROM b WHERE vec_id % 10 = 0),
+         |cb AS (SELECT vec_id, tbl, bucket FROM b WHERE vec_id % 10 <> 0),
+         |fh AS (SELECT cb.vec_id, min(cb.tbl) AS first_t
+         |       FROM cb JOIN lb USING (tbl, bucket)
+         |       WHERE cb.vec_id <> lb.lid GROUP BY 1),
+         |pf AS (SELECT first_t, count(*) AS n_first FROM fh GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_corpus FROM ev WHERE vec_id % 10 <> 0)
+         |SELECT CAST(tu AS BIGINT) AS tables_used,
+         |  CAST(coalesce((SELECT sum(n_first) FROM pf WHERE first_t < tu), 0) AS BIGINT)
+         |    AS n_covered,
+         |  CAST(CASE WHEN n_corpus <= 0 THEN 0
+         |    ELSE coalesce((SELECT sum(n_first) FROM pf WHERE first_t < tu), 0)
+         |         * 1000000 // n_corpus END AS BIGINT) AS coverage_ppm,
+         |  CAST(n_corpus AS BIGINT) AS n_corpus
+         |FROM range(1, 5) t(tu), tot""".stripMargin
     },
 
     // q218: q91's rank/vote chains with the all-pairs CTE swapped for

@@ -1100,6 +1100,70 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("occupancy"), e.getMessage)
   }
 
+  test("propagateCoverageCard: counts rows with >= 1 candidate seed, cumulative per table") {
+    // c1 duplicates the seed -> same bucket in EVERY table (covered from
+    // tables_used = 1); c2 = -seed -> every plane dot flips sign, NO
+    // shared bucket ever (the row knnPropagateLsh drops). The card must
+    // report exactly the propagator's candidate set: 1 of 2 covered at
+    // every cumulative table count.
+    val v = Seq(0.5, -0.25, 0.75, -1.0)
+    val corpus = Seq((1L, v), (2L, v.map(-_))).toDF("vec_id", "embedding")
+    val seeds = Seq((11L, v)).toDF("vec_id", "embedding")
+    val got = Ann.propagateCoverageCard(corpus, "vec_id", "embedding",
+        seeds, "vec_id", "embedding", seed = 9, tables = 3, planes = 6, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 500000L, 2L), (2L, 1L, 500000L, 2L),
+      (3L, 1L, 500000L, 2L)), s"got ${got.toSeq}")
+    // the id-inequality filter mirrors the propagator: a corpus row whose
+    // ONLY bucket-mate is the same id on the labeled side is NOT covered
+    val selfOnly = Ann.propagateCoverageCard(
+        Seq((11L, v)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        seeds, "vec_id", "embedding", seed = 9, tables = 2, planes = 6, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(selfOnly == Set((1L, 0L), (2L, 0L)), s"got $selfOnly")
+  }
+
+  test("planes = 0 auto-derives from the corpus: identical to passing planesForOccupancy(n)") {
+    // 40 distinguishable vectors on the unit circle -> auto planes =
+    // planesForOccupancy(40, 16) = 2; the sentinel must produce the
+    // bit-identical result to passing that constant explicitly, for all
+    // three banded entry points (the behavior VERDICT r11 #2 asked for).
+    val vecs = (0 until 40).map { i =>
+      val ang = 0.07 * i + 0.01
+      (i.toLong, Seq(math.cos(ang), math.sin(ang), 0.25, -0.5))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(5).toDF("vec_id", "embedding")
+    val p = Ann.planesForOccupancy(40, 16)
+    assert(p == 2, s"derivation changed: $p")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(Ann.lshTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, seed = 9, tables = 2, planes = 0, dim = 4)) ==
+      rows(Ann.lshTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, seed = 9, tables = 2, planes = p, dim = 4)))
+    val labeled = vecs.take(8).map { case (id, v) => (id + 100L, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    assert(rows(Ann.knnPropagateLsh(corpus, "vec_id", "embedding",
+        labeled, "vec_id", "embedding", "label", k = 2,
+        seed = 9, tables = 2, planes = 0, dim = 4)) ==
+      rows(Ann.knnPropagateLsh(corpus, "vec_id", "embedding",
+        labeled, "vec_id", "embedding", "label", k = 2,
+        seed = 9, tables = 2, planes = p, dim = 4)))
+    // marginMineLsh derives from the LARGER side (b here, 40 rows)
+    val a = vecs.take(6).toDF("vec_id", "embedding")
+    assert(rows(Ann.marginMineLsh(a, corpus, "vec_id", "embedding", k = 2,
+        tauNum = 100, tauDen = 100, seed = 9, tables = 2, planes = 0, dim = 4)) ==
+      rows(Ann.marginMineLsh(a, corpus, "vec_id", "embedding", k = 2,
+        tauNum = 100, tauDen = 100, seed = 9, tables = 2, planes = p, dim = 4)))
+    // planes outside [0, 30] still rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      Ann.lshTopK(corpus, queries, "vec_id", "embedding", k = 3, planes = 31)
+    }
+    assert(e.getMessage.contains("planes"), e.getMessage)
+  }
+
   test("planesForOccupancy: one plane per corpus doubling, clamped [1, 30]") {
     // 2^20 rows at target 16 -> 2^16 buckets -> 16 planes exactly
     assert(Ann.planesForOccupancy(1L << 20, 16) == 16)
@@ -1114,5 +1178,11 @@ class TextDedupSpec extends SparkSpec {
     val p01 = Ann.planesForOccupancy(2000, 16)
     val p1 = Ann.planesForOccupancy(20000, 16)
     assert(p1 - p01 == 4 && p01 == 7, s"got $p01 -> $p1")
+    // INTEGER-EXACT at power-of-two boundaries (the q220 oracle re-derives
+    // this in SQL — a float-log ceil could land one plane high at exactly
+    // n = target·2^k, and the two engines would band differently)
+    assert(Ann.planesForOccupancy(16L * 8, 16) == 3)
+    assert(Ann.planesForOccupancy(16L * 8 + 1, 16) == 4)
+    assert(Ann.planesForOccupancy(16L * (1L << 24), 16) == 24)
   }
 }

@@ -70,5 +70,17 @@ else
   echo "NOT staging round artifacts: gates red (fix, then re-run the close)"
 fi
 
+# Bench-drift adjudication (VERDICT r11 #3): when the working-tree bench
+# record runs >1.10x its previous committed epoch on the shared subset,
+# re-run the top-10 inflated queries under BOTH commits back-to-back in a
+# worktree and record the verdict (BENCH_AB_r<N>.json) — a judge-readable
+# artifact instead of a prose adjudication. Cheap when not triggered
+# (JSON diff only, no sbt); runs AFTER the sbt gates, so no lock overlap.
+echo "=== bench-drift A/B ==="
+python3 tools/bench_ab.py "$ROUND" || { echo "bench A/B FAILED"; FAIL=1; }
+if [ $FAIL -eq 0 ] && [ -f "BENCH_AB_r${ROUND}.json" ]; then
+  git add "BENCH_AB_r${ROUND}.json" 2>/dev/null
+fi
+
 [ $FAIL -eq 0 ] && echo "ROUND CLOSE: all gates green" || echo "ROUND CLOSE: FAILURES (see logs)"
 exit $FAIL
