@@ -48,8 +48,11 @@ object Bench {
   private def calibrate(spark: SparkSession): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
+      // mask to a byte before the sum: 2e8 uniform 64-bit hashes would
+      // overflow the long sum under ANSI mode (the hash is the workload,
+      // the sum just forces it to execute)
       spark.range(0, 200000000L, 1, 8)
-        .selectExpr("xxhash64(id) AS h")
+        .selectExpr("xxhash64(id) & 255 AS h")
         .agg(org.apache.spark.sql.functions.sum("h")).collect()
       (System.nanoTime() - t0) / 1e9
     }

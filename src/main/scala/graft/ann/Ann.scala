@@ -258,10 +258,17 @@ object Ann {
     * quadratically in occupancy — the guard raises rather than letting
     * one crowded bucket go quadratic), exact cosines on the bounded
     * candidate frame only, bounded [[TopK]] sums, and two id-keyed
-    * joins of collapsed frames. The candidate frame has its three
-    * consumers (x-sums, y-sums, forward-best) recomputed, not
-    * persisted — same trade as [[marginMine]], now on a near-linear
-    * frame. Output schema = [[marginMine]]'s. */
+    * joins of collapsed frames. The candidate frame IS persisted
+    * (MEMORY_AND_DISK) for its three consumers (x-sums, y-sums,
+    * forward-best) — the opposite call from [[marginMine]], whose pair
+    * frame is a cheap projection off a broadcast join: here the frame
+    * is shuffle-produced, so recomputing runs the band-bucket join
+    * shuffle three times. Measured at the r12 sf1 A/B (isolated
+    * min-of-2 runs, local[32]): persist 3.31 s vs recompute 3.41 s —
+    * parity at this scale (no ReusedExchange appears in the plan; the
+    * candidate stage is just small) — and at 100 TB the 3× shuffle
+    * recompute of a corpus-linear frame is the side that grows.
+    * Output schema = [[marginMine]]'s. */
   def marginMineLsh(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, tauNum: Long = 105, tauDen: Long = 100,
       seed: Long = 42, tables: Int = 4, planes: Int = 12, dim: Int = 64,
@@ -296,6 +303,7 @@ object Ann {
         floor(cosine(col("__av"), col("__bv")) * 1000000).cast("bigint").as("__cq"))
       .filter(col("__cq").isNotNull)
       .distinct() // a pair sharing buckets in several tables counts once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def topSum(key: String, other: String): DataFrame =
       pairs.groupBy(col(key))
         .agg(TopK.topK(k)(col("__cq").cast("double"), col(other)).as("__top"))

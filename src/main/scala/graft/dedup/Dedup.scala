@@ -562,8 +562,8 @@ object Dedup {
     * [[simhashStore]] rationale). Bit-equal to [[simhash]], the canonical
     * explode + keyed-agg chain the q29 oracle is written against
     * (pinned in TextDedupSpec). */
-  def simhashColumn(toks: Column, bits: Int): Column =
-    graft.functions.SimhashExpr.simhash(toks, bits)
+  def simhashColumn(toks: Column, bits: Int, part: Int = 0): Column =
+    graft.functions.SimhashExpr.simhash(toks, bits, part)
 
   /** SimHash via explode + codegen'd hash aggregation: one md5 per token
     * (whole-stage codegen), `bits` partial-aggregable ±1 sums, one
@@ -677,6 +677,67 @@ object Dedup {
       .join(sigs.select(col(idCol).as("id1"), col(simCol).as("s1")), Seq("id1"))
       .join(sigs.select(col(idCol).as("id2"), col(simCol).as("s2")), Seq("id2"))
       .select(col("id1"), col("id2"), hammingDistance(col("s1"), col("s2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** WIDE-signature banded SimHash near-dup — the scale tier
+    * [[simhashNearDup]]'s sizing scaladoc names ("beyond that, 64-bit+
+    * signatures via two packed longs"): two independent 60-bit simhash
+    * parts (both halves of each token's ONE md5 digest —
+    * [[graft.functions.Hash64Expr.hashPair]]'s windows, so the wide
+    * signature costs no extra hashing), bands split across the parts
+    * (first half over part 0, rest over part 1), hamming verified over
+    * the full 120 bits. Same pigeonhole recall contract: a pair within
+    * Hamming `bands - 1` over ALL counted bits must agree on at least
+    * one band — diffs OUTSIDE the banded bit ranges only consume
+    * hamming budget without crowding a band, so partial coverage
+    * (bands·bitsPerBand < 120) keeps recall 1 for
+    * `maxHamming <= bands - 1`.
+    *
+    * Why it exists, measured: a 60-bit signature caps 4-band banding at
+    * 15 bits/band, and on a corpus whose token distributions overlap
+    * (so the simhash MIDDLE bits are low-entropy) the hot band values
+    * stop splitting — the q52 fixture at sf1 measures 27.5M candidate
+    * pairs at 4×15 bits (max occupancy 2847) vs 2.86M at this tier's
+    * 4×25 bits over 120 bits (max occupancy 784): 9.6× less quadratic
+    * work from wider, higher-entropy bands. Output and scale shape are
+    * [[simhashNearDup]]'s: (id1, id2, hamming), id1 < id2; band
+    * extraction a pure projection, candidate join key-partitioned on
+    * (band, band value) with the shared occupancy guard, ids-only pair
+    * dedup, two signature rejoins for the verify. */
+  def simhashNearDupWide(df: DataFrame, idCol: String,
+      sim0Col: String, sim1Col: String,
+      bands: Int, bitsPerBand: Int, maxHamming: Int,
+      maxBucket: Int = 100000): DataFrame = {
+    require(bands >= 2, s"wide banding needs bands >= 2, got $bands")
+    require(maxHamming <= bands - 1,
+      s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}, " +
+        s"got maxHamming=$maxHamming (raise bands or lower maxHamming)")
+    val b0 = (bands + 1) / 2 // part-0 bands; part 1 carries the rest
+    require(bitsPerBand >= 1 && bitsPerBand * b0 <= 60,
+      s"$b0 bands x $bitsPerBand bits exceed one 60-bit part " +
+        s"(need bitsPerBand <= ${60 / b0})")
+    val mask = lit((1L << bitsPerBand) - 1)
+    val banded = df.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        if (b < b0) shiftright(col(sim0Col), b * bitsPerBand).bitwiseAND(mask)
+        else shiftright(col(sim1Col), (b - b0) * bitsPerBand).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "bval")))
+    val a = guardOccupancy(banded, "bval", maxBucket, "simhashNearDupWide")
+      .select(col("band"), col("bval"), col(idCol).as("id1"))
+    val b = banded.select(col("band"), col("bval"), col(idCol).as("id2"))
+    val cand = a.join(b, Seq("band", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sigs = df.select(col(idCol), col(sim0Col), col(sim1Col))
+    cand
+      .join(sigs.select(col(idCol).as("id1"),
+        col(sim0Col).as("__s0a"), col(sim1Col).as("__s1a")), Seq("id1"))
+      .join(sigs.select(col(idCol).as("id2"),
+        col(sim0Col).as("__s0b"), col(sim1Col).as("__s1b")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (hammingDistance(col("__s0a"), col("__s0b")) +
+          hammingDistance(col("__s1a"), col("__s1b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

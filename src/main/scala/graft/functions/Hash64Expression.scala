@@ -73,6 +73,20 @@ object Hash64Expr {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(lo, hi))
   }
 
+  /** The SECOND 60-bit half alone — [[hashPair]]'s element 1 (hex chars
+    * 17-31, `conv(substring(hex(md5), 17, 15), 16, 10)`) without the
+    * array allocation: the wide-simhash kernel draws one half per part
+    * in a tight loop. */
+  def hashHi(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var hi = 0L
+    var i = 8
+    while (i < 15) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+    (hi << 4) | ((d(15) & 0xffL) >>> 4)
+  }
+
   /** Column form. */
   def hash64(c: Column): Column =
     Bridge.column(Hash64Expr(Bridge.expression(c)))

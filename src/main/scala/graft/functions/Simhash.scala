@@ -24,8 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeps them as null — same value either way). Null tokens hash as the
   * empty string (TextOps.tokens never emits null). Bit-equality with
   * the canonical chain is pinned in TextDedupSpec/AdmitSpec. */
-case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
+case class SimhashExpr(child: Expression, bits: Int, part: Int = 0)
+    extends UnaryExpression {
   require(bits > 0 && bits <= 60, s"simhash supports 1..60 bits, got $bits")
+  // part selects WHICH 60-bit md5 half feeds the bit votes: 0 = hex chars
+  // 1-15 (the classic signature, bit-pinned against the q29 chain), 1 =
+  // chars 17-31 ([[Hash64Expr.hashHi]]) — an independent second signature
+  // from the SAME digest, so a 120-bit wide simhash costs no extra md5.
+  require(part == 0 || part == 1, s"simhash part must be 0 or 1, got $part")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -38,12 +44,12 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    SimhashExpr.compute(input.asInstanceOf[ArrayData], bits)
+    SimhashExpr.compute(input.asInstanceOf[ArrayData], bits, part)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |Long ${ev.value}$$boxed = graft.functions.SimhashExpr.compute($c, $bits);
+         |Long ${ev.value}$$boxed = graft.functions.SimhashExpr.compute($c, $bits, $part);
          |if (${ev.value}$$boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = ${ev.value}$$boxed; }
        """.stripMargin)
 
@@ -56,14 +62,14 @@ object SimhashExpr {
 
   /** One row's simhash; null (boxed) for an empty array. Called from
     * generated code. */
-  def compute(toks: ArrayData, bits: Int): java.lang.Long = {
+  def compute(toks: ArrayData, bits: Int, part: Int): java.lang.Long = {
     val n = toks.numElements()
     if (n == 0) return null
     val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
       val t = if (toks.isNullAt(i)) Empty else toks.getUTF8String(i)
-      val h = Hash64Expr.hash(t)
+      val h = if (part == 0) Hash64Expr.hash(t) else Hash64Expr.hashHi(t)
       var j = 0
       while (j < bits) {
         counts(j) += (((h >>> j) & 1L).toInt << 1) - 1
@@ -81,6 +87,6 @@ object SimhashExpr {
   }
 
   /** Column form. */
-  def simhash(toks: Column, bits: Int): Column =
-    Bridge.column(SimhashExpr(Bridge.expression(toks), bits))
+  def simhash(toks: Column, bits: Int, part: Int = 0): Column =
+    Bridge.column(SimhashExpr(Bridge.expression(toks), bits, part))
 }

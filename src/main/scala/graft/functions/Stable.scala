@@ -85,6 +85,11 @@ object Stable {
   def duckHash64(sqlExpr: String): String =
     s"CAST(('0x' || substr(md5($sqlExpr), 1, 15)) AS BIGINT)"
 
+  /** DuckDB fragment for the SECOND md5 half ([[graft.functions
+    * .Hash64Expr.hashHi]] / hashPair element 1 — [[duckDigestHi]]'s
+    * window over a direct md5 of the expression). */
+  def duckHash64Hi(sqlExpr: String): String = duckDigestHi(s"md5($sqlExpr)")
+
   /** DuckDB fragment equivalent to [[seededHash]]. */
   def duckSeededHash(seed: Long, sqlExprs: String*): String =
     duckHash64(s"concat_ws(chr(1), '$seed', ${sqlExprs.map(e => s"CAST($e AS VARCHAR)").mkString(", ")})")

@@ -183,6 +183,28 @@ object TextQueries {
         bands = 4, bitsPerBand = 15, maxHamming = 3)
     }),
 
+    // WIDE-signature simhash near-dup ([[Dedup.simhashNearDupWide]]):
+    // q52's fixture on the 120-bit tier its sizing scaladoc names — two
+    // independent 60-bit parts from both halves of each token's ONE md5,
+    // 4 x 25-bit bands (vs the one-long tier's 15-bit cap), hamming over
+    // all 120 bits. This is the q52-class scale path: at sf1 the 15-bit
+    // bands yield 27.5M candidate pairs (hot low-entropy middle bits,
+    // max occupancy 2847); these 25-bit bands yield 2.86M (9.6x less
+    // quadratic work) at the same recall contract.
+    "q222_simhash_wide" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val clones = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val u = docs.unionByName(clones)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      val sh = u.select(col("doc_id"),
+          Dedup.simhashColumn(col("ts"), 60, part = 0).as("s0"),
+          Dedup.simhashColumn(col("ts"), 60, part = 1).as("s1"))
+        .filter(col("s0").isNotNull)
+      Dedup.simhashNearDupWide(sh, "doc_id", "s0", "s1",
+        bands = 4, bitsPerBand = 25, maxHamming = 3)
+    }),
+
     // Exact ANN baseline: brute-force cosine top-5 for 10 query vectors.
     // Broadcast queries + bounded TopK aggregation — BroadcastNestedLoopJoin,
     // no CartesianProduct, no per-query global sort.
@@ -5316,6 +5338,45 @@ object TextQueries {
          |SELECT id1, id2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+
+    // q222: q52's chain widened — both md5 halves vote independent
+    // 60-bit parts, bands 0-1 from part 0 / 2-3 from part 1 at 25 bits,
+    // hamming summed over both parts.
+    "q222_simhash_wide" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10),
+         |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM u),
+         |tw AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+         |th AS (
+         |  SELECT doc_id, 0 AS part, ${H("w")} AS h FROM tw
+         |  UNION ALL
+         |  SELECT doc_id, 1, ${Stable.duckHash64Hi("w")} FROM tw),
+         |bits AS (
+         |  SELECT doc_id, part, j,
+         |    sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS c
+         |  FROM th, generate_series(0, 59) g(j)
+         |  GROUP BY 1, 2, 3),
+         |sh AS (
+         |  SELECT doc_id, part,
+         |    CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM bits GROUP BY 1, 2),
+         |banded AS (
+         |  SELECT doc_id, part * 2 + b AS band,
+         |         (sig >> (b * 25)) & ((CAST(1 AS BIGINT) << 25) - 1) AS bval
+         |  FROM sh, generate_series(0, 1) g(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |  FROM banded a JOIN banded c ON a.band = c.band AND a.bval = c.bval
+         |                             AND a.doc_id < c.doc_id),
+         |ham AS (
+         |  SELECT id1, id2,
+         |    CAST(sum(bit_count(xor(x.sig, y.sig))) AS BIGINT) AS hamming
+         |  FROM cand JOIN sh x ON x.doc_id = id1
+         |            JOIN sh y ON y.doc_id = id2 AND y.part = x.part
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 
     "q31_ann_lsh" -> duckLshOracle,
     "q39_ann_ivf" -> duckIvfOracle,

@@ -126,8 +126,22 @@ final class Catalog(spark: SparkSession) {
     * projection, no cast, nothing. Expected storage at `path`: any
     * tabular schema with an `idx` key, partitioned by `split`
     * (train/test — Adult's `which_sets`). */
-  def registerAdult(path: String, name: String = "adult-mini"): this.type = {
-    Seq("train", "test").foreach { s =>
+  def registerAdult(path: String, name: String = "adult-mini"): this.type =
+    registerTabular(path, name, Seq("train", "test"))
+
+  /** Iris (fuel/datasets/iris.py:5): the same empty-default tabular
+    * binding with fuel's OTHER split shape — a single 'all' split of
+    * all 150 examples (`which_sets` valid value is 'all', iris.py:22)
+    * where Adult binds train/test. Parameterized, not copied: both
+    * bindings are [[registerTabular]] with their split lists. */
+  def registerIris(path: String, name: String = "iris-mini"): this.type =
+    registerTabular(path, name, Seq("all"))
+
+  /** The shared tabular binding: each split registered as `name/split`
+    * over the split-partitioned scan, empty default chain. */
+  private def registerTabular(path: String, name: String,
+      splits: Seq[String]): this.type = {
+    splits.foreach { s =>
       registerSplit(s"$name/$s", path, s, Seq(col("idx")), defaults = Nil)
     }
     this

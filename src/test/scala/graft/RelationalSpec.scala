@@ -182,6 +182,25 @@ class RelationalSpec extends SparkSpec {
       s"split must prune partitions, not post-filter:\n$plan")
   }
 
+  test("iris-mini: fuel's single-'all'-split tabular binding (fuel iris.py:5,22)") {
+    // Same empty-default contract as Adult, other split shape: one 'all'
+    // split carrying every example (which_sets valid value is 'all').
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("iris-mini").toString
+    val rows = spark.range(150).select(col("id").as("idx"),
+      (col("id") % 30 / 10.0 + 4.3).as("sepal_length"),
+      (col("id") / 50).cast("int").as("label"),
+      lit("all").as("split"))
+    graft.sources.SplitSource.write(rows, dir)
+    val cat = new graft.sources.Catalog(spark).registerIris(dir)
+    assert(cat.names.contains("iris-mini/all"))
+    val stream = cat.defaultStream("iris-mini/all")
+    val raw = cat.load("iris-mini/all")
+    assert(stream.schema == raw.schema)
+    assert(stream.count() == 150)
+    assert(stream.groupBy("label").count().count() == 3) // 3 x 50 classes
+  }
+
   test("approximate aggregates: HLL distinct near exact, quantile sketch brackets exact") {
     // The sketch tier of the aggregation surface (SURVEY §2.6): at 100 TB
     // an exact distinct is a full shuffle of the keys; the HLL sketch is a

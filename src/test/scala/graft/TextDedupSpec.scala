@@ -1100,6 +1100,53 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("occupancy"), e.getMessage)
   }
 
+  test("simhashNearDupWide: 120-bit signatures, pigeonhole recall, guard; part-1 independence") {
+    import graft.dedup.Dedup
+    // exact clones -> identical parts -> hamming 0 through every band
+    val docs = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq("alpha", "beta", "gamma", "delta")),
+      (3L, Seq("zeta", "eta", "theta", "iota", "kappa"))).toDF("doc_id", "ts")
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhashColumn(col("ts"), 60, part = 0).as("s0"),
+      Dedup.simhashColumn(col("ts"), 60, part = 1).as("s1"))
+    val pairs = Dedup.simhashNearDupWide(sh, "doc_id", "s0", "s1",
+        bands = 4, bitsPerBand = 25, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 0L)), s"clone pair must survive: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $pairs")
+    // the second part is a genuinely independent signature (different md5
+    // window), not a copy of the first
+    val r = sh.filter(col("doc_id") === 1L).head()
+    assert(r.getLong(1) != r.getLong(2), "part 1 must differ from part 0")
+    // recall contract and band-capacity requires reject loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupWide(sh, "doc_id", "s0", "s1",
+        bands = 4, bitsPerBand = 25, maxHamming = 4)
+    }
+    assert(e1.getMessage.contains("recall"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupWide(sh, "doc_id", "s0", "s1",
+        bands = 4, bitsPerBand = 31, maxHamming = 3)
+    }
+    assert(e2.getMessage.contains("60-bit"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashColumn(col("ts"), 60, part = 2)
+    }
+    // occupancy guard on the wide bands trips like the narrow tier's
+    val crowded = (1L to 5L).map(i => (i, Seq("same", "tokens", "here")))
+      .toDF("doc_id", "ts")
+      .select(col("doc_id"),
+        Dedup.simhashColumn(col("ts"), 60, part = 0).as("s0"),
+        Dedup.simhashColumn(col("ts"), 60, part = 1).as("s1"))
+    val e3 = intercept[Exception] {
+      Dedup.simhashNearDupWide(crowded, "doc_id", "s0", "s1",
+        bands = 4, bitsPerBand = 25, maxHamming = 3, maxBucket = 3).count()
+    }
+    assert(e3.getMessage.contains("occupancy"), e3.getMessage)
+  }
+
   test("propagateCoverageCard: counts rows with >= 1 candidate seed, cumulative per table") {
     // c1 duplicates the seed -> same bucket in EVERY table (covered from
     // tables_used = 1); c2 = -seed -> every plane dot flips sign, NO
