@@ -389,20 +389,14 @@ object Ann {
       s"bucketOccupancyCard: tables must be >= 1, got $tables")
     val np = resolvePlanes("bucketOccupancyCard", planes, df.count())
     val hp = hyperplanes(seed, tables, np, dim)
-    val occ = df
-      .select(posexplode(graft.functions.SignBuckets(
-        col(vecCol).cast("array<double>"), hp)).as(Seq("table", "bucket")))
-      .groupBy("table", "bucket").agg(count(lit(1)).as("occupancy"))
     // All-LONG arithmetic (occ·(occ−1) is even, div 2 exact); headroom:
     // pairs·n_buckets·10⁶ < 2⁶³ holds through ~9·10¹² pairs per
-    // occupancy class — far past any guarded banding.
-    val hist = occ.groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
-      .withColumn("__p", expr("occupancy * (occupancy - 1) div 2 * n_buckets"))
-    val tot = hist.agg(sum(col("__p")).as("__tp"))
-    hist.crossJoin(broadcast(tot))
-      .select(col("occupancy"), col("n_buckets"),
-        when(col("__tp") <= 0L, lit(0L))
-          .otherwise(expr("__p * 1000000 div __tp")).as("pair_share_ppm"))
+    // occupancy class — far past any guarded banding. Histogram math is
+    // the shared generic card ([[graft.dedup.Dedup.keyOccupancyCard]]).
+    graft.dedup.Dedup.keyOccupancyCard(
+      df.select(posexplode(graft.functions.SignBuckets(
+        col(vecCol).cast("array<double>"), hp)).as(Seq("table", "bucket"))),
+      Seq("table", "bucket"))
   }
 
   /** Candidate-coverage card for the banded propagators — the RECALL
@@ -447,8 +441,13 @@ object Ann {
     val perFirst = firstHit.groupBy("__first_t")
       .agg(count(lit(1)).as("__n_first"))
     val tot = corpus.agg(count(lit(1)).as("n_corpus"))
+    // driver-literal index relation (NOT spark.range): the per-table
+    // rollup below is a non-equi nested-loop join, and the plan audit
+    // only admits provably bounded broadcast sides — a LocalRelation of
+    // `tables` literal rows is one, a Range operator is not.
     val spark = corpus.sparkSession
-    val idx = spark.range(1, tables + 1).toDF("tables_used")
+    import spark.implicits._
+    val idx = (1 to tables).map(_.toLong).toDF("tables_used")
     idx.join(perFirst, col("__first_t") < col("tables_used"), "left")
       .groupBy("tables_used")
       .agg(coalesce(sum(col("__n_first")), lit(0L)).as("n_covered"))

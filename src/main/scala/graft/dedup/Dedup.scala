@@ -741,6 +741,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Generic candidate-key occupancy card — [[graft.ann.Ann
+    * .bucketOccupancyCard]]'s histogram for ANY banded candidate family
+    * (winnowing fingerprints, minhash band buckets, simhash bands,
+    * linkage block keys): feed it the exploded candidate-key stream a
+    * pair join would group on, get back one row per observed occupancy —
+    * (occupancy, n_buckets, pair_share_ppm) where pair_share_ppm is the
+    * class's share of the quadratic pair work Σ occ·(occ−1)/2. Reads
+    * the same way everywhere: cost in the typical occupancy means
+    * re-tune the key width (bits / window / shingle size — one
+    * doubling-resolution step per corpus doubling, the
+    * planesForOccupancy rule); cost in a few hot keys means dedup exact
+    * clones first / rely on the raise_error guards.
+    *
+    * Scale shape: one key-grouped count agg (map-side combined), then
+    * aggs over the BOUNDED occupancy table; all-LONG arithmetic with
+    * the q219 headroom argument. */
+  def keyOccupancyCard(keyed: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyOccupancyCard: need at least one key column")
+    val occ = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("occupancy"))
+    val hist = occ.groupBy("occupancy").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("__p", expr("occupancy * (occupancy - 1) div 2 * n_buckets"))
+    val tot = hist.agg(sum(col("__p")).as("__tp"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("occupancy"), col("n_buckets"),
+        when(col("__tp") <= 0L, lit(0L))
+          .otherwise(expr("__p * 1000000 div __tp")).as("pair_share_ppm"))
+  }
+
   // ------------------------------------------------- incremental admission
 
   /** Estimated Jaccard similarity from two MinHash signatures: the

@@ -1153,6 +1153,18 @@ object TextQueries {
       TextOps.fingerprintPairs(docsWithTokens(s, dir), "doc_id", "ts",
         k = 3, w = 4, minShared = 5)),
 
+    // Generic candidate-key occupancy card ([[Dedup.keyOccupancyCard]])
+    // over q98's winnowing-fingerprint keys: the q219 observability
+    // pattern extended beyond sign-LSH to ANY banded family — the card
+    // that tells you whether q98/q124-class cost lives in the typical
+    // fingerprint (re-tune k/w) or a few hot ones (dedup clones first).
+    "q223_fingerprint_occupancy" -> ((s, dir) =>
+      graft.dedup.Dedup.keyOccupancyCard(
+        TextOps.fingerprint(docsWithTokens(s, dir), "ts", k = 3, w = 4)
+          .select(explode_outer(col("fps")).as("fp"))
+          .filter(col("fp").isNotNull), // exactly q98's candidate stream
+        Seq("fp"))),
+
     // Content-defined chunking ([[graft.text.TextOps.cdcChunks]]): the
     // insertion-robust repeated-passage inventory — boundaries are a
     // pure function of token content (hash % 16 == 0), so both engines
@@ -3755,6 +3767,30 @@ object TextQueries {
          |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    // q223: q98's fingerprint CTEs, then the q219-style histogram with
+    // integer pair-work shares over the per-fp occupancy.
+    "q223_fingerprint_occupancy" ->
+      s"""WITH $DuckToks,
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+         |      i -> ${H("array_to_string(ts[i:i+2], ' ')")}) AS gs
+         |  FROM toks),
+         |mins AS (
+         |  SELECT doc_id, gs, unnest(generate_series(1, greatest(len(gs) - 3, 1))) AS i
+         |  FROM grams),
+         |fp AS (SELECT DISTINCT doc_id, m AS fp
+         |       FROM (SELECT doc_id, list_min(gs[i:i+3]) AS m FROM mins)),
+         |occ AS (SELECT fp.fp, CAST(count(*) AS BIGINT) AS occupancy FROM fp GROUP BY 1),
+         |hist AS (SELECT occupancy, CAST(count(*) AS BIGINT) AS n_buckets,
+         |           CAST(occupancy * (occupancy - 1) // 2 * count(*) AS BIGINT) AS p
+         |         FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp FROM hist)
+         |SELECT occupancy, n_buckets,
+         |  CAST(CASE WHEN tp <= 0 THEN 0 ELSE p * 1000000 // tp END AS BIGINT)
+         |    AS pair_share_ppm
+         |FROM hist, tot""".stripMargin,
 
     // q100: the counter build and the probe replayed with the same
     // family constants (one UNION ALL branch per row — the constants

@@ -1100,6 +1100,20 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("occupancy"), e.getMessage)
   }
 
+  test("keyOccupancyCard: hand-computed histogram and pair-work shares over any key") {
+    import graft.dedup.Dedup
+    // occupancies a=3, b=2, c=1 -> pair work 3, 1, 0 of total 4
+    val keyed = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val got = Dedup.keyOccupancyCard(keyed, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 0L), (2L, 1L, 250000L), (3L, 1L, 750000L)),
+      s"got $got")
+    // all-singleton corpus: zero pair work, shares stay 0 (no div-0)
+    val flat = Dedup.keyOccupancyCard(Seq("x", "y").toDF("k"), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flat == Set((1L, 2L, 0L)), s"got $flat")
+  }
+
   test("simhashNearDupWide: 120-bit signatures, pigeonhole recall, guard; part-1 independence") {
     import graft.dedup.Dedup
     // exact clones -> identical parts -> hamming 0 through every band
