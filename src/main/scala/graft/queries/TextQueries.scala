@@ -1153,6 +1153,16 @@ object TextQueries {
       TextOps.fingerprintPairs(docsWithTokens(s, dir), "doc_id", "ts",
         k = 3, w = 4, minShared = 5)),
 
+    // Hot-fingerprint-pruned pairing ([[TextOps.fingerprintPairs]] with
+    // pruneAbove): the q98/q124-class SCALE knob the q223 card sizes —
+    // fingerprints shared by more than 50 docs are boilerplate and
+    // carry occ² of the quadratic pair work; dropping them keeps the
+    // verbatim-passage recall for every pair that shares at least one
+    // informative fingerprint.
+    "q224_fingerprint_pruned" -> ((s, dir) =>
+      TextOps.fingerprintPairs(docsWithTokens(s, dir), "doc_id", "ts",
+        k = 3, w = 4, minShared = 5, pruneAbove = 50)),
+
     // Generic candidate-key occupancy card ([[Dedup.keyOccupancyCard]])
     // over q98's winnowing-fingerprint keys: the q219 observability
     // pattern extended beyond sign-LSH to ANY banded family — the card
@@ -3766,6 +3776,26 @@ object TextQueries {
          |       FROM (SELECT doc_id, list_min(gs[i:i+3]) AS m FROM mins))
          |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    // q224: q98's CTEs + the occupancy prune before pairing.
+    "q224_fingerprint_pruned" ->
+      s"""WITH $DuckToks,
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+         |      i -> ${H("array_to_string(ts[i:i+2], ' ')")}) AS gs
+         |  FROM toks),
+         |mins AS (
+         |  SELECT doc_id, gs, unnest(generate_series(1, greatest(len(gs) - 3, 1))) AS i
+         |  FROM grams),
+         |fp AS (SELECT DISTINCT doc_id, m AS fp
+         |       FROM (SELECT doc_id, list_min(gs[i:i+3]) AS m FROM mins)),
+         |keep AS (SELECT fp FROM (SELECT fp.fp, count(*) AS c FROM fp GROUP BY 1)
+         |         WHERE c <= 50),
+         |fk AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp))
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
     // q223: q98's fingerprint CTEs, then the q219-style histogram with

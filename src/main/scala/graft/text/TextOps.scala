@@ -1040,14 +1040,30 @@ object TextOps {
     * Generate form; 5.5 s → 0.4 s for this stage at sf0.1). The outer
     * generate is exempt from that inference, and the null filter runs
     * on the generator OUTPUT attribute, which nothing can push past
-    * the Generate. */
+    * the Generate.
+    *
+    * `pruneAbove` (0 = off) is the SCALE KNOB the q223 occupancy card
+    * sizes: DROP fingerprints shared by more than `pruneAbove` docs
+    * before pairing — the standard over-common-shingle prune (a
+    * fingerprint in thousands of docs is boilerplate, carries ~no
+    * duplication signal, and contributes occ² of the quadratic pair
+    * work). The recall trade, stated exactly: a pair is lost only if
+    * EVERY fingerprint it shares is hotter than the cap, and
+    * `n_shared` counts only surviving fingerprints — so `minShared`
+    * semantics shift from "shared fingerprints" to "shared informative
+    * fingerprints". Sizing: read q223's card and set the cap where
+    * pair_share_ppm concentrates above useful occupancies; the
+    * raise_error guard still backs the kept buckets. */
   def fingerprintPairs(df: DataFrame, idCol: String, toksCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
-      maxOccupancy: Int = 100000): DataFrame = {
+      maxOccupancy: Int = 100000, pruneAbove: Int = 0): DataFrame = {
+    require(pruneAbove >= 0,
+      s"fingerprintPairs: pruneAbove must be >= 0 (0 = off), got $pruneAbove")
     val buckets = fingerprint(df, toksCol, k, w)
       .select(col(idCol), explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)
       .groupBy("fp").agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(if (pruneAbove > 0) size(col("__ids")) <= pruneAbove else lit(true))
       .withColumn("__ids",
         when(size(col("__ids")) <= maxOccupancy, col("__ids"))
           .otherwise(raise_error(concat(
@@ -1055,7 +1071,8 @@ object TextOps {
             lit(s" exceeds maxOccupancy=$maxOccupancy — a fingerprint " +
               "shared by m docs yields m^2 candidate pairs. Run Dedup.exact " +
               "BEFORE fingerprint pairing (clone families are the classic " +
-              "cause), or raise maxOccupancy")))))
+              "cause), raise maxOccupancy, or prune boilerplate fingerprints " +
+              "with pruneAbove (size it from the q223 occupancy card)")))))
     buckets
       .select(explode(flatten(transform(col("__ids"), x =>
         transform(filter(col("__ids"), y => y > x),

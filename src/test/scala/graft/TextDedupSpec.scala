@@ -979,6 +979,32 @@ class TextDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("occupancy"))
   }
 
+  test("fingerprintPairs pruneAbove: hot boilerplate fingerprints drop, informative pairs keep") {
+    // Docs 1-4 are identical boilerplate (every fingerprint occupancy 4);
+    // docs 5-6 share a distinctive 6-token run (occupancy-2 fingerprints).
+    val boiler = Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7")
+    val run = Seq("p", "q", "r", "s", "t", "u")
+    val docs = ((1L to 4L).map(i => (i, boiler)) ++ Seq(
+      (5L, Seq("a1", "a2") ++ run ++ Seq("a3")),
+      (6L, Seq("b1", "b2", "b3") ++ run))).toDF("doc_id", "ts")
+    def pairsAt(prune: Int): Set[(Long, Long)] =
+      TextOps.fingerprintPairs(docs, "doc_id", "ts",
+          k = 3, w = 4, minShared = 1, pruneAbove = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unpruned = pairsAt(0)
+    assert(unpruned.contains((1L, 2L)) && unpruned.contains((5L, 6L)),
+      s"got $unpruned")
+    // cap 3 drops the occupancy-4 boilerplate family, keeps the pair
+    // that shares an informative fingerprint
+    val pruned = pairsAt(3)
+    assert(pruned == Set((5L, 6L)), s"got $pruned")
+    // a cap above every occupancy is the identity
+    assert(pairsAt(100) == unpruned)
+    intercept[IllegalArgumentException] {
+      TextOps.fingerprintPairs(docs, "doc_id", "ts", pruneAbove = -1)
+    }
+  }
+
   test("pmiCollocations: hand-computed ppm ratios; doc-final nulls count unigrams") {
     // "a b a b c" + "a b": pairs (a,b)x3 (b,a) (b,c) (c,·) (b,·);
     // unigrams a=3 b=3 c=1, N=7. minCount=1 keeps all real pairs:
