@@ -258,8 +258,10 @@ object Ann {
     * quadratically in occupancy — the guard raises rather than letting
     * one crowded bucket go quadratic), exact cosines on the bounded
     * candidate frame only, bounded [[TopK]] sums, and two id-keyed
-    * joins of collapsed frames. The candidate frame IS persisted
-    * (MEMORY_AND_DISK) for its three consumers (x-sums, y-sums,
+    * joins of collapsed frames. The candidate frame IS materialized
+    * once (lazy localCheckpoint — GC-reclaimable, unlike a persist,
+    * which this lazy function could never pair with an unpersist) for
+    * its three consumers (x-sums, y-sums,
     * forward-best) — the opposite call from [[marginMine]], whose pair
     * frame is a cheap projection off a broadcast join: here the frame
     * is shuffle-produced, so recomputing runs the band-bucket join
@@ -303,7 +305,16 @@ object Ann {
         floor(cosine(col("__av"), col("__bv")) * 1000000).cast("bigint").as("__cq"))
       .filter(col("__cq").isNotNull)
       .distinct() // a pair sharing buckets in several tables counts once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Lazy localCheckpoint, not persist: a persist here has no in-scope
+      // action to pair an unpersist with (the function returns a lazy
+      // frame), so it would leak a session-lifetime CacheManager entry in
+      // library callers (ADVICE r12). localCheckpoint gives the same
+      // materialize-once sharing across the three consumers, but the
+      // blocks belong to the RDD itself — ContextCleaner reclaims them
+      // when the caller drops the returned frame. Trade (as in Graphs /
+      // Streaming): lineage is truncated, so a lost executor fails the
+      // job instead of recomputing — acceptable for a mining pass.
+      .localCheckpoint(false)
     def topSum(key: String, other: String): DataFrame =
       pairs.groupBy(col(key))
         .agg(TopK.topK(k)(col("__cq").cast("double"), col(other)).as("__top"))

@@ -661,9 +661,19 @@ object Dedup {
     require(maxHamming <= bands - 1,
       s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}, " +
         s"got maxHamming=$maxHamming (raise bands or lower maxHamming)")
+    // bitsPerBand = 0 is the q220 AUTO sentinel: derive the band width
+    // from the corpus cardinality (one bit per corpus doubling), capped
+    // at what the 60-bit signature can carry for this band count. An
+    // eager bounded count, the resolvePlanes contract.
+    require(bitsPerBand >= 0,
+      s"simhashNearDup: bitsPerBand must be >= 1, or 0 to auto-derive, got $bitsPerBand")
+    val bpb =
+      if (bitsPerBand > 0) bitsPerBand
+      else math.min(60 / bands, graft.ann.Ann.planesForOccupancy(
+        math.max(1L, df.count())))
     val banded = df.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
-        shiftright(col(simCol), b * bitsPerBand).bitwiseAND(lit((1L << bitsPerBand) - 1))
+        shiftright(col(simCol), b * bpb).bitwiseAND(lit((1L << bpb) - 1))
       }: _*)).as(Seq("band", "bval")))
     // One guarded side suffices (see lshCandidates).
     val a = guardOccupancy(banded, "bval", maxBucket, "simhashNearDup")
@@ -714,14 +724,20 @@ object Dedup {
       s"banding with $bands bands only guarantees recall for Hamming <= ${bands - 1}, " +
         s"got maxHamming=$maxHamming (raise bands or lower maxHamming)")
     val b0 = (bands + 1) / 2 // part-0 bands; part 1 carries the rest
-    require(bitsPerBand >= 1 && bitsPerBand * b0 <= 60,
-      s"$b0 bands x $bitsPerBand bits exceed one 60-bit part " +
+    // bitsPerBand = 0 is the q220 AUTO sentinel (one bit per corpus
+    // doubling, capped at the per-part budget) — see simhashNearDup.
+    val bpb =
+      if (bitsPerBand > 0) bitsPerBand
+      else math.min(60 / b0, graft.ann.Ann.planesForOccupancy(
+        math.max(1L, df.count())))
+    require(bpb >= 1 && bpb * b0 <= 60,
+      s"$b0 bands x $bpb bits exceed one 60-bit part " +
         s"(need bitsPerBand <= ${60 / b0})")
-    val mask = lit((1L << bitsPerBand) - 1)
+    val mask = lit((1L << bpb) - 1)
     val banded = df.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
-        if (b < b0) shiftright(col(sim0Col), b * bitsPerBand).bitwiseAND(mask)
-        else shiftright(col(sim1Col), (b - b0) * bitsPerBand).bitwiseAND(mask)
+        if (b < b0) shiftright(col(sim0Col), b * bpb).bitwiseAND(mask)
+        else shiftright(col(sim1Col), (b - b0) * bpb).bitwiseAND(mask)
       }: _*)).as(Seq("band", "bval")))
     val a = guardOccupancy(banded, "bval", maxBucket, "simhashNearDupWide")
       .select(col("band"), col("bval"), col(idCol).as("id1"))
@@ -739,6 +755,63 @@ object Dedup {
         (hammingDistance(col("__s0a"), col("__s0b")) +
           hammingDistance(col("__s1a"), col("__s1b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Tier + band width for a banded simhash near-dup over an `nDocs`
+    * corpus — the q52-vs-q222 crossover as derived BEHAVIOR instead of
+    * README knowledge (VERDICT r12 #6), by
+    * [[graft.ann.Ann.planesForOccupancy]]'s integer-exact rule: per-band
+    * bucket occupancy is ~ n / 2^bitsPerBand, so holding it at
+    * `targetOccupancy` across corpus growth means one extra bit per
+    * corpus doubling. The narrow 60-bit signature carries at most
+    * 60/bands bits per band; when the derived width exceeds that cap,
+    * the call crosses to the WIDE two-part 120-bit tier (ceil(bands/2)
+    * bands per part, cap 60/ceil(bands/2)) — at the default 4 bands and
+    * target 16 that boundary is n > 16·2^15 ≈ 5×10⁵, the measured
+    * "wide at ≥10⁵-docs-per-slice" README rule made exact. Returns
+    * (wide?, bitsPerBand), the width clamped to the chosen tier's cap
+    * (the occupancy GUARD still backs corpora past the wide cap). */
+  def simhashBandsForCorpus(nDocs: Long, bands: Int = 4,
+      targetOccupancy: Long = 16): (Boolean, Int) = {
+    require(bands >= 2 && bands <= 60,
+      s"simhashBandsForCorpus: need bands in [2, 60], got $bands")
+    val want = graft.ann.Ann.planesForOccupancy(math.max(1L, nDocs), targetOccupancy)
+    val narrowCap = 60 / bands
+    if (want <= narrowCap) (false, math.max(1, want))
+    else (true, math.min(60 / ((bands + 1) / 2), want))
+  }
+
+  /** Auto-tiered banded SimHash near-dup over a TOKEN column: counts the
+    * corpus once (eager bounded action, the resolvePlanes contract),
+    * picks narrow-vs-wide and the band width via
+    * [[simhashBandsForCorpus]], computes the signature(s) in the
+    * codegen projection ([[simhashColumn]] — the wide tier's second
+    * 60-bit part is the other half of the SAME md5 digest, so it costs
+    * no extra hashing), and dispatches to [[simhashNearDup]] /
+    * [[simhashNearDupWide]]. Output schema is theirs: (id1, id2,
+    * hamming), id1 < id2 — note `hamming` is measured over the chosen
+    * tier's signature (60 or 120 bits), which is the tier contract, not
+    * a bug: the pigeonhole recall bound `maxHamming <= bands - 1` holds
+    * in both. Empty-token docs are dropped (null signature), as in
+    * every composed simhash chain. */
+  def simhashNearDupAuto(df: DataFrame, idCol: String, toksCol: String,
+      bands: Int = 4, maxHamming: Int = 3, targetOccupancy: Long = 16,
+      maxBucket: Int = 100000): DataFrame = {
+    val (wide, bpb) = simhashBandsForCorpus(
+      math.max(1L, df.count()), bands, targetOccupancy)
+    if (!wide) {
+      val sh = df.select(col(idCol),
+          simhashColumn(col(toksCol), 60, part = 0).as("__s0"))
+        .filter(col("__s0").isNotNull)
+      simhashNearDup(sh, idCol, "__s0", bands, bpb, maxHamming, maxBucket)
+    } else {
+      val sh = df.select(col(idCol),
+          simhashColumn(col(toksCol), 60, part = 0).as("__s0"),
+          simhashColumn(col(toksCol), 60, part = 1).as("__s1"))
+        .filter(col("__s0").isNotNull)
+      simhashNearDupWide(sh, idCol, "__s0", "__s1", bands, bpb,
+        maxHamming, maxBucket)
+    }
   }
 
   /** Generic candidate-key occupancy card — [[graft.ann.Ann

@@ -1590,6 +1590,22 @@ object TextQueries {
         k = 3, w = 4, tauNum = 1, tauDen = 2)
     }),
 
+    // Hot-fingerprint-pruned containment ([[TextOps.containmentPairs]]
+    // with pruneAbove — q224's knob threaded through the directed
+    // score, VERDICT r12 #2): fingerprints in more than 50 docs leave
+    // the UNIVERSE, so both n_shared and the n_src_fps denominator
+    // count informative fingerprints only and `containment` stays a
+    // true fraction. Same planted excerpts as q124; the boilerplate
+    // occ² head of the pair explosion is gone.
+    "q225_containment_pruned" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).select(col("doc_id"), col("ts"))
+      val planted = d.unionByName(d.filter(col("doc_id") % 43 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          slice(col("ts"), 1, 30).as("ts")))
+      TextOps.containmentPairs(planted, "doc_id", "ts",
+        k = 3, w = 4, tauNum = 1, tauDen = 2, pruneAbove = 50)
+    }),
+
     // BM25 keyword retrieval ([[TextOps.bm25TopK]]): three literal
     // queries over the corpus vocabulary (query 3 carries a term absent
     // from every document — its ranking must come from `spark` alone).
@@ -3988,6 +4004,40 @@ object TextQueries {
          |        FROM fp GROUP BY doc_id),
          |sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
          |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |dir AS (SELECT id1 AS src, id2 AS dst, n_shared FROM sh
+         |        UNION ALL SELECT id2, id1, n_shared FROM sh)
+         |SELECT d.src, d.dst, d.n_shared, n.n_src_fps,
+         |  CAST(d.n_shared AS DOUBLE) / CAST(n.n_src_fps AS DOUBLE) AS containment
+         |FROM dir d JOIN nfp n ON n.src = d.src
+         |WHERE d.n_shared * 2 >= n.n_src_fps * 1""".stripMargin,
+
+    // q225: q124's CTEs + the q224 keep/prune before BOTH the shared
+    // counts and the per-src denominator (the pruned universe is the
+    // scoring universe).
+    "q225_containment_pruned" ->
+      s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts FROM documents),
+         |u AS (SELECT doc_id, ts FROM toks0
+         |      UNION ALL
+         |      SELECT doc_id + 4000000 AS doc_id, ts[1:30] AS ts
+         |      FROM toks0 WHERE doc_id % 43 = 0),
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(ts) - 2, 1)),
+         |      i -> ${H("array_to_string(ts[i:i+2], ' ')")}) AS gs
+         |  FROM u),
+         |mins AS (
+         |  SELECT doc_id, gs, unnest(generate_series(1, greatest(len(gs) - 3, 1))) AS i
+         |  FROM grams),
+         |fp AS (SELECT DISTINCT doc_id, m AS fp
+         |       FROM (SELECT doc_id, list_min(gs[i:i+3]) AS m FROM mins)),
+         |keep AS (SELECT fp FROM (SELECT fp.fp, count(*) AS c FROM fp GROUP BY 1)
+         |         WHERE c <= 50),
+         |fk AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp)),
+         |nfp AS (SELECT doc_id AS src, CAST(count(*) AS BIGINT) AS n_src_fps
+         |        FROM fk GROUP BY doc_id),
+         |sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2),
          |dir AS (SELECT id1 AS src, id2 AS dst, n_shared FROM sh
          |        UNION ALL SELECT id2, id1, n_shared FROM sh)

@@ -137,6 +137,72 @@ final class Catalog(spark: SparkSession) {
   def registerIris(path: String, name: String = "iris-mini"): this.type =
     registerTabular(path, name, Seq("all"))
 
+  /** fuel's SVHN binding — the FIFTH catalog shape: RAGGED per-example
+    * companion sources (fuel/datasets/svhn.py:22-45,
+    * fuel/converters/svhn.py:55-72,133-138). Format 1 stores full
+    * house-number scenes: encoded image bytes of VARIABLE size plus
+    * five variable-length bounding-box companion arrays per example
+    * (bbox_labels/heights/widths/lefts/tops — one entry per digit box,
+    * the converter's vlen datasets), each declaring its
+    * ('bounding_box', ...) axis labels; format 2 stores 32×32 cropped
+    * digits as scalar pixel arrays with no companions. The filename is
+    * format-PARAMETERIZED exactly like fuel's
+    * `_filename = 'svhn_format_{}.hdf5'` (svhn.py:34): the binding
+    * reads `$path/svhn_format_$whichFormat`, and the splits are
+    * train/test/'extra' (the somewhat-easier extra training set,
+    * svhn.py:27-31), each registered as `name/split` over the
+    * partition-PRUNED scan. Defaults = uint8_pixels_to_floatX on
+    * ('features',) only (svhn.py:35) applied to the format's storage
+    * shape — codec decode → unit floats → floatX for format 1's
+    * encoded bytes (CIFAR-10's chain), rescale → floatX for format 2's
+    * scalar arrays (MNIST's chain); the ragged companions pass through
+    * the chain untouched.
+    *
+    * Expected storage: parquet partitioned by `split`, with
+    * (idx bigint, features binary | array<int>, and for format 1 the
+    * five bbox_* array<int> companions). Ragged arrays are native
+    * parquet lists — no shapes table, no vlen special dtype: the
+    * Spark-first translation of the converter's
+    * vlen-dataset + `_shapes` + `_vlen_axis_labels` triple. */
+  def registerSvhn(path: String, whichFormat: Int = 1,
+      name: String = ""): this.type = {
+    require(whichFormat == 1 || whichFormat == 2,
+      s"registerSvhn: which_format must be 1 or 2 (svhn.py:22), got $whichFormat")
+    import graft.transform.{Cast, Mapping, ScaleAndShift}
+    import graft.image.ImageOps
+    import graft.types.AxisLabels
+    val nm = if (name.isEmpty) s"svhn-format-$whichFormat-mini" else name
+    val dataPath = s"$path/svhn_format_$whichFormat"
+    val bboxAxes = Seq(
+      "bbox_labels" -> Seq("bounding_box", "index"),
+      "bbox_heights" -> Seq("bounding_box", "height"),
+      "bbox_widths" -> Seq("bounding_box", "width"),
+      "bbox_lefts" -> Seq("bounding_box", "x"),
+      "bbox_tops" -> Seq("bounding_box", "y"))
+    val defaults =
+      if (whichFormat == 1)
+        Seq(Mapping(replace = Seq("features" -> ImageOps.imagesFromBytes(col("features")))),
+          Mapping(replace = Seq("features" -> ImageOps.pxToUnit(col("features")))),
+          Cast("floatX", Seq("features")))
+      else
+        Seq(ScaleAndShift(1.0 / 255, 0.0, Seq("features")),
+          Cast("floatX", Seq("features")))
+    Seq("train", "test", "extra").foreach { s =>
+      register(s"$nm/$s", () => {
+        val df = SplitSource.read(spark, dataPath, s)
+        val withFeat = AxisLabels.set(df, "features",
+          Seq("channel", "height", "width"))
+        // Only label companions the stored schema carries (format 2 has
+        // none) — the label describes the SOURCE, so it is attached at
+        // load, not by a transform.
+        bboxAxes.foldLeft(withFeat) { case (d, (c, axes)) =>
+          if (d.columns.contains(c)) AxisLabels.set(d, c, axes) else d
+        }
+      }, Seq(col("idx")), defaults)
+    }
+    this
+  }
+
   /** The shared tabular binding: each split registered as `name/split`
     * over the split-partitioned scan, empty default chain. */
   private def registerTabular(path: String, name: String,

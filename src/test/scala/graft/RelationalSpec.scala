@@ -201,6 +201,90 @@ class RelationalSpec extends SparkSpec {
     assert(stream.groupBy("label").count().count() == 3) // 3 x 50 classes
   }
 
+  test("svhn-format-1-mini: ragged bbox companion sources, the fifth catalog shape (fuel svhn.py:22-45)") {
+    // Format 1: variable-size scene PNGs + five variable-LENGTH bbox
+    // companion arrays per example, ('bounding_box', ...) axis labels,
+    // the format-parameterized filename, and the train/test/'extra'
+    // split triple — each a partition-pruned scan.
+    import org.apache.spark.sql.functions._
+    import graft.image.ImageOps
+    import graft.image.ImageOps.Frame
+    import graft.types.AxisLabels
+    val dir = java.nio.file.Files.createTempDirectory("svhn-mini").toString
+    // Variable image sizes (width 8 + idx%3) and ragged box counts
+    // (1 + idx%3 digits per scene) — the raggedness IS the shape under test.
+    val mkPng = udf { (id: Long) =>
+      val w = 8 + (id % 3).toInt
+      ImageOps.encodePng(Frame(6, w, 3,
+        Array.tabulate[Byte](6 * w * 3)(j => ((id * 31 + j * 7) % 256).toByte)))
+    }
+    val nBox = col("idx") % 3 + 1
+    val rows = spark.range(30).select(col("id").as("idx"))
+      .withColumn("features", mkPng(col("idx")))
+      .withColumn("bbox_labels",
+        expr("transform(sequence(1, CAST(idx % 3 + 1 AS INT)), b -> CAST((idx + b) % 10 AS INT))"))
+      .withColumn("bbox_heights",
+        expr("transform(sequence(1, CAST(idx % 3 + 1 AS INT)), b -> CAST(6 AS INT))"))
+      .withColumn("bbox_widths",
+        expr("transform(sequence(1, CAST(idx % 3 + 1 AS INT)), b -> CAST(3 AS INT))"))
+      .withColumn("bbox_lefts",
+        expr("transform(sequence(1, CAST(idx % 3 + 1 AS INT)), b -> CAST(b * 2 AS INT))"))
+      .withColumn("bbox_tops",
+        expr("transform(sequence(1, CAST(idx % 3 + 1 AS INT)), b -> CAST(0 AS INT))"))
+      .withColumn("split",
+        when(col("idx") < 20, "train").when(col("idx") < 26, "test")
+          .otherwise("extra"))
+    graft.sources.SplitSource.write(rows, s"$dir/svhn_format_1")
+    val cat = new graft.sources.Catalog(spark).registerSvhn(dir)
+    // all three fuel splits, including 'extra' (svhn.py:27-31)
+    assert(Seq("train", "test", "extra").forall(s =>
+      cat.names.contains(s"svhn-format-1-mini/$s")))
+    val raw = cat.load("svhn-format-1-mini/train")
+    // ragged companions round-trip: box count tracks idx%3+1, values exact
+    val b7 = raw.filter(col("idx") === 7)
+      .select("bbox_labels", "bbox_lefts").head()
+    assert(b7.getSeq[Int](0) == Seq(8, 9) && b7.getSeq[Int](1) == Seq(2, 4))
+    assert(raw.filter(col("idx") === 2).select("bbox_labels").head()
+      .getSeq[Int](0).length == 3)
+    // ('bounding_box', ...) axis labels declared on every companion
+    assert(AxisLabels.get(raw, "bbox_labels") == Some(Seq("bounding_box", "index")))
+    assert(AxisLabels.get(raw, "bbox_tops") == Some(Seq("bounding_box", "y")))
+    assert(AxisLabels.get(raw, "features") == Some(Seq("channel", "height", "width")))
+    // default chain: decode -> unit floats -> floatX on features ONLY;
+    // a variable-size image decodes to its own length
+    val out = cat.defaultStream("svhn-format-1-mini/train")
+    val ft = out.schema("features").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(ft == Graft.floatX)
+    val r5 = out.filter(col("idx") === 5).select("features", "bbox_labels").head()
+    val feats = r5.getSeq[Float](0)
+    assert(feats.length == 6 * (8 + 5 % 3) * 3) // width 10 scene
+    // PNG is lossless: pixel (idx=5, j=10) = (5*31 + 70) % 256 = 225
+    assert(math.abs(feats(10) - 225f / 255f) < 1e-6)
+    assert(r5.getSeq[Int](1) == Seq(6, 7, 8)) // companions untouched
+    // split selection is partition pruning, and 'extra' holds its 4 rows
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      s"split must prune partitions, not post-filter:\n$plan")
+    assert(cat.load("svhn-format-1-mini/extra").count() == 4)
+    // format 2 reads its OWN parameterized filename with the MNIST-shaped
+    // chain and no companions
+    spark.range(10).select(col("id").as("idx"),
+        expr("transform(sequence(0, 11), j -> CAST((id * 31 + j * 17) % 256 AS INT))")
+          .as("features"),
+        (col("id") % 10).cast("int").as("label"),
+        lit("train").as("split"))
+      .write.partitionBy("split").mode("overwrite")
+      .parquet(s"$dir/svhn_format_2")
+    val cat2 = new graft.sources.Catalog(spark).registerSvhn(dir, whichFormat = 2)
+    val out2 = cat2.defaultStream("svhn-format-2-mini/train")
+    val f2 = out2.filter(col("idx") === 3).select("features").head().getSeq[Float](0)
+    assert(math.abs(f2(2) - 127f / 255f) < 1e-6) // (93 + 34) % 256 = 127
+    intercept[IllegalArgumentException] {
+      new graft.sources.Catalog(spark).registerSvhn(dir, whichFormat = 3)
+    }
+  }
+
   test("approximate aggregates: HLL distinct near exact, quantile sketch brackets exact") {
     // The sketch tier of the aggregation surface (SURVEY §2.6): at 100 TB
     // an exact distinct is a full shuffle of the keys; the HLL sketch is a

@@ -866,6 +866,44 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containmentPairs pruneAbove: boilerplate leaves the universe, score renormalizes") {
+    import SparkSpec.spark.implicits._
+    // Docs 1-4 are identical boilerplate; docs 5-6 share a distinctive
+    // run. Doc 5 ALSO carries the boilerplate, so its denominator is the
+    // discriminating check: unpruned it counts boilerplate fingerprints,
+    // pruned it counts only the informative ones (the 5<->6 containment
+    // must RISE, not just survive).
+    val boiler = Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7")
+    val run = Seq("p", "q", "r", "s", "t", "u")
+    val docs = ((1L to 4L).map(i => (i, boiler)) ++ Seq(
+      (5L, boiler ++ run),
+      (6L, Seq("b1", "b2", "b3") ++ run))).toDF("doc_id", "ts")
+    def at(prune: Int): Map[(Long, Long), Double] =
+      TextOps.containmentPairs(docs, "doc_id", "ts",
+          k = 3, w = 4, tauNum = 1, tauDen = 100, pruneAbove = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val unpruned = at(0)
+    assert(unpruned.contains((1L, 2L)) && unpruned.contains((5L, 6L)),
+      s"got $unpruned")
+    // cap 3: every boilerplate fingerprint sits in docs 1-5 (doc 5's
+    // boiler-region winnow windows select the same minima) -> occupancy
+    // 5 > 3, pruned; the shared-run fingerprints sit in docs 5-6 only.
+    val pruned = at(3)
+    // boilerplate-only pairs are gone
+    assert(!pruned.contains((1L, 2L)), s"got $pruned")
+    // the informative pair survives in both directions
+    assert(pruned.contains((5L, 6L)) && pruned.contains((6L, 5L)), s"got $pruned")
+    // and 5 -> 6 containment RISES: the denominator no longer counts
+    // doc 5's boilerplate fingerprints
+    assert(pruned((5L, 6L)) > unpruned((5L, 6L)),
+      s"pruned ${pruned((5L, 6L))} vs unpruned ${unpruned((5L, 6L))}")
+    // a cap above every occupancy is the identity
+    assert(at(100) == unpruned)
+    intercept[IllegalArgumentException] {
+      TextOps.containmentPairs(docs, "doc_id", "ts", pruneAbove = -1)
+    }
+  }
+
   test("embeddingHealth: hand-computed card over planted zero and short vectors") {
     import SparkSpec.spark.implicits._
     val rows = Seq(
@@ -1185,6 +1223,63 @@ class TextDedupSpec extends SparkSpec {
         bands = 4, bitsPerBand = 25, maxHamming = 3, maxBucket = 3).count()
     }
     assert(e3.getMessage.contains("occupancy"), e3.getMessage)
+  }
+
+  test("simhashBandsForCorpus: the narrow/wide crossover is derived, integer-exact") {
+    import graft.dedup.Dedup
+    // small corpora stay narrow with planesForOccupancy's width:
+    // n=1000, target 16 -> ceil(log2(63)) = 6 bits
+    assert(Dedup.simhashBandsForCorpus(1000) == ((false, 6)))
+    // the 4-band boundary is EXACTLY n = 16 * 2^15: the last narrow
+    // corpus and the first wide one differ by one row
+    assert(Dedup.simhashBandsForCorpus(16L * 32768) == ((false, 15)))
+    assert(Dedup.simhashBandsForCorpus(16L * 32768 + 1) == ((true, 16)))
+    // width is monotone in n and caps at the wide tier's 30 bits (4 bands)
+    assert(Dedup.simhashBandsForCorpus(16L * (1L << 31)) == ((true, 30)))
+    // a different band count moves the cap: 6 bands -> narrow cap 10,
+    // wide carries 3 bands/part (cap 20)
+    assert(Dedup.simhashBandsForCorpus(16L * 1024, bands = 6) == ((false, 10)))
+    assert(Dedup.simhashBandsForCorpus(16L * 2048, bands = 6) == ((true, 11)))
+    intercept[IllegalArgumentException] { Dedup.simhashBandsForCorpus(10, bands = 1) }
+  }
+
+  test("simhashNearDupAuto + bitsPerBand=0 sentinels: auto picks equal the explicit tier bit-for-bit") {
+    import graft.dedup.Dedup
+    val docs = (Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq("alpha", "beta", "gamma", "delta")),
+      (3L, Seq("zeta", "eta", "theta", "iota", "kappa"))) ++
+      (10L to 29L).map(i => (i, Seq(s"w$i", s"x$i", s"y$i", s"z$i"))))
+      .toDF("doc_id", "ts")
+    // 23 docs, target 16 -> ceil(log2(ceil(23/16))) = 1 bit, narrow tier
+    assert(Dedup.simhashBandsForCorpus(23) == ((false, 1)))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val auto = Dedup.simhashNearDupAuto(docs, "doc_id", "ts",
+      bands = 4, maxHamming = 3).collect().map(key).toSet
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhashColumn(col("ts"), 60, part = 0).as("s0"))
+    val explicit = Dedup.simhashNearDup(sh, "doc_id", "s0",
+      bands = 4, bitsPerBand = 1, maxHamming = 3).collect().map(key).toSet
+    assert(auto == explicit, s"auto $auto vs explicit $explicit")
+    assert(auto.contains((1L, 2L, 0L)), s"clone pair must survive: $auto")
+    // the narrow entry point's own 0-sentinel derives the same width
+    val sentinel = Dedup.simhashNearDup(sh, "doc_id", "s0",
+      bands = 4, bitsPerBand = 0, maxHamming = 3).collect().map(key).toSet
+    assert(sentinel == explicit)
+    // the wide entry point's 0-sentinel: tiny corpus derives width 1,
+    // identical to the explicit width-1 wide call
+    val shw = docs.select(col("doc_id"),
+      Dedup.simhashColumn(col("ts"), 60, part = 0).as("s0"),
+      Dedup.simhashColumn(col("ts"), 60, part = 1).as("s1"))
+    val wideSentinel = Dedup.simhashNearDupWide(shw, "doc_id", "s0", "s1",
+      bands = 4, bitsPerBand = 0, maxHamming = 3).collect().map(key).toSet
+    val wideExplicit = Dedup.simhashNearDupWide(shw, "doc_id", "s0", "s1",
+      bands = 4, bitsPerBand = 1, maxHamming = 3).collect().map(key).toSet
+    assert(wideSentinel == wideExplicit)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(sh, "doc_id", "s0",
+        bands = 4, bitsPerBand = -1, maxHamming = 3)
+    }
   }
 
   test("propagateCoverageCard: counts rows with >= 1 candidate seed, cumulative per table") {

@@ -17,8 +17,10 @@ Usage: tools/bench_ab.py <round> [--prev REF] [--threshold 1.10]
 - Reads the working-tree BENCH_LOCAL.json as the CURRENT record and the
   previous committed version (last commit touching the file before the
   current content) as the PREVIOUS record.
-- If the shared-subset ratio <= threshold: writes a small not-triggered
-  record and exits 0 (use --force to run the A/B anyway).
+- If the shared-subset ratio <= threshold AND no single shared query
+  exceeds 2x its previous record (with a 1 s floor — r12's q67 at 2.67x
+  hid under an aggregate 1.053): writes a small not-triggered record and
+  exits 0 (use --force to run the A/B anyway).
 - Else: `git worktree add` the previous ref, sbt-compile it, and run the
   top-N most-inflated shared queries as a subset bench (which never
   overwrites BENCH_LOCAL.json) under BOTH trees back-to-back. The verdict
@@ -99,7 +101,12 @@ def main():
     if args.prev:
         prev_ref = args.prev
     else:
-        dirty = sh(["git", "diff", "--quiet", "--", "BENCH_LOCAL.json"],
+        # Compare against HEAD (not the index): round_close stages the fresh
+        # record before invoking this tool, and a staged-but-uncommitted
+        # record must still count as the NEW epoch with HEAD as previous
+        # (ADVICE r12: index-diff read a staged record as clean and slid
+        # prev_ref one epoch too far back).
+        dirty = sh(["git", "diff", "--quiet", "HEAD", "--", "BENCH_LOCAL.json"],
                    check=False).returncode != 0
         touches = sh(["git", "log", "--format=%H", "-n", "2", "--",
                       "BENCH_LOCAL.json"]).stdout.split()
@@ -121,24 +128,44 @@ def main():
     cur_tot = sum(cur[q] for q in shared)
     prev_tot = sum(prev[q] for q in shared)
     record_ratio = cur_tot / prev_tot
+    # Per-query trigger (VERDICT r12 #3): a single query at >2x its previous
+    # record hides inside an aggregate ratio — r12's q67 sat at 2.67x under
+    # an untriggered 1.053. Any shared query above PERQ_RATIO with at least
+    # PERQ_FLOOR seconds in the current record forces the A/B, regardless of
+    # the aggregate. The floor keeps sub-second noise (fixed Spark overhead
+    # dominates there) from spamming worktree runs.
+    PERQ_RATIO, PERQ_FLOOR = 2.0, 1.0
+    perq_hits = sorted(
+        (q for q in shared
+         if cur[q] >= PERQ_FLOOR and cur[q] / prev[q] > PERQ_RATIO),
+        key=lambda q: cur[q] / prev[q], reverse=True)
     base = {
         "round": args.round, "prev_ref": prev_ref,
         "threshold": args.threshold, "n_shared": len(shared),
+        "perq_ratio": PERQ_RATIO, "perq_floor_sec": PERQ_FLOOR,
+        "perq_hits": {q: round(cur[q] / prev[q], 3) for q in perq_hits},
         "record_prev_total": round(prev_tot, 3),
         "record_cur_total": round(cur_tot, 3),
         "record_ratio": round(record_ratio, 4),
     }
-    if record_ratio <= args.threshold and not args.force:
+    if record_ratio <= args.threshold and not perq_hits and not args.force:
         base["triggered"] = False
         with open(out_path, "w") as f:
             json.dump(base, f, indent=1)
         print(f"bench_ab: ratio {record_ratio:.3f} <= {args.threshold}, "
-              f"no A/B needed — wrote {out_path}")
+              f"no per-query >{PERQ_RATIO}x hit — wrote {out_path}")
         return
 
-    top = sorted(shared, key=lambda q: cur[q] / prev[q], reverse=True)[:args.top]
-    print(f"bench_ab: ratio {record_ratio:.3f} > {args.threshold}; A/B on: "
-          + ",".join(top))
+    # A/B subset: every per-query hit, then the most-inflated remainder up
+    # to --top total, so the record always adjudicates the exact outliers
+    # that forced the run.
+    by_inflation = sorted(shared, key=lambda q: cur[q] / prev[q], reverse=True)
+    top = list(perq_hits) + [q for q in by_inflation if q not in perq_hits]
+    top = top[:max(args.top, len(perq_hits))]
+    why = (f"ratio {record_ratio:.3f} > {args.threshold}"
+           if record_ratio > args.threshold else
+           f"per-query hits: {','.join(perq_hits)}" if perq_hits else "--force")
+    print(f"bench_ab: triggered ({why}); A/B on: " + ",".join(top))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     wt = f"/tmp/bench_ab_r{args.round}_prev"

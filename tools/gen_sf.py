@@ -72,6 +72,10 @@ def main():
             lo, hi = con.execute(
                 f"SELECT min({col}), max({col}) FROM '{src}/{tab}.parquet'"
             ).fetchone()
+            if lo is None:  # empty source table: min()/max() return NULL
+                sys.exit(
+                    f"gen_sf: {tab} is empty in {src}; cannot key-shift an "
+                    f"empty table. Regenerate the source fixture first.")
             if lo < 0 or hi >= stride:
                 sys.exit(
                     f"gen_sf: {tab}.{col} not contained in [0, {stride}): "
