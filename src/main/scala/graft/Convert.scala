@@ -25,6 +25,11 @@ import graft.image.ImageOps
   *           `codec` column so the kernel/geometry divergence is
   *           machine-checkable downstream
   *           `runMain graft.Convert video <inGlob> <outDir>`
+  *   tar:    tar(.gz) archives → parquet of (archive, entry, n_bytes,
+  *           content) rows, inner tars expanded one level — the
+  *           ILSVRC tar-of-tars ingest ([[graft.sources.Archive]],
+  *           fuel/converters/ilsvrc2010.py:204-316)
+  *           `runMain graft.Convert tar <inGlob> <outDir>`
   *
   * All are distributed jobs (binaryFile/text scans + columnar projection),
   * not driver-side loops — the Spark-native shape of the reference's
@@ -32,7 +37,7 @@ import graft.image.ImageOps
   */
 object Convert {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: Convert <images|text|audio|video> <inGlob> <outDir>")
+    require(args.length == 3, "usage: Convert <images|text|audio|video|tar> <inGlob> <outDir>")
     val Array(kind, inGlob, outDir) = args
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -83,8 +88,11 @@ object Convert {
           .select(col("path"), col("sampled._1").as("frame_idx"),
             col("sampled._2").as("frame"), lit(kernel).as("codec"))
           .write.mode("overwrite").parquet(outDir)
+      case "tar" =>
+        graft.sources.Archive.tarEntries(spark, inGlob)
+          .write.mode("overwrite").parquet(outDir)
       case other =>
-        throw new IllegalArgumentException(s"unknown converter '$other' (images|text|audio|video)")
+        throw new IllegalArgumentException(s"unknown converter '$other' (images|text|audio|video|tar)")
     }
     val n = spark.read.parquet(outDir).count()
     println(s"""{"converted": $n, "kind": "$kind", "out": "$outDir"}""")

@@ -203,6 +203,51 @@ final class Catalog(spark: SparkSession) {
     this
   }
 
+  /** CIFAR-100 (fuel/datasets/cifar100.py:6-46): CIFAR-10's encoded-image
+    * binding shape with TWO label granularities riding the same scan —
+    * coarse_label (20 superclasses) and fine_label (100 classes) — and
+    * the same `uint8_pixels_to_floatX` defaults on ('features',) ONLY,
+    * so both label columns pass through untouched. Split-aware
+    * (train/test — cifar100.py's `which_sets`); expected storage:
+    * parquet partitioned by `split` with (idx bigint, features binary,
+    * coarse_label int, fine_label int). */
+  def registerCifar100(path: String, name: String = "cifar100-mini"): this.type = {
+    import graft.transform.{Cast, Mapping}
+    import graft.image.ImageOps
+    Seq("train", "test").foreach { s =>
+      registerSplit(s"$name/$s", path, s, Seq(col("idx")),
+        Seq(Mapping(replace = Seq("features" -> ImageOps.imagesFromBytes(col("features")))),
+          Mapping(replace = Seq("features" -> ImageOps.pxToUnit(col("features")))),
+          Cast("floatX", Seq("features"))))
+    }
+    this
+  }
+
+  /** BinarizedMNIST (fuel/datasets/binarized_mnist.py:6-41): unlabeled
+    * {0,1} pixels with the train/valid/TEST split triple and NO default
+    * transformers — the class declares none, so the base `()` contract
+    * applies (binarization happened at dataset creation; there is
+    * nothing left to rescale). */
+  def registerBinarizedMnist(path: String,
+      name: String = "binarized-mnist-mini"): this.type =
+    registerTabular(path, name, Seq("train", "valid", "test"))
+
+  /** CalTech101Silhouettes (fuel/datasets/caltech101_silhouettes.py:6-34):
+    * size-PARAMETERIZED filename (`caltech101_silhouettes{16|28}.hdf5` —
+    * SVHN's parameterized-name pattern with a size instead of a format),
+    * train/valid/test splits, empty defaults (the silhouettes are
+    * already binary masks). Invalid sizes reject loudly, matching the
+    * reference's ValueError. */
+  def registerCaltech101Silhouettes(path: String, size: Int = 28,
+      name: String = ""): this.type = {
+    require(size == 16 || size == 28,
+      s"registerCaltech101Silhouettes: size must be 16 or 28 " +
+        s"(caltech101_silhouettes.py:29), got $size")
+    val nm = if (name.isEmpty) s"caltech101-silhouettes$size-mini" else name
+    registerTabular(s"$path/caltech101_silhouettes$size", nm,
+      Seq("train", "valid", "test"))
+  }
+
   /** The shared tabular binding: each split registered as `name/split`
     * over the split-partitioned scan, empty default chain. */
   private def registerTabular(path: String, name: String,

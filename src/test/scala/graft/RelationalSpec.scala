@@ -285,6 +285,64 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("thin bindings: CIFAR-100 dual labels, BinarizedMNIST, Caltech101Silhouettes sizes") {
+    // The remaining fuel named-dataset table, closed via the existing
+    // parameterized registrars — each case asserts exactly the trait
+    // that distinguishes the binding.
+    import org.apache.spark.sql.functions._
+    import graft.image.ImageOps
+    import graft.image.ImageOps.Frame
+    val base = java.nio.file.Files.createTempDirectory("thin-bindings").toString
+    // CIFAR-100: two label granularities ride the same decoded scan
+    val mkPng = udf { (id: Long) =>
+      ImageOps.encodePng(Frame(4, 4, 3,
+        Array.tabulate[Byte](4 * 4 * 3)(j => ((id * 31 + j * 7) % 256).toByte)))
+    }
+    val c100 = s"$base/cifar100"
+    graft.sources.SplitSource.write(
+      spark.range(24).select(col("id").as("idx"), mkPng(col("id")).as("features"),
+        (col("id") % 20).cast("int").as("coarse_label"),
+        (col("id") % 100).cast("int").as("fine_label"),
+        when(col("id") < 18, "train").otherwise("test").as("split")), c100)
+    val cat = new graft.sources.Catalog(spark).registerCifar100(c100)
+    val out = cat.defaultStream("cifar100-mini/train")
+    val r = out.filter(col("idx") === 5)
+      .select("features", "coarse_label", "fine_label").head()
+    assert(math.abs(r.getSeq[Float](0)(10) - 225f / 255f) < 1e-6) // decoded
+    assert(r.getInt(1) == 5 && r.getInt(2) == 5) // labels untouched
+    assert(cat.defaultStream("cifar100-mini/test").count() == 6)
+    // BinarizedMNIST: {0,1} pixels, train/valid/TEST triple, EMPTY chain
+    val bm = s"$base/binarized_mnist"
+    graft.sources.SplitSource.write(
+      spark.range(30).select(col("id").as("idx"),
+        expr("transform(sequence(0, 15), j -> CAST((id + j) % 2 AS INT))").as("features"),
+        when(col("id") < 20, "train").when(col("id") < 25, "valid")
+          .otherwise("test").as("split")), bm)
+    val cat2 = new graft.sources.Catalog(spark).registerBinarizedMnist(bm)
+    assert(Seq("train", "valid", "test").forall(s =>
+      cat2.names.contains(s"binarized-mnist-mini/$s")))
+    val btr = cat2.defaultStream("binarized-mnist-mini/valid")
+    assert(btr.schema == cat2.load("binarized-mnist-mini/valid").schema) // identity
+    assert(btr.count() == 5)
+    // Caltech101Silhouettes: the size parameter picks the filename
+    Seq(16, 28).foreach { sz =>
+      graft.sources.SplitSource.write(
+        spark.range(6).select(col("id").as("idx"),
+          lit(sz).as("size_tag"), lit("train").as("split")),
+        s"$base/caltech/caltech101_silhouettes$sz")
+    }
+    val cat3 = new graft.sources.Catalog(spark)
+      .registerCaltech101Silhouettes(s"$base/caltech")
+      .registerCaltech101Silhouettes(s"$base/caltech", size = 16)
+    assert(cat3.load("caltech101-silhouettes28-mini/train")
+      .select("size_tag").head().getInt(0) == 28)
+    assert(cat3.load("caltech101-silhouettes16-mini/train")
+      .select("size_tag").head().getInt(0) == 16)
+    intercept[IllegalArgumentException] {
+      new graft.sources.Catalog(spark).registerCaltech101Silhouettes(base, size = 20)
+    }
+  }
+
   test("approximate aggregates: HLL distinct near exact, quantile sketch brackets exact") {
     // The sketch tier of the aggregation surface (SURVEY §2.6): at 100 TB
     // an exact distinct is a full shuffle of the keys; the HLL sketch is a
