@@ -76,8 +76,19 @@ object Bench {
     // Dev loop only: SPARK_GRAFT_BENCH_ONLY=q98,q99 times a subset. The
     // driver never sets it and gets the full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    // Scale probes only: SPARK_GRAFT_BENCH_EXCLUDE=q134,... drops named
+    // queries and RECORDS the exclusion in the output (no silent caps) —
+    // the sf10 probe leaves out the deliberately-exact quadratic tiers
+    // whose runtime guards are the documented scale answer, while their
+    // banded twins stay in-suite. Unknown names fail loudly. Like a
+    // subset run, an exclude run never overwrites BENCH_LOCAL.json.
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(',').toSet).getOrElse(Set.empty[String])
+    val unknownExcluded = excluded -- SparkEntry.queries.keySet
+    require(unknownExcluded.isEmpty,
+      s"SPARK_GRAFT_BENCH_EXCLUDE names unknown queries: ${unknownExcluded.mkString(",")}")
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.contains(n))).filterNot(excluded)
     val envStart = boxState()
     val calibSec = calibrate(spark)
     // Warm-up: run everything once, untimed.
@@ -147,10 +158,15 @@ object Bench {
     // bounded at the 10 slowest queries, well under 1 kB at any future query
     // count — so the tail window always ends on a parseable object.
     val env = s"""{"start":$envStart,"end":${boxState()},"calib_sec":${fmt(calibSec)}}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shared_prev":$sharedPrev,"env":$env,"sf":"$sfDir"}"""
-    // Subset dev runs (SPARK_GRAFT_BENCH_ONLY) must not overwrite the
-    // committed full-suite baseline the next round's ratio is computed from.
-    if (only.isEmpty) Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
+    val exJson =
+      if (excluded.isEmpty) ""
+      else excluded.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","excluded":[""", ",", "]")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shared_prev":$sharedPrev$exJson,"env":$env,"sf":"$sfDir"}"""
+    // Subset/exclude runs must not overwrite the committed full-suite
+    // baseline the next round's ratio is computed from.
+    if (only.isEmpty && excluded.isEmpty)
+      Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     println(full)
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -160,7 +176,7 @@ object Bench {
     // mistake it for the full per-query set (that shape-identity was an
     // r8 advice finding). The full set is the detail line above and
     // BENCH_LOCAL.json, which carry no truncated marker.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"truncated":true,"queries":$slowest,"shared_prev":$sharedPrev,"env":$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"truncated":true,"queries":$slowest,"shared_prev":$sharedPrev$exJson,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
