@@ -1870,6 +1870,15 @@ object TextQueries {
     // each cell's (O·N − rT·cT)²·10⁶ div (N·rT·cT) is an exact
     // integer, so the statistic is a LONG sum — order-free — where a
     // float Σ(O−E)²/E would be agg-order-dependent. dof rides along.
+    // The squared count-product needs 128-bit intermediates: at the
+    // sf10 probe (N = 5·10⁵ docs) |O·N − rT·cT| reaches ~10¹¹, so its
+    // square ·10⁶ is ~10²⁸ ≫ 2⁶³ — Spark's ANSI long multiply threw
+    // exactly there (the r13 decade sweep's catch). DECIMAL(38,0)
+    // carries the numerator exactly through N ≈ 3·10⁷ docs per
+    // contingency (d²·10⁶ ≤ 10³⁸); DuckDB's side already promotes to
+    // HUGEINT (sum() returns INT128), so both engines stay exact and
+    // identical. Beyond that, the double-based Stats.chi2Contingency
+    // (q199) is the scale tier — same statistic, micro-floored.
     "q163_chi2" -> ((s, dir) => {
       val cells = t(s, dir, "documents")
         .groupBy("lang", "source").agg(count(lit(1)).as("__o"))
@@ -1881,8 +1890,9 @@ object TextQueries {
       cells.join(broadcast(rt), Seq("lang"))
         .join(broadcast(ct), Seq("source"))
         .crossJoin(broadcast(nn))
-        .select(expr("((__o * __n - __rt * __ct) * (__o * __n - __rt * __ct) " +
-          "* 1000000) div (__n * __rt * __ct)").as("__t"),
+        .select(expr("CAST((CAST(__o * __n - __rt * __ct AS DECIMAL(20,0)) * " +
+          "CAST(__o * __n - __rt * __ct AS DECIMAL(20,0)) * 1000000) div " +
+          "(CAST(__n AS DECIMAL(12,0)) * __rt * __ct) AS BIGINT)").as("__t"),
           col("__nl"), col("__ns"))
         .groupBy(col("__nl"), col("__ns"))
         .agg(coalesce(sum(col("__t")), lit(0L)).as("chi2_micro"))
