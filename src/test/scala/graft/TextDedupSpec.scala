@@ -1095,6 +1095,33 @@ class TextDedupSpec extends SparkSpec {
       (1L, 1L, 2L, 5000000L, 1000L, 1000L, 2250000.0)), s"got $got")
   }
 
+  test("gramMatrix: aggregator form == per-pair explode form, empty in -> empty out") {
+    // The GramSum buffer must reproduce the declarative groupBy-per-pair
+    // sums exactly (same integers, same triangular unpack order) on a
+    // seeded dim=3 corpus with negatives and repartitioned input (the
+    // buffer merge path must be order-free).
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(97)(Seq.fill(3)((rnd.nextDouble() * 2 - 1).toFloat))
+    val df = rows.toDF("embedding").repartition(13)
+    val got = Ann.gramMatrix(df, "embedding", dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val q = rows.map(_.map(x => math.floor(x.toDouble * 1000).toLong))
+    val expected = (for (i <- 0 until 3; j <- i until 3) yield {
+      val g = q.map(v => v(i) * v(j)).sum
+      val si = q.map(_(i)).sum
+      val sj = q.map(_(j)).sum
+      val n = q.length.toLong
+      (i.toLong, j.toLong, n, g, si, sj,
+        (n.toDouble * g.toDouble - si.toDouble * sj.toDouble) /
+          (n.toDouble * n.toDouble))
+    }).toSet
+    assert(got == expected, s"got $got")
+    val empty = Ann.gramMatrix(
+      Seq.empty[Seq[Float]].toDF("embedding"), "embedding", dim = 3)
+    assert(empty.count() == 0L, "empty corpus must yield an empty table")
+  }
+
   test("marginMine: hand-computed margins on axis vectors, tau cuts, ties by id") {
     // Axis-aligned vectors make every cosine exactly 1.0 or 0.0.
     // a: x1=(1,0), x2=(0,1); b: y1=(2,0), y2=(0,3), y3=(4,0). k=2:
