@@ -587,6 +587,204 @@ object Ann {
     }.reduce(_ unionByName _)
   }
 
+  // ------------------------------------------------------ product quantization
+
+  /** Squared L2 norms of a codebook's centroids — LEFT-FOLD sum of
+    * squares, the accumulation order DuckDB's `list_dot_product(c, c)`
+    * and [[graft.functions.DotExpr]] share, so the value is bit-identical
+    * wherever it is recomputed. */
+  private def cbNorm2(cb: Array[Array[Double]]): Array[Double] =
+    cb.map { c =>
+      var a = 0.0; var i = 0
+      while (i < c.length) { a += c(i) * c(i); i += 1 }
+      a
+    }
+
+  /** Adds `__code_j` (j = 0..m-1) = the 0-based id of the L2-NEAREST
+    * centroid of `codebooks(j)` to the j-th `dsub`-wide subvector of
+    * `qvecCol`, tie → lower cid. The assignment key is
+    * `‖c‖² − 2·x·c` — ‖x‖² is common across candidates, so the argmin
+    * is the true L2 argmin without computing it; ‖c‖² is a driver
+    * constant per centroid and the dots run through ONE codegen
+    * [[graft.functions.MatDotsExpr]] per subspace (consumed directly by
+    * the zip_with, the [[withNearestCentroids]] inlining discipline).
+    * L2, not cosine: PQ reconstructs the vector from independent
+    * subspace pieces, and the reconstruction error that ADC scoring
+    * pays is Σ_j ‖x_j − c_j‖² — the quantity Lloyd-on-L2 minimizes
+    * (Jégou et al. 2011, §II). */
+  private def pqAssigned(df: DataFrame, qvecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = codebooks.head.head.length
+    codebooks.zipWithIndex.foldLeft(df) { case (acc, (cb, j)) =>
+      val centStructs = array(cbNorm2(cb).zipWithIndex.map { case (n2, i) =>
+        struct(lit(n2).as("n2"), lit(i).as("cid"))
+      }.toIndexedSeq: _*)
+      val sub = slice(col(qvecCol), j * dsub + 1, dsub).cast("array<double>")
+      acc.withColumn(s"__code_$j",
+        element_at(transform(array_sort(
+          zip_with(graft.functions.VecExpressions.matDots(sub, cb), centStructs,
+            (d, c) => struct((c.getField("n2") - lit(2.0) * d).as("key"),
+              c.getField("cid").as("cid")))),
+          e => e.getField("cid")), 1))
+    }
+  }
+
+  /** One PQ Lloyd assignment's sufficient statistics, ALL m subspaces in
+    * ONE corpus pass: every (row, subspace) pair goes to its L2-nearest
+    * centroid ([[pqAssigned]]), and the output is
+    * (j, cid, pos, n, s) — per-(subspace, cluster, component) count and
+    * INTEGER component sum, from which the refined centroid is s/n.
+    * Same rationale as [[lloydStats]]: integer sums are exact under any
+    * partitioning, the corpus never shuffles (assignment is a
+    * projection), and only m × ksub × dsub map-side-combined partial
+    * rows move. */
+  def pqLloydStats(qz: DataFrame, qvecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val subs = array((0 until m).map(j =>
+      struct(lit(j).as("j"), col(s"__code_$j").as("cid"),
+        slice(col(qvecCol), j * dsub + 1, dsub).cast("array<long>").as("xv"))): _*)
+    pqAssigned(qz, qvecCol, codebooks)
+      .select(explode(subs).as("sx"))
+      .select(col("sx.j").as("j"), col("sx.cid").as("cid"),
+        posexplode(col("sx.xv")).as(Seq("pos", "x")))
+      .groupBy("j", "cid", "pos")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+  }
+
+  /** Deterministic product-quantization codebooks (Jégou et al. 2011):
+    * the int8-quantized corpus ([[quantize]] — PQ then compresses the
+    * DIRECTION, scale-invariant like every tier here) is split into `m`
+    * subspaces of dim/m components; each subspace gets a `ksub`-centroid
+    * codebook trained by `iters` L2 Lloyd steps from a seeded
+    * [[sampleCentroids]]-style init (the ksub corpus rows with the
+    * smallest seeded id-hash, each contributing its j-th subvector to
+    * codebook j). All m subspaces train in the SAME corpus pass per
+    * iteration ([[pqLloydStats]]); refinement divides integer sufficient
+    * statistics ONCE driver-side, so the codebooks — and everything
+    * downstream — are bit-exact across engines, partitionings, and
+    * retries. An empty cluster keeps its previous centroid
+    * ([[kmeansRefine]]'s convention).
+    *
+    * Sizing: m·ksub·dsub doubles on the driver (4·16·16 here — trivial;
+    * even FAISS-scale 64·256·16 is 256 KB). `ksub` ≤ 256 keeps a stored
+    * code in one byte; codes per vector are m bytes — a 64-dim float
+    * embedding compresses 64× at m=4. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ksub: Int = 16, seed: Long = 42, iters: Int = 1,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"pqCodebooks: m=$m must divide dim=$dim")
+    require(ksub >= 1 && ksub <= 256,
+      s"pqCodebooks: ksub=$ksub outside [1, 256] (a code must fit one byte)")
+    require(iters >= 0, s"pqCodebooks: iters must be >= 0, got $iters")
+    val dsub = dim / m
+    val qz = quantize(corpus, idCol, vecCol)
+    val sampled = qz
+      .select(col("qvec"),
+        graft.functions.Stable.seededHash(seed, col(idCol)).as("__h"))
+      .orderBy("__h").limit(ksub)
+      .select(col("qvec")).collect()
+      .map(_.getSeq[Byte](0).map(_.toDouble).toArray)
+    require(sampled.nonEmpty, "pqCodebooks: empty corpus")
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => sampled.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val rows = pqLloydStats(qz, "qvec", cbs).collect()
+      val next = Array.tabulate(m)(j => cbs(j).map(_.clone()))
+      rows.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, cid), rs) =>
+        val c = new Array[Double](dsub)
+        rs.foreach(r => c(r.getInt(2)) = r.getLong(4).toDouble / r.getLong(3).toDouble)
+        next(j)(cid) = c
+      }
+      cbs = next
+    }
+    cbs
+  }
+
+  /** Encode the corpus against trained codebooks: one row per vector,
+    * (idCol, codes, rnorm) where `codes(j)` is the j-th code PRE-OFFSET
+    * into the flattened LUT (j·ksub + cid — [[pqTopK]]'s gather indices,
+    * computed once here instead of per (query, row) pair at search time)
+    * and `rnorm` = ‖x̂‖ = sqrt(Σ_j ‖c_{j,code_j}‖²), the reconstructed
+    * norm ADC cosine needs — exact from the codebook alone because
+    * subspace reconstructions are orthogonal by construction. Encoding
+    * is a one-time materialization (the [[quantize]] trade): interpreted
+    * HOFs are fine here; the SEARCH path touches only `codes`/`rnorm`
+    * through codegen expressions. m bytes of code + one double per
+    * vector is the entire search-time corpus footprint. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val offsets = codebooks.scanLeft(0)(_ + _.length)
+    val assigned = pqAssigned(quantize(corpus, idCol, vecCol), "qvec", codebooks)
+    val codes = array((0 until m).map(j =>
+      (col(s"__code_$j") + lit(offsets(j))).cast("int")): _*)
+    val rnorm2 = (0 until m).map { j =>
+      element_at(array(cbNorm2(codebooks(j)).map(lit).toIndexedSeq: _*),
+        col(s"__code_$j") + 1)
+    }.reduceLeft(_ + _) // left fold in subspace order — the oracle's order
+    assigned.select(col(idCol), codes.as("codes"), sqrt(rnorm2).as("rnorm"))
+  }
+
+  /** PQ-ADC approximate top-k (the FAISS IndexPQ + refine shape): train
+    * codebooks on the corpus, encode it to m-code rows, score candidates
+    * by ASYMMETRIC distance — each query precomputes one flattened
+    * lookup table of m·ksub subspace dots (one [[graft.functions.MatDotsExpr]]
+    * per subspace on the PROBE-SIZED side), and a corpus row's score is
+    * `Σ_j lut[codes_j] / ‖x̂‖` (approximate cosine of the query against
+    * the RECONSTRUCTION), one codegen
+    * [[graft.functions.GatherSumExpr]] per pair — then exact-rerank the
+    * `k·oversample` shortlist at full dimension ([[jlTopK]]'s two-tier
+    * contract).
+    *
+    * Scale shape: the corpus never shuffles and never moves its
+    * vectors — candidate scoring streams m ints + one double per row
+    * past the broadcast LUTs (at m=4 that is 24 bytes/vector vs 256 for
+    * the floats: the byte cut IS the tier), TopK bounds per-query state
+    * before any shuffle, and the bounded shortlist broadcasts back for
+    * one full-dimension corpus pass. Zero-norm reconstructions score
+    * NULL and drop (cosine-undefined, [[topKPerQuery]]'s contract).
+    * Every number is integer-in-double or a fixed-order fold, so the
+    * shortlist and the rerank are both oracle-exact. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 16,
+      oversample: Int = 20, seed: Long = 42, iters: Int = 1,
+      dim: Int = 64, maxQueryRows: Int = 1000000): DataFrame = {
+    require(oversample >= 1, s"pqTopK: oversample must be >= 1, got $oversample")
+    val dsub = dim / m
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, seed, iters, dim)
+    val guarded = probeQueries(queries, idCol, "pqTopK", maxQueryRows,
+      "use lshTopK(broadcastQueries = false) for an unbounded query set")
+    val enc = pqEncode(corpus, idCol, vecCol, cbs)
+    val qlut = quantize(guarded, idCol, vecCol)
+      .select(col(idCol).as("query_id"),
+        concat((0 until m).map(j =>
+          graft.functions.VecExpressions.matDots(
+            slice(col("qvec"), j * dsub + 1, dsub).cast("array<double>"),
+            cbs(j))): _*).as("__lut"))
+    val candScored = enc
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("rnorm"))
+      .join(broadcast(qlut), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rnorm") > 0d,
+          graft.functions.VecExpressions.gatherSum(col("__lut"), col("codes"))
+            / col("rnorm")).as("sim"))
+    val cand = topKPerQuery(candScored, k * oversample)
+    // Raw query frame: the in-plan gate rides the always-executed
+    // candidate tier (jlTopK's r8 rationale).
+    val rerank = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .join(broadcast(cand.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(queries
+          .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("sim"))
+    topKPerQuery(rerank, k)
+  }
+
   /** Semantic (embedding-space) benchmark decontamination: flags every
     * corpus row whose int8-quantized embedding ([[quantize]]'s `qvec`)
     * has cosine ≥ tauNum/tauDen with ANY benchmark embedding — the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, ShortType}
 
 /** Native codegen dot product over float/double array columns — the hot
   * kernel of every similarity-search operator ([[graft.ann.Ann]]).
@@ -172,6 +172,93 @@ case class MatDotsExpr(child: Expression, rows: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Σ values[indices[i]] — the table-lookup-and-accumulate kernel of
+  * asymmetric-distance (ADC) scoring over product-quantized codes
+  * ([[graft.ann.Ann.pqTopK]]): `values` is a query's flattened
+  * per-subspace lookup table, `indices` a corpus row's flattened PQ
+  * codes, and the score is one gather-sum — the FAISS IndexPQ search
+  * loop as a whole-stage-codegen expression.
+  *
+  * Like [[DotExpr]] it replaces an interpreted HOF formulation
+  * (`aggregate(transform(idx, i => element_at(vals, i + 1)), 0d, _+_)`)
+  * on a per-(query, corpus-row) HOT path; semantics are pinned
+  * element-wise to that form in VecSpec:
+  *   - sequential left-to-right double accumulation over `indices`'
+  *     order (fixed associativity — bit-stable across engines);
+  *   - any NULL element or out-of-range index → NULL (element_at of a
+  *     bad ordinal is null, and the null poisons the fold), so a
+  *     malformed code row drops out of ranking instead of mis-scoring.
+  * Indices are 0-based byte/short/int — PQ codes are stored narrow. */
+case class GatherSumExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gather_sum"
+
+  private def idxOk(t: DataType): Boolean = t match {
+    case ArrayType(ByteType, _) | ArrayType(ShortType, _) | ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), r) if idxOk(r) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_gather_sum requires (array<double>, array<byte|short|int>), got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  private def idxType = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val vals = a.asInstanceOf[ArrayData]
+    val idx = b.asInstanceOf[ArrayData]
+    val n = idx.numElements()
+    val nv = vals.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (idx.isNullAt(i)) return null
+      val j = idxType match {
+        case ByteType => idx.getByte(i).toInt
+        case ShortType => idx.getShort(i).toInt
+        case _ => idx.getInt(i)
+      }
+      if (j < 0 || j >= nv || vals.isNullAt(j)) return null
+      acc += vals.getDouble(j)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val nv = ctx.freshName("nv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val getIdx = idxType match {
+        case ByteType => s"(int) $b.getByte($i)"
+        case ShortType => s"(int) $b.getShort($i)"
+        case _ => s"$b.getInt($i)"
+      }
+      s"""
+         |final int $n = $b.numElements();
+         |final int $nv = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final int $j = $getIdx;
+         |  if ($j < 0 || $j >= $nv || $a.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  $acc += $a.getDouble($j);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GatherSumExpr =
+    copy(left = l, right = r)
+}
+
 object VecExpressions {
   /** Codegen dot product of two array<float|double> columns. */
   def dot(a: Column, b: Column): Column =
@@ -180,4 +267,8 @@ object VecExpressions {
   /** Dots of a vector column against every row of a constant matrix. */
   def matDots(vec: Column, rows: Array[Array[Double]]): Column =
     Bridge.column(MatDotsExpr(Bridge.expression(vec), rows))
+
+  /** Σ values[indices[i]] — ADC gather-sum over a flattened lookup table. */
+  def gatherSum(values: Column, indices: Column): Column =
+    Bridge.column(GatherSumExpr(Bridge.expression(values), Bridge.expression(indices)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotExpr, Hash64Expr}
+import graft.functions.{DotExpr, GatherSumExpr, Hash64Expr}
 
 /** SparkSessionExtensions hook — the engine's custom-expression tier made
   * available to the SQL entry point (SURVEY §4 "custom codegen Expression"
@@ -20,6 +20,11 @@ import graft.functions.{DotExpr, Hash64Expr}
   *   - `graft_dot(array<float|double>, array<float|double>) -> double` —
   *     sequential dot product ([[DotExpr]]); bit-identical to the
   *     `aggregate(zip_with(...))` formulation.
+  *   - `graft_gather_sum(array<double>, array<byte|short|int>) -> double`
+  *     — Σ values[indices[i]], the PQ-ADC scoring kernel
+  *     ([[GatherSumExpr]]); bit-identical to the
+  *     `aggregate(transform(idx, i -> try_element_at(vals, i+1)), ...)`
+  *     formulation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
@@ -39,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
         DotExpr(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_gather_sum"),
+      info("graft_gather_sum", "sum of values at 0-based indices (PQ-ADC kernel)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"graft_gather_sum takes 2 arguments, got ${exprs.length}")
+        GatherSumExpr(exprs(0), exprs(1))
       }))
   }
 }

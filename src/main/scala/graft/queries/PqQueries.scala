@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.functions.Stable
+import graft.sources.Tables
+
+/** Product-quantization ANN queries ([[graft.ann.Ann.pqTopK]]) — the
+  * code-compression tier of the similarity-search kit (Jégou et al.
+  * 2011): int8-quantize, split into m subspaces, per-subspace L2 Lloyd
+  * codebooks from a seeded sample, m-byte codes per vector, ADC
+  * candidate scoring against per-query lookup tables, exact rerank.
+  *
+  * The entire construction is deterministic (seeded sample, integer
+  * Lloyd sufficient statistics, fixed-order double folds), so the
+  * DuckDB oracle replays it end-to-end — codebook training included —
+  * and the compare is hash-exact, same as the LSH/IVF/JL tiers. */
+object PqQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PQ-ADC top-k ([[Ann.pqTopK]]): 64-dim embeddings → 4 subspaces ×
+    // 16 centroids (one Lloyd step from the seeded sample) → 4 codes +
+    // a reconstructed norm per vector; candidates score via the
+    // gather-sum LUT kernel, the 100-candidate shortlist reranks at
+    // full dimension. Emitting (query_id, rank, neighbor_id) — the
+    // q30/q31 ANN contract — checks codebook training, encoding, ADC
+    // ordering, and the rerank in one row set.
+    "q226_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 4, ksub = 16, oversample = 20, seed = 42, iters = 1)
+    }),
+
+    // PQ recall report ([[Ann.recallReport]] over two code widths): the
+    // measured compression/recall trade — m=4 (16 bytes of float → 4
+    // codes, 64× vector-byte cut through the candidate stream) vs m=8
+    // (32×, finer reconstruction) against the exact top-5 on the same
+    // 50-query probe. The "measure, don't guess" gate before choosing
+    // a code width for a 100 TB embedding pass (q106's harness).
+    "q227_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+      val ex = Ann.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      Ann.recallReport(ex, Seq(
+        "pq_m4" -> Ann.pqTopK(emb, qs, "vec_id", "embedding", k = 5,
+          m = 4, ksub = 16, oversample = 20, seed = 42, iters = 1),
+        "pq_m8" -> Ann.pqTopK(emb, qs, "vec_id", "embedding", k = 5,
+          m = 8, ksub = 16, oversample = 20, seed = 42, iters = 1)))
+    }))
+
+  /** The full PQ pipeline in SQL, parameterized the same way as
+    * [[Ann.pqTopK]] (iters = 1, dim = 64): quantization (q62's CTEs),
+    * the seeded ksub-row sample, per-subspace round-1 L2 assignment +
+    * integer sufficient statistics + s/n refinement (q89's Lloyd
+    * pattern, with the subspace id as an extra key), encode, the
+    * ordered-fold reconstructed norm, ADC scores as ordered folds of
+    * per-subspace dots, shortlist by (sim DESC, id ASC), exact rerank.
+    * Cross-engine exactness: every sum that crosses engines is either
+    * an integer or a `list_dot_product` against a ones-vector — the
+    * same left-to-right fold [[graft.functions.GatherSumExpr]] and the
+    * Scala-side norm folds use. */
+  private def duckPq(m: Int, ksub: Int, k: Int, oversample: Int,
+      qPred: String): String = {
+    val dsub = 64 / m
+    val ones = Seq.fill(m)("1.0").mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
+       |q AS (SELECT vec_id,
+       |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+       |  FROM sc),
+       |h AS (SELECT vec_id, qv, ${Stable.duckSeededHash(42, "vec_id")} AS hh FROM q),
+       |samp AS (SELECT qv, row_number() OVER (ORDER BY hh) - 1 AS cid
+       |         FROM (SELECT * FROM h ORDER BY hh LIMIT $ksub)),
+       |js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       |cb0 AS (SELECT js.j, s.cid, s.qv[(js.j*$dsub+1):((js.j+1)*$dsub)] AS cv
+       |        FROM samp s, js),
+       |x AS (SELECT vec_id, js.j, qv[(js.j*$dsub+1):((js.j+1)*$dsub)] AS xv
+       |      FROM q, js),
+       |a1 AS (SELECT vec_id, j, cid FROM (
+       |  SELECT x.vec_id, x.j, c.cid,
+       |    row_number() OVER (PARTITION BY x.vec_id, x.j
+       |      ORDER BY list_dot_product(c.cv, c.cv)
+       |             - 2 * list_dot_product(x.xv, c.cv) ASC, c.cid ASC) AS rn
+       |  FROM x JOIN cb0 c ON c.j = x.j) WHERE rn = 1),
+       |st AS (SELECT j, cid, i - 1 AS pos, count(*) AS n, sum(xv[i]) AS s
+       |       FROM (SELECT a1.j, a1.cid, x.xv,
+       |               unnest(generate_series(1, $dsub)) AS i
+       |             FROM a1 JOIN x ON x.vec_id = a1.vec_id AND x.j = a1.j)
+       |       GROUP BY 1, 2, 3),
+       |cb1r AS (SELECT j, cid, list(s / CAST(n AS DOUBLE) ORDER BY pos) AS cv
+       |         FROM st GROUP BY 1, 2),
+       |cb1 AS (SELECT * FROM cb1r
+       |        UNION ALL
+       |        SELECT c.j, c.cid, c.cv FROM cb0 c
+       |        WHERE NOT EXISTS (SELECT 1 FROM cb1r r
+       |                          WHERE r.j = c.j AND r.cid = c.cid)),
+       |enc AS (SELECT vec_id, j, cid FROM (
+       |  SELECT x.vec_id, x.j, c.cid,
+       |    row_number() OVER (PARTITION BY x.vec_id, x.j
+       |      ORDER BY list_dot_product(c.cv, c.cv)
+       |             - 2 * list_dot_product(x.xv, c.cv) ASC, c.cid ASC) AS rn
+       |  FROM x JOIN cb1 c ON c.j = x.j) WHERE rn = 1),
+       |rn2 AS (SELECT en.vec_id,
+       |          list_dot_product(
+       |            list(list_dot_product(c.cv, c.cv) ORDER BY en.j), $ones) AS rnorm2
+       |        FROM enc en JOIN cb1 c ON c.j = en.j AND c.cid = en.cid
+       |        GROUP BY en.vec_id),
+       |qq AS (SELECT vec_id AS query_id, j, xv AS qsub FROM x WHERE $qPred),
+       |contrib AS (SELECT qq.query_id, en.vec_id AS neighbor_id, qq.j,
+       |              list_dot_product(qq.qsub, c.cv) AS d
+       |            FROM qq
+       |            JOIN enc en ON en.j = qq.j AND en.vec_id <> qq.query_id
+       |            JOIN cb1 c ON c.j = en.j AND c.cid = en.cid),
+       |adc AS (SELECT query_id, neighbor_id,
+       |          list_dot_product(list(d ORDER BY j), $ones) AS num
+       |        FROM contrib GROUP BY 1, 2),
+       |csim AS (SELECT a.query_id, a.neighbor_id, a.num / sqrt(r.rnorm2) AS sim
+       |         FROM adc a JOIN rn2 r ON r.vec_id = a.neighbor_id
+       |         WHERE r.rnorm2 > 0),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM csim)
+       |  WHERE rn <= ${k * oversample}),
+       |rr AS (SELECT c.query_id, c.neighbor_id,
+       |         list_dot_product(qe.v, ce.v) /
+       |           (sqrt(list_dot_product(qe.v, qe.v)) *
+       |            sqrt(list_dot_product(ce.v, ce.v))) AS sim
+       |       FROM cand c
+       |       JOIN e ce ON ce.vec_id = c.neighbor_id
+       |       JOIN e qe ON qe.vec_id = c.query_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM rr)
+       |WHERE rn <= $k""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q226_pq_topk" -> duckPq(m = 4, ksub = 16, k = 5, oversample = 20,
+      qPred = "vec_id < 10"),
+
+    // q227: q106's recall-report pattern — the exact top-5 CTE, each PQ
+    // tier embedded as a full subquery, hits counted on (query, neighbor).
+    "q227_pq_recall" -> {
+      def tier(name: String, sql: String): String =
+        s"""SELECT '$name' AS method,
+           |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_expected,
+           |  CAST(count(*) AS BIGINT) AS n_hits,
+           |  CAST(count(*) AS DOUBLE) /
+           |    CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall
+           |FROM ex JOIN (
+           |$sql
+           |) ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id""".stripMargin
+      s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |exs AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         |    list_dot_product(qq.v, cc.v) /
+         |      (sqrt(list_dot_product(qq.v, qq.v)) *
+         |       sqrt(list_dot_product(cc.v, cc.v))) AS sim
+         |  FROM eb cc, (SELECT * FROM eb WHERE vec_id < 50) qq
+         |  WHERE cc.vec_id <> qq.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+         |    FROM exs)
+         |  WHERE rn <= 5)
+         |${tier("pq_m4", duckPq(4, 16, 5, 20, "vec_id < 50"))}
+         |UNION ALL
+         |${tier("pq_m8", duckPq(8, 16, 5, 20, "vec_id < 50"))}""".stripMargin
+    })
+}

@@ -146,6 +146,53 @@ class VecSpec extends SparkSpec {
     assert(viaEval == (3.0 - 1.0 - 3.25))
   }
 
+  test("GatherSumExpr bit-matches the element_at HOF across index widths") {
+    // The HOF formulation the expression replaced (0-based indices,
+    // sequential left fold, null poisons the fold).
+    def hofGather(vals: org.apache.spark.sql.Column, idx: org.apache.spark.sql.Column) =
+      aggregate(transform(idx, i => try_element_at(vals, i.cast("int") + lit(1))),
+        lit(0.0), (acc, v) => acc + v)
+    val vals = (0 until 64).map(i => math.sin(i + 1.0))
+    val gen = Gen.listOfN(8, Gen.chooseNum(0, 63))
+    val idxRows = (1 to 100).flatMap(_ => gen.sample)
+    val df = idxRows.map(ix => (vals, ix)).toDF("vals", "idx")
+    // int indices (the pqEncode shape)
+    val mismatch = df.select(
+        VecExpressions.gatherSum(col("vals"), col("idx")).as("native"),
+        hofGather(col("vals"), col("idx")).as("hof"))
+      .filter(expr("native IS DISTINCT FROM hof"))
+    assert(mismatch.count() == 0)
+    // byte and short index arrays are accepted and agree
+    val narrow = idxRows.take(20)
+      .map(ix => (vals, ix.map(_.toByte), ix.map(_.toShort), ix))
+      .toDF("vals", "b", "s", "i")
+      .filter(
+        expr("graft_gather_sum(vals, b) IS DISTINCT FROM graft_gather_sum(vals, i)") ||
+        expr("graft_gather_sum(vals, s) IS DISTINCT FROM graft_gather_sum(vals, i)"))
+    assert(narrow.count() == 0)
+    // empty indices -> 0.0; out-of-range or null index -> NULL
+    val edge = Seq((vals, Seq.empty[Int]), (vals, Seq(64)), (vals, Seq(-1)))
+      .toDF("vals", "idx")
+      .select(VecExpressions.gatherSum(col("vals"), col("idx")).as("g")).collect()
+    assert(edge(0).getDouble(0) == 0.0)
+    assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
+    val ni = Seq((vals, Seq[Integer](1, null, 2))).toDF("vals", "idx")
+      .select(VecExpressions.gatherSum(col("vals"), col("idx")).as("g")).head()
+    assert(ni.isNullAt(0))
+    // interpreted eval agrees with codegen
+    import graft.functions.GatherSumExpr
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val litV = Literal.create(ArrayData.toArrayData(vals.toArray), ArrayType(DoubleType))
+    val litI = Literal.create(ArrayData.toArrayData(idxRows.head.toArray), ArrayType(IntegerType))
+    val viaEval = GatherSumExpr(litV, litI).eval(null).asInstanceOf[Double]
+    val viaDf = df.limit(1)
+      .select(VecExpressions.gatherSum(col("vals"), col("idx"))).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(viaEval) ==
+      java.lang.Double.doubleToLongBits(viaDf))
+  }
+
   test("mmrSelect picks diversity over redundancy; lambda=den degenerates to top-k by rel") {
     import graft.ann.Ann
     // Pool: two near-duplicate high-relevance vectors (1, 2), one
