@@ -137,16 +137,19 @@ object Ann {
     * — the documented one-time-materialization trade ([[graft.dedup.Dedup.minhashSignature]]'s
     * note): quantization runs once when the table is written; the
     * per-query hot path stays codegen via [[dot]] on the cast arrays. */
-  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def quantize(df: DataFrame, idCol: String, vecCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    df.select(col(idCol), v.as("__v"),
-        (aggregate(v, lit(0d), (acc, x) => greatest(acc, abs(x))) / 127.0).as("qscale"))
-      .select(col(idCol), col("qscale"),
+    val kc = keep.map(col)
+    df.select(col(idCol) +: v.as("__v") +:
+        (aggregate(v, lit(0d), (acc, x) => greatest(acc, abs(x))) / 127.0).as("qscale") +:
+        kc: _*)
+      .select(col(idCol) +: col("qscale") +:
         when(col("qscale") === 0d,
             transform(col("__v"), _ => lit(0).cast("byte")))
           .otherwise(
             transform(col("__v"), x => floor(x / col("qscale") + 0.5).cast("byte")))
-          .as("qvec"))
+          .as("qvec") +: kc: _*)
   }
 
   /** Exact top-k over int8-quantized vectors ([[quantize]]'s output):
@@ -714,18 +717,26 @@ object Ann {
     * HOFs are fine here; the SEARCH path touches only `codes`/`rnorm`
     * through codegen expressions. m bytes of code + one double per
     * vector is the entire search-time corpus footprint. */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  /** The (codes, rnorm) expressions over a [[pqAssigned]] frame — shared
+    * by [[pqEncode]] and [[ivfPqTopK]] (which carries a coarse-list id
+    * through the same encoding pass). */
+  private def pqCodeCols(codebooks: Array[Array[Array[Double]]]): (Column, Column) = {
     val m = codebooks.length
     val offsets = codebooks.scanLeft(0)(_ + _.length)
-    val assigned = pqAssigned(quantize(corpus, idCol, vecCol), "qvec", codebooks)
     val codes = array((0 until m).map(j =>
       (col(s"__code_$j") + lit(offsets(j))).cast("int")): _*)
     val rnorm2 = (0 until m).map { j =>
       element_at(array(cbNorm2(codebooks(j)).map(lit).toIndexedSeq: _*),
         col(s"__code_$j") + 1)
     }.reduceLeft(_ + _) // left fold in subspace order — the oracle's order
-    assigned.select(col(idCol), codes.as("codes"), sqrt(rnorm2).as("rnorm"))
+    (codes, sqrt(rnorm2))
+  }
+
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val assigned = pqAssigned(quantize(corpus, idCol, vecCol), "qvec", codebooks)
+    val (codes, rnorm) = pqCodeCols(codebooks)
+    assigned.select(col(idCol), codes.as("codes"), rnorm.as("rnorm"))
   }
 
   /** PQ-ADC approximate top-k (the FAISS IndexPQ + refine shape): train
@@ -772,8 +783,17 @@ object Ann {
           graft.functions.VecExpressions.gatherSum(col("__lut"), col("codes"))
             / col("rnorm")).as("sim"))
     val cand = topKPerQuery(candScored, k * oversample)
-    // Raw query frame: the in-plan gate rides the always-executed
-    // candidate tier (jlTopK's r8 rationale).
+    exactRerank(corpus, queries, idCol, vecCol, cand, k)
+  }
+
+  /** Full-dimension exact rerank of a bounded (query_id, neighbor_id)
+    * shortlist — the shared second tier of [[pqTopK]]/[[ivfPqTopK]]
+    * ([[jlTopK]]'s contract): the shortlist broadcasts back for one
+    * column-pruned corpus pass; the corpus never shuffles. Raw query
+    * frame by design: the in-plan gate rides the always-executed
+    * candidate tier (jlTopK's r8 rationale). */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cand: DataFrame, k: Int): DataFrame = {
     val rerank = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
       .join(broadcast(cand.select("query_id", "neighbor_id")), Seq("neighbor_id"))
@@ -783,6 +803,75 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qvec"), col("__cvec")).as("sim"))
     topKPerQuery(rerank, k)
+  }
+
+  /** IVF + PQ — the two scale levers composed (the FAISS IndexIVFPQ
+    * shape, Jégou et al. 2011 §IV, minus residual encoding — codes are
+    * global [[pqCodebooks]] codes, so one codebook set serves every
+    * list and the oracle replays training once, not per-list): the
+    * coarse quantizer ([[sampleCentroids]] + [[withNearestCentroids]],
+    * [[ivfTopK]]'s verbatim — same seed, same cosine assignment)
+    * restricts each query's candidates to its `nProbe` nearest inverted
+    * lists, ADC scores those candidates through the same broadcast-LUT
+    * + [[graft.functions.GatherSumExpr]] kernel as [[pqTopK]], and the
+    * shortlist exact-reranks at full dimension.
+    *
+    * Why both levers: [[pqTopK]] still STREAMS the whole corpus (every
+    * row's codes pass the LUTs); [[ivfTopK]] still reads full-width
+    * vectors for every candidate. Composed, a query touches
+    * ~nProbe/nCentroids of the corpus at m bytes + one double per row —
+    * the 100 TB serving shape (scan cut × byte cut). The corpus is
+    * coarse-assigned and encoded in ONE projection pass (cid rides
+    * [[quantize]]'s `keep` through [[pqAssigned]]) and never shuffles:
+    * the candidate join is cid-equality against the broadcast probe
+    * frame, so each (query, neighbor) pair meets at most once (one cid
+    * per corpus row, distinct probe list — [[ivfTopK]]'s no-dedup
+    * argument).
+    *
+    * Recall: a true neighbor outside the probed lists is lost (the
+    * standard IVF trade, tuned by nProbe) ON TOP of PQ's code-resolution
+    * loss — measure with [[recallReport]] before choosing
+    * (nProbe, m) for a deployment. Deterministic end-to-end, same
+    * argument as [[pqTopK]]; the q228 oracle replays coarse assignment,
+    * codebook training, encoding, ADC, and rerank. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 4, ksub: Int = 16, oversample: Int = 20, seed: Long = 42,
+      iters: Int = 1, dim: Int = 64, maxQueryRows: Int = 1000000): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"ivfPqTopK: nProbe=$nProbe outside [1, nCentroids=$nCentroids]")
+    require(oversample >= 1, s"ivfPqTopK: oversample must be >= 1, got $oversample")
+    val dsub = dim / m
+    val coarse = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, seed, iters, dim)
+    val guarded = probeQueries(queries, idCol, "ivfPqTopK", maxQueryRows,
+      "use lshTopK(broadcastQueries = false) for an unbounded query set")
+    // ONE corpus pass: coarse list id + PQ codes + reconstructed norm.
+    val withCid = withNearestCentroids(corpus, vecCol, coarse, 1, "__near")
+      .withColumn("__cid", element_at(col("__near"), 1)).drop("__near")
+    val assigned = pqAssigned(
+      quantize(withCid, idCol, vecCol, keep = Seq("__cid")), "qvec", cbs)
+    val (codes, rnorm) = pqCodeCols(cbs)
+    val enc = assigned.select(col(idCol).as("neighbor_id"), col("__cid"),
+      codes.as("codes"), rnorm.as("rnorm"))
+    // Probe-sized side: nProbe list ids + the flattened ADC LUT per query.
+    val qlut = quantize(
+        withNearestCentroids(guarded, vecCol, coarse, nProbe, "__probe"),
+        idCol, vecCol, keep = Seq("__probe"))
+      .select(col(idCol).as("query_id"), explode(col("__probe")).as("__cid"),
+        concat((0 until m).map(j =>
+          graft.functions.VecExpressions.matDots(
+            slice(col("qvec"), j * dsub + 1, dsub).cast("array<double>"),
+            cbs(j))): _*).as("__lut"))
+    val candScored = enc
+      .join(broadcast(qlut), Seq("__cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rnorm") > 0d,
+          graft.functions.VecExpressions.gatherSum(col("__lut"), col("codes"))
+            / col("rnorm")).as("sim"))
+    val cand = topKPerQuery(candScored, k * oversample)
+    exactRerank(corpus, queries, idCol, vecCol, cand, k)
   }
 
   /** Semantic (embedding-space) benchmark decontamination: flags every

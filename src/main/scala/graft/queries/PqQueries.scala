@@ -7,11 +7,13 @@ import graft.ann.Ann
 import graft.functions.Stable
 import graft.sources.Tables
 
-/** Product-quantization ANN queries ([[graft.ann.Ann.pqTopK]]) — the
-  * code-compression tier of the similarity-search kit (Jégou et al.
-  * 2011): int8-quantize, split into m subspaces, per-subspace L2 Lloyd
-  * codebooks from a seeded sample, m-byte codes per vector, ADC
-  * candidate scoring against per-query lookup tables, exact rerank.
+/** Product-quantization ANN queries ([[graft.ann.Ann.pqTopK]] /
+  * [[graft.ann.Ann.ivfPqTopK]]) — the code-compression tier of the
+  * similarity-search kit (Jégou et al. 2011): int8-quantize, split into
+  * m subspaces, per-subspace L2 Lloyd codebooks from a seeded sample,
+  * m-byte codes per vector, ADC candidate scoring against per-query
+  * lookup tables, exact rerank; the IVF composition adds a coarse
+  * quantizer so a query touches only its nProbe inverted lists.
   *
   * The entire construction is deterministic (seeded sample, integer
   * Lloyd sufficient statistics, fixed-order double folds), so the
@@ -50,24 +52,42 @@ object PqQueries {
           m = 4, ksub = 16, oversample = 20, seed = 42, iters = 1),
         "pq_m8" -> Ann.pqTopK(emb, qs, "vec_id", "embedding", k = 5,
           m = 8, ksub = 16, oversample = 20, seed = 42, iters = 1)))
+    }),
+
+    // IVF + PQ top-k ([[Ann.ivfPqTopK]]): the two scale levers composed
+    // — q39's 16-centroid coarse quantizer restricts each query to its
+    // 4 probed inverted lists (scan cut), q226's PQ codes score the
+    // survivors through the gather-sum kernel (byte cut), exact rerank.
+    // One row set checks coarse assignment, probe selection, the
+    // list-restricted ADC ordering, and the rerank together.
+    "q228_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, m = 4, ksub = 16,
+        oversample = 20, seed = 42, iters = 1)
     }))
 
-  /** The full PQ pipeline in SQL, parameterized the same way as
-    * [[Ann.pqTopK]] (iters = 1, dim = 64): quantization (q62's CTEs),
-    * the seeded ksub-row sample, per-subspace round-1 L2 assignment +
-    * integer sufficient statistics + s/n refinement (q89's Lloyd
-    * pattern, with the subspace id as an extra key), encode, the
-    * ordered-fold reconstructed norm, ADC scores as ordered folds of
-    * per-subspace dots, shortlist by (sim DESC, id ASC), exact rerank.
-    * Cross-engine exactness: every sum that crosses engines is either
-    * an integer or a `list_dot_product` against a ones-vector — the
-    * same left-to-right fold [[graft.functions.GatherSumExpr]] and the
-    * Scala-side norm folds use. */
-  private def duckPq(m: Int, ksub: Int, k: Int, oversample: Int,
-      qPred: String): String = {
+  private def cos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** The shared PQ CTE body (no WITH keyword), parameterized the same
+    * way as [[Ann.pqCodebooks]]/[[Ann.pqEncode]] (iters = 1, dim = 64):
+    * quantization (q62's CTEs), the seeded ksub-row sample, per-subspace
+    * round-1 L2 assignment + integer sufficient statistics + s/n
+    * refinement (q89's Lloyd pattern, with the subspace id as an extra
+    * key), encode, the ordered-fold reconstructed norm. Cross-engine
+    * exactness: every sum that crosses engines is either an integer or
+    * a `list_dot_product` against a ones-vector — the same
+    * left-to-right fold [[graft.functions.GatherSumExpr]] and the
+    * Scala-side norm folds use. Ends with:
+    * `x(vec_id, j, xv)` the subvectors, `cb1(j, cid, cv)` the refined
+    * codebooks, `enc(vec_id, j, cid)` the codes, `rn2(vec_id, rnorm2)`
+    * the squared reconstructed norms, `h(vec_id, qv, hh)` the seeded
+    * hash frame, `e(vec_id, v)` the raw vectors. */
+  private def pqCtes(m: Int, ksub: Int): String = {
     val dsub = 64 / m
     val ones = Seq.fill(m)("1.0").mkString("[", ", ", "]")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |sc AS (SELECT vec_id, v,
        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
        |q AS (SELECT vec_id,
@@ -110,14 +130,14 @@ object PqQueries {
        |          list_dot_product(
        |            list(list_dot_product(c.cv, c.cv) ORDER BY en.j), $ones) AS rnorm2
        |        FROM enc en JOIN cb1 c ON c.j = en.j AND c.cid = en.cid
-       |        GROUP BY en.vec_id),
-       |qq AS (SELECT vec_id AS query_id, j, xv AS qsub FROM x WHERE $qPred),
-       |contrib AS (SELECT qq.query_id, en.vec_id AS neighbor_id, qq.j,
-       |              list_dot_product(qq.qsub, c.cv) AS d
-       |            FROM qq
-       |            JOIN enc en ON en.j = qq.j AND en.vec_id <> qq.query_id
-       |            JOIN cb1 c ON c.j = en.j AND c.cid = en.cid),
-       |adc AS (SELECT query_id, neighbor_id,
+       |        GROUP BY en.vec_id)""".stripMargin
+  }
+
+  /** ADC scoring + shortlist + exact rerank given `contrib(query_id,
+    * neighbor_id, j, d)` — shared by the flat-PQ and IVF-PQ oracles. */
+  private def pqTail(m: Int, k: Int, oversample: Int): String = {
+    val ones = Seq.fill(m)("1.0").mkString("[", ", ", "]")
+    s"""adc AS (SELECT query_id, neighbor_id,
        |          list_dot_product(list(d ORDER BY j), $ones) AS num
        |        FROM contrib GROUP BY 1, 2),
        |csim AS (SELECT a.query_id, a.neighbor_id, a.num / sqrt(r.rnorm2) AS sim
@@ -128,9 +148,7 @@ object PqQueries {
        |    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM csim)
        |  WHERE rn <= ${k * oversample}),
        |rr AS (SELECT c.query_id, c.neighbor_id,
-       |         list_dot_product(qe.v, ce.v) /
-       |           (sqrt(list_dot_product(qe.v, qe.v)) *
-       |            sqrt(list_dot_product(ce.v, ce.v))) AS sim
+       |         ${cos("qe.v", "ce.v")} AS sim
        |       FROM cand c
        |       JOIN e ce ON ce.vec_id = c.neighbor_id
        |       JOIN e qe ON qe.vec_id = c.query_id)
@@ -139,6 +157,50 @@ object PqQueries {
        |    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM rr)
        |WHERE rn <= $k""".stripMargin
   }
+
+  /** The flat-PQ pipeline ([[Ann.pqTopK]]) in SQL: [[pqCtes]] + ADC over
+    * EVERY encoded row + [[pqTail]]. */
+  private def duckPq(m: Int, ksub: Int, k: Int, oversample: Int,
+      qPred: String): String =
+    s"""WITH ${pqCtes(m, ksub)},
+       |qq AS (SELECT vec_id AS query_id, j, xv AS qsub FROM x WHERE $qPred),
+       |contrib AS (SELECT qq.query_id, en.vec_id AS neighbor_id, qq.j,
+       |              list_dot_product(qq.qsub, c.cv) AS d
+       |            FROM qq
+       |            JOIN enc en ON en.j = qq.j AND en.vec_id <> qq.query_id
+       |            JOIN cb1 c ON c.j = en.j AND c.cid = en.cid),
+       |${pqTail(m, k, oversample)}""".stripMargin
+
+  /** The IVF-PQ pipeline ([[Ann.ivfPqTopK]]) in SQL: [[pqCtes]] + q39's
+    * coarse-quantizer CTEs (seeded raw-vector sample, cosine assignment
+    * with rank ties to the lower centroid id — `cranked` serves both
+    * the corpus assignment at rn = 1 and the query probe lists at
+    * rn <= nProbe) + ADC restricted to probed lists + [[pqTail]]. */
+  private def duckIvfPq(m: Int, ksub: Int, nCentroids: Int, nProbe: Int,
+      k: Int, oversample: Int, qPred: String): String =
+    s"""WITH ${pqCtes(m, ksub)},
+       |cent AS (SELECT e2.v AS ccv, t.ccid
+       |         FROM (SELECT vec_id, row_number() OVER (ORDER BY hh) - 1 AS ccid
+       |               FROM (SELECT * FROM h ORDER BY hh LIMIT $nCentroids)) t
+       |         JOIN e e2 ON e2.vec_id = t.vec_id),
+       |csims AS (SELECT e.vec_id, c.ccid, ${cos("e.v", "c.ccv")} AS sim
+       |          FROM e, cent c),
+       |cranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                         ORDER BY sim DESC, ccid ASC) AS rn
+       |            FROM csims),
+       |casg AS (SELECT vec_id, ccid FROM cranked WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, ccid FROM cranked
+       |           WHERE rn <= $nProbe AND ($qPred)),
+       |qq AS (SELECT vec_id AS query_id, j, xv AS qsub FROM x WHERE $qPred),
+       |contrib AS (SELECT qq.query_id, en.vec_id AS neighbor_id, qq.j,
+       |              list_dot_product(qq.qsub, c.cv) AS d
+       |            FROM qq
+       |            JOIN enc en ON en.j = qq.j AND en.vec_id <> qq.query_id
+       |            JOIN casg ON casg.vec_id = en.vec_id
+       |            JOIN qprobe p ON p.query_id = qq.query_id
+       |                         AND p.ccid = casg.ccid
+       |            JOIN cb1 c ON c.j = en.j AND c.cid = en.cid),
+       |${pqTail(m, k, oversample)}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q226_pq_topk" -> duckPq(m = 4, ksub = 16, k = 5, oversample = 20,
@@ -171,5 +233,8 @@ object PqQueries {
          |${tier("pq_m4", duckPq(4, 16, 5, 20, "vec_id < 50"))}
          |UNION ALL
          |${tier("pq_m8", duckPq(8, 16, 5, 20, "vec_id < 50"))}""".stripMargin
-    })
+    },
+
+    "q228_ivfpq_topk" -> duckIvfPq(m = 4, ksub = 16, nCentroids = 16,
+      nProbe = 4, k = 5, oversample = 20, qPred = "vec_id < 10"))
 }
