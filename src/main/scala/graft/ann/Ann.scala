@@ -854,15 +854,7 @@ object Ann {
     val (codes, rnorm) = pqCodeCols(cbs)
     val enc = assigned.select(col(idCol).as("neighbor_id"), col("__cid"),
       codes.as("codes"), rnorm.as("rnorm"))
-    // Probe-sized side: nProbe list ids + the flattened ADC LUT per query.
-    val qlut = quantize(
-        withNearestCentroids(guarded, vecCol, coarse, nProbe, "__probe"),
-        idCol, vecCol, keep = Seq("__probe"))
-      .select(col(idCol).as("query_id"), explode(col("__probe")).as("__cid"),
-        concat((0 until m).map(j =>
-          graft.functions.VecExpressions.matDots(
-            slice(col("qvec"), j * dsub + 1, dsub).cast("array<double>"),
-            cbs(j))): _*).as("__lut"))
+    val qlut = pqQueryLut(guarded, idCol, vecCol, coarse, nProbe, cbs)
     val candScored = enc
       .join(broadcast(qlut), Seq("__cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -872,6 +864,127 @@ object Ann {
             / col("rnorm")).as("sim"))
     val cand = topKPerQuery(candScored, k * oversample)
     exactRerank(corpus, queries, idCol, vecCol, cand, k)
+  }
+
+  /** The probe-sized query frame of the IVF-PQ tier: one row per
+    * (query, probed list) with the query's flattened ADC lookup table —
+    * (query_id, __cid, __lut). Shared by [[ivfPqTopK]] and [[pqProbe]];
+    * the LUT is m codegen [[graft.functions.MatDotsExpr]] dots per
+    * QUERY (probe-sized side — never the corpus). */
+  private def pqQueryLut(guarded: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nProbe: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    quantize(
+        withNearestCentroids(guarded, vecCol, centroids, nProbe, "__probe"),
+        idCol, vecCol, keep = Seq("__probe"))
+      .select(col(idCol).as("query_id"), explode(col("__probe")).as("__cid"),
+        concat((0 until m).map(j =>
+          graft.functions.VecExpressions.matDots(
+            slice(col("qvec"), j * dsub + 1, dsub).cast("array<double>"),
+            codebooks(j))): _*).as("__lut"))
+  }
+
+  /** The IVF-PQ index as a PERSISTED artifact — [[writeIvfIndex]]'s
+    * train-once contract for the COMPRESSED tier: what lands on disk is
+    * m ints + one double per vector (codes + reconstructed norm), NOT
+    * the float vectors — at 100 TB the artifact is the ~20-60× smaller
+    * object, which is the entire point of persisting codes. Three
+    * pieces: `<table>` holds (cid, idCol, codes, rnorm) bucketed AND
+    * sorted by cid (HashPartitioning(cid) satisfies [[pqProbe]]'s join
+    * distribution — the list side reads its buckets in place, only the
+    * probe frame moves); `<path>_centroids` the coarse quantizer;
+    * `<path>_codebooks` the PQ codebooks (j, cid, cv). Train + assign +
+    * encode are [[ivfPqTopK]]'s verbatim, so a probe of the reloaded
+    * artifact is bit-identical to the in-memory tier — q229 pins that
+    * loop closure against the from-raw SQL rebuild. Reload through
+    * [[readPqIndex]] (`spark.table`), never a bare parquet path
+    * ([[graft.dedup.Dedup.writeStore]]'s bucket-spec trap). */
+  def writePqIndex(corpus: DataFrame, table: String, path: String,
+      idCol: String, vecCol: String, seed: Long = 42, nCentroids: Int = 16,
+      m: Int = 4, ksub: Int = 16, iters: Int = 1, dim: Int = 64,
+      buckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val coarse = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, seed, iters, dim)
+    import spark.implicits._
+    coarse.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${path}_centroids")
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+      }.toSeq.toDF("j", "cid", "cv")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${path}_codebooks")
+    val withCid = withNearestCentroids(corpus, vecCol, coarse, 1, "__near")
+      .withColumn("__cid", element_at(col("__near"), 1)).drop("__near")
+    val assigned = pqAssigned(
+      quantize(withCid, idCol, vecCol, keep = Seq("__cid")), "qvec", cbs)
+    val (codes, rnorm) = pqCodeCols(cbs)
+    assigned
+      .select(col("__cid").as("cid"), col(idCol),
+        codes.as("codes"), rnorm.as("rnorm"))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+  }
+
+  /** Reload a [[writePqIndex]] artifact: the encoded lists with their
+    * bucket spec intact, plus the coarse quantizer and the PQ codebooks
+    * as the driver-side arrays [[pqProbe]] takes. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String): (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = spark.read.parquet(s"${path}_centroids")
+      .orderBy("cid").select("cvec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cbRows = spark.read.parquet(s"${path}_codebooks")
+      .orderBy("j", "cid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.iterator.map(_._1).max + 1
+    val cbs = Array.tabulate(m)(j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    (spark.table(table), cents, cbs)
+  }
+
+  /** Query a persisted IVF-PQ index ([[readPqIndex]]'s output): probe-
+    * list projection + LUT on the query batch, cid join against the
+    * bucketed encoded lists (in place — no Exchange on the list side),
+    * ADC scoring through [[graft.functions.GatherSumExpr]]. With
+    * `rerankCorpus` the `k·oversample` ADC shortlist exact-reranks at
+    * full dimension against that frame ([[ivfPqTopK]]'s two-tier
+    * contract, bit-identical to it — q229's pin); without it the ADC
+    * ranking itself is the answer (the FAISS IndexPQ no-refine mode —
+    * the serving shape when the float vectors genuinely aren't kept). */
+  def pqProbe(index: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      oversample: Int = 20, rerankCorpus: Option[DataFrame] = None,
+      maxQueryRows: Int = 1000000): DataFrame = {
+    val guarded = probeQueries(queries, idCol, "pqProbe", maxQueryRows,
+      "probe in bounded query batches")
+    val qlut = pqQueryLut(guarded, idCol, vecCol, centroids, nProbe, codebooks)
+    // No broadcast hint (unlike [[ivfPqTopK]], whose encoded side is
+    // derived in-plan): the probe frame broadcasts on its own when it
+    // fits, and an oversized batch degrades to a shuffle of the PROBE
+    // side only — the bucketed list side reads in place either way.
+    val candScored = index
+      .select(col("cid").as("__cid"), col(idCol).as("neighbor_id"),
+        col("codes"), col("rnorm"))
+      .join(qlut, Seq("__cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rnorm") > 0d,
+          graft.functions.VecExpressions.gatherSum(col("__lut"), col("codes"))
+            / col("rnorm")).as("sim"))
+    rerankCorpus match {
+      case Some(c) =>
+        exactRerank(c, queries, idCol, vecCol,
+          topKPerQuery(candScored, k * oversample), k)
+      case None => topKPerQuery(candScored, k)
+    }
   }
 
   /** Semantic (embedding-space) benchmark decontamination: flags every

@@ -65,6 +65,44 @@ object PqQueries {
       Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nCentroids = 16, nProbe = 4, m = 4, ksub = 16,
         oversample = 20, seed = 42, iters = 1)
+    }),
+
+    // IVF-PQ recall report: the nProbe trade measured — 2/4/8 probed
+    // lists out of 16 against the exact top-5 on the same 50-query
+    // probe (each tier pays PQ's code-resolution loss PLUS the
+    // probe-miss loss; q227 isolates the former, this isolates the
+    // latter). The "measure, don't guess" gate the ivfPqTopK scaladoc
+    // promises before choosing nProbe for a deployment.
+    "q230_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+      val ex = Ann.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      def tier(nProbe: Int) =
+        Ann.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
+          nCentroids = 16, nProbe = nProbe, m = 4, ksub = 16,
+          oversample = 20, seed = 42, iters = 1)
+      Ann.recallReport(ex, Seq(
+        "ivfpq_p2" -> tier(2), "ivfpq_p4" -> tier(4), "ivfpq_p8" -> tier(8)))
+    }),
+
+    // The persisted IVF-PQ index ([[Ann.writePqIndex]]): train coarse
+    // quantizer + codebooks once, land CODES (m ints + a norm per
+    // vector — not the floats) as a cid-bucketed table with the
+    // quantizers as sidecars, then answer a FRESH query batch purely
+    // from the reloaded artifact (probe projection + ADC + rerank
+    // against the source frame). Probe-of-artifact ≡ in-memory
+    // ivfPqTopK bit-for-bit, so the oracle rebuilds the identical
+    // chain from raw embeddings — the q78 loop-closure pattern for
+    // the compressed tier.
+    "q229_pq_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q229_index"
+      Ann.writePqIndex(emb, "graft_q229_index", path, "vec_id", "embedding",
+        seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
+      val (index, cents, cbs) = Ann.readPqIndex(s, "graft_q229_index", path)
+      Ann.pqProbe(index, cents, cbs, emb.filter(col("vec_id") % 20 === 3),
+        "vec_id", "embedding", k = 5, nProbe = 4, oversample = 20,
+        rerankCorpus = Some(emb))
     }))
 
   private def cos(a: String, b: String): String =
@@ -202,39 +240,52 @@ object PqQueries {
        |            JOIN cb1 c ON c.j = en.j AND c.cid = en.cid),
        |${pqTail(m, k, oversample)}""".stripMargin
 
+  /** q106's recall-report pattern — the exact top-5 CTE, each tier
+    * embedded as a full subquery, hits counted on (query, neighbor).
+    * Shared by the q227 (code width) and q230 (nProbe) reports. */
+  private def duckRecallReport(tiers: Seq[(String, String)]): String = {
+    def tier(name: String, sql: String): String =
+      s"""SELECT '$name' AS method,
+         |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_expected,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(count(*) AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall
+         |FROM ex JOIN (
+         |$sql
+         |) ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id""".stripMargin
+    s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |exs AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |    list_dot_product(qq.v, cc.v) /
+       |      (sqrt(list_dot_product(qq.v, qq.v)) *
+       |       sqrt(list_dot_product(cc.v, cc.v))) AS sim
+       |  FROM eb cc, (SELECT * FROM eb WHERE vec_id < 50) qq
+       |  WHERE cc.vec_id <> qq.vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |    FROM exs)
+       |  WHERE rn <= 5)
+       |${tiers.map { case (n, s) => tier(n, s) }.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q226_pq_topk" -> duckPq(m = 4, ksub = 16, k = 5, oversample = 20,
       qPred = "vec_id < 10"),
 
-    // q227: q106's recall-report pattern — the exact top-5 CTE, each PQ
-    // tier embedded as a full subquery, hits counted on (query, neighbor).
-    "q227_pq_recall" -> {
-      def tier(name: String, sql: String): String =
-        s"""SELECT '$name' AS method,
-           |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_expected,
-           |  CAST(count(*) AS BIGINT) AS n_hits,
-           |  CAST(count(*) AS DOUBLE) /
-           |    CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall
-           |FROM ex JOIN (
-           |$sql
-           |) ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id""".stripMargin
-      s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |exs AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
-         |    list_dot_product(qq.v, cc.v) /
-         |      (sqrt(list_dot_product(qq.v, qq.v)) *
-         |       sqrt(list_dot_product(cc.v, cc.v))) AS sim
-         |  FROM eb cc, (SELECT * FROM eb WHERE vec_id < 50) qq
-         |  WHERE cc.vec_id <> qq.vec_id),
-         |ex AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                ORDER BY sim DESC, neighbor_id ASC) AS rn
-         |    FROM exs)
-         |  WHERE rn <= 5)
-         |${tier("pq_m4", duckPq(4, 16, 5, 20, "vec_id < 50"))}
-         |UNION ALL
-         |${tier("pq_m8", duckPq(8, 16, 5, 20, "vec_id < 50"))}""".stripMargin
-    },
+    "q227_pq_recall" -> duckRecallReport(Seq(
+      "pq_m4" -> duckPq(4, 16, 5, 20, "vec_id < 50"),
+      "pq_m8" -> duckPq(8, 16, 5, 20, "vec_id < 50"))),
 
     "q228_ivfpq_topk" -> duckIvfPq(m = 4, ksub = 16, nCentroids = 16,
-      nProbe = 4, k = 5, oversample = 20, qPred = "vec_id < 10"))
+      nProbe = 4, k = 5, oversample = 20, qPred = "vec_id < 10"),
+
+    "q230_ivfpq_recall" -> duckRecallReport(Seq(
+      "ivfpq_p2" -> duckIvfPq(4, 16, 16, 2, 5, 20, "vec_id < 50"),
+      "ivfpq_p4" -> duckIvfPq(4, 16, 16, 4, 5, 20, "vec_id < 50"),
+      "ivfpq_p8" -> duckIvfPq(4, 16, 16, 8, 5, 20, "vec_id < 50"))),
+
+    // q229: write-then-probe ≡ the in-memory tier, so the oracle is the
+    // same from-raw rebuild with the fresh batch's predicate.
+    "q229_pq_index" -> duckIvfPq(m = 4, ksub = 16, nCentroids = 16,
+      nProbe = 4, k = 5, oversample = 20, qPred = "vec_id % 20 = 3"))
 }

@@ -95,6 +95,51 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writePqIndex: probe-of-artifact equals ivfPqTopK; encoded lists read buckets in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    // the ivf-index lattice, dim 8 = m 4 subspaces of 2
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        (pmod(col("id") * (d + 3), lit(11)) - lit(5)).cast("float")): _*).as("vec"))
+    Ann.writePqIndex(emb, "pq_index_spec", s"$dir/index", "vec_id", "vec",
+      seed = 42, nCentroids = 8, m = 4, ksub = 8, iters = 1, dim = 8,
+      buckets = 32)
+    val (index, cents, cbs) = Ann.readPqIndex(spark, "pq_index_spec", s"$dir/index")
+    assert(cents.length == 8 && cbs.length == 4 && cbs.forall(_.length == 8)
+      && index.count() == 200)
+    // the artifact stores codes, not vectors
+    assert(!index.columns.contains("vec"),
+      s"PQ index must not persist float vectors, got ${index.columns.mkString(",")}")
+
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val probe = Ann.pqProbe(index, cents, cbs, queries, "vec_id", "vec",
+      k = 3, nProbe = 3, oversample = 5, rerankCorpus = Some(emb))
+    val fromIndex = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Ann.ivfPqTopK(emb, queries, "vec_id", "vec", k = 3,
+        nCentroids = 8, nProbe = 3, m = 4, ksub = 8, oversample = 5,
+        seed = 42, iters = 1, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex.nonEmpty && fromIndex == direct,
+      s"index answers diverge: ${fromIndex.diff(direct)} / ${direct.diff(fromIndex)}")
+    // no-rerank mode ranks by ADC alone and still returns k per query
+    val adcOnly = Ann.pqProbe(index, cents, cbs, queries, "vec_id", "vec",
+      k = 3, nProbe = 3)
+    assert(adcOnly.groupBy("query_id").count().collect().forall(_.getLong(1) == 3))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ann.pqProbe(index, cents, cbs, queries, "vec_id", "vec",
+          k = 3, nProbe = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"encoded-list scan must report its bucket spec:\n$plan")
+      assert("Exchange hashpartitioning\\(__cid".r.findAllIn(plan).length == 1,
+        s"exactly ONE __cid exchange (the probe frame) expected:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("writeIvfIndexPartitioned + appendIvfBatch: frozen quantizer, idempotent landings, buckets intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_p").toString
     val emb = spark.range(200).select(col("id").as("vec_id"),
