@@ -91,8 +91,20 @@ object Bench {
       .filter(n => only.forall(_.contains(n))).filterNot(excluded)
     val envStart = boxState()
     val calibSec = calibrate(spark)
+    // Per-query progress on stderr (never stdout — the driver parses
+    // stdout's JSON tail): at probe scales a failure 100 minutes in
+    // (the sf10 disk-spill abort) is unattributable without a marker
+    // naming the query that was executing. Elapsed rides along so a
+    // live `grep BENCHQ` shows where the wall time is going.
+    def logQ(phase: String, n: String, sec: Double): Unit =
+      System.err.println(
+        f"BENCHQ $phase $n ${sec}%.2f s ${boxState()}")
     // Warm-up: run everything once, untimed.
-    names.foreach(n => runFull(SparkEntry.queries(n)(spark, sfDir)))
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      runFull(SparkEntry.queries(n)(spark, sfDir))
+      logQ("warmup", n, (System.nanoTime() - t0) / 1e9)
+    }
     // Timed passes. Queries that persist() intermediates (q28) would
     // otherwise read a previous pass's cache — clear it so each timing is a
     // cold full run. min-of-N per query: contention inflates, never deflates,
@@ -101,7 +113,9 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       runFull(SparkEntry.queries(n)(spark, sfDir))
-      n -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      logQ("timed", n, sec)
+      n -> sec
     }.toMap
     // The PREVIOUS run's full per-query detail (committed BENCH_LOCAL.json)
     // — read BEFORE this run overwrites it, so the round-over-round ratio

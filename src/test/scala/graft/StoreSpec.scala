@@ -140,6 +140,34 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("PQ contract guards fail loudly with the fix in the message") {
+    val emb = spark.range(20).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        (pmod(col("id") * (d + 3), lit(11)) - lit(5)).cast("float")): _*).as("vec"))
+    // m must divide dim
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.pqCodebooks(emb, "vec_id", "vec", m = 3, ksub = 4, dim = 8)
+    }
+    assert(e1.getMessage.contains("must divide"))
+    // a code must fit one byte
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.pqCodebooks(emb, "vec_id", "vec", m = 4, ksub = 257, dim = 8)
+    }
+    assert(e2.getMessage.contains("[1, 256]"))
+    // nProbe bounded by nCentroids
+    val e3 = intercept[IllegalArgumentException] {
+      Ann.ivfPqTopK(emb, emb.limit(2), "vec_id", "vec", k = 1,
+        nCentroids = 4, nProbe = 5, m = 4, ksub = 4, dim = 8)
+    }
+    assert(e3.getMessage.contains("nProbe"))
+    // empty corpus named at train time, not as a downstream NPE
+    val e4 = intercept[IllegalArgumentException] {
+      Ann.pqCodebooks(emb.filter(col("vec_id") < 0), "vec_id", "vec",
+        m = 4, ksub = 4, dim = 8)
+    }
+    assert(e4.getMessage.contains("empty corpus"))
+  }
+
   test("writeIvfIndexPartitioned + appendIvfBatch: frozen quantizer, idempotent landings, buckets intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_p").toString
     val emb = spark.range(200).select(col("id").as("vec_id"),
