@@ -126,11 +126,20 @@ object Bench {
     // whole map is dropped with a loud stderr warning — shared_prev then
     // reports n:0 instead of a silently-partial (and therefore skewed)
     // round-over-round ratio, and the bench itself still completes.
-    val prevQueries: Map[String, Double] = {
+    val prevRecordTxt: Option[String] = {
       val p = Paths.get("BENCH_LOCAL.json")
-      if (!Files.exists(p)) Map.empty
-      else {
-        val txt = Files.readString(p)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    // The previous record's calibration number — the input to the
+    // certification gate below (VERDICT r13 #3).
+    val prevCalib: Option[Double] = prevRecordTxt.flatMap { txt =>
+      "\"calib_sec\":(-?[0-9]+\\.[0-9]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    }
+    val prevQueries: Map[String, Double] = {
+      prevRecordTxt match {
+        case None => Map.empty
+        case Some(txt) =>
         val body = txt.indexOf("\"queries\":{")
         if (body < 0) Map.empty
         else {
@@ -171,16 +180,45 @@ object Bench {
     // truncation is harmless) and the LAST line is a compact summary —
     // bounded at the 10 slowest queries, well under 1 kB at any future query
     // count — so the tail window always ends on a parseable object.
+    // Record-certification calibration gate (VERDICT r13 #3): a box
+    // running >1.25x slower per core than the previous record's epoch
+    // (r13: calib 0.437 vs 0.288) must not become the baseline the next
+    // round is judged against — that is machine state, not code. The
+    // run still completes and prints its record (the driver parses
+    // stdout), but BENCH_LOCAL.json keeps the previous epoch; the
+    // uncertified record lands in BENCH_LOCAL_LOADED.json for the
+    // adjudication trail. SPARK_GRAFT_CALIB_OVERRIDE=1 certifies anyway
+    // (the escape hatch for a genuine hardware change).
+    val calibOk = prevCalib.forall(pc => calibSec <= pc * 1.25) ||
+      sys.env.contains("SPARK_GRAFT_CALIB_OVERRIDE")
+    val calibGate = prevCalib match {
+      case Some(pc) =>
+        s""","calib_gate":{"prev":${fmt(pc)},"cur":${fmt(calibSec)},"certified":$calibOk}"""
+      case None => ""
+    }
     val env = s"""{"start":$envStart,"end":${boxState()},"calib_sec":${fmt(calibSec)}}"""
     val exJson =
       if (excluded.isEmpty) ""
       else excluded.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","excluded":[""", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shared_prev":$sharedPrev$exJson,"env":$env,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shared_prev":$sharedPrev$exJson$calibGate,"env":$env,"sf":"$sfDir"}"""
     // Subset/exclude runs must not overwrite the committed full-suite
     // baseline the next round's ratio is computed from.
-    if (only.isEmpty && excluded.isEmpty)
-      Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
+    if (only.isEmpty && excluded.isEmpty) {
+      if (calibOk)
+        Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
+      else {
+        Files.writeString(Paths.get("BENCH_LOCAL_LOADED.json"), full + "\n")
+        System.err.println(
+          f"WARN Bench: calibration gate REFUSED record certification — " +
+            f"calib ${calibSec}%.3f s vs previous record's " +
+            f"${prevCalib.getOrElse(0.0)}%.3f s (>1.25x): this box is " +
+            "slower per core than the record epoch, so the numbers are " +
+            "machine state, not code. Record written to " +
+            "BENCH_LOCAL_LOADED.json; BENCH_LOCAL.json keeps the previous " +
+            "epoch. Set SPARK_GRAFT_CALIB_OVERRIDE=1 to certify anyway.")
+      }
+    }
     println(full)
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }

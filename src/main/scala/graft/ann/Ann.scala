@@ -139,6 +139,12 @@ object Ann {
     * per-query hot path stays codegen via [[dot]] on the cast arrays. */
   def quantize(df: DataFrame, idCol: String, vecCol: String,
       keep: Seq[String] = Nil): DataFrame = {
+    val reserved = Set(idCol, "qscale", "qvec", "__v")
+    val clash = keep.filter(reserved)
+    require(clash.isEmpty,
+      s"quantize: keep column(s) ${clash.mkString(", ")} collide with the " +
+        s"output schema (idCol '$idCol' plus generated qscale/qvec/__v) — " +
+        "rename them upstream")
     val v = col(vecCol).cast("array<double>")
     val kc = keep.map(col)
     df.select(col(idCol) +: v.as("__v") +:
@@ -676,25 +682,45 @@ object Ann {
     * embedding compresses 64× at m=4. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, ksub: Int = 16, seed: Long = 42, iters: Int = 1,
-      dim: Int = 64): Array[Array[Array[Double]]] = {
+      dim: Int = 64): Array[Array[Array[Double]]] =
+    pqCodebooksFrom(quantize(corpus, idCol, vecCol), idCol, "qvec",
+      m, ksub, seed, iters, dim)
+
+  /** [[pqCodebooks]]' training loop over an ALREADY-PREPARED integer
+    * vector frame (`ivecCol`: any integral array — [[quantize]]'s int8
+    * `qvec`, or [[ivfPqEncodeResidual]]'s wider residual components,
+    * which don't fit a byte). Casting the sample to array<double> before
+    * collecting keeps the extraction type-agnostic and exact (the
+    * components are small integers). */
+  private def pqCodebooksFrom(qz: DataFrame, idCol: String, ivecCol: String,
+      m: Int, ksub: Int, seed: Long, iters: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0,
       s"pqCodebooks: m=$m must divide dim=$dim")
     require(ksub >= 1 && ksub <= 256,
       s"pqCodebooks: ksub=$ksub outside [1, 256] (a code must fit one byte)")
     require(iters >= 0, s"pqCodebooks: iters must be >= 0, got $iters")
     val dsub = dim / m
-    val qz = quantize(corpus, idCol, vecCol)
     val sampled = qz
-      .select(col("qvec"),
+      .select(col(ivecCol).cast("array<double>").as("__iv"),
         graft.functions.Stable.seededHash(seed, col(idCol)).as("__h"))
       .orderBy("__h").limit(ksub)
-      .select(col("qvec")).collect()
-      .map(_.getSeq[Byte](0).map(_.toDouble).toArray)
+      .select(col("__iv")).collect()
+      .map(_.getSeq[Double](0).toArray)
     require(sampled.nonEmpty, "pqCodebooks: empty corpus")
+    // dim is a caller PARAMETER, but the data has the truth: a mismatch
+    // would silently encode only a prefix of each vector (slice truncates
+    // past the end), degrading ADC quality with no error — fail loudly on
+    // the sampled rows instead, like every other contract guard here.
+    sampled.find(_.length != dim).foreach { v =>
+      throw new IllegalArgumentException(
+        s"pqCodebooks: dim=$dim but a sampled corpus vector has " +
+          s"${v.length} components — pass dim = the actual vector length")
+    }
     var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => sampled.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     for (_ <- 0 until iters) {
-      val rows = pqLloydStats(qz, "qvec", cbs).collect()
+      val rows = pqLloydStats(qz, ivecCol, cbs).collect()
       val next = Array.tabulate(m)(j => cbs(j).map(_.clone()))
       rows.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((j, cid), rs) =>
         val c = new Array[Double](dsub)
@@ -805,6 +831,193 @@ object Ann {
     topKPerQuery(rerank, k)
   }
 
+  /** Train the coarse quantizer + PQ codebooks and encode the corpus —
+    * the shared train/encode stage of [[ivfPqTopK]] and [[writePqIndex]],
+    * public so a HYPERPARAMETER SWEEP trains ONCE (VERDICT r13: q230's
+    * nProbe sweep retrained the identical seeded state three times —
+    * at 100 TB, re-encoding the corpus per swept value is a real cost
+    * on the "measure before deploying" workflow). Returns the encoded
+    * frame (cid, idCol, codes, rnorm) — [[writePqIndex]]'s table schema,
+    * consumable directly by [[pqProbe]] at any nProbe — plus the coarse
+    * centroids and PQ codebooks. Training (the Lloyd `.collect()`s) is
+    * eager; the encode frame is lazy — a sweep that probes it several
+    * times should `.persist()` it (codes are m ints + a double per row,
+    * the 20-60× smaller object — q230 does exactly this). */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      seed: Long = 42, nCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+      iters: Int = 1, dim: Int = 64)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val coarse = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, seed, iters, dim)
+    (pqEncodeFrozen(corpus, idCol, vecCol, coarse, cbs), coarse, cbs)
+  }
+
+  /** Assign + encode against FROZEN quantizers — [[ivfPqEncode]]'s
+    * projection pass without the training: ONE corpus pass lands coarse
+    * list id + PQ codes + reconstructed norm (cid rides [[quantize]]'s
+    * `keep` through [[pqAssigned]]). Public because it is also the
+    * APPEND kernel ([[appendPqBatch]]): an index's quantizers are a
+    * contract — new batches encode against them, they never retrain. */
+  def pqEncodeFrozen(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val withCid = withNearestCentroids(corpus, vecCol, centroids, 1, "__near")
+      .withColumn("__cid", element_at(col("__near"), 1)).drop("__near")
+    val assigned = pqAssigned(
+      quantize(withCid, idCol, vecCol, keep = Seq("__cid")), "qvec", codebooks)
+    val (codes, rnorm) = pqCodeCols(codebooks)
+    assigned.select(col("__cid").as("cid"), col(idCol),
+      codes.as("codes"), rnorm.as("rnorm"))
+  }
+
+  /** Int8-quantize a driver-side vector with [[quantize]]'s exact
+    * formula (scale = maxAbs/127, floor(x/scale + 0.5) round-half-up in
+    * double math): the coarse centroids quantize on the driver so the
+    * residual subtraction happens in the SAME integer domain on every
+    * engine — the oracle replays this formula in SQL and the doubles
+    * agree bit-for-bit. */
+  private def quantizeVec(v: Array[Double]): Array[Double] = {
+    var mx = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > mx) mx = a; i += 1 }
+    val s = mx / 127.0
+    if (s == 0.0) new Array[Double](v.length)
+    else v.map(x => math.floor(x / s + 0.5))
+  }
+
+  /** [[ivfPqEncode]] with RESIDUAL codes (Jégou et al. 2011 §IV — the
+    * step the global tier deliberately skips): each vector encodes
+    * r = qvec − qc[cid], its int8 offset from its own coarse list's
+    * quantized centroid, against ONE codebook set trained on residuals.
+    * Residuals cluster tighter than raw directions (the coarse
+    * quantizer has already explained the list-level structure), so the
+    * same m bytes buy finer resolution — whether that pays at a given
+    * (m, nProbe) is exactly what q232's recall report measures.
+    *
+    * Everything stays in the QUANTIZED integer domain: r's components
+    * are integers in [-254, 254] (exact in the Lloyd statistics and in
+    * every double fold), so the construction is as oracle-replayable as
+    * the global tier. ADC scoring decomposes as
+    * q·x̂ = q·qc[cid] + q·r̂ — the first term is one per-(query, probed
+    * list) double ([[pqProbeResidual]]'s `__qdotc`, nProbe rows per
+    * query), the second the same [[graft.functions.GatherSumExpr]]
+    * LUT gather as the global tier; ‖x̂‖ is a driver-side
+    * (cid, j, code) table lookup at encode time (nCentroids·m·ksub
+    * doubles — KB-scale, like the codebooks themselves).
+    *
+    * Returns (encoded frame (cid, idCol, codes, rnorm), coarse
+    * centroids, QUANTIZED centroids, residual codebooks) — the probe
+    * needs both centroid forms: raw for probe-list selection (cosine,
+    * [[ivfTopK]]'s assignment), quantized for the q·qc term. */
+  def ivfPqEncodeResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      seed: Long = 42, nCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+      iters: Int = 1, dim: Int = 64)
+      : (DataFrame, Array[Array[Double]], Array[Array[Double]],
+         Array[Array[Array[Double]]]) = {
+    val coarse = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    val qc = coarse.map(quantizeVec)
+    require(qc.forall(_.length == dim),
+      s"ivfPqEncodeResidual: dim=$dim but a sampled centroid has " +
+        s"${qc.map(_.length).distinct.mkString("/")} components")
+    val withCid = withNearestCentroids(corpus, vecCol, coarse, 1, "__near")
+      .withColumn("__cid", element_at(col("__near"), 1)).drop("__near")
+    // Residual in the quantized domain: r = qvec − qc[cid], int − int.
+    val litQc = array(qc.map(c =>
+      array(c.map(x => lit(x.toInt)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val rz = quantize(withCid, idCol, vecCol, keep = Seq("__cid"))
+      .withColumn("rvec", zip_with(col("qvec").cast("array<int>"),
+        element_at(litQc, col("__cid") + 1), (x, c) => x - c))
+    val cbs = pqCodebooksFrom(rz, idCol, "rvec", m, ksub, seed, iters, dim)
+    val assigned = pqAssigned(rz, "rvec", cbs)
+    val offsets = cbs.scanLeft(0)(_ + _.length)
+    val codes = array((0 until m).map(j =>
+      (col(s"__code_$j") + lit(offsets(j))).cast("int")): _*)
+    // ‖x̂‖² = Σ_j ‖qc[cid]_sub_j + cb_j[code_j]‖² — per-subspace pieces
+    // are orthogonal by construction, and each term is a function of
+    // (cid, j, code): one flattened driver-side literal table, indexed
+    // cid·(m·ks) + j·ks + code, summed in subspace order (the oracle's
+    // ordered fold).
+    val dsub = dim / m
+    val ks = cbs.head.length
+    val flatNorm = qc.flatMap(qcv => (0 until m).flatMap(j => cbs(j).map { cv =>
+      var a = 0.0
+      var i = 0
+      while (i < dsub) { val t = qcv(j * dsub + i) + cv(i); a += t * t; i += 1 }
+      a
+    }))
+    val litNorm = array(flatNorm.map(lit).toIndexedSeq: _*)
+    val rnorm2 = (0 until m).map(j =>
+      element_at(litNorm,
+        col("__cid") * (m * ks) + lit(j * ks) + col(s"__code_$j") + 1))
+      .reduceLeft(_ + _)
+    (assigned.select(col("__cid").as("cid"), col(idCol),
+      codes.as("codes"), sqrt(rnorm2).as("rnorm")), coarse, qc, cbs)
+  }
+
+  /** Query a residual-encoded index ([[ivfPqEncodeResidual]]'s frame):
+    * [[pqProbe]]'s shape plus the per-(query, probed list) whole-vector
+    * term — sim = (q·qc[cid] + gather(lut, codes)) / ‖x̂‖, the §IV
+    * decomposition. The q·qc dots run through ONE codegen
+    * [[graft.functions.MatDotsExpr]] against the quantized-centroid
+    * matrix on the PROBE-SIZED side; the corpus side still streams
+    * m ints + one double per row. */
+  def pqProbeResidual(index: DataFrame, centroids: Array[Array[Double]],
+      qCentroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      oversample: Int = 20, rerankCorpus: Option[DataFrame] = None,
+      maxQueryRows: Int = 1000000): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"pqProbeResidual: nProbe=$nProbe outside [1, ${centroids.length}]")
+    require(oversample >= 1,
+      s"pqProbeResidual: oversample must be >= 1, got $oversample")
+    val guarded = probeQueries(queries, idCol, "pqProbeResidual", maxQueryRows,
+      "probe in bounded query batches")
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val qlut = quantize(
+        withNearestCentroids(guarded, vecCol, centroids, nProbe, "__probe"),
+        idCol, vecCol, keep = Seq("__probe"))
+      .select(col(idCol).as("query_id"), explode(col("__probe")).as("__cid"),
+        col("qvec"))
+      .select(col("query_id"), col("__cid"),
+        concat((0 until m).map(j =>
+          graft.functions.VecExpressions.matDots(
+            slice(col("qvec"), j * dsub + 1, dsub).cast("array<double>"),
+            codebooks(j))): _*).as("__lut"),
+        element_at(graft.functions.VecExpressions.matDots(
+            col("qvec").cast("array<double>"), qCentroids),
+          col("__cid") + 1).as("__qdotc"))
+    val candScored = index
+      .select(col("cid").as("__cid"), col(idCol).as("neighbor_id"),
+        col("codes"), col("rnorm"))
+      .join(qlut, Seq("__cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("rnorm") > 0d,
+          (col("__qdotc") +
+            graft.functions.VecExpressions.gatherSum(col("__lut"), col("codes")))
+            / col("rnorm")).as("sim"))
+    rerankCorpus match {
+      case Some(c) =>
+        exactRerank(c, queries, idCol, vecCol,
+          topKPerQuery(candScored, k * oversample), k)
+      case None => topKPerQuery(candScored, k)
+    }
+  }
+
+  /** [[ivfPqTopK]]'s one-call form for the residual tier:
+    * [[ivfPqEncodeResidual]] + [[pqProbeResidual]] with exact rerank. */
+  def ivfPqTopKResidual(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 4, ksub: Int = 16, oversample: Int = 20, seed: Long = 42,
+      iters: Int = 1, dim: Int = 64, maxQueryRows: Int = 1000000): DataFrame = {
+    val (enc, coarse, qc, cbs) = ivfPqEncodeResidual(
+      corpus, idCol, vecCol, seed, nCentroids, m, ksub, iters, dim)
+    pqProbeResidual(enc, coarse, qc, cbs, queries, idCol, vecCol, k,
+      nProbe, oversample, rerankCorpus = Some(corpus), maxQueryRows)
+  }
+
   /** IVF + PQ — the two scale levers composed (the FAISS IndexIVFPQ
     * shape, Jégou et al. 2011 §IV, minus residual encoding — codes are
     * global [[pqCodebooks]] codes, so one codebook set serves every
@@ -841,19 +1054,12 @@ object Ann {
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"ivfPqTopK: nProbe=$nProbe outside [1, nCentroids=$nCentroids]")
     require(oversample >= 1, s"ivfPqTopK: oversample must be >= 1, got $oversample")
-    val dsub = dim / m
-    val coarse = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
-    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, seed, iters, dim)
     val guarded = probeQueries(queries, idCol, "ivfPqTopK", maxQueryRows,
       "use lshTopK(broadcastQueries = false) for an unbounded query set")
-    // ONE corpus pass: coarse list id + PQ codes + reconstructed norm.
-    val withCid = withNearestCentroids(corpus, vecCol, coarse, 1, "__near")
-      .withColumn("__cid", element_at(col("__near"), 1)).drop("__near")
-    val assigned = pqAssigned(
-      quantize(withCid, idCol, vecCol, keep = Seq("__cid")), "qvec", cbs)
-    val (codes, rnorm) = pqCodeCols(cbs)
-    val enc = assigned.select(col(idCol).as("neighbor_id"), col("__cid"),
-      codes.as("codes"), rnorm.as("rnorm"))
+    val (encIdx, coarse, cbs) =
+      ivfPqEncode(corpus, idCol, vecCol, seed, nCentroids, m, ksub, iters, dim)
+    val enc = encIdx.select(col("cid").as("__cid"),
+      col(idCol).as("neighbor_id"), col("codes"), col("rnorm"))
     val qlut = pqQueryLut(guarded, idCol, vecCol, coarse, nProbe, cbs)
     val candScored = enc
       .join(broadcast(qlut), Seq("__cid"))
@@ -906,8 +1112,21 @@ object Ann {
       m: Int = 4, ksub: Int = 16, iters: Int = 1, dim: Int = 64,
       buckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
-    val coarse = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
-    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, seed, iters, dim)
+    val (enc, coarse, cbs) =
+      ivfPqEncode(corpus, idCol, vecCol, seed, nCentroids, m, ksub, iters, dim)
+    writePqSidecars(spark, path, coarse, cbs)
+    enc
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+  }
+
+  /** The KB-sized quantizer sidecars of a persisted PQ index: coarse
+    * centroids and PQ codebooks (`coalesce(1)` is correct here — these
+    * are driver-side arrays, not data). */
+  private def writePqSidecars(spark: org.apache.spark.sql.SparkSession,
+      path: String, coarse: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]]): Unit = {
     import spark.implicits._
     coarse.toSeq.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }
@@ -919,17 +1138,57 @@ object Ann {
       }.toSeq.toDF("j", "cid", "cv")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"${path}_codebooks")
-    val withCid = withNearestCentroids(corpus, vecCol, coarse, 1, "__near")
-      .withColumn("__cid", element_at(col("__near"), 1)).drop("__near")
-    val assigned = pqAssigned(
-      quantize(withCid, idCol, vecCol, keep = Seq("__cid")), "qvec", cbs)
-    val (codes, rnorm) = pqCodeCols(cbs)
-    assigned
-      .select(col("__cid").as("cid"), col(idCol),
-        codes.as("codes"), rnorm.as("rnorm"))
+  }
+
+  /** [[writePqIndex]] with BATCH-PARTITIONED encoded lists — the
+    * growing-index form of the COMPRESSED artifact
+    * ([[writeIvfIndexPartitioned]]'s contract applied to codes): at
+    * 100 TB the code-only index is the one that gets appended daily
+    * (it is the 20-60× smaller object), so it needs the same
+    * incremental path as the float tier. The seed corpus lands in
+    * partition `__batch_id = -1`; each later batch lands via
+    * [[appendPqBatch]]'s INSERT OVERWRITE of its own partition
+    * (idempotent under foreachBatch replay). The bucket spec (cid) is
+    * shared by every partition, so [[pqProbe]]'s list-side join stays
+    * exchange-free as the index grows. */
+  def writePqIndexPartitioned(corpus: DataFrame, table: String, path: String,
+      idCol: String, vecCol: String, seed: Long = 42, nCentroids: Int = 16,
+      m: Int = 4, ksub: Int = 16, iters: Int = 1, dim: Int = 64,
+      buckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val (enc, coarse, cbs) =
+      ivfPqEncode(corpus, idCol, vecCol, seed, nCentroids, m, ksub, iters, dim)
+    writePqSidecars(spark, path, coarse, cbs)
+    enc
+      .withColumn("__batch_id", lit(-1L))
       .write.mode("overwrite").option("path", path)
+      .partitionBy("__batch_id")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
+  }
+
+  /** Land one batch of NEW vectors in a [[writePqIndexPartitioned]]
+    * index: assignment AND encoding use the FROZEN quantizers
+    * ([[pqEncodeFrozen]] — an index's centroids and codebooks are a
+    * contract; retraining them would re-encode every stored row, which
+    * is a rebuild, not an append), and the landing is an INSERT
+    * OVERWRITE of the batch's own partition, so a replayed batch
+    * overwrites rather than duplicates ([[appendIvfBatch]]'s
+    * at-least-once argument). Spark buckets the insert by the table's
+    * (cid) spec — one batch-sized shuffle, the stored lists never move. */
+  def appendPqBatch(batch: DataFrame, table: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], batchId: Long,
+      idCol: String, vecCol: String): Unit = {
+    require(batchId >= 0, s"appendPqBatch: batchId $batchId is reserved " +
+      "(-1 is the seed corpus partition)")
+    val view = s"graft_pq_batch_$batchId"
+    pqEncodeFrozen(batch, idCol, vecCol, centroids, codebooks)
+      .createOrReplaceTempView(view)
+    try batch.sparkSession.sql(
+      s"INSERT OVERWRITE TABLE $table PARTITION (__batch_id = $batchId) " +
+        s"SELECT cid, $idCol, codes, rnorm FROM $view")
+    finally { batch.sparkSession.catalog.dropTempView(view); () }
   }
 
   /** Reload a [[writePqIndex]] artifact: the encoded lists with their

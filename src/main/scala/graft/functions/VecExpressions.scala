@@ -208,6 +208,16 @@ case class GatherSumExpr(left: Expression, right: Expression) extends BinaryExpr
 
   private def idxType = right.dataType.asInstanceOf[ArrayType].elementType
 
+  // Element-type dispatch resolved ONCE per expression instance, not per
+  // array element: idxType walks right.dataType, and the interpreted
+  // path's hot loop must not pay that walk per gather (the codegen path
+  // resolves it at compile time; this is its interpreted mirror).
+  @transient private lazy val getIdxAt: (ArrayData, Int) => Int = idxType match {
+    case ByteType => (idx, i) => idx.getByte(i).toInt
+    case ShortType => (idx, i) => idx.getShort(i).toInt
+    case _ => (idx, i) => idx.getInt(i)
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val vals = a.asInstanceOf[ArrayData]
     val idx = b.asInstanceOf[ArrayData]
@@ -217,11 +227,7 @@ case class GatherSumExpr(left: Expression, right: Expression) extends BinaryExpr
     var i = 0
     while (i < n) {
       if (idx.isNullAt(i)) return null
-      val j = idxType match {
-        case ByteType => idx.getByte(i).toInt
-        case ShortType => idx.getShort(i).toInt
-        case _ => idx.getInt(i)
-      }
+      val j = getIdxAt(idx, i)
       if (j < 0 || j >= nv || vals.isNullAt(j)) return null
       acc += vals.getDouble(j)
       i += 1

@@ -77,10 +77,20 @@ object PqQueries {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
       val ex = Ann.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      // Train + encode ONCE for the whole nProbe sweep (VERDICT r13 #2:
+      // three ivfPqTopK calls retrained the identical seeded state and
+      // re-encoded the corpus 3×). The tiers differ only in how many
+      // lists a query probes, so they share one [[Ann.ivfPqEncode]] pass
+      // — persisted: codes are m ints + a double per row, the 20-60×
+      // smaller object — and probe it via [[Ann.pqProbe]], which q229
+      // pins bit-identical to the in-memory ivfPqTopK. Measured at
+      // sf0.1: 4.6 s (r13, 3× train) → ~2 s single-train.
+      val (encL, cents, cbs) = Ann.ivfPqEncode(emb, "vec_id", "embedding",
+        seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
+      val enc = encL.persist()
       def tier(nProbe: Int) =
-        Ann.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
-          nCentroids = 16, nProbe = nProbe, m = 4, ksub = 16,
-          oversample = 20, seed = 42, iters = 1)
+        Ann.pqProbe(enc, cents, cbs, qs, "vec_id", "embedding", k = 5,
+          nProbe = nProbe, oversample = 20, rerankCorpus = Some(emb))
       Ann.recallReport(ex, Seq(
         "ivfpq_p2" -> tier(2), "ivfpq_p4" -> tier(4), "ivfpq_p8" -> tier(8)))
     }),
@@ -96,13 +106,83 @@ object PqQueries {
     // the compressed tier.
     "q229_pq_index" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q229_index"
-      Ann.writePqIndex(emb, "graft_q229_index", path, "vec_id", "embedding",
+      // Artifact path AND table name carry an sf-dir fingerprint: two
+      // verify/bench processes at different scales on the same box must
+      // not overwrite each other's index mid-query (a flaky oracle
+      // mismatch otherwise — same isolation rule as the q78 store).
+      val tag = f"${dir.hashCode & 0x7fffffff}%08x"
+      val table = s"graft_q229_index_$tag"
+      val path = s"${System.getProperty("java.io.tmpdir")}/$table"
+      Ann.writePqIndex(emb, table, path, "vec_id", "embedding",
         seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
-      val (index, cents, cbs) = Ann.readPqIndex(s, "graft_q229_index", path)
+      val (index, cents, cbs) = Ann.readPqIndex(s, table, path)
       Ann.pqProbe(index, cents, cbs, emb.filter(col("vec_id") % 20 === 3),
         "vec_id", "embedding", k = 5, nProbe = 4, oversample = 20,
         rerankCorpus = Some(emb))
+    }),
+
+    // RESIDUAL IVF-PQ top-k ([[Ann.ivfPqTopKResidual]], Jégou §IV): the
+    // same two levers as q228, but each vector's m bytes encode its
+    // OFFSET from its own coarse list's quantized centroid instead of
+    // the global direction — the coarse quantizer has already explained
+    // the list-level structure, so the codebook spends its resolution
+    // on what remains. Same contract rows (query_id, rank, neighbor_id);
+    // the oracle replays centroid quantization, the integer-domain
+    // residuals, residual codebook training, the decomposed ADC score,
+    // and the rerank.
+    "q231_ivfpq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfPqTopKResidual(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, nCentroids = 16, nProbe = 4, m = 4, ksub = 16,
+        oversample = 20, seed = 42, iters = 1)
+    }),
+
+    // Global vs residual codes at FIXED (m=4, nProbe=4) — the measured
+    // answer to "does §IV's residual step pay at identical bytes?"
+    // (VERDICT r13 #7). Each tier single-trains through its encode path
+    // (q230's discipline) and probes the same 50 queries against the
+    // same exact top-5.
+    "q232_residual_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+      val ex = Ann.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      val (ge, gc, gcb) = Ann.ivfPqEncode(emb, "vec_id", "embedding",
+        seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
+      val (re, rc, rqc, rcb) = Ann.ivfPqEncodeResidual(emb, "vec_id",
+        "embedding", seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
+      Ann.recallReport(ex, Seq(
+        "ivfpq_global" -> Ann.pqProbe(ge, gc, gcb, qs, "vec_id", "embedding",
+          k = 5, nProbe = 4, oversample = 20, rerankCorpus = Some(emb)),
+        "ivfpq_residual" -> Ann.pqProbeResidual(re, rc, rqc, rcb, qs,
+          "vec_id", "embedding", k = 5, nProbe = 4, oversample = 20,
+          rerankCorpus = Some(emb))))
+    }),
+
+    // The GROWING compressed index ([[Ann.writePqIndexPartitioned]] +
+    // [[Ann.appendPqBatch]]): quantizers train on the SEED corpus only
+    // (4/5 of the vectors), a later batch (the remaining 1/5) encodes
+    // against the frozen quantizers and lands as its own partition, and
+    // a fresh query batch probes the UNION — append ≡ retrain-free
+    // encode-everything, which is exactly what the oracle replays
+    // (training CTEs restricted to the seed predicate, encoding over
+    // every row). The daily-append serving shape at 100 TB: the 20-60×
+    // smaller code artifact grows in place, lists never move, the
+    // probe-side join stays exchange-free by bucket spec.
+    "q233_pq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seedCorpus = emb.filter(col("vec_id") % 5 =!= 4)
+      val batch = emb.filter(col("vec_id") % 5 === 4)
+      val tag = f"${dir.hashCode & 0x7fffffff}%08x"
+      val table = s"graft_q233_index_$tag"
+      val path = s"${System.getProperty("java.io.tmpdir")}/$table"
+      Ann.writePqIndexPartitioned(seedCorpus, table, path, "vec_id",
+        "embedding", seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
+      val (_, cents, cbs) = Ann.readPqIndex(s, table, path)
+      Ann.appendPqBatch(batch, table, cents, cbs, batchId = 0,
+        "vec_id", "embedding")
+      Ann.pqProbe(s.table(table), cents, cbs,
+        emb.filter(col("vec_id") % 20 === 7), "vec_id", "embedding",
+        k = 5, nProbe = 4, oversample = 20, rerankCorpus = Some(emb))
     }))
 
   private def cos(a: String, b: String): String =
@@ -122,9 +202,12 @@ object PqQueries {
     * codebooks, `enc(vec_id, j, cid)` the codes, `rn2(vec_id, rnorm2)`
     * the squared reconstructed norms, `h(vec_id, qv, hh)` the seeded
     * hash frame, `e(vec_id, v)` the raw vectors. */
-  private def pqCtes(m: Int, ksub: Int): String = {
+  /** The quantization prefix shared by the global and residual PQ
+    * oracles: raw vectors `e`, int8 quantization `q` ([[Ann.quantize]]'s
+    * formula), the seeded id-hash frame `h`, subspace ids `js`, and the
+    * quantized subvectors `x`. */
+  private def quantCtes(m: Int): String = {
     val dsub = 64 / m
-    val ones = Seq.fill(m)("1.0").mkString("[", ", ", "]")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |sc AS (SELECT vec_id, v,
        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
@@ -133,19 +216,30 @@ object PqQueries {
        |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
        |  FROM sc),
        |h AS (SELECT vec_id, qv, ${Stable.duckSeededHash(42, "vec_id")} AS hh FROM q),
-       |samp AS (SELECT qv, row_number() OVER (ORDER BY hh) - 1 AS cid
-       |         FROM (SELECT * FROM h ORDER BY hh LIMIT $ksub)),
        |js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       |x AS (SELECT vec_id, js.j, qv[(js.j*$dsub+1):((js.j+1)*$dsub)] AS xv
+       |      FROM q, js)""".stripMargin
+  }
+
+  /** `trainPred` restricts TRAINING (the seeded codebook sample and the
+    * Lloyd statistics) to a subset of the corpus — the append scenario,
+    * where quantizers are frozen on the seed corpus and later batches
+    * only ENCODE (q233). Encoding (`enc`, `rn2`) always covers every
+    * row. Default TRUE = train on everything (q226-q232). */
+  private def pqCtes(m: Int, ksub: Int, trainPred: String = "TRUE"): String = {
+    val dsub = 64 / m
+    val ones = Seq.fill(m)("1.0").mkString("[", ", ", "]")
+    s"""${quantCtes(m)},
+       |samp AS (SELECT qv, row_number() OVER (ORDER BY hh) - 1 AS cid
+       |         FROM (SELECT * FROM h WHERE $trainPred ORDER BY hh LIMIT $ksub)),
        |cb0 AS (SELECT js.j, s.cid, s.qv[(js.j*$dsub+1):((js.j+1)*$dsub)] AS cv
        |        FROM samp s, js),
-       |x AS (SELECT vec_id, js.j, qv[(js.j*$dsub+1):((js.j+1)*$dsub)] AS xv
-       |      FROM q, js),
        |a1 AS (SELECT vec_id, j, cid FROM (
        |  SELECT x.vec_id, x.j, c.cid,
        |    row_number() OVER (PARTITION BY x.vec_id, x.j
        |      ORDER BY list_dot_product(c.cv, c.cv)
        |             - 2 * list_dot_product(x.xv, c.cv) ASC, c.cid ASC) AS rn
-       |  FROM x JOIN cb0 c ON c.j = x.j) WHERE rn = 1),
+       |  FROM x JOIN cb0 c ON c.j = x.j WHERE $trainPred) WHERE rn = 1),
        |st AS (SELECT j, cid, i - 1 AS pos, count(*) AS n, sum(xv[i]) AS s
        |       FROM (SELECT a1.j, a1.cid, x.xv,
        |               unnest(generate_series(1, $dsub)) AS i
@@ -215,11 +309,13 @@ object PqQueries {
     * the corpus assignment at rn = 1 and the query probe lists at
     * rn <= nProbe) + ADC restricted to probed lists + [[pqTail]]. */
   private def duckIvfPq(m: Int, ksub: Int, nCentroids: Int, nProbe: Int,
-      k: Int, oversample: Int, qPred: String): String =
-    s"""WITH ${pqCtes(m, ksub)},
+      k: Int, oversample: Int, qPred: String,
+      trainPred: String = "TRUE"): String =
+    s"""WITH ${pqCtes(m, ksub, trainPred)},
        |cent AS (SELECT e2.v AS ccv, t.ccid
        |         FROM (SELECT vec_id, row_number() OVER (ORDER BY hh) - 1 AS ccid
-       |               FROM (SELECT * FROM h ORDER BY hh LIMIT $nCentroids)) t
+       |               FROM (SELECT * FROM h WHERE $trainPred
+       |                     ORDER BY hh LIMIT $nCentroids)) t
        |         JOIN e e2 ON e2.vec_id = t.vec_id),
        |csims AS (SELECT e.vec_id, c.ccid, ${cos("e.v", "c.ccv")} AS sim
        |          FROM e, cent c),
@@ -239,6 +335,127 @@ object PqQueries {
        |                         AND p.ccid = casg.ccid
        |            JOIN cb1 c ON c.j = en.j AND c.cid = en.cid),
        |${pqTail(m, k, oversample)}""".stripMargin
+
+  /** The RESIDUAL IVF-PQ pipeline ([[Ann.ivfPqTopKResidual]]) in SQL —
+    * Jégou §IV replayed end-to-end: [[quantCtes]] + the coarse
+    * quantizer (raw-vector cosine assignment, [[duckIvfPq]]'s CTEs) +
+    * centroid quantization with [[Ann.quantize]]'s exact formula +
+    * residual vectors r = qv − qcv in the integer domain + codebook
+    * training/encoding over the residual subvectors (the same seeded
+    * sample ids, round-1 L2 assignment, integer sufficient statistics,
+    * s/n refinement) + the decomposed ADC score
+    * (q·qc[cid] + Σ_j lut[code_j]) / ‖qc[cid] + r̂‖ + exact rerank.
+    * Every cross-engine sum is an integer, a list_dot_product, or a
+    * fixed-order fold — hash-exact like the global tier. */
+  private def duckIvfPqResidual(m: Int, ksub: Int, nCentroids: Int,
+      nProbe: Int, k: Int, oversample: Int, qPred: String): String = {
+    val dsub = 64 / m
+    val ones = Seq.fill(m)("1.0").mkString("[", ", ", "]")
+    s"""WITH ${quantCtes(m)},
+       |cent AS (SELECT e2.v AS ccv, t.ccid
+       |         FROM (SELECT vec_id, row_number() OVER (ORDER BY hh) - 1 AS ccid
+       |               FROM (SELECT * FROM h ORDER BY hh LIMIT $nCentroids)) t
+       |         JOIN e e2 ON e2.vec_id = t.vec_id),
+       |qcent AS (SELECT ccid,
+       |  CASE WHEN qs = 0 THEN list_transform(ccv, x -> CAST(0 AS DOUBLE))
+       |       ELSE list_transform(ccv, x -> floor(x / qs + 0.5)) END AS qcv
+       |  FROM (SELECT ccid, ccv,
+       |          list_max(list_transform(ccv, x -> abs(x))) / 127.0 AS qs
+       |        FROM cent)),
+       |csims AS (SELECT e.vec_id, c.ccid, ${cos("e.v", "c.ccv")} AS sim
+       |          FROM e, cent c),
+       |cranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                         ORDER BY sim DESC, ccid ASC) AS rn
+       |            FROM csims),
+       |casg AS (SELECT vec_id, ccid FROM cranked WHERE rn = 1),
+       |rq AS (SELECT q.vec_id, casg.ccid,
+       |         list_transform(generate_series(1, 64), i -> q.qv[i] - qc.qcv[i]) AS rv
+       |       FROM q JOIN casg ON casg.vec_id = q.vec_id
+       |       JOIN qcent qc ON qc.ccid = casg.ccid),
+       |rx AS (SELECT vec_id, js.j, rv[(js.j*$dsub+1):((js.j+1)*$dsub)] AS xv
+       |       FROM rq, js),
+       |rsamp AS (SELECT rq.rv, t.cid
+       |          FROM (SELECT vec_id, row_number() OVER (ORDER BY hh) - 1 AS cid
+       |                FROM (SELECT * FROM h ORDER BY hh LIMIT $ksub)) t
+       |          JOIN rq ON rq.vec_id = t.vec_id),
+       |rcb0 AS (SELECT js.j, s.cid, s.rv[(js.j*$dsub+1):((js.j+1)*$dsub)] AS cv
+       |         FROM rsamp s, js),
+       |ra1 AS (SELECT vec_id, j, cid FROM (
+       |  SELECT rx.vec_id, rx.j, c.cid,
+       |    row_number() OVER (PARTITION BY rx.vec_id, rx.j
+       |      ORDER BY list_dot_product(c.cv, c.cv)
+       |             - 2 * list_dot_product(rx.xv, c.cv) ASC, c.cid ASC) AS rn
+       |  FROM rx JOIN rcb0 c ON c.j = rx.j) WHERE rn = 1),
+       |rst AS (SELECT j, cid, i - 1 AS pos, count(*) AS n, sum(xv[i]) AS s
+       |        FROM (SELECT ra1.j, ra1.cid, rx.xv,
+       |                unnest(generate_series(1, $dsub)) AS i
+       |              FROM ra1 JOIN rx ON rx.vec_id = ra1.vec_id AND rx.j = ra1.j)
+       |        GROUP BY 1, 2, 3),
+       |rcb1r AS (SELECT j, cid, list(s / CAST(n AS DOUBLE) ORDER BY pos) AS cv
+       |          FROM rst GROUP BY 1, 2),
+       |rcb1 AS (SELECT * FROM rcb1r
+       |         UNION ALL
+       |         SELECT c.j, c.cid, c.cv FROM rcb0 c
+       |         WHERE NOT EXISTS (SELECT 1 FROM rcb1r r
+       |                           WHERE r.j = c.j AND r.cid = c.cid)),
+       |renc AS (SELECT vec_id, j, cid FROM (
+       |  SELECT rx.vec_id, rx.j, c.cid,
+       |    row_number() OVER (PARTITION BY rx.vec_id, rx.j
+       |      ORDER BY list_dot_product(c.cv, c.cv)
+       |             - 2 * list_dot_product(rx.xv, c.cv) ASC, c.cid ASC) AS rn
+       |  FROM rx JOIN rcb1 c ON c.j = rx.j) WHERE rn = 1),
+       |rrn2 AS (SELECT vec_id,
+       |           list_dot_product(list(t ORDER BY j), $ones) AS rnorm2
+       |         FROM (
+       |  SELECT en.vec_id, en.j,
+       |    list_dot_product(
+       |      list_transform(generate_series(1, $dsub),
+       |                     i -> qc.qcv[en.j*$dsub + i] + c.cv[i]),
+       |      list_transform(generate_series(1, $dsub),
+       |                     i -> qc.qcv[en.j*$dsub + i] + c.cv[i])) AS t
+       |  FROM renc en
+       |  JOIN casg ON casg.vec_id = en.vec_id
+       |  JOIN qcent qc ON qc.ccid = casg.ccid
+       |  JOIN rcb1 c ON c.j = en.j AND c.cid = en.cid)
+       |         GROUP BY vec_id),
+       |qprobe AS (SELECT vec_id AS query_id, ccid FROM cranked
+       |           WHERE rn <= $nProbe AND ($qPred)),
+       |qq AS (SELECT vec_id AS query_id, j, xv AS qsub FROM x WHERE $qPred),
+       |qdc AS (SELECT p.query_id, p.ccid, list_dot_product(q.qv, qc.qcv) AS qdc
+       |        FROM qprobe p JOIN q ON q.vec_id = p.query_id
+       |        JOIN qcent qc ON qc.ccid = p.ccid),
+       |contrib AS (SELECT qq.query_id, en.vec_id AS neighbor_id, qq.j,
+       |              list_dot_product(qq.qsub, c.cv) AS d
+       |            FROM qq
+       |            JOIN renc en ON en.j = qq.j AND en.vec_id <> qq.query_id
+       |            JOIN casg ON casg.vec_id = en.vec_id
+       |            JOIN qprobe p ON p.query_id = qq.query_id
+       |                         AND p.ccid = casg.ccid
+       |            JOIN rcb1 c ON c.j = en.j AND c.cid = en.cid),
+       |adc AS (SELECT query_id, neighbor_id,
+       |          list_dot_product(list(d ORDER BY j), $ones) AS num
+       |        FROM contrib GROUP BY 1, 2),
+       |csim AS (SELECT a.query_id, a.neighbor_id,
+       |           (qd.qdc + a.num) / sqrt(r.rnorm2) AS sim
+       |         FROM adc a
+       |         JOIN rrn2 r ON r.vec_id = a.neighbor_id
+       |         JOIN casg cg ON cg.vec_id = a.neighbor_id
+       |         JOIN qdc qd ON qd.query_id = a.query_id AND qd.ccid = cg.ccid
+       |         WHERE r.rnorm2 > 0),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM csim)
+       |  WHERE rn <= ${k * oversample}),
+       |rr AS (SELECT c.query_id, c.neighbor_id,
+       |         ${cos("qe.v", "ce.v")} AS sim
+       |       FROM cand c
+       |       JOIN e ce ON ce.vec_id = c.neighbor_id
+       |       JOIN e qe ON qe.vec_id = c.query_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM rr)
+       |WHERE rn <= $k""".stripMargin
+  }
 
   /** q106's recall-report pattern — the exact top-5 CTE, each tier
     * embedded as a full subquery, hits counted on (query, neighbor).
@@ -287,5 +504,20 @@ object PqQueries {
     // q229: write-then-probe ≡ the in-memory tier, so the oracle is the
     // same from-raw rebuild with the fresh batch's predicate.
     "q229_pq_index" -> duckIvfPq(m = 4, ksub = 16, nCentroids = 16,
-      nProbe = 4, k = 5, oversample = 20, qPred = "vec_id % 20 = 3"))
+      nProbe = 4, k = 5, oversample = 20, qPred = "vec_id % 20 = 3"),
+
+    "q231_ivfpq_residual" -> duckIvfPqResidual(m = 4, ksub = 16,
+      nCentroids = 16, nProbe = 4, k = 5, oversample = 20,
+      qPred = "vec_id < 10"),
+
+    "q232_residual_recall" -> duckRecallReport(Seq(
+      "ivfpq_global" -> duckIvfPq(4, 16, 16, 4, 5, 20, "vec_id < 50"),
+      "ivfpq_residual" -> duckIvfPqResidual(4, 16, 16, 4, 5, 20,
+        "vec_id < 50"))),
+
+    // q233: append ≡ retrain-free probe over the union — train on the
+    // seed corpus only, encode everything.
+    "q233_pq_append" -> duckIvfPq(m = 4, ksub = 16, nCentroids = 16,
+      nProbe = 4, k = 5, oversample = 20, qPred = "vec_id % 20 = 7",
+      trainPred = "vec_id % 5 <> 4"))
 }

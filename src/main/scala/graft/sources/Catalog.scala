@@ -248,6 +248,98 @@ final class Catalog(spark: SparkSession) {
       Seq("train", "valid", "test"))
   }
 
+  /** fuel's ILSVRC2010/2012 bindings (fuel/datasets/imagenet.py:7,44:
+    * `ilsvrc<year>.hdf5`, splits train/valid/test, and
+    * `default_transformers = rgb_images_from_encoded_bytes(('encoded_images',))`
+    * — DECODE ONLY, no rescale and no floatX cast: the chain is ToBytes +
+    * ImagesFromBytes, fuel/transformers/defaults.py:40-42). Storage shape
+    * at `$path/ilsvrc$year`: (idx bigint, filename string, targets int —
+    * nullable for unlabeled splits, encoded_images binary) partitioned by
+    * `split` — exactly what [[Ilsvrc.shapeTrain]]/[[Ilsvrc.shapeFlat]]
+    * land from the tar-of-tars ingest ([[Archive.tarEntries]]). The
+    * year parameterizes the filename (imagenet.py's two classes differ
+    * only in it — SVHN's pattern with a year instead of a format). */
+  def registerIlsvrc(path: String, year: Int = 2010,
+      name: String = ""): this.type = {
+    require(year == 2010 || year == 2012,
+      s"registerIlsvrc: year must be 2010 or 2012 (imagenet.py:7,44), got $year")
+    import graft.transform.Mapping
+    import graft.image.ImageOps
+    import graft.types.AxisLabels
+    val nm = if (name.isEmpty) s"ilsvrc$year-mini" else name
+    Seq("train", "valid", "test").foreach { s =>
+      register(s"$nm/$s", () =>
+        AxisLabels.set(SplitSource.read(spark, s"$path/ilsvrc$year", s),
+          "encoded_images", Seq("bytes")),
+        Seq(col("idx")),
+        Seq(Mapping(replace = Seq("encoded_images" ->
+          ImageOps.imagesFromBytes(col("encoded_images"))))))
+    }
+    this
+  }
+
+  /** fuel's CelebA binding (fuel/datasets/celeba.py:33-50): the
+    * format-PARAMETERIZED filename `celeba_{aligned_cropped|64}.hdf5`
+    * (SVHN's pattern), train/valid/test splits, the standard
+    * `uint8_pixels_to_floatX(('features',))` defaults — and the shape
+    * that is NEW to the catalog: a WIDE integer target matrix, 40
+    * binary attribute annotations per image
+    * (fuel/converters/celeba.py:35-39, ('batch', 'target') axes),
+    * which must pass through the features-only default chain untouched.
+    * Storage: parquet partitioned by `split` with (idx bigint,
+    * features binary — encoded image bytes, targets array<int> of 40). */
+  def registerCelebA(path: String, whichFormat: String = "aligned_cropped",
+      name: String = ""): this.type = {
+    require(whichFormat == "aligned_cropped" || whichFormat == "64",
+      s"registerCelebA: which_format must be 'aligned_cropped' or '64' " +
+        s"(celeba.py:30), got '$whichFormat'")
+    import graft.transform.{Cast, Mapping}
+    import graft.image.ImageOps
+    import graft.types.AxisLabels
+    val nm = if (name.isEmpty) s"celeba-$whichFormat-mini" else name
+    Seq("train", "valid", "test").foreach { s =>
+      register(s"$nm/$s", () => {
+        val df = SplitSource.read(spark, s"$path/celeba_$whichFormat", s)
+        AxisLabels.set(
+          AxisLabels.set(df, "features", Seq("channel", "height", "width")),
+          "targets", Seq("target"))
+      }, Seq(col("idx")),
+        Seq(Mapping(replace = Seq("features" -> ImageOps.imagesFromBytes(col("features")))),
+          Mapping(replace = Seq("features" -> ImageOps.pxToUnit(col("features")))),
+          Cast("floatX", Seq("features"))))
+    }
+    this
+  }
+
+  /** fuel's DogsVsCats binding (fuel/datasets/dogs_vs_cats.py:6-30):
+    * RAGGED decoded image rows — the converter stores each example as a
+    * vlen uint8 pixel array with a (channel, height, width) shapes
+    * companion (fuel/converters/dogs_vs_cats.py:47-66), i.e. every
+    * image keeps its own size; here that is a native parquet list
+    * `image_features array<int>` plus `image_features_shapes array<int>`
+    * (SVHN format 1's raggedness, applied to the pixel payload itself).
+    * Two reference quirks preserved exactly: the defaults are
+    * `ScaleAndShift(1/255, 0)` on ('image_features',) ONLY — no floatX
+    * cast (dogs_vs_cats.py:24-25 declares just the one transformer) —
+    * and the test split has NO targets source (the Kaggle test set is
+    * unlabeled; the split dict omits it, dogs_vs_cats.py converter
+    * :105-107), which lands here as a null targets column on test rows. */
+  def registerDogsVsCats(path: String,
+      name: String = "dogs-vs-cats-mini"): this.type = {
+    import graft.transform.ScaleAndShift
+    import graft.types.AxisLabels
+    Seq("train", "test").foreach { s =>
+      register(s"$name/$s", () => {
+        val df = SplitSource.read(spark, path, s)
+        AxisLabels.set(
+          AxisLabels.set(df, "image_features", Seq("channel", "height", "width")),
+          "image_features_shapes", Seq("shape"))
+      }, Seq(col("idx")),
+        Seq(ScaleAndShift(1.0 / 255, 0.0, Seq("image_features"))))
+    }
+    this
+  }
+
   /** The shared tabular binding: each split registered as `name/split`
     * over the split-partitioned scan, empty default chain. */
   private def registerTabular(path: String, name: String,

@@ -166,6 +166,54 @@ class StoreSpec extends SparkSpec {
         m = 4, ksub = 4, dim = 8)
     }
     assert(e4.getMessage.contains("empty corpus"))
+    // dim mismatch fails loudly (ADVICE r13) instead of silently
+    // encoding a prefix of each vector
+    val e5 = intercept[IllegalArgumentException] {
+      Ann.pqCodebooks(emb, "vec_id", "vec", m = 4, ksub = 4, dim = 16)
+    }
+    assert(e5.getMessage.contains("components"))
+    // quantize keep-name collisions with the generated schema reject
+    // with the clash named (ADVICE r13)
+    val e6 = intercept[IllegalArgumentException] {
+      Ann.quantize(emb, "vec_id", "vec", keep = Seq("qvec"))
+    }
+    assert(e6.getMessage.contains("collide"))
+  }
+
+  test("writePqIndexPartitioned + appendPqBatch: append equals frozen-encode-union; replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_part").toString
+    val emb = spark.range(250).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        (pmod(col("id") * (d + 3), lit(11)) - lit(5)).cast("float")): _*).as("vec"))
+    val seedCorpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    Ann.writePqIndexPartitioned(seedCorpus, "pq_part_spec", s"$dir/index",
+      "vec_id", "vec", seed = 42, nCentroids = 8, m = 4, ksub = 8,
+      iters = 1, dim = 8, buckets = 32)
+    val (index0, cents, cbs) = Ann.readPqIndex(spark, "pq_part_spec", s"$dir/index")
+    assert(index0.count() == 200)
+    // batchId -1 is the seed partition — reserved
+    intercept[IllegalArgumentException] {
+      Ann.appendPqBatch(batch, "pq_part_spec", cents, cbs, -1L, "vec_id", "vec")
+    }
+    Ann.appendPqBatch(batch, "pq_part_spec", cents, cbs, 0L, "vec_id", "vec")
+    val grown = spark.table("pq_part_spec")
+    assert(grown.count() == 250)
+    // probe-of-grown-artifact ≡ one frozen encode of the union (the
+    // retrain-free contract: quantizers are the SEED corpus's)
+    val queries = emb.filter(col("vec_id") % 10 === 3)
+    def answers(index: org.apache.spark.sql.DataFrame) =
+      Ann.pqProbe(index, cents, cbs, queries, "vec_id", "vec", k = 3,
+          nProbe = 3, oversample = 5, rerankCorpus = Some(emb))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromArtifact = answers(spark.table("pq_part_spec"))
+    val direct = answers(Ann.pqEncodeFrozen(emb, "vec_id", "vec", cents, cbs))
+    assert(fromArtifact.nonEmpty && fromArtifact == direct,
+      s"append diverges from frozen-encode-union: " +
+        s"${fromArtifact.diff(direct)} / ${direct.diff(fromArtifact)}")
+    // a replayed batch OVERWRITES its partition (at-least-once safety)
+    Ann.appendPqBatch(batch, "pq_part_spec", cents, cbs, 0L, "vec_id", "vec")
+    assert(spark.table("pq_part_spec").count() == 250)
   }
 
   test("writeIvfIndexPartitioned + appendIvfBatch: frozen quantizer, idempotent landings, buckets intact") {
