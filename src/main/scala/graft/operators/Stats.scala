@@ -349,14 +349,15 @@ object Stats {
     * rows sharing a key get IDENTICAL weights in every replicate,
     * silently correlating their draws and biasing every replicate
     * statistic while staying deterministic and oracle-consistent (the
-    * one failure class the oracle can't catch). Enforced by a one-scan
-    * probe that distinguishes NULL keys (rejected by name — countDistinct
-    * alone would blame "duplicates") from genuine duplicates (the
-    * [[graft.ann.Ann.mmrSelect]] pool-probe pattern); the probe is one
-    * extra pass over the input — negligible next to `replicates` md5s
-    * per row. NOTE: the probe makes this call EAGER — it runs a Spark
-    * job at DataFrame-construction time, unlike the engine's otherwise
-    * lazy builders. */
+    * one failure class the oracle can't catch). Enforced IN-PLAN (the
+    * occupancy-guard discipline — until r14 this was an eager `.head()`
+    * probe, the engine's only DataFrame-builder that ran a job at
+    * construction time): a one-row guard agg distinguishing NULL keys
+    * (rejected by name — countDistinct alone would blame "duplicates")
+    * from genuine duplicates broadcast-joins into the replicate output,
+    * and every output row re-checks it through `raise_error` — one
+    * extra scan at EXECUTION time, negligible next to `replicates` md5s
+    * per row, and the builder stays lazy like everything else. */
   def poissonBootstrap(df: DataFrame, keyCol: Column, valueCol: String,
       replicates: Int = 100, seed: Long = 1L,
       scale: Long = 1000000L): DataFrame = {
@@ -372,18 +373,9 @@ object Stats {
         floor(col(valueCol) * lit(scale.toDouble)).cast("bigint").as("__m"))
     // countDistinct excludes NULLs, so count the NULL keys separately:
     // a NULL key must be rejected by name, not blamed on "duplicates".
-    val probe = rows.agg(count(lit(1)).as("n"),
-      countDistinct(col("__k")).as("nd"),
-      count(when(col("__k").isNull, 1)).as("nNull")).head()
-    require(probe.getLong(2) == 0L,
-      s"poissonBootstrap: keyCol has ${probe.getLong(2)} NULL key(s) — the " +
-        "per-row draw is hash(seed, key, b), so NULL keys cannot get " +
-        "independent weights; supply a non-null row-unique key")
-    require(probe.getLong(0) == probe.getLong(1),
-      s"poissonBootstrap: keyCol must be row-unique — got ${probe.getLong(0)} " +
-        s"rows but only ${probe.getLong(1)} distinct keys; duplicate keys give " +
-        "identical per-replicate weights to all rows sharing the key, " +
-        "correlating draws and biasing the bootstrap distribution")
+    val guard = rows.agg(count(lit(1)).as("__gn"),
+      countDistinct(col("__k")).as("__gnd"),
+      count(when(col("__k").isNull, 1)).as("__gnn"))
     import graft.functions.Stable
     def wOf(h: Column): Column = when(h < t(0), lit(0L)).when(h < t(1), lit(1L))
       .when(h < t(2), lit(2L)).when(h < t(3), lit(3L))
@@ -409,7 +401,22 @@ object Stats {
         struct((col("q") * 2 + 1).as("b"), col("__nh").as("n_b"), col("__sh").as("__s"))))
         .as("s"))
       .filter(col("s.b") < replicates) // odd replicate counts drop the last hi draw
-      .select(col("s.b").as("b"), col("s.n_b").as("n_b"),
+      .crossJoin(broadcast(guard))
+      .select(
+        when(col("__gnn") > 0, raise_error(concat(
+          lit("poissonBootstrap: keyCol has "), col("__gnn").cast("string"),
+          lit(" NULL key(s) — the per-row draw is hash(seed, key, b), so " +
+            "NULL keys cannot get independent weights; supply a non-null " +
+            "row-unique key"))))
+          .when(col("__gn") =!= col("__gnd"), raise_error(concat(
+            lit("poissonBootstrap: keyCol must be row-unique — got "),
+            col("__gn").cast("string"), lit(" rows but only "),
+            col("__gnd").cast("string"),
+            lit(" distinct keys; duplicate keys give identical " +
+              "per-replicate weights to all rows sharing the key, " +
+              "correlating draws and biasing the bootstrap distribution"))))
+          .otherwise(col("s.b")).as("b"),
+        col("s.n_b").as("n_b"),
         when(col("s.n_b") <= 0L, lit(null)).otherwise(
           floor(col("s.__s").cast("double") / col("s.n_b").cast("double"))
             .cast("bigint")).as("mean_micro"))

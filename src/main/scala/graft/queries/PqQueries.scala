@@ -183,6 +183,32 @@ object PqQueries {
       Ann.pqProbe(s.table(table), cents, cbs,
         emb.filter(col("vec_id") % 20 === 7), "vec_id", "embedding",
         k = 5, nProbe = 4, oversample = 20, rerankCorpus = Some(emb))
+    }),
+
+    // OPQ-permuted PQ top-k ([[Ann.opqTopK]]): the energy-balancing
+    // dimension permutation (parametric-free OPQ, Ge et al. 2014) in
+    // front of the verbatim q226 chain — same bytes, same contract, a
+    // rebalanced subspace split. The oracle re-derives the permutation
+    // from per-position HUGEINT energy stats and replays the whole
+    // chain in the permuted space, hash-exact.
+    "q234_opq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.opqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 4, ksub = 16, oversample = 20, seed = 42, iters = 1)
+    }),
+
+    // PQ vs OPQ-permuted PQ at IDENTICAL bytes (m=4, ksub=16) — the
+    // measured answer to "does the zero-cost rotation pay?", against
+    // the exact top-5 on the same 50-query probe (q227's harness).
+    "q235_opq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+      val ex = Ann.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      Ann.recallReport(ex, Seq(
+        "pq_m4" -> Ann.pqTopK(emb, qs, "vec_id", "embedding", k = 5,
+          m = 4, ksub = 16, oversample = 20, seed = 42, iters = 1),
+        "opq_m4" -> Ann.opqTopK(emb, qs, "vec_id", "embedding", k = 5,
+          m = 4, ksub = 16, oversample = 20, seed = 42, iters = 1)))
     }))
 
   private def cos(a: String, b: String): String =
@@ -206,9 +232,12 @@ object PqQueries {
     * oracles: raw vectors `e`, int8 quantization `q` ([[Ann.quantize]]'s
     * formula), the seeded id-hash frame `h`, subspace ids `js`, and the
     * quantized subvectors `x`. */
-  private def quantCtes(m: Int): String = {
+  private def quantCtes(m: Int,
+      eDef: String =
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)")
+      : String = {
     val dsub = 64 / m
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""$eDef,
        |sc AS (SELECT vec_id, v,
        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e),
        |q AS (SELECT vec_id,
@@ -226,10 +255,13 @@ object PqQueries {
     * where quantizers are frozen on the seed corpus and later batches
     * only ENCODE (q233). Encoding (`enc`, `rn2`) always covers every
     * row. Default TRUE = train on everything (q226-q232). */
-  private def pqCtes(m: Int, ksub: Int, trainPred: String = "TRUE"): String = {
+  private def pqCtes(m: Int, ksub: Int, trainPred: String = "TRUE",
+      eDef: String =
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)")
+      : String = {
     val dsub = 64 / m
     val ones = Seq.fill(m)("1.0").mkString("[", ", ", "]")
-    s"""${quantCtes(m)},
+    s"""${quantCtes(m, eDef)},
        |samp AS (SELECT qv, row_number() OVER (ORDER BY hh) - 1 AS cid
        |         FROM (SELECT * FROM h WHERE $trainPred ORDER BY hh LIMIT $ksub)),
        |cb0 AS (SELECT js.j, s.cid, s.qv[(js.j*$dsub+1):((js.j+1)*$dsub)] AS cv
@@ -457,6 +489,53 @@ object PqQueries {
        |WHERE rn <= $k""".stripMargin
   }
 
+  /** The OPQ energy-balancing permutation ([[Ann.opqPermutation]])
+    * replayed in SQL, emitted as [[quantCtes]]' `eDef`: quantize the raw
+    * corpus (the same int8 formula — re-derived here because the
+    * permuted `e` this prefix builds is what the shared chain will
+    * quantize again; scale is a max over components, so the two
+    * quantizations agree), accumulate per-position HUGEINT (n, Σx, Σx²),
+    * rank positions by n·Σx² − (Σx)² descending (ties to the lower
+    * position), deal rank r to destination slot (r % m)·dsub + r÷m + 1,
+    * and rebuild `e` as the permuted vectors. Everything downstream —
+    * training, encoding, ADC, the exact rerank — is the verbatim PQ
+    * chain in the permuted space, exactly like [[Ann.opqTopK]]. */
+  private def opqEDef(m: Int): String = {
+    val dsub = 64 / m
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |sc0 AS (SELECT vec_id, v,
+       |          list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale FROM e0),
+       |q0 AS (SELECT vec_id,
+       |  CASE WHEN qscale = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+       |       ELSE list_transform(v, x -> floor(x / qscale + 0.5)) END AS qv
+       |  FROM sc0),
+       |pst AS (SELECT ii.i AS pos, count(*) AS n,
+       |          sum(CAST(qv[ii.i] AS HUGEINT)) AS s,
+       |          sum(CAST(qv[ii.i] AS HUGEINT) * CAST(qv[ii.i] AS HUGEINT)) AS ss
+       |        FROM q0, (SELECT unnest(generate_series(1, 64)) AS i) ii
+       |        GROUP BY 1),
+       |prk AS (SELECT pos,
+       |          row_number() OVER (ORDER BY n*ss - s*s DESC, pos ASC) - 1 AS r
+       |        FROM pst),
+       |pmap AS (SELECT pos AS src, (r % $m) * $dsub + (r // $m) + 1 AS dest
+       |         FROM prk),
+       |e AS (SELECT e0.vec_id, list(e0.v[p.src] ORDER BY p.dest) AS v
+       |      FROM e0, pmap p GROUP BY e0.vec_id)""".stripMargin
+  }
+
+  /** The OPQ-permuted flat-PQ pipeline ([[Ann.opqTopK]]) in SQL:
+    * [[opqEDef]]'s permuted `e` feeding the verbatim [[duckPq]] chain. */
+  private def duckOpq(m: Int, ksub: Int, k: Int, oversample: Int,
+      qPred: String): String =
+    s"""WITH ${pqCtes(m, ksub, eDef = opqEDef(m))},
+       |qq AS (SELECT vec_id AS query_id, j, xv AS qsub FROM x WHERE $qPred),
+       |contrib AS (SELECT qq.query_id, en.vec_id AS neighbor_id, qq.j,
+       |              list_dot_product(qq.qsub, c.cv) AS d
+       |            FROM qq
+       |            JOIN enc en ON en.j = qq.j AND en.vec_id <> qq.query_id
+       |            JOIN cb1 c ON c.j = en.j AND c.cid = en.cid),
+       |${pqTail(m, k, oversample)}""".stripMargin
+
   /** q106's recall-report pattern — the exact top-5 CTE, each tier
     * embedded as a full subquery, hits counted on (query, neighbor).
     * Shared by the q227 (code width) and q230 (nProbe) reports. */
@@ -519,5 +598,12 @@ object PqQueries {
     // seed corpus only, encode everything.
     "q233_pq_append" -> duckIvfPq(m = 4, ksub = 16, nCentroids = 16,
       nProbe = 4, k = 5, oversample = 20, qPred = "vec_id % 20 = 7",
-      trainPred = "vec_id % 5 <> 4"))
+      trainPred = "vec_id % 5 <> 4"),
+
+    "q234_opq_topk" -> duckOpq(m = 4, ksub = 16, k = 5, oversample = 20,
+      qPred = "vec_id < 10"),
+
+    "q235_opq_recall" -> duckRecallReport(Seq(
+      "pq_m4" -> duckPq(4, 16, 5, 20, "vec_id < 50"),
+      "opq_m4" -> duckOpq(4, 16, 5, 20, "vec_id < 50"))))
 }

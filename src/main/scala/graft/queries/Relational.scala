@@ -509,7 +509,22 @@ object Relational {
     "q136_fuzzy_pairs" -> ((s, dir) =>
       graft.operators.Linkage.fuzzyPairs(
         t(s, dir, "part"), "p_partkey", "p_name",
-        sc => element_at(split(sc, " "), 1), maxDist = 3))
+        sc => element_at(split(sc, " "), 1), maxDist = 3)),
+
+    // Z-order layout skipping card ([[graft.operators.Layout.skippingCard]]):
+    // the same lineitem rows bucketed under a linear (l_partkey-ordered)
+    // vs a compact-Morton (l_partkey, l_suppkey) layout, min/max pruned
+    // by a box selective on BOTH keys — the measured "fewer files read"
+    // claim behind OPTIMIZE ZORDER. The linear layout can only prune the
+    // partkey dim; the z layout prunes multiplicatively. Bit widths
+    // derive from the data maxima, so the card is parameter-free and
+    // scale-portable (the box's relative selectivity shrinks as the key
+    // space grows — exactly the regime where skipping matters).
+    "q236_zorder_card" -> ((s, dir) =>
+      graft.operators.Layout.skippingCard(
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"),
+        lo = Seq(1L, 1L), hi = Seq(500L, 25L), log2Buckets = 6))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1116,6 +1131,59 @@ object Relational {
         |SELECT a.id AS id1, c.id AS id2, a.s AS s1, c.s AS s2,
         |  CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
         |FROM b a JOIN b c ON a.bk = c.bk AND a.id < c.id
-        |WHERE levenshtein(a.s, c.s) <= 3""".stripMargin
+        |WHERE levenshtein(a.s, c.s) <= 3""".stripMargin,
+
+    // q236: the skipping card replayed — the same compact Morton
+    // interleave (per-dim bit widths = bitLen of the key maxima, level-b
+    // bits packed together), the same smallest-shift bucket width
+    // (min b with maxKey >> b < 2^6), the same min/max envelope
+    // intersection test. All integers; read_frac is one IEEE division.
+    "q236_zorder_card" -> duckZorderCard(lo1 = 1, hi1 = 500, lo2 = 1, hi2 = 25)
   )
+
+  /** [[graft.operators.Layout.zValue]]'s COMPACT 2-dim interleave as a SQL
+    * expression over scalar bit widths b1/b2 (from the `bl` CTE): dim
+    * 1's bit b lands at position b + min(b, b2); dim 2's at
+    * b + min(b, b1) + [b < b1]. Unrolled to 31 levels — terms above a
+    * key's actual width contribute 0 (the bit is 0), matching the Scala
+    * side's data-derived widths exactly. */
+  private def duckZ(c1: String, c2: String): String =
+    (0 until 31).flatMap(b => Seq(
+      s"((($c1 >> $b) & 1) << ($b + least($b, bl.b2)))",
+      s"((($c2 >> $b) & 1) << ($b + least($b, bl.b1) + " +
+        s"(CASE WHEN $b < bl.b1 THEN 1 ELSE 0 END)))")).mkString(" + ")
+
+  private def duckZorderCard(lo1: Long, hi1: Long, lo2: Long,
+      hi2: Long): String =
+    s"""WITH mx0 AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+       |bs AS (SELECT unnest(generate_series(0, 63)) AS b),
+       |bl AS (SELECT (SELECT min(b) FROM bs, mx0 WHERE (mx0.mp >> b) = 0) AS b1,
+       |              (SELECT min(b) FROM bs, mx0 WHERE (mx0.ms >> b) = 0) AS b2),
+       |zs AS (SELECT l_partkey AS p, l_suppkey AS s2,
+       |    ${duckZ("l_partkey", "l_suppkey")} AS z,
+       |    CASE WHEN l_partkey BETWEEN $lo1 AND $hi1
+       |          AND l_suppkey BETWEEN $lo2 AND $hi2 THEN 1 ELSE 0 END AS m
+       |  FROM lineitem, bl),
+       |mx AS (SELECT max(p) AS ml, max(z) AS mz FROM zs),
+       |shl AS (SELECT min(b) AS v FROM bs, mx WHERE (mx.ml >> b) < 64),
+       |shz AS (SELECT min(b) AS v FROM bs, mx WHERE (mx.mz >> b) < 64),
+       |r AS (SELECT 'linear' AS layout, p >> (SELECT v FROM shl) AS bucket,
+       |        p, s2, m FROM zs
+       |      UNION ALL
+       |      SELECT 'zorder', z >> (SELECT v FROM shz), p, s2, m FROM zs),
+       |pb AS (SELECT layout, bucket, min(p) AS mnp, max(p) AS mxp,
+       |         min(s2) AS mns, max(s2) AS mxs,
+       |         count(*) AS n, sum(m) AS nm
+       |       FROM r GROUP BY 1, 2),
+       |pr AS (SELECT *, (mnp <= $hi1 AND mxp >= $lo1 AND
+       |                  mns <= $hi2 AND mxs >= $lo2) AS rd FROM pb)
+       |SELECT layout,
+       |  CAST(count(*) AS BIGINT) AS buckets_total,
+       |  CAST(sum(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT) AS buckets_read,
+       |  CAST(sum(n) AS BIGINT) AS rows_total,
+       |  CAST(sum(CASE WHEN rd THEN n ELSE 0 END) AS BIGINT) AS rows_read,
+       |  CAST(sum(nm) AS BIGINT) AS rows_match,
+       |  CAST(sum(CASE WHEN rd THEN n ELSE 0 END) AS DOUBLE) /
+       |    CAST(sum(n) AS DOUBLE) AS read_frac
+       |FROM pr GROUP BY 1""".stripMargin
 }

@@ -774,6 +774,18 @@ class OperatorsSpec extends SparkSpec {
     // thresholds are monotone and cover ~Poisson(1) mass up to k=5
     val t = Stats.poissonThresholds
     assert(t == t.sorted && t.last < 1152921504606846976L)
+    // the key contract is enforced IN-PLAN (lazy builder, guard at
+    // execution): duplicates and NULL keys are both rejected by name
+    val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v")
+    val exDup = intercept[Exception] {
+      Stats.poissonBootstrap(dup, col("k"), "v", replicates = 2).collect()
+    }
+    assert(exDup.getMessage.contains("row-unique"), exDup.getMessage)
+    val nul = Seq((Some(1L), 1.0), (None, 2.0)).toDF("k", "v")
+    val exNul = intercept[Exception] {
+      Stats.poissonBootstrap(nul, col("k"), "v", replicates = 2).collect()
+    }
+    assert(exNul.getMessage.contains("NULL key"), exNul.getMessage)
   }
 
   test("proportionCI: Wilson bounds match the JVM replay of the exact chain; bounds bracket the rate") {

@@ -31,7 +31,7 @@ TAG="${4:?tag}"
 # enforced runtime guard naming this tier as the scale path, and q88's
 # fixture benchmark side scales with sf (corpus-vs-corpus), violating
 # the operator's bounded-eval contract.
-PAIR_TIER=q26_dedup_exact,q27_minhash,q28_lsh_dedup,q29_simhash,q30_ann_topk,q31_ann_lsh,q85_sharded_dedup,q217_bitext_margin_lsh,q218_knn_propagate_lsh,q220_auto_banded_topk,q221_propagate_coverage,q222_simhash_wide,q223_fingerprint_occupancy,q224_fingerprint_pruned,q225_containment_pruned,q226_pq_topk,q227_pq_recall,q228_ivfpq_topk,q229_pq_index,q230_ivfpq_recall
+PAIR_TIER=q26_dedup_exact,q27_minhash,q28_lsh_dedup,q29_simhash,q30_ann_topk,q31_ann_lsh,q85_sharded_dedup,q217_bitext_margin_lsh,q218_knn_propagate_lsh,q220_auto_banded_topk,q221_propagate_coverage,q222_simhash_wide,q223_fingerprint_occupancy,q224_fingerprint_pruned,q225_containment_pruned,q226_pq_topk,q227_pq_recall,q228_ivfpq_topk,q229_pq_index,q230_ivfpq_recall,q231_ivfpq_residual,q232_residual_recall,q233_pq_append,q234_opq_topk,q235_opq_recall,q236_zorder_card
 EXACT_TIER=q134_bitext_margin,q91_knn_propagate,q77_jaccard_join,q124_containment,q98_fingerprint_pairs,q52_simhash_near_dup,q88_decontaminate_semantic
 
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
