@@ -583,7 +583,14 @@ object Ann {
     * — exact cross-engine. */
   def recallReport(exact: DataFrame, tiers: Seq[(String, DataFrame)]): DataFrame = {
     require(tiers.nonEmpty, "recallReport needs at least one tier")
-    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    // Multi-tier reports re-consume the EXACT frame once per tier, and
+    // that frame is the report's most expensive input (a bruteforce
+    // corpus×probe pass) — persist it so the exact pass runs once, not
+    // |tiers| times (measured at sf0.1: q230's three-tier report
+    // re-ran the exact BNLJ 3×). Single-tier reports keep the lazy
+    // frame — nothing is reused.
+    val exProj = exact.select(col("query_id"), col("neighbor_id"))
+    val ex = if (tiers.sizeIs > 1) exProj.persist() else exProj
     tiers.map { case (name, ap) =>
       ex.join(broadcast(ap.select(col("query_id"), col("neighbor_id"),
           lit(1L).as("__hit"))),
@@ -921,9 +928,17 @@ object Ann {
     * the 20-60× smaller object — q230 does exactly this). */
   def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       seed: Long = 42, nCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
-      iters: Int = 1, dim: Int = 64)
+      iters: Int = 1, dim: Int = 64,
+      coarsePre: Option[Array[Array[Double]]] = None)
       : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val coarse = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    // `coarsePre` injects an ALREADY-SAMPLED coarse quantizer so a
+    // comparison harness training several tiers over the same
+    // (corpus, seed, nCentroids) — q232 trains global AND residual
+    // codes — samples the identical seeded centroids ONCE instead of
+    // re-running the sample pass per tier (the q230 single-train
+    // discipline applied to the training side).
+    val coarse = coarsePre.getOrElse(
+      sampleCentroids(corpus, idCol, vecCol, seed, nCentroids))
     val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, seed, iters, dim)
     (pqEncodeFrozen(corpus, idCol, vecCol, coarse, cbs), coarse, cbs)
   }
@@ -987,10 +1002,12 @@ object Ann {
     * [[ivfTopK]]'s assignment), quantized for the q·qc term. */
   def ivfPqEncodeResidual(corpus: DataFrame, idCol: String, vecCol: String,
       seed: Long = 42, nCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
-      iters: Int = 1, dim: Int = 64)
+      iters: Int = 1, dim: Int = 64,
+      coarsePre: Option[Array[Array[Double]]] = None)
       : (DataFrame, Array[Array[Double]], Array[Array[Double]],
          Array[Array[Array[Double]]]) = {
-    val coarse = sampleCentroids(corpus, idCol, vecCol, seed, nCentroids)
+    val coarse = coarsePre.getOrElse(
+      sampleCentroids(corpus, idCol, vecCol, seed, nCentroids))
     val qc = coarse.map(quantizeVec)
     require(qc.forall(_.length == dim),
       s"ivfPqEncodeResidual: dim=$dim but a sampled centroid has " +

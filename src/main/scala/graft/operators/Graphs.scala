@@ -68,13 +68,22 @@ object Graphs {
     var ranks = nodes.crossJoin(broadcast(n))
       .selectExpr("node", s"$scale div __n AS rank")
     for (_ <- 1 to iters) {
+      // The base term rides a ZERO-contribution row per node unioned
+      // into the contribution agg instead of a nodes⟕contribs join: the
+      // union children feed ONE map-side-combined sum keyed by node
+      // (adding 0 to an integer sum is exact — the oracle's coalesce(
+      // cin, 0) is reproduced identically), so each iteration costs one
+      // node-keyed exchange and no join/sort of the rank frame at all —
+      // the previous form paid a SortMergeJoin (two sorts + an exchange)
+      // per iteration to attach nodes that received no mass.
       val contribs = ewd.join(ranks, ewd("src") === ranks("node"))
         .selectExpr("dst AS node", "rank div __deg AS __c")
+      ranks = contribs
+        .union(nodes.select(col("node"), lit(0L).as("__c")))
         .groupBy("node").agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .selectExpr("node",
-          s"($base) + ($dampNum * coalesce(__in, 0L)) div $dampDen AS rank")
+          s"($base) + ($dampNum * __in) div $dampDen AS rank")
     }
     ranks
   }
@@ -199,13 +208,25 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
+      // Every node HAS votes by construction — `nodes` is exactly the
+      // src side of the undirected edge frame and `labels` covers every
+      // node, so the per-round argmax's key set IS the node set and the
+      // previous nodes⟕best join (a per-round SortMergeJoin whose
+      // coalesce branch was unreachable) attached nothing. A SENTINEL
+      // row (count 0, own label) unioned into the argmax keeps the
+      // defensive own-label semantics explicit at zero join cost: a
+      // real vote's struct (-c ≤ -1, label) always orders below the
+      // sentinel's (0, node), so the argmax — and every round's output —
+      // is bit-identical to the join form.
       val votes = und.join(labels, und("dst") === labels("node"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("__c"))
-      val best = votes.groupBy("src")
+      labels = votes
+        .union(nodes.select(col("node").as("src"), col("node").as("label"),
+          lit(0L).as("__c")))
+        .groupBy("src")
         .agg(min(struct((-col("__c")).as("__nc"), col("label")))
-          .getField("label").as("__best"))
-      labels = nodes.join(best, nodes("node") === best("src"), "left")
-        .select(col("node"), coalesce(col("__best"), col("node")).as("label"))
+          .getField("label").as("label"))
+        .select(col("src").as("node"), col("label"))
     }
     labels
   }

@@ -146,10 +146,18 @@ object PqQueries {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 50)
       val ex = Ann.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5)
+      // Both tiers quantize with the SAME seeded coarse sample — train
+      // it once and inject it (ivfPqEncode's coarsePre contract); the
+      // residual tier still trains its own codebooks (that difference
+      // is the thing being measured).
+      val coarse = Ann.sampleCentroids(emb, "vec_id", "embedding",
+        seed = 42, nCentroids = 16)
       val (ge, gc, gcb) = Ann.ivfPqEncode(emb, "vec_id", "embedding",
-        seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
+        seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1,
+        coarsePre = Some(coarse))
       val (re, rc, rqc, rcb) = Ann.ivfPqEncodeResidual(emb, "vec_id",
-        "embedding", seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
+        "embedding", seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1,
+        coarsePre = Some(coarse))
       Ann.recallReport(ex, Seq(
         "ivfpq_global" -> Ann.pqProbe(ge, gc, gcb, qs, "vec_id", "embedding",
           k = 5, nProbe = 4, oversample = 20, rerankCorpus = Some(emb)),

@@ -421,15 +421,17 @@ class PlanSpec extends SparkSpec {
     // Budgets measured at this fixture (ewd broadcasts at test scale — at
     // corpus scale the same join goes sort-merge with the RANK table as
     // the only shuffled side, which is the documented contract). Per
-    // pageRank iteration: the contribution agg (node-keyed), the rank
-    // frame into the base-term join, and the one-row N re-agg
-    // (SinglePartition — bytes, not corpus). k-core's lazily-rebuilt
-    // round: distinct edge canon + degree agg + und-by-a + weak-by-b +
-    // und-by-b (the eager loop's localCheckpoint hides the distinct,
-    // paying it once, not per round).
+    // pageRank iteration (r14 union-zero form — the base term rides a
+    // zero-contribution row per node through the contribution agg, so
+    // the old per-iteration nodes⟕contribs SortMergeJoin and its rank-
+    // frame exchange are GONE): the node-keyed contribution agg and the
+    // one-row N re-agg (SinglePartition — bytes, not corpus). k-core's
+    // lazily-rebuilt round: distinct edge canon + degree agg + und-by-a
+    // + weak-by-b + und-by-b (the eager loop's localCheckpoint hides
+    // the distinct, paying it once, not per round).
     val diffs = Seq(
-      ("pageRank marginal per-iteration", s2 - s1, 3),
-      ("pageRank iters=2 total", s2, 7),
+      ("pageRank marginal per-iteration", s2 - s1, 2),
+      ("pageRank iters=2 total", s2, 5),
       ("k-core one peel round", sk, 5)
     ).collect { case (name, got, pinned) if got != pinned =>
       s"$name: $got shuffle exchanges (pinned $pinned)"
