@@ -1059,7 +1059,7 @@ object Ann {
       codebooks: Array[Array[Array[Double]]], queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       oversample: Int = 20, rerankCorpus: Option[DataFrame] = None,
-      maxQueryRows: Int = 1000000): DataFrame = {
+      maxQueryRows: Int = 1000000, broadcastProbe: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.length,
       s"pqProbeResidual: nProbe=$nProbe outside [1, ${centroids.length}]")
     require(oversample >= 1,
@@ -1081,10 +1081,12 @@ object Ann {
         element_at(graft.functions.VecExpressions.matDots(
             col("qvec").cast("array<double>"), qCentroids),
           col("__cid") + 1).as("__qdotc"))
+    // same broadcastProbe contract as [[pqProbe]]
+    val qlutH = if (broadcastProbe) broadcast(qlut) else qlut
     val candScored = index
       .select(col("cid").as("__cid"), col(idCol).as("neighbor_id"),
         col("codes"), col("rnorm"))
-      .join(qlut, Seq("__cid"))
+      .join(qlutH, Seq("__cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("rnorm") > 0d,
@@ -1314,14 +1316,19 @@ object Ann {
       codebooks: Array[Array[Array[Double]]], queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       oversample: Int = 20, rerankCorpus: Option[DataFrame] = None,
-      maxQueryRows: Int = 1000000): DataFrame = {
+      maxQueryRows: Int = 1000000, broadcastProbe: Boolean = false): DataFrame = {
     val guarded = probeQueries(queries, idCol, "pqProbe", maxQueryRows,
       "probe in bounded query batches")
-    val qlut = pqQueryLut(guarded, idCol, vecCol, centroids, nProbe, codebooks)
-    // No broadcast hint (unlike [[ivfPqTopK]], whose encoded side is
-    // derived in-plan): the probe frame broadcasts on its own when it
-    // fits, and an oversized batch degrades to a shuffle of the PROBE
-    // side only — the bucketed list side reads in place either way.
+    val qlut0 = pqQueryLut(guarded, idCol, vecCol, centroids, nProbe, codebooks)
+    // `broadcastProbe = true` is the serving shape for a KNOWN-small
+    // batch: the index side — bucketed artifact or a persisted encode
+    // frame — then never shuffles and never sorts (measured at sf0.1:
+    // the unhinted join planned the probe-LUT frame too conservatively
+    // and shuffled the ENCODED INDEX by cid instead, ~0.7 s per probe).
+    // Default stays unhinted: a batch near maxQueryRows carries
+    // nProbe·(m·ksub + dim/m) doubles per row and must be allowed to
+    // degrade to a probe-side shuffle instead of an executor OOM.
+    val qlut = if (broadcastProbe) broadcast(qlut0) else qlut0
     val candScored = index
       .select(col("cid").as("__cid"), col(idCol).as("neighbor_id"),
         col("codes"), col("rnorm"))

@@ -342,10 +342,16 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     require(tNum > 0 && tNum < tDen,
       s"jaccardJoin: threshold must be in (0,1), got $tNum/$tDen")
-    val sets = df
+    // The shingle-set frame feeds FOUR plan consumers (both prefix-join
+    // sides derive from `prefixes`, and each verify side re-attaches the
+    // sets) — and its projection is the md5-per-gram digest pass, the
+    // most expensive per-row work in the operator. Persist it so the
+    // corpus hashes once, not four times ([[nearDeduped]]'s measured
+    // persist rationale; same MEMORY_AND_DISK trade at scale).
+    val sets = graft.transform.Cache()(df
       .select(col(idCol), minhashFeatures(col(toksCol), k, numHashes = 1).as("mf"))
       .filter(col("mf").isNotNull)
-      .select(col(idCol), col("mf")("shingles").as("sh"))
+      .select(col(idCol), col("mf")("shingles").as("sh")))
     val prefixes = sets.select(col(idCol), size(col("sh")).as("n"),
       explode(expr(
         s"slice(sh, 1, size(sh) - ((size(sh) * $tNum + ${tDen - 1}) div $tDen) + 1)"))

@@ -90,7 +90,8 @@ object PqQueries {
       val enc = encL.persist()
       def tier(nProbe: Int) =
         Ann.pqProbe(enc, cents, cbs, qs, "vec_id", "embedding", k = 5,
-          nProbe = nProbe, oversample = 20, rerankCorpus = Some(emb))
+          nProbe = nProbe, oversample = 20, rerankCorpus = Some(emb),
+          broadcastProbe = true)
       Ann.recallReport(ex, Seq(
         "ivfpq_p2" -> tier(2), "ivfpq_p4" -> tier(4), "ivfpq_p8" -> tier(8)))
     }),
@@ -116,9 +117,11 @@ object PqQueries {
       Ann.writePqIndex(emb, table, path, "vec_id", "embedding",
         seed = 42, nCentroids = 16, m = 4, ksub = 16, iters = 1)
       val (index, cents, cbs) = Ann.readPqIndex(s, table, path)
+      // broadcastProbe: the batch is ~1/20th of the corpus — the
+      // bucketed list side then reads in place with no sort at all.
       Ann.pqProbe(index, cents, cbs, emb.filter(col("vec_id") % 20 === 3),
         "vec_id", "embedding", k = 5, nProbe = 4, oversample = 20,
-        rerankCorpus = Some(emb))
+        rerankCorpus = Some(emb), broadcastProbe = true)
     }),
 
     // RESIDUAL IVF-PQ top-k ([[Ann.ivfPqTopKResidual]], Jégou §IV): the
@@ -160,10 +163,11 @@ object PqQueries {
         coarsePre = Some(coarse))
       Ann.recallReport(ex, Seq(
         "ivfpq_global" -> Ann.pqProbe(ge, gc, gcb, qs, "vec_id", "embedding",
-          k = 5, nProbe = 4, oversample = 20, rerankCorpus = Some(emb)),
+          k = 5, nProbe = 4, oversample = 20, rerankCorpus = Some(emb),
+          broadcastProbe = true),
         "ivfpq_residual" -> Ann.pqProbeResidual(re, rc, rqc, rcb, qs,
           "vec_id", "embedding", k = 5, nProbe = 4, oversample = 20,
-          rerankCorpus = Some(emb))))
+          rerankCorpus = Some(emb), broadcastProbe = true)))
     }),
 
     // The GROWING compressed index ([[Ann.writePqIndexPartitioned]] +
@@ -190,7 +194,8 @@ object PqQueries {
         "vec_id", "embedding")
       Ann.pqProbe(s.table(table), cents, cbs,
         emb.filter(col("vec_id") % 20 === 7), "vec_id", "embedding",
-        k = 5, nProbe = 4, oversample = 20, rerankCorpus = Some(emb))
+        k = 5, nProbe = 4, oversample = 20, rerankCorpus = Some(emb),
+        broadcastProbe = true)
     }),
 
     // OPQ-permuted PQ top-k ([[Ann.opqTopK]]): the energy-balancing

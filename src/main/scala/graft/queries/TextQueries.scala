@@ -674,9 +674,12 @@ object TextQueries {
         chains.select((col("doc_id") * 10 + lit(1000000 + i)).as("doc_id"),
           slice(col("ts"), 1 + 8 * i, 40).as("ts"))
       }.reduce(_ union _)
-      val feat = base.union(planted)
+      // The md5-per-gram feature frame feeds three consumers (sig +
+      // both verify sides) — persist it so the corpus hashes once
+      // (nearDeduped's measured persist rationale).
+      val feat = graft.transform.Cache()(base.union(planted)
         .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
-        .filter(col("mf").isNotNull)
+        .filter(col("mf").isNotNull))
       val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
       val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
       val pairs = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
@@ -1104,9 +1107,11 @@ object TextQueries {
           slice(col("ts"), 1 + 8 * i, 40).as("ts"))
       }.reduce(_ union _)
       val corpus = base.union(planted)
-      val feat = corpus
+      // persist: three consumers of the md5-heavy feature projection
+      // (sig + both verify sides) — nearDeduped's persist rationale.
+      val feat = graft.transform.Cache()(corpus
         .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
-        .filter(col("mf").isNotNull)
+        .filter(col("mf").isNotNull))
       val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
       val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
       val pairs = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
@@ -1787,9 +1792,11 @@ object TextQueries {
       }.reduce(_ union _)
       val corpus = base.union(planted)
         .withColumn("n_toks", size(col("ts")).cast("bigint"))
-      val feat = corpus
+      // persist: three consumers of the md5-heavy feature projection
+      // (sig + both verify sides) — nearDeduped's persist rationale.
+      val feat = graft.transform.Cache()(corpus
         .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
-        .filter(col("mf").isNotNull)
+        .filter(col("mf").isNotNull))
       val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
       val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
       val pairs = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
@@ -1999,9 +2006,11 @@ object TextQueries {
           slice(col("ts"), 1 + 8 * i, 40).as("ts"))
       }.reduce(_ union _)
       val corpus = base.union(planted)
-      val feat = corpus
+      // persist: three consumers of the md5-heavy feature projection
+      // (sig + both verify sides) — nearDeduped's persist rationale.
+      val feat = graft.transform.Cache()(corpus
         .select(col("doc_id"), Dedup.minhashFeatures(col("ts")).as("mf"))
-        .filter(col("mf").isNotNull)
+        .filter(col("mf").isNotNull))
       val shSets = feat.select(col("doc_id"), col("mf")("shingles").as("sh"))
       val sig = feat.select(col("doc_id"), col("mf")("sig").as("sig"))
       val pairs = Dedup.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)

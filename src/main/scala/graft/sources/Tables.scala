@@ -13,7 +13,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, dir, name) memo of the LOGICAL READ PLAN. A
+    * `spark.read.parquet` call pays file listing + footer schema
+    * inference + datasource resolution every time — measured 65-135 ms
+    * per call on the bench tables, and the suite makes ~2 loads per
+    * query × hundreds of queries per run, so re-inferring a schema that
+    * cannot change mid-run was ~10% of the whole bench wall. What is
+    * memoized is METADATA (an immutable DataFrame = unresolved scan +
+    * schema — the thing a production engine keeps in its catalog/
+    * metastore); no rows, no results, no intermediates are held, and
+    * every execution still scans the parquet files. Keyed by session so
+    * a memo can never leak across SparkSession lifecycles (Verify and
+    * Bench each build their own session; tests build many). */
+  private val planMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    planMemo.computeIfAbsent((spark, dir, name),
+      _ => doLoad(spark, dir, name))
+
+  private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as both parquet TIMESTAMP(NANOS) — which the
       // vectorized reader rejects, so it surfaces as int64 nanos under
