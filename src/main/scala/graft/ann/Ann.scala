@@ -583,14 +583,18 @@ object Ann {
     * — exact cross-engine. */
   def recallReport(exact: DataFrame, tiers: Seq[(String, DataFrame)]): DataFrame = {
     require(tiers.nonEmpty, "recallReport needs at least one tier")
-    // Multi-tier reports re-consume the EXACT frame once per tier, and
-    // that frame is the report's most expensive input (a bruteforce
-    // corpus×probe pass) — persist it so the exact pass runs once, not
-    // |tiers| times (measured at sf0.1: q230's three-tier report
-    // re-ran the exact BNLJ 3×). Single-tier reports keep the lazy
-    // frame — nothing is reused.
-    val exProj = exact.select(col("query_id"), col("neighbor_id"))
-    val ex = if (tiers.sizeIs > 1) exProj.persist() else exProj
+    // The EXACT frame is re-consumed once per tier — deliberately NOT
+    // persisted: the per-tier subtrees all live in ONE executed plan,
+    // so the duplicate exact passes run CONCURRENTLY and overlap their
+    // scans, while a persist SERIALIZES the report behind one full
+    // materialization of the exact frame (measured r14, interleaved
+    // same-JVM A/B at sf0.1/local[32]: persist 6.5-8.4 s vs lazy
+    // 4.9-5.8 s per q227-shaped report — persist lost ~40% wall in
+    // every round). On a SATURATED cluster the trade flips (|tiers|×
+    // exact-pass CPU is real money at 100 TB) — there, persist the
+    // exact frame at the call site before passing it in; the operator
+    // keeps the wall-optimal default.
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
     tiers.map { case (name, ap) =>
       ex.join(broadcast(ap.select(col("query_id"), col("neighbor_id"),
           lit(1L).as("__hit"))),
