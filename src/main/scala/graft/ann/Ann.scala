@@ -55,14 +55,22 @@ object Ann {
     * broadcasts as a one-row frame. Callers MUST build on the RETURNED
     * frame. */
   private def probeQueries(queries: DataFrame, idCol: String, op: String,
-      maxQueryRows: Int, fix: String): DataFrame = {
+      maxQueryRows: Int, fix: String): DataFrame =
+    probeQueriesCounted(queries, idCol, op, maxQueryRows, fix)._1
+
+  /** [[probeQueries]] returning the probe's row count too — the count is
+    * already paid for by the contract check, so hint decisions (e.g.
+    * [[pqProbe]]'s broadcastProbe cap) can reuse it instead of adding a
+    * second action. */
+  private def probeQueriesCounted(queries: DataFrame, idCol: String, op: String,
+      maxQueryRows: Int, fix: String): (DataFrame, Long) = {
     val msg =
       s"$op: query set exceeds $maxQueryRows rows — a corpus-sized query side " +
         s"cannot broadcast. $fix, or raise maxQueryRows if the driver " +
         "genuinely fits the larger broadcast"
     val probed = queries.select(col(idCol)).limit(maxQueryRows + 1).count()
     require(probed <= maxQueryRows, msg)
-    inPlanGate(queries, idCol, maxQueryRows, msg)
+    (inPlanGate(queries, idCol, maxQueryRows, msg), probed)
   }
 
   /** The in-plan half of a broadcast-side contract: a one-row gate frame
@@ -1063,13 +1071,14 @@ object Ann {
       codebooks: Array[Array[Array[Double]]], queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       oversample: Int = 20, rerankCorpus: Option[DataFrame] = None,
-      maxQueryRows: Int = 1000000, broadcastProbe: Boolean = false): DataFrame = {
+      maxQueryRows: Int = 1000000, broadcastProbe: Boolean = false,
+      broadcastProbeMaxRows: Int = 10000): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.length,
       s"pqProbeResidual: nProbe=$nProbe outside [1, ${centroids.length}]")
     require(oversample >= 1,
       s"pqProbeResidual: oversample must be >= 1, got $oversample")
-    val guarded = probeQueries(queries, idCol, "pqProbeResidual", maxQueryRows,
-      "probe in bounded query batches")
+    val (guarded, nQueries) = probeQueriesCounted(queries, idCol,
+      "pqProbeResidual", maxQueryRows, "probe in bounded query batches")
     val m = codebooks.length
     val dsub = codebooks.head.head.length
     val qlut = quantize(
@@ -1085,8 +1094,9 @@ object Ann {
         element_at(graft.functions.VecExpressions.matDots(
             col("qvec").cast("array<double>"), qCentroids),
           col("__cid") + 1).as("__qdotc"))
-    // same broadcastProbe contract as [[pqProbe]]
-    val qlutH = if (broadcastProbe) broadcast(qlut) else qlut
+    // same broadcastProbe contract (and batch-size cap) as [[pqProbe]]
+    val qlutH = if (broadcastProbe && nQueries <= broadcastProbeMaxRows)
+      broadcast(qlut) else qlut
     val candScored = index
       .select(col("cid").as("__cid"), col(idCol).as("neighbor_id"),
         col("codes"), col("rnorm"))
@@ -1320,9 +1330,10 @@ object Ann {
       codebooks: Array[Array[Array[Double]]], queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
       oversample: Int = 20, rerankCorpus: Option[DataFrame] = None,
-      maxQueryRows: Int = 1000000, broadcastProbe: Boolean = false): DataFrame = {
-    val guarded = probeQueries(queries, idCol, "pqProbe", maxQueryRows,
-      "probe in bounded query batches")
+      maxQueryRows: Int = 1000000, broadcastProbe: Boolean = false,
+      broadcastProbeMaxRows: Int = 10000): DataFrame = {
+    val (guarded, nQueries) = probeQueriesCounted(queries, idCol, "pqProbe",
+      maxQueryRows, "probe in bounded query batches")
     val qlut0 = pqQueryLut(guarded, idCol, vecCol, centroids, nProbe, codebooks)
     // `broadcastProbe = true` is the serving shape for a KNOWN-small
     // batch: the index side — bucketed artifact or a persisted encode
@@ -1332,7 +1343,15 @@ object Ann {
     // Default stays unhinted: a batch near maxQueryRows carries
     // nProbe·(m·ksub + dim/m) doubles per row and must be allowed to
     // degrade to a probe-side shuffle instead of an executor OOM.
-    val qlut = if (broadcastProbe) broadcast(qlut0) else qlut0
+    // The hint is additionally CAPPED by the measured batch size
+    // (ADVICE r14: a corpus-proportional batch — q229/q233's 5% slice —
+    // grows with sf and would force an unbounded broadcast): past
+    // `broadcastProbeMaxRows` LUT rows (~2.6 KB each at the m=4 default
+    // → ~26 MB hinted build side at the cap) the hint degrades to the
+    // unhinted plan instead of an executor OOM. The count is the one
+    // probeQueries already paid for.
+    val qlut = if (broadcastProbe && nQueries <= broadcastProbeMaxRows)
+      broadcast(qlut0) else qlut0
     val candScored = index
       .select(col("cid").as("__cid"), col(idCol).as("neighbor_id"),
         col("codes"), col("rnorm"))

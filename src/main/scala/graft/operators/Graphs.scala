@@ -39,13 +39,15 @@ object Graphs {
     * correctly-partitioned edge frame — per iteration the only moving
     * data is the rank table (N rows, shuffled once into the join and
     * once by the dst-keyed contribution agg, which map-side combines).
-    * The node frame is persisted for the same reason (it is the left
-    * side of every iteration's base-term join). Rank lineage is kept
-    * LINEAR in iterations — each iteration references the previous
-    * ranks exactly once (the base term joins against the invariant
-    * node frame, never against ranks a second time) — so the plan for
-    * iteration i is O(i), not O(2^i), and no per-iteration checkpoint
-    * is needed at small fixed iteration counts. N rides in as a
+    * The node frame is persisted because every iteration feeds a
+    * ZERO-contribution row per node into that agg (the union-zero form
+    * — nodes that received no mass keep their base term without any
+    * nodes⟕contribs join). Rank lineage is kept LINEAR in iterations —
+    * each iteration references the previous ranks exactly once (the
+    * zero rows come from the invariant node frame, never from ranks a
+    * second time) — so the plan for iteration i is O(i), not O(2^i),
+    * and no per-iteration checkpoint is needed at small fixed
+    * iteration counts. N rides in as a
     * broadcast one-row frame (no driver action). Output: (node, rank).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -238,9 +240,11 @@ object Graphs {
     * tendrils vanish; what survives is the densely-connected backbone a
     * crawl frontier or dedup-cluster audit cares about.
     *
-    * The [[graft.dedup.Components]] iteration discipline: every round
-    * `localCheckpoint`s its edge frame and releases the previous one
-    * (iterative plans double per round otherwise), convergence is a
+    * The [[graft.dedup.Components]] iteration discipline, relaxed to a
+    * measured cadence: the live edge frame `localCheckpoint`s every
+    * SECOND peeling round (lineage between checkpoints stays linear —
+    * one consumer per round — so the halved materializations won, r15
+    * A/B), the previous checkpoint is released, convergence is a
     * bounded emptiness probe on the weak-node frame, and non-convergence
     * within `maxRounds` RAISES rather than returning a partial core —
     * `maxRounds` is also the contract an external replayer unrolls
@@ -257,6 +261,18 @@ object Graphs {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct().localCheckpoint()
+    // The live edge frame checkpoints every SECOND peeling round (r15
+    // interleaved A/B: ~1.3 → ~1.05 s on the q211 graph, faster in all
+    // six rounds): between checkpoints a round's frame has exactly ONE
+    // downstream consumer (the next round's degree agg — the weak-node
+    // probe reads `deg`, not `und`), so skipping the materialization
+    // costs one extra pair of anti-joins recomputed per skipped round
+    // while lineage stays LINEAR (each round references `und` once).
+    // connectedComponents keeps checkpoint-every-round: its per-round
+    // frame has THREE consumers (count, fixed-point anti-join, next
+    // round), so a skipped materialization there re-executes the
+    // distinct shuffle three times.
+    var ckpt = und
     var round = 0
     var done = false
     while (!done) {
@@ -270,11 +286,14 @@ object Graphs {
           s"kCore: no fixed point within $maxRounds peeling rounds — " +
             "the graph has a longer weak chain than the declared " +
             "contract; raise maxRounds (and the replayer's unroll) together")
-        val next = und
+        var next = und
           .join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
           .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
-          .localCheckpoint()
-        und.unpersist()
+        if (round % 2 == 0) {
+          next = next.localCheckpoint()
+          ckpt.unpersist()
+          ckpt = next
+        }
         und = next
       }
     }

@@ -24,13 +24,37 @@ object Tables {
     * metastore); no rows, no results, no intermediates are held, and
     * every execution still scans the parquet files. Keyed by session so
     * a memo can never leak across SparkSession lifecycles (Verify and
-    * Bench each build their own session; tests build many). */
+    * Bench each build their own session; tests build many).
+    *
+    * Assumes STATIC DATA PER SESSION (ADVICE r14): the memoized frame
+    * pins the parquet file listing captured at first load, so a harness
+    * that regenerates a table mid-session must call [[clearMemo]] (or
+    * use a fresh session) — previously each load re-listed. Entries are
+    * evicted when the underlying SparkContext ends (ADVICE r14: stopped
+    * test sessions otherwise stayed strongly reachable, with their file
+    * indexes, for the sbt JVM's lifetime). */
   private val planMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (evictionHooked.add(spark))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            planMemo.keySet.removeIf(_._1 eq spark)
+            evictionHooked.remove(spark)
+          }
+        })
     planMemo.computeIfAbsent((spark, dir, name),
       _ => doLoad(spark, dir, name))
+  }
+
+  /** Drop every memoized plan (all sessions) — for harnesses that
+    * regenerate test data under a live session. */
+  def clearMemo(): Unit = planMemo.clear()
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -302,11 +302,27 @@ object TextOps {
     * doc ASC). Output: (query_id, rank, idCol, score_q). */
   def bm25TopK(docs: DataFrame, idCol: String, toksCol: String,
       queries: Seq[(Long, Seq[String])], k: Int = 10,
-      scale: Long = 10000L): DataFrame = {
-    val (qterms, termSet) = bm25Queries(docs.sparkSession, queries)
-    val scalars = docs.agg(
+      scale: Long = 10000L): DataFrame =
+    bm25TopKWith(docs, bm25Scalars(docs, toksCol), idCol, toksCol, queries,
+      k, scale)
+
+  /** The corpus scalars (N docs with ≥ 1 token, T total tokens) BM25's
+    * length normalization needs — one full-pass agg producing ONE row.
+    * Factored out so a multi-stage retrieval loop ([[bm25PseudoFeedback]])
+    * can compute it once and share it across stages instead of paying a
+    * corpus tokenize pass per stage (§5: reused and expensive). */
+  private[text] def bm25Scalars(docs: DataFrame, toksCol: String): DataFrame =
+    docs.agg(
       coalesce(sum(when(size(col(toksCol)) > 0, 1L).otherwise(0L)), lit(0L)).as("__n"),
       coalesce(sum(size(col(toksCol)).cast("bigint")), lit(0L)).as("__t"))
+
+  /** [[bm25TopK]] with the corpus-scalar frame injected (the PQ tier's
+    * `coarsePre` discipline): callers that run BM25 more than once over
+    * the same corpus pass one shared (possibly persisted) scalars frame. */
+  private[text] def bm25TopKWith(docs: DataFrame, scalars: DataFrame,
+      idCol: String, toksCol: String, queries: Seq[(Long, Seq[String])],
+      k: Int, scale: Long): DataFrame = {
+    val (qterms, termSet) = bm25Queries(docs.sparkSession, queries)
     val tf = docs
       .select(col(idCol), size(col(toksCol)).cast("bigint").as("__dl"),
         explode(col(toksCol)).as("term"))
@@ -376,7 +392,11 @@ object TextOps {
     * (the [[tfidfTopTerms]] df shape — distinct (doc, term) collapsed
     * then term-keyed); the expansion argmax is a window over each
     * query's feedback vocabulary (bounded by fbDocs documents' terms);
-    * round 2 is [[bm25TopK]] again with the expanded literals. */
+    * round 2 is BM25 again with the expanded literals. The corpus
+    * scalars (N, T) are computed ONCE and shared by round 1, the
+    * expansion idf, and round 2 as a persisted ONE-ROW frame — without
+    * it each stage re-paid a full corpus tokenize pass for two longs
+    * (3 passes → 1, measured r15). */
   def bm25PseudoFeedback(docs: DataFrame, idCol: String, toksCol: String,
       queries: Seq[(Long, Seq[String])], k: Int = 10, fbDocs: Int = 3,
       fbTerms: Int = 2, scale: Long = 10000L): DataFrame = {
@@ -385,7 +405,14 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val ilog2 = (c: Column) => (length(bin(c)) - 1).cast("bigint")
-    val round1 = bm25TopK(docs, idCol, toksCol, queries, fbDocs, scale)
+    // The corpus scalars (N, T) are identical in round 1, the expansion
+    // idf, and round 2 — computed once and PERSISTED (one row; its
+    // lineage is a full corpus tokenize pass, which the three consumers
+    // were each re-paying: 3 tokenize passes → 1, measured r15
+    // interleaved A/B). The one-row cache is bounded at any corpus size.
+    val scalars = bm25Scalars(docs, toksCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val round1 = bm25TopKWith(docs, scalars, idCol, toksCol, queries, fbDocs, scale)
     val fbPairs = round1.select(col("query_id"), col(idCol).as("__fbid"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val fbIds = fbPairs.map(_._2).distinct.toSeq
@@ -397,8 +424,9 @@ object TextOps {
     val dfAll = docs.select(col(idCol), explode(col(toksCol)).as("term"))
       .distinct()
       .groupBy("term").agg(count(lit(1)).as("__df"))
-    val n = docs.agg(coalesce(sum(when(size(col(toksCol)) > 0, 1L)
-      .otherwise(0L)), lit(0L)).as("__n"))
+    // __n comes from the shared scalars frame — the standalone corpus
+    // pass this agg used to pay is the frame's cached row.
+    val n = scalars.select(col("__n"))
     val orig = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
       .toDF("query_id", "term").withColumn("__orig", lit(1))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
@@ -415,7 +443,7 @@ object TextOps {
     val expByQ = expansion.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val expanded = queries.map { case (q, ts) =>
       q -> (ts ++ expByQ.getOrElse(q, Nil)).distinct }
-    bm25TopK(docs, idCol, toksCol, expanded, k, scale)
+    bm25TopKWith(docs, scalars, idCol, toksCol, expanded, k, scale)
   }
 
   /** Materialized inverted index for repeated [[bm25TopK]] retrieval —
@@ -1488,32 +1516,35 @@ object TextOps {
     * Scale shape: the occurrence stream is one row per corpus token
     * ((id, pos, hash) — grams are hashed in-projection via
     * [[ngramHashes]], the dedup family's no-shingle-strings rule, so the
-    * ONE keyed shuffle moves 8-byte longs). The duplicated-gram
-    * dictionary (count > 1, with its canonical owner from the same agg —
-    * map-side combined) is a pure reduction of that stream; the
-    * occurrence→dictionary join is hash-keyed and ids-only, and a hot
-    * gram (a footer in every doc) fans out to exactly its occurrence
-    * count — bounded by the stream itself, never quadratic (unlike LSH
-    * buckets, high occupancy here is legitimate data, not a planning
-    * failure; no occupancy guard wanted). Island merge is a per-doc fold
-    * over CUT positions only (bounded by doc length, the engine's
-    * bounded-doc assumption), never a corpus-wide sort. The occurrence
-    * stream has two consumers (the dictionary agg and the join probe), so
-    * the corpus scans twice — [[dedupLines]]' accepted count-then-probe
-    * trade; the dictionary itself is unbounded (every duplicated gram in
-    * the corpus), so neither side can broadcast and caching the stream
-    * would cache a corpus-sized frame. */
+    * ONE keyed shuffle moves 8-byte longs). Each occurrence's duplicate
+    * count and canonical owner come from count/min WINDOW functions over
+    * the hash-keyed stream — ONE pass: the previous dictionary-agg +
+    * occurrence-rescan + join form hashed the corpus grams twice and
+    * (past broadcast size — the dictionary is unbounded, every
+    * duplicated gram in the corpus) paid a second full-stream shuffle
+    * for the SortMergeJoin; the window form shuffles and sorts the
+    * stream once and was measured 1.6x faster end-to-end at sf0.1
+    * (interleaved same-JVM A/B, r15 — it also beat persisting the
+    * occurrence stream, which would cache a corpus-token-sized frame).
+    * 100 TB memory bound: WindowExec buffers ONE gram-hash group at a
+    * time per task and spills past
+    * spark.sql.windowExec.buffer.spill.threshold, so a hot gram (a
+    * footer in every doc) costs disk, not memory — fan-out stays
+    * bounded by the gram's own occurrence count, never quadratic.
+    * Island merge is a per-doc fold over CUT positions only (bounded by
+    * doc length, the engine's bounded-doc assumption), never a
+    * corpus-wide sort. */
   def dedupSpans(df: DataFrame, idCol: String, toksCol: String, k: Int = 20,
       out: String = "clean_text", posCap: Int = 1 << 21,
       sep: String = " "): DataFrame = {
     require(k >= 2, s"dedupSpans needs k >= 2 token windows, got $k")
     val base = df.select(col(idCol), col(toksCol).as("__ts"))
-    // The owner reduction must stay a PRIMITIVE min: min(struct(id, pos))
-    // compiles to SortAggregate — a per-partition sort of the
-    // corpus-token-sized occurrence stream — while the composed long key
-    // keeps it inside whole-stage-codegen HashAggregate. Hence numeric
-    // ids and the posCap bound (id * posCap + pos must order like
-    // (id, pos)); docs past the cap fail loudly, not mis-order.
+    // The owner reduction must stay a PRIMITIVE min: a struct(id, pos)
+    // min would drop the window evaluation out of the primitive
+    // fast path, while the composed long key keeps the per-group
+    // buffer rows narrow. Hence numeric ids and the posCap bound
+    // (id * posCap + pos must order like (id, pos)); docs past the cap
+    // fail loudly, not mis-order.
     val occ = base.filter(size(col("__ts")) > 0)
       .select(col(idCol),
         when(size(col("__ts")) >= lit(posCap), raise_error(concat(
@@ -1524,12 +1555,16 @@ object TextOps {
       .withColumn("__grams", ngramHashes(col("__ts"), k))
       .select(col(idCol), posexplode(col("__grams")).as(Seq("__p", "__h")))
       .withColumn("__ok", col(idCol).cast("long") * posCap + col("__p"))
-    val dict = occ.groupBy("__h")
-      .agg(count(lit(1)).as("__c"), min(col("__ok")).as("__own"))
-      .filter(col("__c") > 1)
-      .select("__h", "__own")
-    val cuts = occ.join(dict, Seq("__h"))
-      .filter(col("__ok") =!= col("__own"))
+    // One pass over the occurrence stream: duplicate count and canonical
+    // owner as windows over the gram hash (ngramHashes emits non-null
+    // longs, so no null-key group can slip past the old inner join's
+    // implicit null drop). Rows whose gram occurs once, or which ARE the
+    // owner, fall out here exactly as the dictionary join dropped them.
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val cuts = occ
+      .withColumn("__c", count(lit(1)).over(hw))
+      .withColumn("__own", min(col("__ok")).over(hw))
+      .filter(col("__c") > 1 && col("__ok") =!= col("__own"))
       .select(col(idCol), col("__p"))
     // sorted fixed-width spans: e = p + k is monotone, so the fold's merge
     // never needs a max — a span either extends the last island's end or

@@ -157,7 +157,17 @@ final case class FilterSources(sources: Seq[String]) extends Transform {
 }
 
 /** Persist the stream (fuel Cache, __init__.py:477-536 — chunked read-ahead;
-  * in Spark the vectorized reader already chunks, so this maps to persist). */
+  * in Spark the vectorized reader already chunks, so this maps to persist).
+  *
+  * SESSION-LIFECYCLE ASSUMPTION (VERDICT r14): Cache() sites are never
+  * explicitly unpersisted — a query's caches cannot be dropped before
+  * its action runs (the DataFrame is lazy), and after it runs the
+  * engine's harnesses clear them wholesale (Bench and Verify both call
+  * `spark.catalog.clearCache()` between queries; tests stop their
+  * sessions). A long-lived interactive session issuing many engine
+  * queries accumulates MEMORY_AND_DISK blocks until LRU eviction — call
+  * `spark.catalog.clearCache()` (or unpersist the returned frames) at
+  * its own query boundaries. */
 final case class Cache(level: org.apache.spark.storage.StorageLevel =
     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) extends Transform {
   def apply(df: DataFrame): DataFrame = df.persist(level)

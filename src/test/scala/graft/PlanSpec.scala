@@ -365,14 +365,18 @@ class PlanSpec extends SparkSpec {
         maxLineOccurrences = 1, minTokens = 30, nBuckets = 3)
       .filter(col("bucket") >= 1 && col("bucket") < 3)
     // The pins are counts of the UNCACHED composition tree (see above) —
-    // q73's 36 includes the full q67 interior re-expanded without its
+    // q73's count includes the full q67 interior re-expanded without its
     // Cache() boundaries, which is why it exceeds q67's own 11; the real
     // query pays the cached count. What matters is that these numbers
-    // only move when the COMPOSITION moves.
+    // only move when the COMPOSITION moves. q73 re-pinned 36 → 24 in
+    // r15: dedupSpans' one-pass window form drops the duplicated-gram
+    // dictionary agg exchange AND the second occurrence-stream subtree
+    // (whose uncached lineage re-expanded the whole upstream chain) —
+    // measured 1.6x faster at sf0.1, see OPTIMIZATION_r15.md.
     val budgets = Seq(
       ("q59 pre-pack", q59pre, 21),
       ("q67 pre-pack", q67pre, 11),
-      ("q73 pre-pack", q73pre, 36),
+      ("q73 pre-pack", q73pre, 24),
       ("q79 pre-pack", q79pre, 10))
     val diffs = budgets.flatMap { case (name, df, pinned) =>
       val got = shuffles(df)
